@@ -1,0 +1,112 @@
+"""URL canonicalization — reference-exact semantics, pure functions.
+
+Reference semantics reproduced here (cited file:line are in
+/root/reference/cloud-crawler):
+
+- ``key_for``: ``url.to_s.downcase.gsub("https",'http').gsub(/\\s+/,' ')``
+  (lib/cloud-crawler/redis_page_store.rb:34-36,
+  lib/cloud-crawler/redis_url_bloomfilter.rb:74-76) — the page-store /
+  URL-seen key normalization: lowercase, every "https" substring → "http",
+  whitespace runs → single space.
+- ``to_absolute``: strip a trailing ``#anchor`` (regex ``#[a-zA-Z0-9_-]*$``),
+  URI-decode + re-encode, resolve against ``<base href>`` or the page URL,
+  and force an empty path to "/" (lib/cloud-crawler/page.rb:232-244).
+- ``normalize_link``: empty path → "/" on a seed URL
+  (lib/cloud-crawler/driver.rb:115-119).
+
+These are pure string functions used both inside vectorized ``map_batches``
+stages and by the single-threaded oracle, guaranteeing identical admission /
+dedup keys in both.
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import quote, unquote, urljoin, urlsplit
+
+_ANCHOR_RE = re.compile(r"#[a-zA-Z0-9_-]*$")
+_WS_RE = re.compile(r"\s+")
+
+# Characters Ruby's (obsolete) URI.encode leaves unescaped — the reserved +
+# unreserved set. We control the synthetic-web URL charset, so this only needs
+# to round-trip percent-encoding consistently between engine and oracle.
+_SAFE = "/:?#[]@!$&'()*+,;=%~-._"
+
+
+def strip_anchor(link: str) -> str:
+    """Remove a trailing #fragment (only [a-zA-Z0-9_-]* at end-of-string),
+    exactly like page.rb:236."""
+    return _ANCHOR_RE.sub("", link)
+
+
+def reencode(link: str) -> str:
+    """URI.decode then URI.encode (page.rb:236) — normalizes percent-encoding."""
+    return quote(unquote(link), safe=_SAFE)
+
+
+def ensure_path(url: str) -> str:
+    """Empty path → '/' (page.rb:241, driver.rb:115-119)."""
+    parts = urlsplit(url)
+    if parts.path == "" and parts.scheme in ("http", "https"):
+        netloc_end = url.find(parts.netloc) + len(parts.netloc)
+        return url[:netloc_end] + "/" + url[netloc_end:]
+    return url
+
+
+def to_absolute(link: str, page_url: str, base_url: str | None = None) -> str | None:
+    """Absolutize *link* against *base_url* (from <base href>) or *page_url*.
+
+    Returns None when the link is unparseable (reference: ``rescue next`` at
+    page.rb:123).
+    """
+    if link is None:
+        return None
+    try:
+        link = reencode(strip_anchor(str(link)))
+        root = base_url if base_url else page_url
+        absolute = urljoin(root, link)
+        return ensure_path(absolute)
+    except (ValueError, UnicodeError):
+        return None
+
+
+def key_for(url: str) -> str:
+    """The URL-seen / page-store canonical key (redis_page_store.rb:34-36)."""
+    return _WS_RE.sub(" ", str(url).lower().replace("https", "http"))
+
+
+def canonical_url(url: str) -> str:
+    """Full canonicalization: anchor strip + re-encode + empty path fix +
+    key normalization. Used for the seen-set, in-wave dedup, and doc_id."""
+    return key_for(ensure_path(reencode(strip_anchor(str(url)))))
+
+
+def host_of(url: str) -> str:
+    """Lower-cased host (empty string when absent) — the politeness /
+    domain-confinement key (page.rb:87-89, http.rb:219-240)."""
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+def normalize_seed(url: str) -> str:
+    """Driver-side seed normalization (driver.rb:115-119 + 187-189)."""
+    return ensure_path(str(url))
+
+
+def has_query(url: str) -> bool:
+    """True when the URL carries a query string (dsl_core.rb:269-271)."""
+    try:
+        return urlsplit(url).query != ""
+    except ValueError:
+        return False
+
+
+def path_of(url: str) -> str:
+    """URL path component — skip_links_like patterns match the *path*
+    (dsl_core.rb:277-279)."""
+    try:
+        return urlsplit(url).path
+    except ValueError:
+        return ""

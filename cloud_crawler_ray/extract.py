@@ -1,0 +1,145 @@
+"""Parse-extract fusion: HTML body → ordered interleaved spans + candidate links.
+
+Reference semantics (lib/cloud-crawler in /root/reference/cloud-crawler):
+- lazy Nokogiri parse gated on content type (page.rb:143-149, 185-195) —
+  non-HTML/XML bodies yield no DOM, hence no spans/links;
+- links = document-order ``//a[@href]``, absolutized via ``to_absolute``
+  (anchor strip, decode/encode, <base href> resolution, empty path → "/"),
+  unparseable hrefs skipped, de-duplicated keep-first (page.rb:97-136);
+- anchor text per link with UTF-8 scrub (text_for, page.rb:104-113);
+- <base href> from <head> applies to every link (page.rb:217-225).
+
+The interleaved-span output (kind, text, media_ref, offset) is the
+input_hint payload: text runs, <a> anchors (kind=link), <img> (kind=image)
+and <video> (kind=video) tags in document order. This module is pure Python,
+shared verbatim by the distributed extract stage (map_batches) and the
+single-threaded oracle, so per-row span-sequence equality is by construction
+— the distributed/oracle comparison then verifies orchestration (dedup,
+ordering, seen-set, politeness), which is where parallelism can diverge.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+from .canon import to_absolute
+
+_BASE_RE = re.compile(rb"<base\s+href=[\"']([^\"']+)[\"']", re.I)
+_WS = re.compile(r"\s+")
+
+HTML_TYPES = ("text/html", "application/xhtml+xml")
+XML_TYPES = ("text/xml", "application/xml")
+
+
+def is_parseable(content_type: str) -> bool:
+    ct = (content_type or "").split(";")[0].strip().lower()
+    return ct in HTML_TYPES or ct in XML_TYPES
+
+
+def scrub(text: str) -> str:
+    """UTF-8 scrub + whitespace collapse (page.rb:109-113 iconv IGNORE)."""
+    return _WS.sub(" ", text.encode("utf-8", "ignore").decode("utf-8", "ignore")).strip()
+
+
+@dataclass
+class Extraction:
+    spans: list[tuple[str, str, str, int]] = field(default_factory=list)  # kind,text,media_ref,offset
+    links: list[str] = field(default_factory=list)       # absolutized, doc order, uniq keep-first
+    anchor_text: dict[str, str] = field(default_factory=dict)
+
+
+class _SpanParser(HTMLParser):
+    """Single-pass walker: emits text runs, link/image/video spans in
+    document order. Text inside <a> belongs to the link span (text_for)."""
+
+    SKIP_CONTENT = {"script", "style", "title", "head"}
+
+    def __init__(self, page_url: str, base_url: str | None):
+        super().__init__(convert_charrefs=True)
+        self.page_url = page_url
+        self.base_url = base_url
+        self.out = Extraction()
+        self._text: list[str] = []
+        self._in_a: str | None = None      # absolutized href while inside <a>
+        self._a_text: list[str] = []
+        self._skip_depth = 0
+
+    def _flush_text(self) -> None:
+        txt = scrub("".join(self._text))
+        self._text = []
+        if txt:
+            self._emit("text", txt, "")
+
+    def _emit(self, kind: str, text: str, media_ref: str) -> None:
+        self.out.spans.append((kind, text, media_ref, len(self.out.spans)))
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self.SKIP_CONTENT:
+            self._skip_depth += 1
+            return
+        d = dict(attrs)
+        if tag == "a":
+            href = d.get("href")
+            if href:
+                abs_url = to_absolute(href, self.page_url, self.base_url)
+                self._flush_text()
+                self._in_a = abs_url  # None if unparseable → swallow as text
+                self._a_text = []
+        elif tag in ("img", "video"):
+            src = d.get("src")
+            if src:
+                abs_src = to_absolute(src, self.page_url, self.base_url)
+                if abs_src:
+                    self._flush_text()
+                    self._emit("image" if tag == "img" else "video", "", abs_src)
+
+    def handle_endtag(self, tag):
+        if tag in self.SKIP_CONTENT:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag == "a" and self._in_a is not None:
+            atext = scrub("".join(self._a_text))
+            url = self._in_a
+            self._emit("link", atext, url)
+            if url not in self.out.anchor_text:   # keep-first like @links.uniq!
+                self.out.anchor_text[url] = atext
+                self.out.links.append(url)
+            self._in_a = None
+            self._a_text = []
+
+    def handle_data(self, data):
+        if self._skip_depth:
+            return
+        if self._in_a is not None:
+            self._a_text.append(data)
+        else:
+            self._text.append(data)
+
+    def close(self):
+        super().close()
+        if self._in_a is not None:   # unclosed <a> at EOF
+            self.handle_endtag("a")
+        self._flush_text()
+
+
+def find_base(body: bytes) -> str | None:
+    """<head><base href> lookup (page.rb:217-225); empty href → None."""
+    m = _BASE_RE.search(body)
+    if m:
+        href = m.group(1).decode("utf-8", "ignore").strip()
+        return href or None
+    return None
+
+
+def extract_page(url: str, body: bytes, content_type: str) -> Extraction:
+    """Full extraction for one fetched page. Non-parseable content types
+    return an empty Extraction (doc is nil, page.rb:143-149)."""
+    if not is_parseable(content_type) or not body:
+        return Extraction()
+    base = find_base(body)
+    parser = _SpanParser(url, base)
+    parser.feed(body.decode("utf-8", "ignore"))
+    parser.close()
+    return parser.out

@@ -1,0 +1,43 @@
+"""CrawlSpec — the user-extension surface (the reference DSL, re-expressed).
+
+The reference serializes Ruby blocks to source strings and instance_eval's
+them on workers (dsl_front_end.rb:135-151, dsl_core.rb:95-119). Ray ships
+plain Python callables via cloudpickle, so the spec is a frozen dataclass of
+options + hooks, executed at reference-identical points inside the extract
+stage (do_page_blocks dsl_core.rb:180-186; links_to_follow dsl_core.rb:193-197).
+
+Option defaults mirror DEFAULT_OPTS (dsl_front_end.rb:32-79).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+@dataclass
+class CrawlSpec:
+    # admission options (dsl_front_end.rb defaults)
+    depth_limit: int | None = None            # too_deep? dsl_core.rb:257-263
+    obey_robots_txt: bool = False             # allowed() dsl_core.rb:237-241
+    inside_domain: bool = True                # in_domain? dsl_core.rb:246-252
+    outside_domain: bool = False
+    skip_query_strings: bool = False          # dsl_core.rb:269-271
+    skip_link_patterns: list[str] = field(default_factory=list)  # path regexes
+    keep_redirects: bool = False              # crawl_job.rb:80-84
+    discard_page: bool = False                # drop bodies/spans after hooks
+    delay: float = 0.0                        # per-host politeness seconds
+    redirect_limit: int = 5                   # http.rb:35
+    user_agent: str = "cloud-crawler-ray/0.1"
+    follow_links: bool = True                 # False = BatchCurlJob mode
+
+    # hooks (executed in the extract stage, in reference order)
+    on_every_page: Callable[[dict], Any] | None = None        # do_page_blocks
+    on_pages_like: list[tuple[str, Callable[[dict], Any]]] = field(default_factory=list)
+    focus_crawl: Callable[[dict, list[str]], list[str]] | None = None
+    skip_link_fn: Callable[[str], bool] | None = None
+
+    def compiled_skip_patterns(self):
+        import re
+
+        return [re.compile(p) for p in self.skip_link_patterns]
