@@ -1,0 +1,298 @@
+"""Single-threaded reference-semantics oracle.
+
+A pure-Python BFS crawler implementing the reference's crawl semantics
+(SURVEY.md §2) directly: wave-synchronous BFS-with-priority ordering (qless
+Ordered reserver analog, driver.rb:95), in-wave first-(parent_seq, ordinal)
+dedup (queue-serialization analog, crawl_job.rb:96), committed-seen-set
+admission with mark-at-wave-commit (batch_crawl_job.rb:139-153), the
+visit_link? filter chain in order (dsl_core.rb:216-230), same-host-only
+redirect chains with limit (http.rb:155-169, 245-247), and a deterministic
+per-host virtual politeness clock (sleep(delay) before each job,
+batch_job.rb:178-183, serialized per host through the connection pool
+http.rb:219-240).
+
+Every distributed result is compared against this oracle — it is the
+stand-in for the Ruby crawler's own fixtures (which cannot run here).
+Seen-set semantics note: the reference's two job paths mark slightly
+different URL sets (CrawlJob marks the job URL, crawl_job.rb:104;
+BatchCrawlJob marks stored page URLs, batch_crawl_job.rb:139-153). This
+engine marks the union (job URL + kept page URLs), which subsumes both and
+prevents redirect-source refetch loops.
+"""
+
+from __future__ import annotations
+
+import re
+import urllib.robotparser
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from .canon import canonical_url, has_query, host_of, normalize_seed, path_of
+from .extract import extract_page, is_parseable
+from .spec import CrawlSpec
+
+
+@dataclass
+class FetchedPage:
+    url: str
+    code: int
+    body: bytes
+    content_type: str
+    redirect_to: str
+    latency_ms: int
+    depth: int
+    referer: str
+    error: str = ""
+
+    @property
+    def fetched(self) -> bool:
+        return self.error == ""
+
+
+class SyntheticNet:
+    """URL → web-table row lookup — the 'network'. Exact URL first, then
+    canonical key (the synthetic generator emits consistent URLs; the
+    canonical fallback covers case-variant links).
+
+    Lazy over the zero-copy Arrow table: only the url column is pulled into
+    a Python index at build time; bodies are materialized one row at a time
+    on lookup. This keeps per-actor construction cheap when the table ref is
+    broadcast to a fetch actor pool (ray.put once, ray.get in __init__)."""
+
+    def __init__(self, web: pa.Table):
+        self.web = web.combine_chunks()
+        urls = self.web.column("url").to_pylist()
+        self.exact: dict[str, int] = {}
+        self.by_canon: dict[str, int] = {}
+        for i, u in enumerate(urls):
+            self.exact.setdefault(u, i)
+            self.by_canon.setdefault(canonical_url(u), i)
+        self._cols = {name: self.web.column(name) for name in self.web.column_names}
+
+    def lookup(self, url: str) -> dict | None:
+        i = self.exact.get(url)
+        if i is None:
+            i = self.by_canon.get(canonical_url(url))
+        if i is None:
+            return None
+        return {name: col[i].as_py() for name, col in self._cols.items()}
+
+    def robots_for(self, host: str) -> urllib.robotparser.RobotFileParser:
+        rp = urllib.robotparser.RobotFileParser()
+        row = self.lookup(f"http://{host}/robots.txt")
+        if row is not None and row["status"] == 200:
+            rp.parse(row["body"].decode("utf-8", "ignore").splitlines())
+        else:
+            rp.parse([])  # no robots → allow all
+        return rp
+
+
+def fetch_chain(
+    net: SyntheticNet, url: str, depth: int, referer: str, redirect_limit: int
+) -> list[FetchedPage]:
+    """Fetch a URL following same-host redirects up to the limit
+    (http.rb:68-91, 155-169; same-host-only follow http.rb:245-247).
+    Unregistered URL → error page (FakeWeb NetConnectNotAllowedError →
+    rescue → error Page, http.rb:84-90)."""
+    pages: list[FetchedPage] = []
+    cur = url
+    for _hop in range(redirect_limit + 1):
+        row = net.lookup(cur)
+        if row is None:
+            pages.append(
+                FetchedPage(cur, 0, b"", "", "", 0, depth, referer, error="connection refused")
+            )
+            return pages
+        page = FetchedPage(
+            cur,
+            int(row["status"]),
+            row["body"],
+            row["content_type"],
+            row["redirect_to"] or "",
+            int(row["latency_ms"]),
+            depth,
+            referer,
+        )
+        pages.append(page)
+        target = page.redirect_to
+        if 300 <= page.code < 400 and target:
+            if host_of(target) != host_of(cur):
+                return pages  # off-host redirect not followed
+            cur = target
+            continue
+        return pages
+    return pages
+
+
+@dataclass
+class OracleResult:
+    pages: list[dict] = field(default_factory=list)           # PAGES_SCHEMA rows
+    documents: list[dict] = field(default_factory=list)       # DOCUMENTS_SCHEMA rows
+    crawl_order: list[tuple[int, int, str]] = field(default_factory=list)  # wave, seq, url
+    seen: set[str] = field(default_factory=set)               # canonical URLs
+    counters: dict[str, int] = field(default_factory=dict)    # hook increments
+    fetch_log: list[tuple[str, int, str]] = field(default_factory=list)    # host, t_ms, url
+
+
+class LinkAdmission:
+    """The visit_link? chain, in reference order (dsl_core.rb:216-230):
+    skip_link? → skip_query_string? → allowed(robots) → in_domain? →
+    too_deep?. Robots errors → disallow (rescue false, dsl_core.rb:241)."""
+
+    def __init__(self, spec: CrawlSpec, net: SyntheticNet):
+        self.spec = spec
+        self.net = net
+        self.skip_res = [re.compile(p) for p in spec.skip_link_patterns]
+        self._robots: dict[str, urllib.robotparser.RobotFileParser] = {}
+
+    def allowed_by_robots(self, link: str) -> bool:
+        if not self.spec.obey_robots_txt:
+            return True
+        try:
+            host = host_of(link)
+            if host not in self._robots:
+                self._robots[host] = self.net.robots_for(host)
+            return self._robots[host].can_fetch(self.spec.user_agent, link)
+        except Exception:
+            return False
+
+    def admit(self, link: str, from_url: str, from_depth: int) -> bool:
+        spec = self.spec
+        if any(r.search(path_of(link)) for r in self.skip_res):
+            return False
+        if spec.skip_link_fn and spec.skip_link_fn(link):
+            return False
+        if spec.skip_query_strings and has_query(link):
+            return False
+        if not self.allowed_by_robots(link):
+            return False
+        same = host_of(link) == host_of(from_url)
+        if not (spec.inside_domain if same else spec.outside_domain):
+            return False
+        if spec.depth_limit is not None and from_depth >= spec.depth_limit:
+            return False
+        return True
+
+
+def _page_dict(p: FetchedPage, ex, seq: int, wave: int, t_ms: int) -> dict:
+    return {
+        "url": p.url,
+        "canonical_url": canonical_url(p.url),
+        "code": p.code,
+        "depth": p.depth,
+        "referer": p.referer,
+        "redirect_to": p.redirect_to,
+        "response_time_ms": p.latency_ms,
+        "fetched": p.fetched,
+        "error": p.error,
+        "fetch_time_ms": t_ms,
+        "seq": seq,
+        "wave": wave,
+        "spans": [] if ex is None else [
+            {"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in ex.spans
+        ],
+        "links": [] if ex is None else list(ex.links),
+    }
+
+
+def crawl_oracle(web: pa.Table, seeds: list[str], spec: CrawlSpec) -> OracleResult:
+    net = SyntheticNet(web)
+    adm = LinkAdmission(spec, net)
+    res = OracleResult()
+    delay_ms = int(spec.delay * 1000)
+    clocks: dict[str, int] = {}
+    next_seq = 0
+
+    # wave 0: normalized seeds in list order
+    frontier = [
+        {"url": normalize_seed(u), "referer": "", "depth": 0, "parent_seq": -1, "ordinal": i}
+        for i, u in enumerate(seeds)
+    ]
+    wave = 0
+    while frontier:
+        # order by (parent_seq, ordinal); in-wave dedup keep-first; committed-seen filter
+        frontier.sort(key=lambda j: (j["parent_seq"], j["ordinal"]))
+        jobs = []
+        in_wave: set[str] = set()
+        for j in frontier:
+            c = canonical_url(j["url"])
+            if spec.follow_links:  # curl mode has no seen/dedup (batch_curl_job.rb)
+                if c in res.seen or c in in_wave:
+                    continue
+                in_wave.add(c)
+            jobs.append(j)
+        next_frontier: list[dict] = []
+        wave_marks: set[str] = set()
+        for j in jobs:
+            seq = next_seq
+            next_seq += 1
+            res.crawl_order.append((wave, seq, j["url"]))
+            host = host_of(j["url"])
+            t = clocks.get(host, 0) + delay_ms
+            chain = fetch_chain(net, j["url"], j["depth"], j["referer"], spec.redirect_limit)
+            total_latency = sum(p.latency_ms for p in chain)
+            clocks[host] = t + total_latency
+            res.fetch_log.append((host, t, j["url"]))
+            wave_marks.add(canonical_url(j["url"]))
+
+            kept = chain if spec.keep_redirects else chain[-1:]
+            child_base = 0  # ordinals numbered per job across kept pages
+            for p in kept:
+                ex = (
+                    extract_page(p.url, p.body, p.content_type)
+                    if p.fetched and is_parseable(p.content_type)
+                    else None
+                )
+                pd = _page_dict(p, ex, seq, wave, t)
+                _run_hooks(spec, pd, res.counters)
+                if spec.discard_page:
+                    pd["spans"] = []
+                if p.fetched:
+                    res.pages.append({k: v for k, v in pd.items() if k not in ("spans", "links")})
+                    res.documents.append({"doc_id": pd["canonical_url"], "spans": pd["spans"]})
+                    wave_marks.add(pd["canonical_url"])
+                else:
+                    res.pages.append({k: v for k, v in pd.items() if k not in ("spans", "links")})
+                # link expansion from each kept page (batch_crawl_job.rb:107-119)
+                if spec.follow_links and ex is not None:
+                    links = ex.links
+                    if spec.focus_crawl is not None:
+                        links = spec.focus_crawl(pd, links)
+                    admitted = [
+                        ln for ln in links if adm.admit(ln, p.url, p.depth)
+                    ]
+                    for k, ln in enumerate(admitted):
+                        next_frontier.append(
+                            {
+                                "url": ln,
+                                "referer": p.url,
+                                "depth": p.depth + 1,
+                                "parent_seq": seq,
+                                "ordinal": child_base + k,
+                            }
+                        )
+                    child_base += len(admitted)
+        res.seen |= wave_marks  # mark-at-wave-commit (batch_crawl_job.rb:139-153)
+        frontier = next_frontier
+        wave += 1
+        if not spec.follow_links:
+            break
+    return res
+
+
+def _run_hooks(spec: CrawlSpec, page_dict: dict, counters: dict[str, int]) -> None:
+    """do_page_blocks (dsl_core.rb:180-186): on_every_page then on_pages_like
+    whose pattern matches the URL. Hooks may return {key: increment} dicts
+    (the m_cache.incr counter analog, examples/word_count.rb:60-75)."""
+    hooks = []
+    if spec.on_every_page:
+        hooks.append(spec.on_every_page)
+    for pattern, fn in spec.on_pages_like:
+        if re.search(pattern, page_dict["url"]):
+            hooks.append(fn)
+    for fn in hooks:
+        out = fn(page_dict)
+        if isinstance(out, dict):
+            for k, v in out.items():
+                counters[k] = counters.get(k, 0) + int(v)

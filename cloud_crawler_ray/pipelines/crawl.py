@@ -1,0 +1,333 @@
+"""The crawl pipeline — iterative BFS waves as Ray Data stages.
+
+Wave lifecycle (SURVEY §3.4), each wave one streaming Dataset pipeline:
+
+    frontier_d
+      → dedup_candidates            (in-wave first-wins; combiner + groupby)
+      → filter_unseen               (anti-join vs committed seen shards)
+      → zip_with_index              (deterministic global seq; sort shuffle)
+      → assign_slots                (groupby(host) politeness clocks)
+      → [checkpoint frontier_d]     (the wave's durable work list)
+      → map_batches(FetchExtract)   (stateful actor pool; parse-extract fused)
+      → write raw/wave=d            (single consumption of the fetch stage)
+      → projections of raw          (documents/, pages/ — columnar reads)
+      → explode_children → frontier_{d+1}
+      → commit: seen.add(delta), clocks.advance, lineage marker
+
+Durability/commit protocol (north_rule resumability): per wave the engine
+writes (1) the slotted frontier, (2) the raw fetch output, (3) the seen
+delta, then (4) the ``lineage/wave=N.json`` marker LAST (atomic rename).
+Resume scans lineage markers: committed waves replay their seen deltas into
+fresh shards and restore clocks from the marker; an uncommitted wave is
+recomputed from its checkpointed frontier (same slots — clocks only advance
+at commit), so no committed fetch is ever repeated and the politeness budget
+survives the kill (reference checkpoint analog: batch_job.rb:246-268, with
+the restore path the reference left TODO, batch_job_spec.rb:266-268).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from dataclasses import dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..canon import canonical_url, host_of, normalize_seed
+from ..spec import CrawlSpec
+from ..state.shards import ShardedState
+from ..storage import read_json, read_table, write_json
+from ..stages.fetch import FetchExtract
+from ..stages.frontier_ops import dedup_candidates, explode_children, filter_unseen
+from ..stages.indexing import zip_with_index
+from ..stages.politeness import assign_slots, build_chain_latency_index
+
+META_COLS = [
+    "url",
+    "canonical_url",
+    "code",
+    "depth",
+    "referer",
+    "redirect_to",
+    "response_time_ms",
+    "fetched",
+    "error",
+    "fetch_time_ms",
+    "seq",
+    "wave",
+]
+
+
+def _wave_dir(out_dir: str, kind: str, wave: int) -> str:
+    return os.path.join(out_dir, kind, f"wave={wave:05d}")
+
+
+@dataclass
+class CrawlHandle:
+    """Lazy readers over the crawl's output directories."""
+
+    out_dir: str
+    waves: int
+    n_jobs: int
+
+    def documents(self) -> rd.Dataset:
+        ds = read_table(os.path.join(self.out_dir, "raw"), columns=["canonical_url", "spans"])
+        return ds.map_batches(
+            lambda t: pa.table({"doc_id": t.column("canonical_url"), "spans": t.column("spans")}),
+            batch_format="pyarrow",
+        )
+
+    def pages(self) -> rd.Dataset:
+        return read_table(os.path.join(self.out_dir, "raw"), columns=META_COLS)
+
+    def crawl_order(self) -> rd.Dataset:
+        ds = read_table(
+            os.path.join(self.out_dir, "frontier"), columns=["wave", "seq", "url"]
+        )
+        return ds.sort("seq")
+
+    def counters(self) -> dict[str, int]:
+        """Hook counter aggregation — explode the per-page increment lists and
+        groupby-sum (the m_cache.incr analog, partial+final combine)."""
+        ds = read_table(
+            os.path.join(self.out_dir, "raw"), columns=["counter_keys", "counter_vals"]
+        )
+
+        def explode(t: pa.Table) -> pa.Table:
+            keys, vals = [], []
+            for ks, vs in zip(t.column("counter_keys").to_pylist(), t.column("counter_vals").to_pylist()):
+                keys.extend(ks)
+                vals.extend(vs)
+            return pa.table({"key": pa.array(keys, pa.string()), "val": pa.array(vals, pa.int64())})
+
+        exploded = ds.map_batches(explode, batch_format="pyarrow")
+        from ray.data.aggregate import Sum
+
+        out = exploded.groupby("key").aggregate(Sum("val", alias_name="count"))
+        return {r["key"]: r["count"] for r in out.take_all()}
+
+    def seen(self) -> set[str]:
+        ds = read_table(os.path.join(self.out_dir, "seen"), columns=["canonical_url"])
+        return set(ds.to_pandas()["canonical_url"])
+
+
+def _seeds_frontier(seeds: list[str]) -> pa.Table:
+    rows = {
+        "url": [], "canonical_url": [], "host": [], "referer": [],
+        "depth": [], "parent_seq": [], "ordinal": [],
+    }
+    for i, u in enumerate(seeds):
+        nu = normalize_seed(u)
+        rows["url"].append(nu)
+        rows["canonical_url"].append(canonical_url(nu))
+        rows["host"].append(host_of(nu))
+        rows["referer"].append("")
+        rows["depth"].append(0)
+        rows["parent_seq"].append(-1)
+        rows["ordinal"].append(i)
+    return pa.table(
+        {
+            "url": pa.array(rows["url"], pa.string()),
+            "canonical_url": pa.array(rows["canonical_url"], pa.string()),
+            "host": pa.array(rows["host"], pa.string()),
+            "referer": pa.array(rows["referer"], pa.string()),
+            "depth": pa.array(rows["depth"], pa.int32()),
+            "parent_seq": pa.array(rows["parent_seq"], pa.int64()),
+            "ordinal": pa.array(rows["ordinal"], pa.int32()),
+        }
+    )
+
+
+def _committed_waves(out_dir: str) -> list[dict]:
+    markers = sorted(glob.glob(os.path.join(out_dir, "lineage", "wave=*.json")))
+    return [read_json(m) for m in markers]
+
+
+class AddSeen:
+    """map_batches callable that pushes canonical URLs into the shards —
+    distributed commit of the wave's seen delta."""
+
+    def __init__(self, shards: list):
+        self.shards = shards
+        self.n = len(shards)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.shards import shard_of
+
+        keys = batch.column("canonical_url").to_pylist()
+        groups: dict[int, list[str]] = {}
+        for k in keys:
+            groups.setdefault(shard_of(k, self.n), []).append(k)
+        ray.get([self.shards[s].add.remote(ks) for s, ks in groups.items()])
+        return pa.table({"n": pa.array([len(keys)], pa.int64())})
+
+
+def crawl(
+    web: pa.Table,
+    seeds: list[str],
+    spec: CrawlSpec,
+    out_dir: str,
+    *,
+    n_shards: int = 4,
+    fetch_concurrency: int | tuple = 2,
+    fetch_batch_size: int = 512,
+    max_waves: int | None = None,
+    resume: bool = False,
+    state: ShardedState | None = None,
+) -> CrawlHandle:
+    """Run (or resume) a crawl of *web* from *seeds* under *spec*.
+
+    The caller owns the Ray session. ``state`` may be injected for tests;
+    otherwise shards are created and torn down here.
+    """
+    own_state = state is None
+    if own_state:
+        state = ShardedState(n_shards)
+    try:
+        return _crawl_inner(
+            web, seeds, spec, out_dir, state,
+            fetch_concurrency=fetch_concurrency,
+            fetch_batch_size=fetch_batch_size,
+            max_waves=max_waves, resume=resume,
+        )
+    finally:
+        if own_state:
+            state.shutdown()
+
+
+def _crawl_inner(
+    web, seeds, spec, out_dir, state,
+    *, fetch_concurrency, fetch_batch_size, max_waves, resume,
+) -> CrawlHandle:
+    if not resume and os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    web_ref = ray.put(web)
+    chain_idx_ref = ray.put(build_chain_latency_index(web, spec.redirect_limit))
+    delay_ms = int(spec.delay * 1000)
+
+    start_wave, next_seq, total_jobs = 0, 0, 0
+    committed = _committed_waves(out_dir) if resume else []
+    if committed:
+        last = committed[-1]
+        start_wave = last["wave"] + 1
+        next_seq = last["next_seq"]
+        total_jobs = last["total_jobs"]
+        # replay committed seen deltas into fresh shards (distributed restore)
+        seen_files = [
+            f
+            for m in committed
+            for f in sorted(glob.glob(os.path.join(_wave_dir(out_dir, "seen", m["wave"]), "*.parquet")))
+        ]
+        if seen_files:
+            rd.read_parquet(seen_files, columns=["canonical_url"]).map_batches(
+                AddSeen(state.shards), batch_format="pyarrow", batch_size=4096
+            ).count()
+        state.advance_clocks({h: int(t) for h, t in last["clocks"].items()})
+        # drop any partial (uncommitted) later-wave outputs before recompute
+        for kind in ("raw", "frontier", "seen"):
+            for d in glob.glob(os.path.join(out_dir, kind, "wave=*")):
+                w = int(os.path.basename(d).split("=")[1])
+                if w >= start_wave:
+                    shutil.rmtree(d)
+
+    frontier: rd.Dataset | None = None
+    if start_wave == 0:
+        frontier = rd.from_arrow(_seeds_frontier(seeds))
+    else:
+        raw_prev = _wave_dir(out_dir, "raw", start_wave - 1)
+        frontier = rd.read_parquet(
+            raw_prev, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
+        ).map_batches(explode_children, batch_format="pyarrow")
+
+    wave = start_wave
+    while True:
+        if max_waves is not None and wave >= start_wave + max_waves:
+            break
+        # --- plan the wave ---
+        if spec.follow_links:
+            f = dedup_candidates(frontier)
+            f = filter_unseen(f, state)
+        else:
+            f = frontier  # curl mode: no dedup/seen (batch_curl_job.rb)
+        f = zip_with_index(f, ["parent_seq", "ordinal"], col="seq", base=next_seq)
+        n_jobs = f.count()
+        if n_jobs == 0:
+            break
+        f = assign_slots(f, state, chain_idx_ref, delay_ms)
+        w = wave
+        f = f.map_batches(
+            lambda t, w=w: t.append_column("wave", pa.array([w] * t.num_rows, pa.int32())),
+            batch_format="pyarrow",
+        )
+        fdir = _wave_dir(out_dir, "frontier", wave)
+        f.write_parquet(fdir)
+        fm = rd.read_parquet(fdir)
+
+        # --- fetch + extract (single consumption → durable raw) ---
+        raw_dir = _wave_dir(out_dir, "raw", wave)
+        fm.map_batches(
+            FetchExtract,
+            fn_constructor_args=(web_ref, spec, wave),
+            batch_format="pyarrow",
+            batch_size=fetch_batch_size,
+            concurrency=fetch_concurrency,
+        ).write_parquet(raw_dir)
+
+        # --- seen delta: job urls + kept page urls (fetched only) ---
+        raw_canon = rd.read_parquet(raw_dir, columns=["canonical_url", "fetched"]).map_batches(
+            lambda t: t.filter(pc.field("fetched")).select(["canonical_url"]),
+            batch_format="pyarrow",
+        )
+        job_canon = rd.read_parquet(fdir, columns=["canonical_url"])
+        seen_dir = _wave_dir(out_dir, "seen", wave)
+        job_canon.union(raw_canon).map_batches(
+            lambda t: t.group_by("canonical_url").aggregate([]),  # local distinct
+            batch_format="pyarrow",
+        ).write_parquet(seen_dir)
+
+        # --- commit ---
+        if spec.follow_links:
+            rd.read_parquet(seen_dir).map_batches(
+                AddSeen(state.shards), batch_format="pyarrow", batch_size=4096
+            ).count()
+        clock_updates = (
+            fm.groupby("host").max("job_end_ms").to_pandas()
+        )  # tiny: one row per host touched this wave
+        updates = dict(zip(clock_updates["host"], clock_updates["max(job_end_ms)"]))
+        state.advance_clocks({h: int(t) for h, t in updates.items()})
+        next_seq += n_jobs
+        total_jobs += n_jobs
+        write_json(
+            os.path.join(out_dir, "lineage", f"wave={wave:05d}.json"),
+            {
+                "wave": wave,
+                "n_jobs": n_jobs,
+                "next_seq": next_seq,
+                "total_jobs": total_jobs,
+                "clocks": {h: int(t) for h, t in state.get_clocks(list(updates)).items()}
+                | {
+                    h: int(t)
+                    for h, t in (committed[-1]["clocks"].items() if committed else [])
+                    if h not in updates
+                },
+            },
+        )
+        committed.append(read_json(os.path.join(out_dir, "lineage", f"wave={wave:05d}.json")))
+
+        if not spec.follow_links:
+            wave += 1
+            break
+
+        # --- next frontier ---
+        frontier = rd.read_parquet(
+            raw_dir, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
+        ).map_batches(explode_children, batch_format="pyarrow")
+        wave += 1
+
+    return CrawlHandle(out_dir=out_dir, waves=wave, n_jobs=total_jobs)

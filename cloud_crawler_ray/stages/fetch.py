@@ -1,0 +1,171 @@
+"""Fetch + extract — the stateful actor-pool stage (parse-extract fusion).
+
+One callable class passed to ``map_batches(FetchExtract, concurrency=N,
+batch_size=B)``: per-actor state (the synthetic-web index, robots parser
+cache, compiled skip patterns, link-admission logic) is built ONCE in
+``__init__`` from broadcast object refs (``ray.put`` once on the driver);
+``__call__`` processes an Arrow batch of frontier jobs and emits one row per
+kept page — metadata + interleaved spans + already-admitted child links.
+Page bodies never cross a stage boundary (SURVEY §1.1: the reference never
+serializes the DOM either).
+
+Reference analogs: HTTP fetch/redirect loop http.rb:68-91,155-169 (per-actor
+connection/cookie caches http.rb:219-240, cookie_store.rb → here the web
+index + robots cache); process_job batch_crawl_job.rb:75-137 (page blocks,
+links_to_follow, child-job construction).
+
+Politeness is enforced via the precomputed virtual fetch slots (the
+``fetch_time_ms`` column assigned by stages/politeness.py): the serial
+per-host constraint is turned into *data*, so fetch parallelism is
+independent of host skew — a real-network fetcher would sleep until its
+slot; the synthetic one records it.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import ray
+
+from ..canon import canonical_url
+from ..extract import extract_page, is_parseable
+from ..oracle import LinkAdmission, SyntheticNet, fetch_chain
+from ..schemas import SPAN_TYPE
+from ..spec import CrawlSpec
+
+FETCH_OUT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("canonical_url", pa.string()),
+        ("code", pa.int32()),
+        ("depth", pa.int32()),
+        ("referer", pa.string()),
+        ("redirect_to", pa.string()),
+        ("response_time_ms", pa.int64()),
+        ("fetched", pa.bool_()),
+        ("error", pa.string()),
+        ("fetch_time_ms", pa.int64()),
+        ("seq", pa.int64()),
+        ("wave", pa.int32()),
+        ("job_url", pa.string()),
+        ("job_host", pa.string()),
+        ("job_end_ms", pa.int64()),
+        ("spans", pa.list_(SPAN_TYPE)),
+        ("child_urls", pa.list_(pa.string())),
+        ("child_ordinal_base", pa.int64()),
+        ("counter_keys", pa.list_(pa.string())),
+        ("counter_vals", pa.list_(pa.int64())),
+    ]
+)
+
+
+class FetchExtract:
+    def __init__(self, web_ref, spec: CrawlSpec, wave: int):
+        web: pa.Table = ray.get(web_ref)
+        self.net = SyntheticNet(web)
+        self.spec = spec
+        self.wave = wave
+        self.adm = LinkAdmission(spec, self.net)
+        self._hook_res = [(re.compile(p), fn) for p, fn in spec.on_pages_like]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spec = self.spec
+        cols: dict[str, list] = {name: [] for name in FETCH_OUT_SCHEMA.names}
+
+        urls = batch.column("url").to_pylist()
+        referers = batch.column("referer").to_pylist()
+        depths = batch.column("depth").to_pylist()
+        seqs = batch.column("seq").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        fts = batch.column("fetch_time_ms").to_pylist()
+        ends = batch.column("job_end_ms").to_pylist()
+
+        for url, referer, depth, seq, host, ft, end in zip(
+            urls, referers, depths, seqs, hosts, fts, ends
+        ):
+            chain = fetch_chain(self.net, url, depth, referer, spec.redirect_limit)
+            kept = chain if spec.keep_redirects else chain[-1:]
+            ordinal_base = 0
+            for p in kept:
+                ex = (
+                    extract_page(p.url, p.body, p.content_type)
+                    if p.fetched and is_parseable(p.content_type)
+                    else None
+                )
+                spans = (
+                    []
+                    if ex is None
+                    else [
+                        {"kind": k, "text": t, "media_ref": m, "offset": o}
+                        for k, t, m, o in ex.spans
+                    ]
+                )
+                page_dict = {
+                    "url": p.url,
+                    "canonical_url": canonical_url(p.url),
+                    "code": p.code,
+                    "depth": p.depth,
+                    "referer": p.referer,
+                    "redirect_to": p.redirect_to,
+                    "response_time_ms": p.latency_ms,
+                    "fetched": p.fetched,
+                    "error": p.error,
+                    "fetch_time_ms": ft,
+                    "seq": seq,
+                    "wave": self.wave,
+                    "spans": spans,
+                    "links": [] if ex is None else list(ex.links),
+                }
+                ckeys, cvals = self._run_hooks(page_dict)
+                if spec.discard_page:
+                    page_dict["spans"] = []
+
+                children: list[str] = []
+                if spec.follow_links and ex is not None and p.fetched:
+                    links = ex.links
+                    if spec.focus_crawl is not None:
+                        links = spec.focus_crawl(page_dict, links)
+                    children = [ln for ln in links if self.adm.admit(ln, p.url, p.depth)]
+
+                cols["url"].append(p.url)
+                cols["canonical_url"].append(page_dict["canonical_url"])
+                cols["code"].append(p.code)
+                cols["depth"].append(p.depth)
+                cols["referer"].append(p.referer)
+                cols["redirect_to"].append(p.redirect_to)
+                cols["response_time_ms"].append(p.latency_ms)
+                cols["fetched"].append(p.fetched)
+                cols["error"].append(p.error)
+                cols["fetch_time_ms"].append(ft)
+                cols["seq"].append(seq)
+                cols["wave"].append(self.wave)
+                cols["job_url"].append(url)
+                cols["job_host"].append(host)
+                cols["job_end_ms"].append(end)
+                cols["spans"].append(page_dict["spans"])
+                cols["child_urls"].append(children)
+                cols["child_ordinal_base"].append(ordinal_base)
+                cols["counter_keys"].append(ckeys)
+                cols["counter_vals"].append(cvals)
+                ordinal_base += len(children)
+
+        return pa.table(cols, schema=FETCH_OUT_SCHEMA)
+
+    def _run_hooks(self, page_dict: dict) -> tuple[list[str], list[int]]:
+        """do_page_blocks (dsl_core.rb:180-186): counter increments are
+        emitted as data columns and aggregated with groupby downstream —
+        the partial/combiner pattern of examples/sugary_word_count.rb."""
+        counters: dict[str, int] = {}
+        hooks = []
+        if self.spec.on_every_page:
+            hooks.append(self.spec.on_every_page)
+        for cre, fn in self._hook_res:
+            if cre.search(page_dict["url"]):
+                hooks.append(fn)
+        for fn in hooks:
+            out = fn(page_dict)
+            if isinstance(out, dict):
+                for k, v in out.items():
+                    counters[k] = counters.get(k, 0) + int(v)
+        return list(counters.keys()), list(counters.values())

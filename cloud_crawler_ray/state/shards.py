@@ -1,0 +1,165 @@
+"""Sharded crawl state actors: URL-seen membership + per-host politeness clocks.
+
+The reference keeps this state in a master Redis instance (bloom filter
+redis_url_bloomfilter.rb; implicit per-host pacing via sleep(delay)
+batch_job.rb:178-183). Here it lives in Ray actors hash-partitioned by key —
+``StateShard`` holds one partition of the exact seen set plus a Bloom summary
+(the at-scale representation; exact set gives test-scale exactness) and one
+partition of the host→virtual-clock map. Shard count scales with the cluster
+(256 shards on a 256-node cluster ⇒ ~47 MB bloom per shard at 10^10 URLs,
+see filters.py memory math); all calls are batched (one RPC per shard per
+wave-stage, not per URL).
+
+Snapshot/restore supports per-partition checkpointing with lineage
+(north_rule resumability).
+"""
+
+from __future__ import annotations
+
+import pickle
+import zlib
+
+import ray
+
+from .filters import BloomFilter
+
+
+def shard_of(key: str, n_shards: int) -> int:
+    return zlib.crc32(key.encode("utf-8")) % n_shards
+
+
+@ray.remote(num_cpus=0.25)
+class StateShard:
+    """One partition of seen-set + host clocks. num_cpus=0.25 so a pool of
+    shards coexists with fetch/extract stages on one node."""
+
+    def __init__(self, shard_id: int, bloom_bits: int = 1 << 20):
+        self.shard_id = shard_id
+        self.seen: set[str] = set()
+        self.bloom = BloomFilter(n_bits=bloom_bits)
+        self.clocks: dict[str, int] = {}
+
+    # ---- membership (the Redis bloom analog) ----
+    def check(self, keys: list[str]) -> list[bool]:
+        """True = unseen. Bloom fast-path: a bloom miss is definitely unseen;
+        a hit falls back to the exact set (no false positives at test scale,
+        while exercising the at-scale data structure)."""
+        return [not (k in self.bloom and k in self.seen) for k in keys]
+
+    def add(self, keys: list[str]) -> int:
+        for k in keys:
+            if k not in self.seen:
+                self.seen.add(k)
+                self.bloom.add(k)
+        return len(self.seen)
+
+    def check_and_add(self, keys: list[str]) -> list[bool]:
+        """Atomic first-wins admission (in-shard serialization — the queue
+        analog). Returns True where the key was newly admitted."""
+        out = []
+        for k in keys:
+            if k in self.bloom and k in self.seen:
+                out.append(False)
+            else:
+                self.seen.add(k)
+                self.bloom.add(k)
+                out.append(True)
+        return out
+
+    def seen_count(self) -> int:
+        return len(self.seen)
+
+    # ---- politeness clocks ----
+    def advance_clocks(self, updates: dict[str, int]) -> None:
+        for host, t in updates.items():
+            self.clocks[host] = max(self.clocks.get(host, 0), t)
+
+    def get_clocks(self, hosts: list[str]) -> dict[str, int]:
+        return {h: self.clocks.get(h, 0) for h in hosts}
+
+    # ---- checkpoint ----
+    def snapshot(self) -> bytes:
+        return pickle.dumps(
+            {"shard_id": self.shard_id, "seen": self.seen, "clocks": self.clocks},
+            protocol=pickle.HIGHEST_PROTOCOL,
+        )
+
+    def restore(self, blob: bytes) -> None:
+        state = pickle.loads(blob)
+        self.seen = state["seen"]
+        self.clocks = state["clocks"]
+        self.bloom = BloomFilter(n_bits=self.bloom.n_bits)
+        self.bloom.add_many(list(self.seen))
+
+
+class ShardedState:
+    """Driver-side handle bundle. Methods batch per-shard RPCs; the handles
+    themselves are cloudpickled into map_batches closures so tasks can call
+    shards directly (no driver round-trip in the hot path)."""
+
+    def __init__(self, n_shards: int, bloom_bits: int = 1 << 20):
+        self.n_shards = n_shards
+        self.shards = [
+            StateShard.remote(i, bloom_bits=bloom_bits) for i in range(n_shards)
+        ]
+
+    def _group(self, keys: list[str]) -> dict[int, list[int]]:
+        groups: dict[int, list[int]] = {}
+        for i, k in enumerate(keys):
+            groups.setdefault(shard_of(k, self.n_shards), []).append(i)
+        return groups
+
+    def check(self, keys: list[str]) -> list[bool]:
+        out = [True] * len(keys)
+        groups = self._group(keys)
+        futs = {
+            sid: self.shards[sid].check.remote([keys[i] for i in idxs])
+            for sid, idxs in groups.items()
+        }
+        for sid, idxs in groups.items():
+            for i, unseen in zip(idxs, ray.get(futs[sid])):
+                out[i] = unseen
+        return out
+
+    def add(self, keys: list[str]) -> None:
+        groups = self._group(keys)
+        ray.get(
+            [
+                self.shards[sid].add.remote([keys[i] for i in idxs])
+                for sid, idxs in groups.items()
+            ]
+        )
+
+    def get_clocks(self, hosts: list[str]) -> dict[str, int]:
+        out: dict[str, int] = {}
+        groups = self._group(hosts)
+        futs = [
+            self.shards[sid].get_clocks.remote([hosts[i] for i in idxs])
+            for sid, idxs in groups.items()
+        ]
+        for d in ray.get(futs):
+            out.update(d)
+        return out
+
+    def advance_clocks(self, updates: dict[str, int]) -> None:
+        per_shard: dict[int, dict[str, int]] = {}
+        for host, t in updates.items():
+            per_shard.setdefault(shard_of(host, self.n_shards), {})[host] = t
+        ray.get(
+            [self.shards[sid].advance_clocks.remote(u) for sid, u in per_shard.items()]
+        )
+
+    def seen_count(self) -> int:
+        return sum(ray.get([s.seen_count.remote() for s in self.shards]))
+
+    def snapshots(self) -> list[bytes]:
+        return ray.get([s.snapshot.remote() for s in self.shards])
+
+    def restore(self, blobs: list[bytes]) -> None:
+        assert len(blobs) == self.n_shards
+        ray.get([s.restore.remote(b) for s, b in zip(self.shards, blobs)])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []

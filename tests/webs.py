@@ -1,0 +1,97 @@
+"""Scenario web graphs mirroring the reference spec matrix (SURVEY.md §5,
+FIXTURES.md) — shared by oracle tests and engine-vs-oracle parity tests."""
+
+from __future__ import annotations
+
+from cloud_crawler_ray.synthweb import FakePage, page_url, web_table
+
+HOST = "www.example.com"
+OTHER = "www.other.com"
+
+
+def linear_chain(n=5):
+    """p0 → p1 → ... → p{n-1} (depth-limit tests, crawl_job_spec.rb:210-248)."""
+    pages = [FakePage(name=f"p{i}", links=[f"p{i+1}"] if i + 1 < n else []) for i in range(n)]
+    return web_table(pages), [page_url("p0")]
+
+
+def small_dag():
+    """Diamond + cross links (BFS order + dedup, crawl_job_spec.rb:64-95)."""
+    pages = [
+        FakePage(name="p0", links=["p1", "p2"], media=[("img", "/m0.png")]),
+        FakePage(name="p1", links=["p3", "p2"]),
+        FakePage(name="p2", links=["p3"], media=[("video", "/v2.mp4")]),
+        FakePage(name="p3", links=["p0"]),  # back edge
+    ]
+    return web_table(pages), [page_url("p0")]
+
+
+def offdomain_web():
+    """In-domain + off-domain hrefs (crawl_job_spec.rb:97-113)."""
+    pages = [
+        FakePage(name="p0", links=["p1"], hrefs=[f"http://{OTHER}/x"]),
+        FakePage(name="p1"),
+        FakePage(name="x", host=OTHER, links=["y"]),
+        FakePage(name="y", host=OTHER),
+    ]
+    return web_table(pages), [page_url("p0")]
+
+
+def redirect_web():
+    """Redirect chains incl. off-domain redirect (batch_crawl_job_spec.rb:98-138)."""
+    pages = [
+        FakePage(name="p0", links=["r1", "roff"]),
+        FakePage(name="r1", redirect="t1"),
+        FakePage(name="t1", links=["p2"]),
+        FakePage(name="p2"),
+        FakePage(name="roff", redirect=f"http://{OTHER}/t2"),
+        FakePage(name="t2", host=OTHER),
+    ]
+    return web_table(pages), [page_url("p0")]
+
+
+def query_web():
+    """Query-string twins (crawl_job_spec.rb:133-142)."""
+    pages = [
+        FakePage(name="p0", links=["p1", "p1?foo=1"]),
+        FakePage(name="p1"),
+        FakePage(name="p1?foo=1", texts=["query variant"]),
+    ]
+    return web_table(pages), [page_url("p0")]
+
+
+def robots_web():
+    """Robots-disallowed subtree (crawl_job_spec.rb:194-207)."""
+    pages = [
+        FakePage(name="p0", links=["ok", "private/secret"]),
+        FakePage(name="ok"),
+        FakePage(name="private/secret", links=["private/deeper"]),
+        FakePage(name="private/deeper"),
+    ]
+    robots = {HOST: "User-agent: *\nDisallow: /private"}
+    return web_table(pages, robots=robots), [page_url("p0")]
+
+
+def skip_pattern_web():
+    pages = [
+        FakePage(name="p0", links=["keep", "admin/panel"]),
+        FakePage(name="keep"),
+        FakePage(name="admin/panel"),
+    ]
+    return web_table(pages), [page_url("p0")]
+
+
+def multi_host_web():
+    """Two-host graph with a deep chain per host (politeness tests)."""
+    pages = []
+    for host in ("a.example.com", "b.example.com"):
+        for i in range(4):
+            pages.append(
+                FakePage(
+                    name=f"p{i}",
+                    host=host,
+                    links=[f"p{i+1}"] if i < 3 else [],
+                    latency_ms=10,
+                )
+            )
+    return web_table(pages), [page_url("p0", "a.example.com"), page_url("p0", "b.example.com")]
