@@ -41,7 +41,7 @@ from ..canon import canonical_url, host_of, normalize_seed
 from ..spec import CrawlSpec
 from ..state.shards import ShardedState
 from ..storage import read_json, read_table, write_json
-from ..stages.fetch import FetchExtract
+from ..stages.fetch import FetchExtract, make_fetch_fn
 from ..stages.frontier_ops import dedup_candidates, explode_children, filter_unseen
 from ..stages.indexing import zip_with_index
 from ..stages.politeness import assign_slots, build_chain_latency_index
@@ -142,6 +142,70 @@ def _seeds_frontier(seeds: list[str]) -> pa.Table:
     )
 
 
+def _plan_wave_local(
+    cand: pa.Table, state, chain_idx: dict, delay_ms: int,
+    base_seq: int, wave: int, spec,
+) -> pa.Table:
+    """Driver-side wave planning for small waves (≤ small_wave_threshold).
+
+    Semantically identical to the distributed path (dedup_candidates →
+    filter_unseen → zip_with_index → assign_slots) but as in-process Arrow
+    ops: below the threshold the wave's metadata is tiny (≈100 B/row) and
+    five Ray Data executions per wave cost more than they parallelize.
+    Membership checks still hit the sharded actors (state is never copied to
+    the driver). The distributed path remains the ≥-threshold route and is
+    exercised in tests via small_wave_threshold=0."""
+    import numpy as np
+
+    if spec.follow_links and cand.num_rows:
+        order = pc.sort_indices(
+            cand,
+            sort_keys=[
+                ("canonical_url", "ascending"),
+                ("parent_seq", "ascending"),
+                ("ordinal", "ascending"),
+            ],
+        )
+        cand = cand.take(order)
+        canon = cand.column("canonical_url").to_pylist()
+        keep = np.ones(len(canon), dtype=bool)
+        for i in range(1, len(canon)):
+            if canon[i] == canon[i - 1]:
+                keep[i] = False
+        cand = cand.filter(pa.array(keep))
+        unseen = state.check(cand.column("canonical_url").to_pylist())
+        cand = cand.filter(pa.array(unseen))
+
+    if cand.num_rows == 0:
+        return cand
+
+    order = pc.sort_indices(
+        cand, sort_keys=[("parent_seq", "ascending"), ("ordinal", "ascending")]
+    )
+    cand = cand.take(order)
+    n = cand.num_rows
+    cand = cand.append_column(
+        "seq", pa.array(np.arange(base_seq, base_seq + n, dtype=np.int64))
+    )
+
+    hosts = cand.column("host").to_pylist()
+    urls = cand.column("url").to_pylist()
+    uniq_hosts = list(dict.fromkeys(hosts))
+    clocks = state.get_clocks(uniq_hosts)
+    t = np.zeros(n, dtype=np.int64)
+    ends = np.zeros(n, dtype=np.int64)
+    cur = dict(clocks)
+    for i, (h, u) in enumerate(zip(hosts, urls)):  # rows already in seq order
+        lat = chain_idx.get(u, 0)
+        t[i] = cur[h] + delay_ms
+        ends[i] = t[i] + lat
+        cur[h] = ends[i]
+    cand = cand.append_column("fetch_time_ms", pa.array(t))
+    cand = cand.append_column("job_end_ms", pa.array(ends))
+    cand = cand.append_column("wave", pa.array([wave] * n, pa.int32()))
+    return cand
+
+
 def _committed_waves(out_dir: str) -> list[dict]:
     markers = sorted(glob.glob(os.path.join(out_dir, "lineage", "wave=*.json")))
     return [read_json(m) for m in markers]
@@ -175,6 +239,8 @@ def crawl(
     n_shards: int = 4,
     fetch_concurrency: int | tuple = 2,
     fetch_batch_size: int = 512,
+    fetch_mode: str = "tasks",
+    small_wave_threshold: int = 100_000,
     max_waves: int | None = None,
     resume: bool = False,
     state: ShardedState | None = None,
@@ -183,7 +249,17 @@ def crawl(
 
     The caller owns the Ray session. ``state`` may be injected for tests;
     otherwise shards are created and torn down here.
+
+    fetch_mode: "tasks" (default) runs fetch+extract as stateless tasks with
+    read-only state cached per worker process (no per-wave pool spawn);
+    "actors" uses a map_batches actor pool (required if the fetch stage ever
+    grows mutable per-connection state). small_wave_threshold: waves at or
+    below this many candidate rows are planned driver-side (semantically
+    identical; membership stays in the shard actors) — 0 forces the fully
+    distributed planner.
     """
+    if fetch_mode not in ("tasks", "actors"):
+        raise ValueError(f"fetch_mode must be 'tasks' or 'actors', got {fetch_mode!r}")
     own_state = state is None
     if own_state:
         state = ShardedState(n_shards)
@@ -192,6 +268,8 @@ def crawl(
             web, seeds, spec, out_dir, state,
             fetch_concurrency=fetch_concurrency,
             fetch_batch_size=fetch_batch_size,
+            fetch_mode=fetch_mode,
+            small_wave_threshold=small_wave_threshold,
             max_waves=max_waves, resume=resume,
         )
     finally:
@@ -199,17 +277,39 @@ def crawl(
             state.shutdown()
 
 
+def _collect_if_small(ds: rd.Dataset, threshold: int) -> tuple[pa.Table | None, rd.Dataset]:
+    """Bring a frontier Dataset to the driver iff it is small. Counts via
+    block metadata; collects via arrow refs (typed, no pandas round-trip)."""
+    n = ds.count()
+    if n <= threshold:
+        refs = ds.to_arrow_refs()
+        tables = [t for t in ray.get(refs) if t.num_rows]
+        if not tables:
+            return pa.table({}), ds
+        return pa.concat_tables(tables), ds
+    return None, ds
+
+
 def _crawl_inner(
     web, seeds, spec, out_dir, state,
-    *, fetch_concurrency, fetch_batch_size, max_waves, resume,
+    *, fetch_concurrency, fetch_batch_size, fetch_mode,
+    small_wave_threshold, max_waves, resume,
 ) -> CrawlHandle:
+    import math
+    import uuid
+
+    import pyarrow.parquet as pq
+
     if not resume and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     web_ref = ray.put(web)
-    chain_idx_ref = ray.put(build_chain_latency_index(web, spec.redirect_limit))
+    chain_idx = build_chain_latency_index(web, spec.redirect_limit)
+    chain_idx_ref = ray.put(chain_idx)
     delay_ms = int(spec.delay * 1000)
+    crawl_id = uuid.uuid4().hex
+    ncpus = int(ray.cluster_resources().get("CPU", 4))
 
     start_wave, next_seq, total_jobs = 0, 0, 0
     committed = _committed_waves(out_dir) if resume else []
@@ -222,7 +322,9 @@ def _crawl_inner(
         seen_files = [
             f
             for m in committed
-            for f in sorted(glob.glob(os.path.join(_wave_dir(out_dir, "seen", m["wave"]), "*.parquet")))
+            for f in sorted(
+                glob.glob(os.path.join(_wave_dir(out_dir, "seen", m["wave"]), "*.parquet"))
+            )
         ]
         if seen_files:
             rd.read_parquet(seen_files, columns=["canonical_url"]).map_batches(
@@ -236,71 +338,120 @@ def _crawl_inner(
                 if w >= start_wave:
                     shutil.rmtree(d)
 
-    frontier: rd.Dataset | None = None
+    # frontier representation: driver-side Arrow table (small) OR Dataset
+    fr_tbl: pa.Table | None = None
+    fr_ds: rd.Dataset | None = None
     if start_wave == 0:
-        frontier = rd.from_arrow(_seeds_frontier(seeds))
+        fr_tbl = _seeds_frontier(seeds)
+        if fr_tbl.num_rows > small_wave_threshold:
+            fr_ds, fr_tbl = rd.from_arrow(fr_tbl), None
     else:
         raw_prev = _wave_dir(out_dir, "raw", start_wave - 1)
-        frontier = rd.read_parquet(
+        fr_ds = rd.read_parquet(
             raw_prev, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
         ).map_batches(explode_children, batch_format="pyarrow")
+        fr_tbl, fr_ds = _collect_if_small(fr_ds, small_wave_threshold)
 
     wave = start_wave
     while True:
         if max_waves is not None and wave >= start_wave + max_waves:
             break
-        # --- plan the wave ---
-        if spec.follow_links:
-            f = dedup_candidates(frontier)
-            f = filter_unseen(f, state)
-        else:
-            f = frontier  # curl mode: no dedup/seen (batch_curl_job.rb)
-        f = zip_with_index(f, ["parent_seq", "ordinal"], col="seq", base=next_seq)
-        n_jobs = f.count()
-        if n_jobs == 0:
-            break
-        f = assign_slots(f, state, chain_idx_ref, delay_ms)
-        w = wave
-        f = f.map_batches(
-            lambda t, w=w: t.append_column("wave", pa.array([w] * t.num_rows, pa.int32())),
-            batch_format="pyarrow",
-        )
         fdir = _wave_dir(out_dir, "frontier", wave)
-        f.write_parquet(fdir)
-        fm = rd.read_parquet(fdir)
+        raw_dir = _wave_dir(out_dir, "raw", wave)
+        seen_dir = _wave_dir(out_dir, "seen", wave)
+        local = fr_tbl is not None
+
+        # --- plan the wave (dedup → seen anti-join → seq → politeness) ---
+        if local:
+            if fr_tbl.num_rows == 0:
+                break
+            fm_tbl = _plan_wave_local(
+                fr_tbl, state, chain_idx, delay_ms, next_seq, wave, spec
+            )
+            n_jobs = fm_tbl.num_rows
+            if n_jobs == 0:
+                break
+            os.makedirs(fdir, exist_ok=True)
+            pq.write_table(fm_tbl, os.path.join(fdir, "part-0.parquet"))
+            fetch_in = rd.from_arrow(fm_tbl)
+            nblocks = max(1, min(math.ceil(n_jobs / fetch_batch_size), ncpus * 2))
+            if nblocks > 1:
+                fetch_in = fetch_in.repartition(nblocks)
+        else:
+            f = fr_ds
+            if spec.follow_links:
+                f = dedup_candidates(f)
+                f = filter_unseen(f, state)
+            f = zip_with_index(f, ["parent_seq", "ordinal"], col="seq", base=next_seq)
+            n_jobs = f.count()
+            if n_jobs == 0:
+                break
+            f = assign_slots(f, state, chain_idx_ref, delay_ms)
+            w = wave
+            f = f.map_batches(
+                lambda t, w=w: t.append_column("wave", pa.array([w] * t.num_rows, pa.int32())),
+                batch_format="pyarrow",
+            )
+            f.write_parquet(fdir)
+            fetch_in = rd.read_parquet(fdir)
 
         # --- fetch + extract (single consumption → durable raw) ---
-        raw_dir = _wave_dir(out_dir, "raw", wave)
-        fm.map_batches(
-            FetchExtract,
-            fn_constructor_args=(web_ref, spec, wave),
-            batch_format="pyarrow",
-            batch_size=fetch_batch_size,
-            concurrency=fetch_concurrency,
-        ).write_parquet(raw_dir)
+        if fetch_mode == "tasks":
+            raw = fetch_in.map_batches(
+                make_fetch_fn(web_ref, spec, wave, crawl_id),
+                batch_format="pyarrow",
+                batch_size=fetch_batch_size,
+            )
+        else:
+            raw = fetch_in.map_batches(
+                FetchExtract,
+                fn_constructor_args=(web_ref, spec, wave),
+                batch_format="pyarrow",
+                batch_size=fetch_batch_size,
+                concurrency=fetch_concurrency,
+            )
+        raw.write_parquet(raw_dir)
 
-        # --- seen delta: job urls + kept page urls (fetched only) ---
-        raw_canon = rd.read_parquet(raw_dir, columns=["canonical_url", "fetched"]).map_batches(
-            lambda t: t.filter(pc.field("fetched")).select(["canonical_url"]),
-            batch_format="pyarrow",
-        )
-        job_canon = rd.read_parquet(fdir, columns=["canonical_url"])
-        seen_dir = _wave_dir(out_dir, "seen", wave)
-        job_canon.union(raw_canon).map_batches(
-            lambda t: t.group_by("canonical_url").aggregate([]),  # local distinct
-            batch_format="pyarrow",
-        ).write_parquet(seen_dir)
-
-        # --- commit ---
-        if spec.follow_links:
-            rd.read_parquet(seen_dir).map_batches(
-                AddSeen(state.shards), batch_format="pyarrow", batch_size=4096
-            ).count()
-        clock_updates = (
-            fm.groupby("host").max("job_end_ms").to_pandas()
-        )  # tiny: one row per host touched this wave
-        updates = dict(zip(clock_updates["host"], clock_updates["max(job_end_ms)"]))
-        state.advance_clocks({h: int(t) for h, t in updates.items()})
+        # --- seen delta (job urls + fetched page urls) + commit ---
+        if local:
+            raw_meta = pq.read_table(raw_dir, columns=["canonical_url", "fetched"])
+            fetched_canon = raw_meta.filter(raw_meta.column("fetched")).column(
+                "canonical_url"
+            ).to_pylist()
+            delta = sorted(set(fm_tbl.column("canonical_url").to_pylist()) | set(fetched_canon))
+            os.makedirs(seen_dir, exist_ok=True)
+            pq.write_table(
+                pa.table({"canonical_url": pa.array(delta, pa.string())}),
+                os.path.join(seen_dir, "part-0.parquet"),
+            )
+            if spec.follow_links:
+                state.add(delta)
+            updates: dict[str, int] = {}
+            for h, e in zip(
+                fm_tbl.column("host").to_pylist(), fm_tbl.column("job_end_ms").to_pylist()
+            ):
+                updates[h] = max(updates.get(h, 0), int(e))
+        else:
+            raw_canon = rd.read_parquet(raw_dir, columns=["canonical_url", "fetched"]).map_batches(
+                lambda t: t.filter(pc.field("fetched")).select(["canonical_url"]),
+                batch_format="pyarrow",
+            )
+            job_canon = rd.read_parquet(fdir, columns=["canonical_url"])
+            job_canon.union(raw_canon).map_batches(
+                lambda t: t.group_by("canonical_url").aggregate([]),  # local distinct
+                batch_format="pyarrow",
+            ).write_parquet(seen_dir)
+            if spec.follow_links:
+                rd.read_parquet(seen_dir).map_batches(
+                    AddSeen(state.shards), batch_format="pyarrow", batch_size=4096
+                ).count()
+            fm = rd.read_parquet(fdir)
+            clock_updates = fm.groupby("host").max("job_end_ms").to_pandas()
+            updates = {
+                h: int(t)
+                for h, t in zip(clock_updates["host"], clock_updates["max(job_end_ms)"])
+            }
+        state.advance_clocks(updates)
         next_seq += n_jobs
         total_jobs += n_jobs
         write_json(
@@ -310,7 +461,7 @@ def _crawl_inner(
                 "n_jobs": n_jobs,
                 "next_seq": next_seq,
                 "total_jobs": total_jobs,
-                "clocks": {h: int(t) for h, t in state.get_clocks(list(updates)).items()}
+                "clocks": {h: int(t) for h, t in updates.items()}
                 | {
                     h: int(t)
                     for h, t in (committed[-1]["clocks"].items() if committed else [])
@@ -325,9 +476,19 @@ def _crawl_inner(
             break
 
         # --- next frontier ---
-        frontier = rd.read_parquet(
-            raw_dir, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
-        ).map_batches(explode_children, batch_format="pyarrow")
+        if local:
+            raw_children = pq.read_table(
+                raw_dir, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
+            )
+            fr_tbl = explode_children(raw_children)
+            fr_ds = None
+            if fr_tbl.num_rows > small_wave_threshold:
+                fr_ds, fr_tbl = rd.from_arrow(fr_tbl), None
+        else:
+            fr_ds = rd.read_parquet(
+                raw_dir, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
+            ).map_batches(explode_children, batch_format="pyarrow")
+            fr_tbl, fr_ds = _collect_if_small(fr_ds, small_wave_threshold)
         wave += 1
 
     return CrawlHandle(out_dir=out_dir, waves=wave, n_jobs=total_jobs)

@@ -69,6 +69,8 @@ class FetchExtract:
         self.adm = LinkAdmission(spec, self.net)
         self._hook_res = [(re.compile(p), fn) for p, fn in spec.on_pages_like]
 
+
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         spec = self.spec
         cols: dict[str, list] = {name: [] for name in FETCH_OUT_SCHEMA.names}
@@ -169,3 +171,27 @@ class FetchExtract:
                 for k, v in out.items():
                     counters[k] = counters.get(k, 0) + int(v)
         return list(counters.keys()), list(counters.values())
+
+
+# Per-worker-process cache for task-mode fetch. The fetch state (web index,
+# robots parsers, compiled patterns) is READ-ONLY, so it can live in reused
+# Ray worker processes instead of a dedicated actor pool: the first batch a
+# worker sees builds the state, every later batch (across ALL waves of the
+# same crawl) reuses it. This removes the per-wave actor-pool spawn cost of
+# an iterative crawl. Genuinely mutable per-connection state (cookies, live
+# sockets — http.rb:219-240, cookie_store.rb) would require actor mode
+# (fetch_mode="actors"), which remains available and tested.
+_PROC_CACHE: dict[str, FetchExtract] = {}
+
+
+def make_fetch_fn(web_ref, spec: CrawlSpec, wave: int, crawl_id: str):
+    def fetch_batch(batch: pa.Table) -> pa.Table:
+        fx = _PROC_CACHE.get(crawl_id)
+        if fx is None:
+            _PROC_CACHE.clear()  # at most one crawl's state per worker
+            fx = FetchExtract(web_ref, spec, wave)
+            _PROC_CACHE[crawl_id] = fx
+        fx.wave = wave
+        return fx(batch)
+
+    return fetch_batch

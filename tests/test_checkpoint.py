@@ -1,0 +1,87 @@
+"""Checkpoint / resume semantics: kill-and-resume equals a full run, no
+committed wave is refetched, politeness clocks survive the kill, and both
+planner paths (driver-side and fully distributed) agree."""
+
+import glob
+import os
+
+from cloud_crawler_ray.oracle import crawl_oracle
+from cloud_crawler_ray.pipelines.crawl import crawl
+from cloud_crawler_ray.spec import CrawlSpec
+
+from tests import webs
+from tests.test_crawl_engine import assert_parity
+
+
+def _mtimes(out):
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(out, "raw", "wave=*", "*.parquet"))
+    }
+
+
+def test_resume_after_partial_run(ray_session, tmp_path):
+    web, seeds = webs.multi_host_web()
+    spec = CrawlSpec(delay=0.5)
+    out = str(tmp_path / "out")
+
+    partial = crawl(web, seeds, spec, out, max_waves=2)
+    assert partial.waves == 2
+    before = _mtimes(out)
+    assert before  # waves 0-1 committed
+
+    resumed = crawl(web, seeds, spec, out, resume=True)
+    after = _mtimes(out)
+    # committed waves were not refetched
+    assert all(after[f] == t for f, t in before.items())
+
+    res = crawl_oracle(web, seeds, spec)
+    assert_parity(res, resumed)
+
+
+def test_resume_after_uncommitted_wave(ray_session, tmp_path):
+    """Simulate a crash after wave data was written but before the lineage
+    marker landed: the wave must be recomputed deterministically."""
+    web, seeds = webs.small_dag()
+    spec = CrawlSpec(delay=0.2)
+    out = str(tmp_path / "out")
+
+    full = crawl(web, seeds, spec, out)
+    # fake the crash: drop the last lineage marker (wave data stays on disk)
+    markers = sorted(glob.glob(os.path.join(out, "lineage", "wave=*.json")))
+    os.remove(markers[-1])
+
+    resumed = crawl(web, seeds, spec, out, resume=True)
+    res = crawl_oracle(web, seeds, spec)
+    assert_parity(res, resumed)
+
+
+def test_distributed_planner_matches(ray_session, tmp_path):
+    """small_wave_threshold=0 forces the fully distributed plan path
+    (groupby dedup, sharded anti-join, sort+zip_with_index, groupby(host)
+    slots); must be row-identical to the oracle."""
+    web, seeds = webs.redirect_web()
+    spec = CrawlSpec(delay=0.3, keep_redirects=True)
+    res = crawl_oracle(web, seeds, spec)
+    handle = crawl(web, seeds, spec, str(tmp_path / "o1"), small_wave_threshold=0)
+    assert_parity(res, handle)
+
+
+def test_actor_fetch_mode_matches(ray_session, tmp_path):
+    web, seeds = webs.small_dag()
+    spec = CrawlSpec()
+    res = crawl_oracle(web, seeds, spec)
+    handle = crawl(
+        web, seeds, spec, str(tmp_path / "o2"), fetch_mode="actors", fetch_concurrency=2
+    )
+    assert_parity(res, handle)
+
+
+def test_resume_distributed_path(ray_session, tmp_path):
+    web, seeds = webs.multi_host_web()
+    spec = CrawlSpec(delay=0.5)
+    out = str(tmp_path / "out")
+    crawl(web, seeds, spec, out, max_waves=1, small_wave_threshold=0)
+    resumed = crawl(web, seeds, spec, out, resume=True, small_wave_threshold=0)
+    res = crawl_oracle(web, seeds, spec)
+    assert_parity(res, resumed)
