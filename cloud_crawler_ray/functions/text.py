@@ -1,0 +1,97 @@
+"""Text kernels for the training-data pipeline operators.
+
+All functions are pure and deterministic, designed to be bit-identical with
+the DuckDB SQL the driver runs as the correctness oracle:
+- tokenize ≡ regexp_split_to_array(lower(text), '\\s+') minus empty strings
+- fingerprint ≡ md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+Counts are returned as ints (never ratios) so Ray/SQL hash comparison is
+exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+_WS = re.compile(r"\s+")
+_PUNCT = set(".,!?;:'\"()[]{}-")
+
+# small fixed stopword list (quality scoring; reference analog: the user-DSL
+# word-count examples, examples/word_count.rb)
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# per-language marker tokens for the n-gram/stopword language heuristic
+LANG_MARKERS: dict[str, frozenset] = {
+    "en": frozenset({"the", "a", "and", "of", "to", "is", "in", "that", "it", "for"}),
+    "de": frozenset({"der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"}),
+    "fr": frozenset({"le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"}),
+    "es": frozenset({"el", "la", "los", "y", "es", "un", "una", "de", "que", "por"}),
+}
+_CJK = re.compile(r"[一-鿿]")
+
+
+def tokenize(text: str) -> list[str]:
+    return [t for t in _WS.split(text.lower()) if t]
+
+
+def token_count(text: str) -> int:
+    return len(tokenize(text))
+
+
+def normalize_text(text: str) -> str:
+    return _WS.sub(" ", text.lower()).strip()
+
+
+def fingerprint(text: str) -> str:
+    """Document fingerprint: md5 of the whitespace/case-normalized text."""
+    return hashlib.md5(normalize_text(text).encode("utf-8")).hexdigest()
+
+
+def rolling_fingerprint(text: str, window: int = 8, mod: int = 1 << 31) -> int:
+    """Polynomial rolling hash over the token stream (Rabin-Karp style) —
+    the order-sensitive fingerprint variant; deterministic, not SQL-oracled."""
+    h = 0
+    for tok in tokenize(text):
+        th = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=4).digest(), "little")
+        h = (h * 1000003 + th) % mod
+    return h
+
+
+def quality_counts(text: str) -> dict[str, int]:
+    toks = tokenize(text)
+    return {
+        "n_chars": len(text),
+        "n_tokens": len(toks),
+        "n_stopwords": sum(1 for t in toks if t in STOPWORDS),
+        "n_punct": sum(1 for ch in text if ch in _PUNCT),
+        "n_alpha": sum(1 for ch in text if ch.isalpha()),
+    }
+
+
+def lang_id(text: str) -> str:
+    """Heuristic language ID: CJK character share → zh; otherwise the
+    language whose marker-token hit count is highest (ties break by fixed
+    language order, unknown when no marker hits)."""
+    if len(_CJK.findall(text)) >= max(1, len(text) // 20):
+        return "zh"
+    toks = tokenize(text)
+    best_lang, best_hits = "unknown", 0
+    for lang in ("en", "de", "fr", "es"):
+        hits = sum(1 for t in toks if t in LANG_MARKERS[lang])
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    return best_lang
+
+
+def char_shingles(text: str, k: int = 5) -> set[str]:
+    s = normalize_text(text)
+    if len(s) < k:
+        return {s} if s else set()
+    return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+
+def word_shingles(text: str, k: int = 3) -> set[str]:
+    toks = tokenize(text)
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}

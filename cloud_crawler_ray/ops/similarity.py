@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_brute``: exact cosine top-k — each batch does one numpy f64 matmul
+  against the broadcast query matrix (ray.put once, read per task), partial
+  top-k per batch, final merge per query. The exact baseline.
+- ``knn_ivf``: IVF-style scale path — deterministic k-means (fixed seed,
+  fixed iterations) builds nlist centroids, vectors are bucketed by nearest
+  centroid, queries probe the nprobe nearest buckets only. Recall measured
+  against the brute-force baseline in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _matrix(df: pd.DataFrame, id_col: str) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(df[id_col])
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    return ids, M
+
+
+def knn_brute(
+    emb: rd.Dataset,
+    queries: pd.DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Exact top-k cosine neighbors for each query row (excluding self-id).
+    Output: (query_id, neighbor_id, rank) with ties broken by neighbor_id —
+    integer output so oracle comparison is exact."""
+    qids, Q = _matrix(queries, id_col)
+    qref = ray.put((qids, Q))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qids_, Q_ = ray.get(qref)
+        bids, B = _matrix(batch, id_col)
+        sims = Q_ @ B.T  # (nq, nb)
+        rows = {"query_id": [], "neighbor_id": [], "cos": []}
+        top = min(k + 1, sims.shape[1])  # +1 in case self is in this batch
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], top - 1)[:top]
+            for j in idx:
+                if bids[j] != qids_[qi]:
+                    rows["query_id"].append(int(qids_[qi]))
+                    rows["neighbor_id"].append(int(bids[j]))
+                    rows["cos"].append(float(sims[qi, j]))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+
+    partials = emb.map_batches(partial, batch_format="pandas", batch_size=2048)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cos", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    pdf = out.to_pandas().sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def kmeans_fit(M: np.ndarray, nlist: int, iters: int = 8, seed: int = 5) -> np.ndarray:
+    """Deterministic mini k-means on (already normalized) vectors."""
+    rng = np.random.default_rng(seed)
+    cent = M[rng.choice(len(M), size=min(nlist, len(M)), replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(M @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = M[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    cent[c] = v / n
+    return cent
+
+
+def knn_ivf(
+    emb: rd.Dataset,
+    queries: pd.DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    sample_rows: int = 4096,
+) -> pa.Table:
+    """IVF approximate top-k: centroids from a driver-side sample (at scale:
+    a ds.random_sample), cluster assignment distributed, queries scan only
+    their nprobe closest clusters."""
+    sample = emb.limit(sample_rows).to_pandas()
+    _, S = _matrix(sample, id_col)
+    cent = kmeans_fit(S, nlist)
+    cent_ref = ray.put(cent)
+    qids, Q = _matrix(queries, id_col)
+    qprobe = np.argsort(-(Q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    probe_of_cluster: dict[int, list[int]] = {}
+    for qi, clusters in enumerate(qprobe):
+        for c in clusters:
+            probe_of_cluster.setdefault(int(c), []).append(qi)
+    probe_ref = ray.put((qids, Q, probe_of_cluster))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cent_ = ray.get(cent_ref)
+        qids_, Q_, probes = ray.get(probe_ref)
+        bids, B = _matrix(batch, id_col)
+        assign = np.argmax(B @ cent_.T, axis=1)
+        rows = {"query_id": [], "neighbor_id": [], "cos": []}
+        for c in np.unique(assign):
+            quers = probes.get(int(c), [])
+            if not quers:
+                continue
+            mask = assign == c
+            sub_ids, sub = bids[mask], B[mask]
+            sims = Q_[quers] @ sub.T
+            top = min(k + 1, sims.shape[1])
+            for row, qi in enumerate(quers):
+                idx = np.argpartition(-sims[row], top - 1)[:top]
+                for j in idx:
+                    if sub_ids[j] != qids_[qi]:
+                        rows["query_id"].append(int(qids_[qi]))
+                        rows["neighbor_id"].append(int(sub_ids[j]))
+                        rows["cos"].append(float(sims[row, j]))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+
+    partials = emb.map_batches(partial, batch_format="pandas", batch_size=2048)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cos", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    pdf = out.to_pandas().sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(pdf, preserve_index=False)

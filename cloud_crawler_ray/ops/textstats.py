@@ -1,0 +1,112 @@
+"""Text-analysis operators over a documents Dataset (doc_id, text, ...).
+
+Each operator is a Ray Data pipeline: vectorized per-batch kernels in
+``map_batches`` (pandas string ops / Python kernels over the batch — never
+per-row ``ds.map``), partial pre-aggregation before any groupby (the
+combiner pattern, reference analog examples/sugary_word_count.rb:49-73).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..functions import text as T
+
+
+def word_count(ds: rd.Dataset) -> rd.Dataset:
+    """Global token counts (the word_count DSL example,
+    examples/word_count.rb:60-75). Per-batch partial counts shrink the
+    shuffle: one (token, partial) row per distinct token per batch."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = (
+            batch["text"]
+            .str.lower()
+            .str.split(r"\s+", regex=True)
+            .explode()
+        )
+        toks = toks[toks.notna() & (toks != "")]
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "partial": vc.values})
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+    return partials.groupby("token").aggregate(Sum("partial", alias_name="cnt"))
+
+
+def token_counts(ds: rd.Dataset) -> rd.Dataset:
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split(r"\s+", regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": toks.map(lambda ts: sum(1 for t in ts if t)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=8192)
+
+
+def quality_scores(ds: rd.Dataset) -> rd.Dataset:
+    """Per-doc quality counts (lengths, stopwords, punctuation, alpha chars).
+    Integer counts so the DuckDB oracle hash-matches exactly."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rows = [T.quality_counts(t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, batch.schema.field("doc_id").type),
+                "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+                "n_tokens": pa.array([r["n_tokens"] for r in rows], pa.int64()),
+                "n_stopwords": pa.array([r["n_stopwords"] for r in rows], pa.int64()),
+                "n_punct": pa.array([r["n_punct"] for r in rows], pa.int64()),
+                "n_alpha": pa.array([r["n_alpha"] for r in rows], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+class LangId:
+    """Language-ID as a callable class → actor pool: marker sets and the CJK
+    regex are compiled once per actor (trivial here, but this is the stated
+    pattern for model-loading stages)."""
+
+    def __init__(self):
+        self.markers = T.LANG_MARKERS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        langs = [T.lang_id(t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(langs, pa.string()),
+            }
+        )
+
+
+def lang_id(ds: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", batch_size=8192, concurrency=concurrency
+    )
+
+
+def fingerprints(ds: rd.Dataset) -> rd.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp": pa.array([T.fingerprint(t) for t in texts], pa.string()),
+                "rolling_fp": pa.array(
+                    [T.rolling_fingerprint(t) for t in texts], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)

@@ -1,0 +1,302 @@
+"""Driver-contract query registry: every implemented operator/pipeline from
+SURVEY.md §2 plus the training-data ops, each as a callable(sf_dir) returning
+a Dataset / pandas / Arrow result, with a matching ANSI-SQL oracle where the
+semantics are SQL-expressible (column names identical on both sides).
+
+Ray is initialised by the caller (grading driver / bench / tests) — nothing
+here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..spec import CrawlSpec
+from ..synthweb import make_skewed_web
+
+# crawl fixture size per scale factor (pages in the synthetic web)
+_SF_PAGES = {"0.001": 1000, "0.01": 4000, "0.1": 40000}
+
+
+def _sf_of(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return base.replace("sf", "") if base.startswith("sf") else "0.01"
+
+
+def _docs(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _emb(sf_dir: str) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def crawl_handle_for(sf_dir: str, force: bool = False):
+    """Run (or reuse) the flagship crawl of the deterministic synthetic web
+    sized for this scale factor. Output cached under /tmp keyed by sf; the
+    lineage markers make reuse safe (same seed → same web → same crawl)."""
+    from .crawl import CrawlHandle, _committed_waves, crawl
+
+    sf = _sf_of(sf_dir)
+    n_pages = _SF_PAGES.get(sf, 4000)
+    out_dir = f"/tmp/ccray_crawl_sf{sf}"
+    if not force and _committed_waves(out_dir):
+        last = _committed_waves(out_dir)[-1]
+        return CrawlHandle(out_dir=out_dir, waves=last["wave"] + 1, n_jobs=last["total_jobs"])
+    web, seeds = make_skewed_web(n_pages, n_hosts=max(8, n_pages // 250), seed=42)
+    spec = CrawlSpec(delay=0.02)
+    return crawl(web, seeds, spec, out_dir)
+
+
+# ---------------- SQL-checked queries ----------------
+
+
+def q_word_count(sf_dir: str):
+    from ..ops.textstats import word_count
+
+    return word_count(_docs(sf_dir))
+
+
+def q_token_count(sf_dir: str):
+    from ..ops.textstats import token_counts
+
+    return token_counts(_docs(sf_dir))
+
+
+def q_quality_score(sf_dir: str):
+    from ..ops.textstats import quality_scores
+
+    return quality_scores(_docs(sf_dir)).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "n_stopwords"]
+    )
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from ..ops.textstats import fingerprints
+
+    return fingerprints(_docs(sf_dir)).select_columns(["doc_id", "fp"])
+
+
+def q_exact_dedup(sf_dir: str):
+    from ..ops.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from ..ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir), k=3, num=1, den=4)
+
+
+def q_counter_global(sf_dir: str):
+    """m_cache.incr counter analog (examples/word_count.rb): global count per
+    key via partial-per-block + final combine."""
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type"])
+    out = ev.groupby("event_type").count()
+    return out.map_batches(
+        lambda t: t.rename_columns(["event_type", "cnt"]), batch_format="pyarrow"
+    )
+
+
+def q_keyed_event_log(sf_dir: str):
+    """find-404s analog (examples/find_404s.rb): filtered keyed event log."""
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "value"],
+    )
+    import pyarrow.compute as pc
+
+    return ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "error")).select(
+            ["event_id", "user_id", "value"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_seq_assign(sf_dir: str):
+    """Deterministic global sequence assignment (the auto-increment id
+    analog, driver.rb:122-137) via the distributed zip_with_index."""
+    from ..stages.indexing import zip_with_index
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey"])
+    return zip_with_index(orders, ["o_orderkey"], col="seq", base=0)
+
+
+def q_knn_cosine(sf_dir: str):
+    from ..ops.similarity import knn_brute
+
+    queries = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    queries = queries[queries["vec_id"] < 5]
+    return knn_brute(_emb(sf_dir), queries, k=10)
+
+
+def q_embedding_neardup(sf_dir: str):
+    from ..ops.dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(_emb(sf_dir), threshold=0.5)
+    return pairs.select(["a", "b"])
+
+
+# ---------------- rows-only queries (not SQL-expressible) ----------------
+
+
+def q_lang_id(sf_dir: str):
+    from ..ops.textstats import lang_id
+
+    return lang_id(_docs(sf_dir))
+
+
+def q_minhash_dedup(sf_dir: str):
+    from ..ops.dedup import dedup_groups_from_pairs, minhash_lsh_pairs
+
+    docs = _docs(sf_dir)
+    pairs, _stats = minhash_lsh_pairs(docs, threshold=0.6)
+    all_ids = [r["doc_id"] for r in docs.select_columns(["doc_id"]).take_all()]
+    return dedup_groups_from_pairs(pairs, sorted(all_ids))
+
+
+def q_simhash_pairs(sf_dir: str):
+    from ..ops.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), hamming_threshold=3)
+
+
+def q_knn_ivf(sf_dir: str):
+    from ..ops.similarity import knn_ivf
+
+    queries = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    queries = queries[queries["vec_id"] < 5]
+    return knn_ivf(_emb(sf_dir), queries, k=10, nlist=16, nprobe=4)
+
+
+def q_crawl_documents(sf_dir: str):
+    return crawl_handle_for(sf_dir).documents()
+
+
+def q_crawl_pages(sf_dir: str):
+    return crawl_handle_for(sf_dir).pages()
+
+
+def q_crawl_order(sf_dir: str):
+    return crawl_handle_for(sf_dir).crawl_order()
+
+
+def q_media_features(sf_dir: str):
+    from ..ops.multimodal import extract_media_features, media_table_from_documents
+
+    docs = crawl_handle_for(sf_dir).documents()
+    return extract_media_features(media_table_from_documents(docs))
+
+
+QUERIES = {
+    "word_count": q_word_count,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "doc_fingerprint": q_doc_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "counter_global": q_counter_global,
+    "keyed_event_log": q_keyed_event_log,
+    "seq_assign": q_seq_assign,
+    "knn_cosine": q_knn_cosine,
+    "embedding_neardup": q_embedding_neardup,
+    "lang_id": q_lang_id,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_pairs": q_simhash_pairs,
+    "knn_ivf": q_knn_ivf,
+    "crawl_documents": q_crawl_documents,
+    "crawl_pages": q_crawl_pages,
+    "crawl_order": q_crawl_order,
+    "media_features": q_media_features,
+}
+
+_TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+
+ORACLE_SQL = {
+    "word_count": f"""
+        SELECT token, count(*)::BIGINT AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+          FROM documents) WHERE token <> ''
+        GROUP BY token
+    """,
+    "token_count": f"""
+        SELECT doc_id, len({_TOKENS})::BIGINT AS n_tokens FROM documents
+    """,
+    "quality_score": f"""
+        SELECT doc_id,
+               length(text)::BIGINT AS n_chars,
+               len({_TOKENS})::BIGINT AS n_tokens,
+               len(list_filter({_TOKENS},
+                               t -> t IN ('the','a','of','and','to','in')))::BIGINT AS n_stopwords
+        FROM documents
+    """,
+    "doc_fingerprint": """
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    """,
+    "exact_dedup": """
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1
+    """,
+    "ngram_jaccard": f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, greatest(len(toks)-2, 0)+1)]) AS s
+            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+            WHERE len(toks) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(toks, ' ') AS s
+            FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+            WHERE len(toks) < 3 AND len(toks) > 0)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b, c::BIGINT AS n_common, sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b
+        FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        WHERE 4*c >= 1*(sa.n + sb.n - c)
+    """,
+    "counter_global": """
+        SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY event_type
+    """,
+    "keyed_event_log": """
+        SELECT event_id, user_id, value FROM events WHERE event_type = 'error'
+    """,
+    "seq_assign": """
+        SELECT o_orderkey, (row_number() OVER (ORDER BY o_orderkey) - 1)::BIGINT AS seq
+        FROM orders
+    """,
+    "knn_cosine": """
+        WITH sims AS (
+          SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding, t.embedding) AS cos
+          FROM embeddings q JOIN embeddings t ON t.vec_id <> q.vec_id
+          WHERE q.vec_id < 5)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id)::BIGINT AS rank
+          FROM sims) WHERE rank <= 10
+    """,
+    "embedding_neardup": """
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    """,
+}

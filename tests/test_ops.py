@@ -1,0 +1,282 @@
+"""Training-data operator tests: DuckDB cross-checks for the SQL-expressible
+ops, planted-duplicate recovery for the sketch-based ones, numpy oracles for
+the vector ops."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+@pytest.fixture()
+def docs(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_word_count_matches_duckdb(con, docs):
+    from cloud_crawler_ray.ops.textstats import word_count
+
+    got = word_count(docs).to_pandas().sort_values("token").reset_index(drop=True)
+    exp = con.execute(
+        """
+        SELECT token, count(*)::BIGINT AS cnt FROM (
+          SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+          FROM documents) WHERE token <> ''
+        GROUP BY token ORDER BY token
+        """
+    ).df()
+    assert got["token"].tolist() == exp["token"].tolist()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+
+
+def test_token_counts_matches_duckdb(con, docs):
+    from cloud_crawler_ray.ops.textstats import token_counts
+
+    got = token_counts(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = con.execute(
+        """
+        SELECT doc_id, len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                       t -> t <> ''))::BIGINT AS n_tokens
+        FROM documents ORDER BY doc_id
+        """
+    ).df()
+    assert got["n_tokens"].tolist() == exp["n_tokens"].tolist()
+
+
+def test_quality_counts_matches_duckdb(con, docs):
+    from cloud_crawler_ray.ops.textstats import quality_scores
+
+    got = quality_scores(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = con.execute(
+        """
+        SELECT doc_id,
+               length(text)::BIGINT AS n_chars,
+               len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> ''))::BIGINT AS n_tokens,
+               len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               t -> t IN ('the','a','of','and','to','in')))::BIGINT AS n_stopwords
+        FROM documents ORDER BY doc_id
+        """
+    ).df()
+    for c in ("n_chars", "n_tokens", "n_stopwords"):
+        assert got[c].tolist() == exp[c].tolist(), c
+
+
+def test_fingerprint_matches_duckdb(con, docs):
+    from cloud_crawler_ray.ops.textstats import fingerprints
+
+    got = fingerprints(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    exp = con.execute(
+        """
+        SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents ORDER BY doc_id
+        """
+    ).df()
+    assert got["fp"].tolist() == exp["fp"].tolist()
+
+
+def test_lang_id_reasonable(docs):
+    from cloud_crawler_ray.ops.textstats import lang_id
+
+    got = lang_id(docs).to_pandas()
+    assert set(got["lang_pred"]) <= {"en", "de", "fr", "es", "zh", "unknown"}
+    assert len(got) == 500
+
+
+def _docs_with_dups(ray_session):
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    # plant exact dups (case/whitespace variants) and near dups
+    extra_ids, extra_texts = [], []
+    for i in range(0, 20):
+        extra_ids.append(10_000 + i)
+        extra_texts.append(texts[i].upper() + "  ")  # exact dup after normalize
+    for i in range(20, 40):
+        toks = texts[i].split()
+        toks[len(toks) // 2] = "PERTURBED"
+        extra_ids.append(10_000 + i)
+        extra_texts.append(" ".join(toks))  # near dup
+    tbl = pa.table(
+        {"doc_id": ids + extra_ids, "text": texts + extra_texts}
+    )
+    return rd.from_arrow(tbl), tbl
+
+
+def test_exact_dedup(ray_session):
+    ds, tbl = _docs_with_dups(ray_session)
+    from cloud_crawler_ray.ops.dedup import exact_dedup
+
+    kept = exact_dedup(ds).to_pandas()
+    assert len(kept) == 520  # 500 originals + 20 near-dups (not exact)
+    assert set(kept["doc_id"]) & set(range(10_000, 10_020)) == set()  # dups dropped
+    # keeps the LOWEST doc_id of each exact group
+    assert set(range(20)) <= set(kept["doc_id"])
+
+
+def test_minhash_lsh_finds_planted_dups(ray_session):
+    ds, tbl = _docs_with_dups(ray_session)
+    from cloud_crawler_ray.ops.dedup import dedup_groups_from_pairs, minhash_lsh_pairs
+
+    pairs, stats = minhash_lsh_pairs(ds, threshold=0.6)
+    found = {(a, b) for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist())}
+    planted = {(i, 10_000 + i) for i in range(40)}
+    hit = planted & found
+    assert len(hit) >= 36, (len(hit), stats)  # ≥90% of planted dups found
+
+    groups = dedup_groups_from_pairs(pairs, tbl.column("doc_id").to_pylist())
+    gdf = groups.to_pandas()
+    assert len(gdf) == 540
+    dup_rows = gdf[gdf["doc_id"] >= 10_000]
+    assert (~dup_rows["keep"]).sum() >= 36
+
+
+def test_simhash_finds_exactish_dups(ray_session):
+    ds, _ = _docs_with_dups(ray_session)
+    from cloud_crawler_ray.ops.dedup import simhash_pairs
+
+    pairs = simhash_pairs(ds, hamming_threshold=3).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    # exact dups (0..19) have identical token multisets → hamming 0
+    planted_exact = {(i, 10_000 + i) for i in range(20)}
+    assert planted_exact <= found
+
+
+def test_ngram_jaccard_matches_duckdb(con, docs, ray_session):
+    from cloud_crawler_ray.ops.dedup import ngram_jaccard_pairs
+
+    got = (
+        ngram_jaccard_pairs(docs, k=3, num=1, den=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    exp = con.execute(
+        """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id,
+                   unnest([array_to_string(toks[i:i+2], ' ')
+                           for i in range(1, greatest(len(toks)-2, 0)+1)]) AS s
+            FROM (SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text),'\\s+'), t->t<>'') AS toks
+                  FROM documents))
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b, c AS n_common, sa.n AS n_a, sb.n AS n_b
+        FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        WHERE 4*c >= 1*(sa.n + sb.n - c)
+        ORDER BY a, b
+        """
+    ).df()
+    assert got[["a", "b", "n_common"]].values.tolist() == exp[["a", "b", "n_common"]].values.tolist()
+
+
+def test_knn_brute_vs_numpy(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.similarity import knn_brute
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    queries = t.head(5)
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    got = knn_brute(emb, queries, k=10).to_pandas()
+
+    M = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ids = t["vec_id"].to_numpy()
+    for qi in range(5):
+        sims = M[qi] @ M.T
+        order = sorted(
+            ((-(sims[j]), ids[j]) for j in range(len(ids)) if ids[j] != ids[qi])
+        )[:10]
+        exp_ids = [int(x[1]) for x in order]
+        got_ids = got[got["query_id"] == ids[qi]].sort_values("rank")["neighbor_id"].tolist()
+        assert got_ids == exp_ids, qi
+
+
+def test_knn_ivf_recall(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.similarity import knn_brute, knn_ivf
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    queries = t.head(10)
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    brute = knn_brute(emb, queries, k=10).to_pandas()
+    ivf = knn_ivf(emb, queries, k=10, nlist=8, nprobe=3).to_pandas()
+    recalls = []
+    for q in queries["vec_id"]:
+        bset = set(brute[brute["query_id"] == q]["neighbor_id"])
+        iset = set(ivf[ivf["query_id"] == q]["neighbor_id"])
+        recalls.append(len(bset & iset) / max(1, len(bset)))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_embedding_neardup_pairs(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import embedding_neardup_pairs
+
+    # plant two exact duplicates + noise
+    rng = np.random.default_rng(0)
+    M = rng.normal(size=(50, 16)).astype(np.float32)
+    M[10] = M[3]
+    M[20] = M[7] + 1e-4
+    tbl = pa.table(
+        {"vec_id": list(range(50)), "embedding": [list(map(float, r)) for r in M]}
+    )
+    pairs = embedding_neardup_pairs(rd.from_arrow(tbl), threshold=0.99).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert (3, 10) in found and (7, 20) in found
+    assert len(found) <= 4  # random 16-d vectors rarely collide at 0.99
+
+
+def test_multimodal_plumbing(ray_session, tmp_path):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.multimodal import (
+        extract_media_features,
+        media_table_from_documents,
+    )
+    from cloud_crawler_ray.pipelines.crawl import crawl
+    from cloud_crawler_ray.spec import CrawlSpec
+    from tests import webs
+
+    web, seeds = webs.small_dag()
+    h = crawl(web, seeds, CrawlSpec(), str(tmp_path / "out"))
+    media = media_table_from_documents(h.documents())
+    mdf = media.to_pandas()
+    assert set(mdf["kind"]) == {"image", "video"}
+    assert all(len(p) > 0 for p in mdf["payload"])
+
+    feats = extract_media_features(media).to_pandas()
+    assert len(feats) == len(mdf)
+    assert set(feats["backend"]) == {"fake"}
+    # deterministic: second run identical
+    feats2 = extract_media_features(media_table_from_documents(h.documents())).to_pandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )
