@@ -53,6 +53,11 @@ def ensure_path(url: str) -> str:
     return url
 
 
+_ABS_FAST_RE = re.compile(
+    r"^https?://[a-z0-9.\-]+(?::[0-9]+)?/[a-z0-9._~:/?=&+,;@!$'()*\-]*$"
+)
+
+
 def to_absolute(link: str, page_url: str, base_url: str | None = None) -> str | None:
     """Absolutize *link* against *base_url* (from <base href>) or *page_url*.
 
@@ -61,6 +66,10 @@ def to_absolute(link: str, page_url: str, base_url: str | None = None) -> str | 
     """
     if link is None:
         return None
+    if _ABS_FAST_RE.match(link):
+        # already absolute with a safe charset: anchor-strip, re-encode,
+        # urljoin and ensure_path are all provably identity
+        return link
     try:
         link = reencode(strip_anchor(str(link)))
         root = base_url if base_url else page_url
@@ -81,9 +90,15 @@ def canonical_url(url: str) -> str:
     return key_for(ensure_path(reencode(strip_anchor(str(url)))))
 
 
+_HOST_FAST_RE2 = re.compile(r"^[a-z]+://([a-z0-9.\-]+)(?=[/:?#]|$)")
+
+
 def host_of(url: str) -> str:
     """Lower-cased host (empty string when absent) — the politeness /
     domain-confinement key (page.rb:87-89, http.rb:219-240)."""
+    m = _HOST_FAST_RE2.match(url)
+    if m:
+        return m.group(1)
     try:
         return (urlsplit(url).hostname or "").lower()
     except ValueError:
@@ -97,10 +112,35 @@ def normalize_seed(url: str) -> str:
 
 def has_query(url: str) -> bool:
     """True when the URL carries a query string (dsl_core.rb:269-271)."""
+    if "?" not in url:
+        return False
     try:
         return urlsplit(url).query != ""
     except ValueError:
         return False
+
+
+# Fast-path detector: URLs that canonicalization provably leaves unchanged —
+# lowercase http scheme, host, nonempty path of unreserved/sub-delim chars,
+# no fragment, no percent-escapes, no whitespace, and no "https" substring
+# anywhere (the gsub quirk). For these, canonical_url(u) == u and the host is
+# the authority part. Synthetic-web URLs are all fast-path; anything else
+# falls back to the exact per-row functions.
+_FAST_RE = re.compile(r"^http://[a-z0-9.\-]+(?::[0-9]+)?/[a-z0-9._~:/?=&+,;@!$'()*\-]*$")
+
+
+def is_canonical_fastpath(url: str) -> bool:
+    return bool(_FAST_RE.match(url)) and "https" not in url
+
+
+def canonical_urls(urls: list[str]) -> list[str]:
+    """Vectorized-ish canonicalization: regex fast path (identity) with the
+    exact function for the rest. Bit-identical to canonical_url per row."""
+    return [u if is_canonical_fastpath(u) else canonical_url(u) for u in urls]
+
+
+def hosts_of(urls: list[str]) -> list[str]:
+    return [host_of(u) for u in urls]  # host_of has the fast path inline
 
 
 def path_of(url: str) -> str:

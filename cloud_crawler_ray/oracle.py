@@ -50,30 +50,66 @@ class FetchedPage:
         return self.error == ""
 
 
+def _h64(s: str) -> int:
+    # crc32 of the string and of its reverse → cheap 64-bit key; collisions
+    # are verified against the table on probe, so weakness only costs a probe
+    import zlib
+
+    b = s.encode("utf-8")
+    return (zlib.crc32(b) << 32) | zlib.crc32(b[::-1])
+
+
 class SyntheticNet:
     """URL → web-table row lookup — the 'network'. Exact URL first, then
     canonical key (the synthetic generator emits consistent URLs; the
     canonical fallback covers case-variant links).
 
-    Lazy over the zero-copy Arrow table: only the url column is pulled into
-    a Python index at build time; bodies are materialized one row at a time
-    on lookup. This keeps per-actor construction cheap when the table ref is
-    broadcast to a fetch actor pool (ray.put once, ray.get in __init__)."""
+    The index is a pair of SORTED uint64 hash arrays + row-number arrays
+    (binary search per lookup, hash collisions verified against the table).
+    Numpy arrays deserialize as flat buffers — broadcasting (table, index)
+    via ray.put costs each worker a memcpy, not an O(web) Python dict
+    rebuild (which at 10^5+ URLs × many workers dominated fetch wall time)."""
 
-    def __init__(self, web: pa.Table):
+    def __init__(self, web: pa.Table, index: tuple | None = None):
         self.web = web.combine_chunks()
-        urls = self.web.column("url").to_pylist()
-        self.exact: dict[str, int] = {}
-        self.by_canon: dict[str, int] = {}
-        for i, u in enumerate(urls):
-            self.exact.setdefault(u, i)
-            self.by_canon.setdefault(canonical_url(u), i)
+        if index is None:
+            index = self.build_indexes(self.web)
+        self._eh, self._er, self._ch, self._cr = index
         self._cols = {name: self.web.column(name) for name in self.web.column_names}
+        self._urls = self._cols["url"]
+
+    @staticmethod
+    def build_indexes(web: pa.Table):
+        """Sorted-hash indexes for exact and canonical URL keys. Built once
+        on the driver, shipped with the table."""
+        import numpy as np
+
+        urls = web.column("url").to_pylist()
+        eh = np.fromiter((_h64(u) for u in urls), dtype=np.uint64, count=len(urls))
+        ch = np.fromiter(
+            (_h64(canonical_url(u)) for u in urls), dtype=np.uint64, count=len(urls)
+        )
+        eo = np.argsort(eh, kind="stable").astype(np.int64)
+        co = np.argsort(ch, kind="stable").astype(np.int64)
+        return eh[eo], eo, ch[co], co
+
+    def _probe(self, key: str, hashes, rows, canon: bool) -> int | None:
+        import numpy as np
+
+        h = np.uint64(_h64(key))
+        pos = int(np.searchsorted(hashes, h))
+        while pos < len(hashes) and hashes[pos] == h:
+            row = int(rows[pos])
+            u = self._urls[row].as_py()
+            if (canonical_url(u) if canon else u) == key:
+                return row
+            pos += 1
+        return None
 
     def lookup(self, url: str) -> dict | None:
-        i = self.exact.get(url)
+        i = self._probe(url, self._eh, self._er, canon=False)
         if i is None:
-            i = self.by_canon.get(canonical_url(url))
+            i = self._probe(canonical_url(url), self._ch, self._cr, canon=True)
         if i is None:
             return None
         return {name: col[i].as_py() for name, col in self._cols.items()}
@@ -159,7 +195,7 @@ class LinkAdmission:
 
     def admit(self, link: str, from_url: str, from_depth: int) -> bool:
         spec = self.spec
-        if any(r.search(path_of(link)) for r in self.skip_res):
+        if self.skip_res and any(r.search(path_of(link)) for r in self.skip_res):
             return False
         if spec.skip_link_fn and spec.skip_link_fn(link):
             return False
@@ -196,8 +232,8 @@ def _page_dict(p: FetchedPage, ex, seq: int, wave: int, t_ms: int) -> dict:
     }
 
 
-def crawl_oracle(web: pa.Table, seeds: list[str], spec: CrawlSpec) -> OracleResult:
-    net = SyntheticNet(web)
+def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
+    net = SyntheticNet(web) if isinstance(web, pa.Table) else web
     adm = LinkAdmission(spec, net)
     res = OracleResult()
     delay_ms = int(spec.delay * 1000)
@@ -273,7 +309,8 @@ def crawl_oracle(web: pa.Table, seeds: list[str], spec: CrawlSpec) -> OracleResu
                             }
                         )
                     child_base += len(admitted)
-        res.seen |= wave_marks  # mark-at-wave-commit (batch_crawl_job.rb:139-153)
+        if spec.follow_links:  # curl mode has no bloom marking (batch_curl_job.rb)
+            res.seen |= wave_marks  # mark-at-wave-commit (batch_crawl_job.rb:139-153)
         frontier = next_frontier
         wave += 1
         if not spec.follow_links:

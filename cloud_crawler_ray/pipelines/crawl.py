@@ -111,33 +111,31 @@ class CrawlHandle:
         return {r["key"]: r["count"] for r in out.take_all()}
 
     def seen(self) -> set[str]:
-        ds = read_table(os.path.join(self.out_dir, "seen"), columns=["canonical_url"])
+        seen_dir = os.path.join(self.out_dir, "seen")
+        if not os.path.isdir(seen_dir) or not glob.glob(
+            os.path.join(seen_dir, "wave=*", "*.parquet")
+        ):
+            return set()  # curl mode marks nothing
+        ds = read_table(seen_dir, columns=["canonical_url"])
         return set(ds.to_pandas()["canonical_url"])
 
 
 def _seeds_frontier(seeds: list[str]) -> pa.Table:
-    rows = {
-        "url": [], "canonical_url": [], "host": [], "referer": [],
-        "depth": [], "parent_seq": [], "ordinal": [],
-    }
-    for i, u in enumerate(seeds):
-        nu = normalize_seed(u)
-        rows["url"].append(nu)
-        rows["canonical_url"].append(canonical_url(nu))
-        rows["host"].append(host_of(nu))
-        rows["referer"].append("")
-        rows["depth"].append(0)
-        rows["parent_seq"].append(-1)
-        rows["ordinal"].append(i)
+    import numpy as np
+
+    from ..canon import canonical_urls, hosts_of
+
+    urls = [normalize_seed(u) for u in seeds]
+    n = len(urls)
     return pa.table(
         {
-            "url": pa.array(rows["url"], pa.string()),
-            "canonical_url": pa.array(rows["canonical_url"], pa.string()),
-            "host": pa.array(rows["host"], pa.string()),
-            "referer": pa.array(rows["referer"], pa.string()),
-            "depth": pa.array(rows["depth"], pa.int32()),
-            "parent_seq": pa.array(rows["parent_seq"], pa.int64()),
-            "ordinal": pa.array(rows["ordinal"], pa.int32()),
+            "url": pa.array(urls, pa.string()),
+            "canonical_url": pa.array(canonical_urls(urls), pa.string()),
+            "host": pa.array(hosts_of(urls), pa.string()),
+            "referer": pa.array([""] * n, pa.string()),
+            "depth": pa.array(np.zeros(n, dtype=np.int32)),
+            "parent_seq": pa.array(np.full(n, -1, dtype=np.int64)),
+            "ordinal": pa.array(np.arange(n, dtype=np.int32)),
         }
     )
 
@@ -167,12 +165,9 @@ def _plan_wave_local(
             ],
         )
         cand = cand.take(order)
-        canon = cand.column("canonical_url").to_pylist()
-        keep = np.ones(len(canon), dtype=bool)
-        for i in range(1, len(canon)):
-            if canon[i] == canon[i - 1]:
-                keep[i] = False
-        cand = cand.filter(pa.array(keep))
+        from ..stages.frontier_ops import _first_of_run_mask
+
+        cand = cand.filter(_first_of_run_mask(cand.column("canonical_url")))
         unseen = state.check(cand.column("canonical_url").to_pylist())
         cand = cand.filter(pa.array(unseen))
 
@@ -188,20 +183,24 @@ def _plan_wave_local(
         "seq", pa.array(np.arange(base_seq, base_seq + n, dtype=np.int64))
     )
 
+    import pandas as pd
+
     hosts = cand.column("host").to_pylist()
     urls = cand.column("url").to_pylist()
     uniq_hosts = list(dict.fromkeys(hosts))
     clocks = state.get_clocks(uniq_hosts)
-    t = np.zeros(n, dtype=np.int64)
-    ends = np.zeros(n, dtype=np.int64)
-    cur = dict(clocks)
-    for i, (h, u) in enumerate(zip(hosts, urls)):  # rows already in seq order
-        lat = chain_idx.get(u, 0)
-        t[i] = cur[h] + delay_ms
-        ends[i] = t[i] + lat
-        cur[h] = ends[i]
-    cand = cand.append_column("fetch_time_ms", pa.array(t))
-    cand = cand.append_column("job_end_ms", pa.array(ends))
+    # vectorized per-host serial slots (rows already in seq order):
+    # t_i = clock + (k_i+1)·delay + per-host exclusive latency cumsum
+    lat = np.fromiter((chain_idx.get(u, 0) for u in urls), dtype=np.int64, count=n)
+    hs = pd.Series(hosts)
+    grp = hs.groupby(hs, sort=False)
+    within = grp.cumcount().to_numpy()
+    cum_lat = pd.Series(lat).groupby(hs, sort=False).cumsum().to_numpy() - lat
+    clock0 = hs.map(clocks).to_numpy()
+    t = clock0 + delay_ms * (within + 1) + cum_lat
+    ends = t + lat
+    cand = cand.append_column("fetch_time_ms", pa.array(t.astype(np.int64)))
+    cand = cand.append_column("job_end_ms", pa.array(ends.astype(np.int64)))
     cand = cand.append_column("wave", pa.array([wave] * n, pa.int32()))
     return cand
 
@@ -280,6 +279,8 @@ def crawl(
 def _collect_if_small(ds: rd.Dataset, threshold: int) -> tuple[pa.Table | None, rd.Dataset]:
     """Bring a frontier Dataset to the driver iff it is small. Counts via
     block metadata; collects via arrow refs (typed, no pandas round-trip)."""
+    if threshold <= 0:
+        return None, ds
     n = ds.count()
     if n <= threshold:
         refs = ds.to_arrow_refs()
@@ -296,16 +297,37 @@ def _crawl_inner(
     small_wave_threshold, max_waves, resume,
 ) -> CrawlHandle:
     import math
+    import sys
+    import time
     import uuid
 
     import pyarrow.parquet as pq
+
+    profile = os.environ.get("CCRAY_PROFILE") == "1"
+    _t = [time.perf_counter()]
+
+    def _prof(label: str) -> None:
+        if profile:
+            now = time.perf_counter()
+            print(f"[ccray {label}: {now - _t[0]:.2f}s]", file=sys.stderr)
+            _t[0] = now
+        else:
+            _t[0] = time.perf_counter()
 
     if not resume and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
-    web_ref = ray.put(web)
-    chain_idx = build_chain_latency_index(web, spec.redirect_limit)
+    from ..oracle import SyntheticNet
+
+    if isinstance(web, pa.Table):
+        web_ref = ray.put((web, SyntheticNet.build_indexes(web)))
+        chain_idx = build_chain_latency_index(web, spec.redirect_limit)
+    else:
+        # procedural / external network: ship the tiny spec, latency model
+        # is computed from the URL (no O(web) driver-side setup at all)
+        web_ref = ray.put(web)
+        chain_idx = web
     chain_idx_ref = ray.put(chain_idx)
     delay_ms = int(spec.delay * 1000)
     crawl_id = uuid.uuid4().hex
@@ -342,9 +364,14 @@ def _crawl_inner(
     fr_tbl: pa.Table | None = None
     fr_ds: rd.Dataset | None = None
     if start_wave == 0:
-        fr_tbl = _seeds_frontier(seeds)
-        if fr_tbl.num_rows > small_wave_threshold:
-            fr_ds, fr_tbl = rd.from_arrow(fr_tbl), None
+        if isinstance(seeds, rd.Dataset):
+            # pre-built frontier Dataset (e.g. generated distributed for a
+            # huge url-list curl) — must carry the FRONTIER columns
+            fr_tbl, fr_ds = _collect_if_small(seeds, small_wave_threshold)
+        else:
+            fr_tbl = _seeds_frontier(seeds)
+            if fr_tbl.num_rows > small_wave_threshold:
+                fr_ds, fr_tbl = rd.from_arrow(fr_tbl), None
     else:
         raw_prev = _wave_dir(out_dir, "raw", start_wave - 1)
         fr_ds = rd.read_parquet(
@@ -365,14 +392,17 @@ def _crawl_inner(
         if local:
             if fr_tbl.num_rows == 0:
                 break
+            _prof("pre")
             fm_tbl = _plan_wave_local(
                 fr_tbl, state, chain_idx, delay_ms, next_seq, wave, spec
             )
+            _prof(f"w{wave} plan_local n={fm_tbl.num_rows}")
             n_jobs = fm_tbl.num_rows
             if n_jobs == 0:
                 break
             os.makedirs(fdir, exist_ok=True)
             pq.write_table(fm_tbl, os.path.join(fdir, "part-0.parquet"))
+            _prof(f"w{wave} frontier_write")
             fetch_in = rd.from_arrow(fm_tbl)
             nblocks = max(1, min(math.ceil(n_jobs / fetch_batch_size), ncpus * 2))
             if nblocks > 1:
@@ -382,10 +412,12 @@ def _crawl_inner(
             if spec.follow_links:
                 f = dedup_candidates(f)
                 f = filter_unseen(f, state)
+            _prof("pre")
             f = zip_with_index(f, ["parent_seq", "ordinal"], col="seq", base=next_seq)
             n_jobs = f.count()
             if n_jobs == 0:
                 break
+            _prof(f"w{wave} plan_sort n={n_jobs}")
             f = assign_slots(f, state, chain_idx_ref, delay_ms)
             w = wave
             f = f.map_batches(
@@ -393,7 +425,13 @@ def _crawl_inner(
                 batch_format="pyarrow",
             )
             f.write_parquet(fdir)
-            fetch_in = rd.read_parquet(fdir)
+            # split the slotted frontier so the fetch pool gets even blocks —
+            # the groupby(host) upstream leaves the hot host as one huge
+            # block, which would serialize fetch into a single task
+            fetch_in = rd.read_parquet(fdir).repartition(
+                max(1, min(math.ceil(n_jobs / fetch_batch_size), ncpus * 2))
+            )
+            _prof(f"w{wave} slots_write")
 
         # --- fetch + extract (single consumption → durable raw) ---
         if fetch_mode == "tasks":
@@ -411,46 +449,70 @@ def _crawl_inner(
                 concurrency=fetch_concurrency,
             )
         raw.write_parquet(raw_dir)
+        _prof(f"w{wave} fetch_extract_write")
 
         # --- seen delta (job urls + fetched page urls) + commit ---
+        # curl mode marks nothing (no bloom in BatchCurlJob, batch_curl_job.rb)
         if local:
-            raw_meta = pq.read_table(raw_dir, columns=["canonical_url", "fetched"])
-            fetched_canon = raw_meta.filter(raw_meta.column("fetched")).column(
-                "canonical_url"
-            ).to_pylist()
-            delta = sorted(set(fm_tbl.column("canonical_url").to_pylist()) | set(fetched_canon))
-            os.makedirs(seen_dir, exist_ok=True)
-            pq.write_table(
-                pa.table({"canonical_url": pa.array(delta, pa.string())}),
-                os.path.join(seen_dir, "part-0.parquet"),
-            )
             if spec.follow_links:
+                raw_meta = pq.read_table(raw_dir, columns=["canonical_url", "fetched"])
+                fetched_canon = raw_meta.filter(raw_meta.column("fetched")).column(
+                    "canonical_url"
+                ).to_pylist()
+                delta = list(set(fm_tbl.column("canonical_url").to_pylist()) | set(fetched_canon))
+                os.makedirs(seen_dir, exist_ok=True)
+                pq.write_table(
+                    pa.table({"canonical_url": pa.array(delta, pa.string())}),
+                    os.path.join(seen_dir, "part-0.parquet"),
+                )
                 state.add(delta)
             updates: dict[str, int] = {}
             for h, e in zip(
                 fm_tbl.column("host").to_pylist(), fm_tbl.column("job_end_ms").to_pylist()
             ):
                 updates[h] = max(updates.get(h, 0), int(e))
+        elif not spec.follow_links:
+            ends_tbl = pq.read_table(fdir, columns=["host", "job_end_ms"])
+            import pandas as _pd
+
+            edf = _pd.DataFrame(
+                {
+                    "host": ends_tbl.column("host").to_pylist(),
+                    "end": ends_tbl.column("job_end_ms").to_numpy(zero_copy_only=False),
+                }
+            )
+            updates = {h: int(v) for h, v in edf.groupby("host")["end"].max().items()}
         else:
             raw_canon = rd.read_parquet(raw_dir, columns=["canonical_url", "fetched"]).map_batches(
                 lambda t: t.filter(pc.field("fetched")).select(["canonical_url"]),
                 batch_format="pyarrow",
             )
             job_canon = rd.read_parquet(fdir, columns=["canonical_url"])
+            adder = AddSeen(state.shards) if spec.follow_links else None
+
+            def distinct_and_mark(t: pa.Table) -> pa.Table:
+                out = t.group_by("canonical_url").aggregate([])  # local distinct
+                if adder is not None:
+                    adder(out)  # fused seen-shard commit (idempotent adds)
+                return out
+
             job_canon.union(raw_canon).map_batches(
-                lambda t: t.group_by("canonical_url").aggregate([]),  # local distinct
-                batch_format="pyarrow",
+                distinct_and_mark, batch_format="pyarrow"
             ).write_parquet(seen_dir)
-            if spec.follow_links:
-                rd.read_parquet(seen_dir).map_batches(
-                    AddSeen(state.shards), batch_format="pyarrow", batch_size=4096
-                ).count()
-            fm = rd.read_parquet(fdir)
-            clock_updates = fm.groupby("host").max("job_end_ms").to_pandas()
+            # clock advance: two small columns of the wave's frontier, driver-side
+            ends_tbl = pq.read_table(fdir, columns=["host", "job_end_ms"])
+            import pandas as _pd
+
+            edf = _pd.DataFrame(
+                {
+                    "host": ends_tbl.column("host").to_pylist(),
+                    "end": ends_tbl.column("job_end_ms").to_numpy(zero_copy_only=False),
+                }
+            )
             updates = {
-                h: int(t)
-                for h, t in zip(clock_updates["host"], clock_updates["max(job_end_ms)"])
+                h: int(v) for h, v in edf.groupby("host")["end"].max().items()
             }
+        _prof(f"w{wave} seen_commit")
         state.advance_clocks(updates)
         next_seq += n_jobs
         total_jobs += n_jobs
@@ -482,6 +544,7 @@ def _crawl_inner(
             )
             fr_tbl = explode_children(raw_children)
             fr_ds = None
+            _prof(f"w{wave} children n={fr_tbl.num_rows}")
             if fr_tbl.num_rows > small_wave_threshold:
                 fr_ds, fr_tbl = rd.from_arrow(fr_tbl), None
         else:

@@ -97,13 +97,19 @@ def q_ngram_jaccard(sf_dir: str):
 
 
 def q_counter_global(sf_dir: str):
-    """m_cache.incr counter analog (examples/word_count.rb): global count per
-    key via partial-per-block + final combine."""
+    """m_cache.incr counter analog (examples/word_count.rb): per-block
+    partial counts with the NATIVE Arrow group_by kernel, tiny final combine
+    driver-side (this Ray version's generic grouped aggregate iterates rows
+    in Python — never use it on a hot path)."""
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_type"])
-    out = ev.groupby("event_type").count()
-    return out.map_batches(
-        lambda t: t.rename_columns(["event_type", "cnt"]), batch_format="pyarrow"
-    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type").aggregate([("event_type", "count")])
+        return g.rename_columns(["event_type", "partial"])
+
+    partials = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = partials.groupby("event_type", as_index=False)["partial"].sum()
+    return out.rename(columns={"partial": "cnt"})
 
 
 def q_keyed_event_log(sf_dir: str):

@@ -62,8 +62,13 @@ FETCH_OUT_SCHEMA = pa.schema(
 
 class FetchExtract:
     def __init__(self, web_ref, spec: CrawlSpec, wave: int):
-        web: pa.Table = ray.get(web_ref)
-        self.net = SyntheticNet(web)
+        payload = ray.get(web_ref)
+        if isinstance(payload, tuple):  # (table, prebuilt sorted-hash index)
+            self.net = SyntheticNet(payload[0], index=payload[1])
+        elif isinstance(payload, pa.Table):
+            self.net = SyntheticNet(payload)
+        else:
+            self.net = payload  # ProceduralWeb (or any lookup-interface net)
         self.spec = spec
         self.wave = wave
         self.adm = LinkAdmission(spec, self.net)

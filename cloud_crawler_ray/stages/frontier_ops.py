@@ -36,13 +36,19 @@ def _dedup_batch(batch: pa.Table) -> pa.Table:
         ],
     )
     batch = batch.take(order)
-    keys = batch.column("canonical_url")
-    mask = np.ones(len(keys), dtype=bool)
-    arr = keys.to_pylist()
-    for i in range(1, len(arr)):
-        if arr[i] == arr[i - 1]:
-            mask[i] = False
-    return batch.filter(pa.array(mask))
+    return batch.filter(_first_of_run_mask(batch.column("canonical_url")))
+
+
+def _first_of_run_mask(keys) -> pa.Array:
+    """Boolean mask keeping the first row of each equal-key run (input must
+    be sorted by key) — vectorized neighbor comparison."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    n = len(keys)
+    if n == 0:
+        return pa.array([], pa.bool_())
+    neq = pc.not_equal(keys.slice(1), keys.slice(0, n - 1))
+    return pa.concat_arrays([pa.array([True]), neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq])
 
 
 def _first_per_group(group: pa.Table) -> pa.Table:
@@ -89,43 +95,52 @@ def filter_unseen(ds: rd.Dataset, state) -> rd.Dataset:
 
 
 def explode_children(batch: pa.Table) -> pa.Table:
-    """Fetch output rows → next-wave frontier candidates. Child ordinals are
-    numbered per job across the job's kept pages (redirect hops first), so
-    (parent_seq, ordinal) is a strict total order within a wave."""
-    seqs = batch.column("seq").to_pylist()
-    pages_urls = batch.column("url").to_pylist()
-    depths = batch.column("depth").to_pylist()
-    children = batch.column("child_urls").to_pylist()
-    bases = batch.column("child_ordinal_base").to_pylist()
+    """Fetch output rows → next-wave frontier candidates, vectorized: Arrow
+    list_flatten for the URLs, numpy repeat/arange for parent columns and
+    ordinals. Child ordinals were numbered per job by the fetch stage
+    (child_ordinal_base), so (parent_seq, ordinal) is a strict total order
+    within a wave even when a job's kept pages split across blocks. Only the
+    per-child canonicalization remains a Python string loop."""
+    batch = batch.combine_chunks()
+    kids_col = batch.column("child_urls")
+    if isinstance(kids_col, pa.ChunkedArray):
+        kids_col = kids_col.combine_chunks()
+    flat = pc.list_flatten(kids_col)
+    counts = pc.list_value_length(kids_col).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "canonical_url": pa.array([], pa.string()),
+                "host": pa.array([], pa.string()),
+                "referer": pa.array([], pa.string()),
+                "depth": pa.array([], pa.int32()),
+                "parent_seq": pa.array([], pa.int64()),
+                "ordinal": pa.array([], pa.int32()),
+            }
+        )
+    seqs = batch.column("seq").to_numpy(zero_copy_only=False).astype(np.int64)
+    depths = batch.column("depth").to_numpy(zero_copy_only=False).astype(np.int64)
+    bases = (
+        batch.column("child_ordinal_base").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ordinals = np.arange(total, dtype=np.int64) - np.repeat(offsets, counts) + np.repeat(
+        bases, counts
+    )
+    from ..canon import canonical_urls, hosts_of
 
-    out = {
-        "url": [],
-        "canonical_url": [],
-        "host": [],
-        "referer": [],
-        "depth": [],
-        "parent_seq": [],
-        "ordinal": [],
-    }
-    # child_ordinal_base was assigned by the fetch stage per job, so the
-    # numbering is stable even when a job's kept pages split across blocks
-    for seq, purl, depth, kids, base in zip(seqs, pages_urls, depths, children, bases):
-        for k, ln in enumerate(kids):
-            out["url"].append(ln)
-            out["canonical_url"].append(canonical_url(ln))
-            out["host"].append(host_of(ln))
-            out["referer"].append(purl)
-            out["depth"].append(depth + 1)
-            out["parent_seq"].append(seq)
-            out["ordinal"].append(base + k)
+    urls = flat.to_pylist()
     return pa.table(
         {
-            "url": pa.array(out["url"], type=pa.string()),
-            "canonical_url": pa.array(out["canonical_url"], type=pa.string()),
-            "host": pa.array(out["host"], type=pa.string()),
-            "referer": pa.array(out["referer"], type=pa.string()),
-            "depth": pa.array(out["depth"], type=pa.int32()),
-            "parent_seq": pa.array(out["parent_seq"], type=pa.int64()),
-            "ordinal": pa.array(out["ordinal"], type=pa.int32()),
+            "url": flat,
+            "canonical_url": pa.array(canonical_urls(urls), pa.string()),
+            "host": pa.array(hosts_of(urls), pa.string()),
+            "referer": pc.take(batch.column("url"), pa.array(np.repeat(np.arange(len(seqs)), counts))),
+            "depth": pa.array(np.repeat(depths + 1, counts).astype(np.int32)),
+            "parent_seq": pa.array(np.repeat(seqs, counts)),
+            "ordinal": pa.array(ordinals.astype(np.int32)),
         }
     )

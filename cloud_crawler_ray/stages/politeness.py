@@ -33,43 +33,67 @@ import ray.data as rd
 from ..canon import canonical_url
 
 
-def build_chain_latency_index(
-    web: pa.Table, redirect_limit: int = 5
-) -> dict[str, int]:
+class ChainLatencyIndex:
     """url → total latency of its same-host redirect chain (the fetch-cost
     model used for slot assignment; mirrors oracle.fetch_chain exactly).
-    Built once per crawl from three small columns; broadcast via ray.put."""
-    urls = web.column("url").to_pylist()
-    statuses = web.column("status").to_pylist()
-    redirects = web.column("redirect_to").to_pylist()
-    lats = web.column("latency_ms").to_pylist()
-    idx: dict[str, int] = {}
-    canon: dict[str, int] = {}
-    for i, u in enumerate(urls):
-        idx.setdefault(u, i)
-        canon.setdefault(canonical_url(u), i)
 
-    from ..canon import host_of
+    Built once per crawl: non-redirect rows cost their own latency (the
+    overwhelming majority — vectorized copy); only explicit redirect rows
+    are chain-walked. Canonical-key fallback is built lazily on the first
+    exact-lookup miss, so the common case never pays the O(web)
+    canonicalization pass that used to serialize crawl startup."""
 
-    def find(u: str):
-        j = idx.get(u)
-        return j if j is not None else canon.get(canonical_url(u))
+    def __init__(self, web: pa.Table, redirect_limit: int = 5):
+        import numpy as np
 
-    out: dict[str, int] = {}
-    for u in urls:
-        total, cur = 0, u
-        for _ in range(redirect_limit + 1):
-            j = find(cur)
-            if j is None:
+        from ..canon import host_of
+
+        self._urls = web.column("url").to_pylist()
+        statuses = web.column("status").to_numpy(zero_copy_only=False)
+        self._redirects = web.column("redirect_to").to_pylist()
+        lats = web.column("latency_ms").to_numpy(zero_copy_only=False).astype(np.int64)
+        self.exact: dict[str, int] = {}
+        for i, u in enumerate(self._urls):
+            self.exact.setdefault(u, i)
+        self.chain = lats.copy()
+        redirect_rows = [
+            i
+            for i in range(len(self._urls))
+            if 300 <= statuses[i] < 400 and self._redirects[i]
+        ]
+        for i in redirect_rows:
+            total, cur, row = 0, self._urls[i], i
+            for _hop in range(redirect_limit + 1):
+                total += int(lats[row])
+                tgt = self._redirects[row]
+                if 300 <= statuses[row] < 400 and tgt and host_of(tgt) == host_of(cur):
+                    nxt = self.exact.get(tgt)
+                    if nxt is None:
+                        nxt = self._canon_find(tgt)
+                    if nxt is None:
+                        break
+                    cur, row = tgt, nxt
+                    continue
                 break
-            total += lats[j]
-            tgt = redirects[j]
-            if 300 <= statuses[j] < 400 and tgt and host_of(tgt) == host_of(cur):
-                cur = tgt
-                continue
-            break
-        out[u] = total
-    return out
+            self.chain[i] = total
+        self._canon: dict[str, int] | None = None
+
+    def _canon_find(self, u: str):
+        if self._canon is None:
+            self._canon = {}
+            for i, uu in enumerate(self._urls):
+                self._canon.setdefault(canonical_url(uu), i)
+        return self._canon.get(canonical_url(u))
+
+    def get(self, u: str, default: int = 0) -> int:
+        i = self.exact.get(u)
+        if i is None:
+            i = self._canon_find(u)
+        return int(self.chain[i]) if i is not None else default
+
+
+def build_chain_latency_index(web: pa.Table, redirect_limit: int = 5) -> ChainLatencyIndex:
+    return ChainLatencyIndex(web, redirect_limit)
 
 
 class SlotAssigner:

@@ -22,6 +22,12 @@ from .schemas import WEB_SCHEMA
 
 DEFAULT_HOST = "www.example.com"
 
+_WORDS = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa lambdaw mu nu xi "
+    "omicron pi rho sigma tau upsilon phi chi psi omega data query table row "
+    "column batch stream filter merge sort hash join scan index shard block"
+).split()
+
 
 @dataclass
 class FakePage:
@@ -119,6 +125,72 @@ def web_table(pages: list[FakePage], robots: dict[str, str] | None = None) -> pa
     return pa.table(rows, schema=WEB_SCHEMA)
 
 
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class SkewedWebParams:
+    n_pages: int
+    n_hosts: int = 20
+    hot_frac: float = 0.5
+    branching: int = 3
+    seed: int = 42
+    cross_host_every: int = 7
+    media_every: int = 3
+    texts_per_page: int = 2
+    words_per_text: int = 8
+
+    def per_host(self) -> list[int]:
+        hot = int(self.n_pages * self.hot_frac)
+        rest = self.n_pages - hot
+        return [hot] + [max(1, rest // (self.n_hosts - 1))] * (self.n_hosts - 1)
+
+    def hosts(self) -> list[str]:
+        return [f"host{h}.example.com" for h in range(self.n_hosts)]
+
+
+def _latency_for(host: str, i: int, seed: int) -> int:
+    import zlib
+
+    return 5 + zlib.crc32(f"{seed}:{host}:{i}".encode()) % 25
+
+
+def _page_for(p: SkewedWebParams, h: int, i: int, count: int, host: str) -> FakePage:
+    """Pure page constructor shared by the materialized and procedural webs —
+    fully determined by (params, host index, page index)."""
+    import zlib
+
+    children = [
+        f"p{c}" for c in range(i * p.branching + 1, min(i * p.branching + 1 + p.branching, count))
+    ]
+    hrefs = []
+    if i % p.cross_host_every == 3:
+        other = zlib.crc32(f"{p.seed}:x:{host}:{i}".encode()) % p.n_hosts
+        if other != h:
+            hrefs.append(f"http://host{other}.example.com/p0")
+    media = []
+    if i % p.media_every == 0:
+        media.append(("img", f"/assets/{i}.png"))
+    if i % (p.media_every * 4) == 1:
+        media.append(("video", f"/assets/{i}.mp4"))
+    return FakePage(
+        name=f"p{i}",
+        host=host,
+        links=children,
+        hrefs=hrefs,
+        media=media,
+        texts=[
+            f"synthetic text {host} {i} run {t} "
+            + " ".join(
+                _WORDS[(i * 7 + t * 3 + w) % len(_WORDS)]
+                for w in range(p.words_per_text)
+            )
+            for t in range(p.texts_per_page)
+        ],
+        latency_ms=_latency_for(host, i, p.seed),
+    )
+
+
 def make_skewed_web(
     n_pages: int,
     n_hosts: int = 20,
@@ -127,6 +199,8 @@ def make_skewed_web(
     seed: int = 42,
     cross_host_every: int = 7,
     media_every: int = 3,
+    texts_per_page: int = 2,
+    words_per_text: int = 8,
 ) -> tuple[pa.Table, list[str]]:
     """The scaling/bench fixture: one hot host holding ``hot_frac`` of all
     pages + many small hosts (FIXTURES.md §1). Each host's pages form a
@@ -134,42 +208,88 @@ def make_skewed_web(
     per-host root seeds), with deterministic cross-host links sprinkled in.
 
     Returns (web table, seed URLs = per-host roots)."""
-    rng = np.random.default_rng(seed)
-    hosts = [f"host{h}.example.com" for h in range(n_hosts)]
-    hot = int(n_pages * hot_frac)
-    rest = n_pages - hot
-    per_host = [hot] + [max(1, rest // (n_hosts - 1))] * (n_hosts - 1)
-
+    p = SkewedWebParams(
+        n_pages, n_hosts, hot_frac, branching, seed,
+        cross_host_every, media_every, texts_per_page, words_per_text,
+    )
     pages: list[FakePage] = []
-    for h, host in enumerate(hosts):
-        count = per_host[h]
-        for i in range(count):
-            children = [
-                f"p{c}" for c in range(i * branching + 1, min(i * branching + 1 + branching, count))
-            ]
-            hrefs = []
-            if i % cross_host_every == 3:
-                other = hosts[int(rng.integers(0, n_hosts))]
-                if other != host:
-                    hrefs.append(f"http://{other}/p0")
-            media = []
-            if i % media_every == 0:
-                media.append(("img", f"/assets/{i}.png"))
-            if i % (media_every * 4) == 1:
-                media.append(("video", f"/assets/{i}.mp4"))
-            pages.append(
-                FakePage(
-                    name=f"p{i}",
-                    host=host,
-                    links=children,
-                    hrefs=hrefs,
-                    media=media,
-                    texts=[
-                        f"synthetic text {host} {i} alpha beta",
-                        f"gamma delta content {i % 13} {i % 7}",
-                    ],
-                    latency_ms=int(rng.integers(5, 30)),
-                )
-            )
-    seeds = [page_url("p0", h) for h in hosts]
+    hosts = p.hosts()
+    counts = p.per_host()
+    for h in range(p.n_hosts):
+        for i in range(counts[h]):
+            pages.append(_page_for(p, h, i, counts[h], hosts[h]))
+    seeds = [page_url("p0", host) for host in hosts]
     return web_table(pages), seeds
+
+
+_PROC_URL_RE = None
+
+
+class ProceduralWeb:
+    """The skewed synthetic web WITHOUT materializing it: fetch workers
+    compute each page's row on demand from (params, url). This is the
+    at-scale shape — the network is external, nothing broadcasts page
+    bodies — and it reduces crawl startup to shipping a tiny params object.
+
+    Same lookup interface as oracle.SyntheticNet; also serves as the
+    chain-latency index (no redirects in this web → chain cost = own
+    latency)."""
+
+    def __init__(self, params: SkewedWebParams):
+        self.params = params
+        self._per_host = params.per_host()
+        self._hosts = params.hosts()
+        self._re = None
+
+    def _parse(self, url: str):
+        import re
+
+        if self._re is None:
+            self._re = re.compile(r"^http://host([0-9]+)\.example\.com/p([0-9]+)$")
+        m = self._re.match(url)
+        if not m:
+            return None
+        h, i = int(m.group(1)), int(m.group(2))
+        if h >= self.params.n_hosts or i >= self._per_host[h]:
+            return None
+        return h, i
+
+    def lookup(self, url: str) -> dict | None:
+        hi = self._parse(url)
+        if hi is None:
+            return None
+        h, i = hi
+        page = _page_for(self.params, h, i, self._per_host[h], self._hosts[h])
+        return {
+            "url": page.url,
+            "status": page.status,
+            "content_type": page.content_type,
+            "body": render_body(page),
+            "redirect_to": "",
+            "latency_ms": page.latency_ms,
+        }
+
+    # chain-latency index interface (stages/politeness.py)
+    def get(self, url: str, default: int = 0) -> int:
+        hi = self._parse(url)
+        if hi is None:
+            return default
+        h, i = hi
+        return _latency_for(self._hosts[h], i, self.params.seed)
+
+    def robots_for(self, host: str):
+        import urllib.robotparser
+
+        rp = urllib.robotparser.RobotFileParser()
+        rp.parse([])  # no robots rows in the procedural web → allow all
+        return rp
+
+    def seeds(self) -> list[str]:
+        return [page_url("p0", host) for host in self.params.hosts()]
+
+    def all_urls(self) -> list[str]:
+        return [
+            f"http://host{h}.example.com/p{i}"
+            for h in range(self.params.n_hosts)
+            for i in range(self._per_host[h])
+        ]

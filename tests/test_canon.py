@@ -59,3 +59,50 @@ def test_host_and_query_and_path():
 def test_normalize_seed():
     assert canon.normalize_seed("http://x.com") == "http://x.com/"
     assert canon.normalize_seed("http://x.com/a") == "http://x.com/a"
+
+
+def test_fastpath_parity_random_urls():
+    """The regex fast paths must be bit-identical to the exact functions."""
+    import random
+
+    from urllib.parse import urlsplit
+
+    rng = random.Random(9)
+    hosts = ["www.example.com", "A.B.COM", "host0.example.com", "x.com:8080"]
+    paths = ["/", "/a/b", "/p1?foo=1", "/A/B", "/a%20b", "/x#frag", "/https/page",
+             "/a b", "", "/p.q-r_s~t", "/q?x=1&y=2"]
+    schemes = ["http", "https", "HTTP"]
+    urls = [f"{s}://{h}{p}" for s in schemes for h in hosts for p in paths]
+    urls += ["not a url", "ftp://x/y", "//proto-relative/x"]
+    for u in urls:
+        # host_of fast path vs urlsplit truth
+        try:
+            slow = (urlsplit(u).hostname or "").lower()
+        except ValueError:
+            slow = ""
+        assert canon.host_of(u) == slow, u
+        # canonical_urls fast path vs canonical_url
+        assert canon.canonical_urls([u]) == [canon.canonical_url(u)], u
+        # has_query fast path
+        try:
+            q = urlsplit(u).query != ""
+        except ValueError:
+            q = False
+        assert canon.has_query(u) == q, u
+
+
+def test_to_absolute_fastpath_parity():
+    for link in [
+        "http://x.com/a", "https://y.com/b?q=1", "http://x.com/p#frag",
+        "HTTP://X.com/a", "/rel", "rel/x", "http://x.com",
+    ]:
+        fast = canon.to_absolute(link, "http://page.com/dir/")
+        # recompute via the slow path by defeating the fast regex
+        import cloud_crawler_ray.canon as c
+        saved = c._ABS_FAST_RE
+        c._ABS_FAST_RE = __import__("re").compile(r"$^")
+        try:
+            slow = canon.to_absolute(link, "http://page.com/dir/")
+        finally:
+            c._ABS_FAST_RE = saved
+        assert fast == slow, (link, fast, slow)
