@@ -162,6 +162,10 @@ def run_once() -> dict:
         cache_dir = f"/tmp/ccray_crawl_sf{sf}"
         shutil.rmtree(cache_dir, ignore_errors=True)
         shutil.copytree(out_dir, cache_dir)
+        from cloud_crawler_ray.pipelines.queries import CACHE_VERSION
+        from cloud_crawler_ray.storage import write_json
+
+        write_json(os.path.join(cache_dir, "cache_version.json"), {"version": CACHE_VERSION})
         for name, fn in QUERIES.items():
             t0 = time.perf_counter()
             _materialize(fn(sf_dir))

@@ -90,7 +90,9 @@ def canonical_url(url: str) -> str:
     return key_for(ensure_path(reencode(strip_anchor(str(url)))))
 
 
-_HOST_FAST_RE2 = re.compile(r"^[a-z]+://([a-z0-9.\-]+)(?=[/:?#]|$)")
+# port handled explicitly; ':' excluded from the terminator lookahead so a
+# userinfo authority ("u:p@host") falls through to urlsplit
+_HOST_FAST_RE2 = re.compile(r"^[a-z]+://([a-z0-9.\-]+)(?::[0-9]+)?(?=[/?#]|$)")
 
 
 def host_of(url: str) -> str:
@@ -137,6 +139,15 @@ def canonical_urls(urls: list[str]) -> list[str]:
     """Vectorized-ish canonicalization: regex fast path (identity) with the
     exact function for the rest. Bit-identical to canonical_url per row."""
     return [u if is_canonical_fastpath(u) else canonical_url(u) for u in urls]
+
+
+_USERINFO_RE = re.compile(r"^([a-zA-Z][a-zA-Z0-9+.\-]*://)([^/@?#]*@)")
+
+
+def strip_userinfo(url: str) -> str:
+    """Drop user:pass@ from the authority — servers never see credentials in
+    the request URL (they travel as the Authorization header)."""
+    return _USERINFO_RE.sub(r"\1", url)
 
 
 def hosts_of(urls: list[str]) -> list[str]:

@@ -23,6 +23,7 @@ prevents redirect-source refetch loops.
 from __future__ import annotations
 
 import re
+import urllib.parse
 import urllib.robotparser
 from dataclasses import dataclass, field
 
@@ -44,6 +45,7 @@ class FetchedPage:
     depth: int
     referer: str
     error: str = ""
+    set_cookie: str = ""
 
     @property
     def fetched(self) -> bool:
@@ -107,6 +109,9 @@ class SyntheticNet:
         return None
 
     def lookup(self, url: str) -> dict | None:
+        from .canon import strip_userinfo
+
+        url = strip_userinfo(url)  # credentials never reach the server's URL
         i = self._probe(url, self._eh, self._er, canon=False)
         if i is None:
             i = self._probe(canonical_url(url), self._ch, self._cr, canon=True)
@@ -140,6 +145,23 @@ def fetch_chain(
                 FetchedPage(cur, 0, b"", "", "", 0, depth, referer, error="connection refused")
             )
             return pages
+        required = row.get("auth") or ""
+        if required:
+            # HTTP basic auth from the URL's userinfo (http.rb:191; FakePage
+            # :auth 401/200 pair, fakeweb_helper.rb): wrong/absent creds → 401
+            try:
+                parts = urllib.parse.urlsplit(cur)
+                creds = f"{parts.username or ''}:{parts.password or ''}"
+            except ValueError:
+                creds = ":"
+            if creds != required:
+                pages.append(
+                    FetchedPage(
+                        cur, 401, b"", "text/html", "", int(row["latency_ms"]),
+                        depth, referer,
+                    )
+                )
+                return pages
         page = FetchedPage(
             cur,
             int(row["status"]),
@@ -149,6 +171,7 @@ def fetch_chain(
             int(row["latency_ms"]),
             depth,
             referer,
+            set_cookie=row.get("set_cookie") or "",
         )
         pages.append(page)
         target = page.redirect_to
@@ -211,8 +234,9 @@ class LinkAdmission:
         return True
 
 
-def _page_dict(p: FetchedPage, ex, seq: int, wave: int, t_ms: int) -> dict:
+def _page_dict(p: FetchedPage, ex, seq: int, wave: int, t_ms: int, ua: str) -> dict:
     return {
+        "user_agent": ua,
         "url": p.url,
         "canonical_url": canonical_url(p.url),
         "code": p.code,
@@ -236,6 +260,10 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
     net = SyntheticNet(web) if isinstance(web, pa.Table) else web
     adm = LinkAdmission(spec, net)
     res = OracleResult()
+    from .functions.agents import agent_for
+    from .stages.cookies import CookieStore
+
+    cookie_jar = CookieStore()
     delay_ms = int(spec.delay * 1000)
     clocks: dict[str, int] = {}
     next_seq = 0
@@ -266,6 +294,7 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
             res.crawl_order.append((wave, seq, j["url"]))
             host = host_of(j["url"])
             t = clocks.get(host, 0) + delay_ms
+            ua = agent_for(spec.user_agent, spec.ua_seed, seq)
             chain = fetch_chain(net, j["url"], j["depth"], j["referer"], spec.redirect_limit)
             total_latency = sum(p.latency_ms for p in chain)
             clocks[host] = t + total_latency
@@ -280,7 +309,9 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
                     if p.fetched and is_parseable(p.content_type)
                     else None
                 )
-                pd = _page_dict(p, ex, seq, wave, t)
+                pd = _page_dict(p, ex, seq, wave, t, ua)
+                if spec.accept_cookies and p.set_cookie:
+                    cookie_jar.merge(host_of(p.url), [p.set_cookie])
                 _run_hooks(spec, pd, res.counters)
                 if spec.discard_page:
                     pd["spans"] = []

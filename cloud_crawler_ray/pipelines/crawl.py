@@ -56,6 +56,7 @@ META_COLS = [
     "response_time_ms",
     "fetched",
     "error",
+    "user_agent",
     "fetch_time_ms",
     "seq",
     "wave",

@@ -38,21 +38,37 @@ def _emb(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+CACHE_VERSION = 2  # bump when the raw/frontier schema changes
+
+
 def crawl_handle_for(sf_dir: str, force: bool = False):
     """Run (or reuse) the flagship crawl of the deterministic synthetic web
     sized for this scale factor. Output cached under /tmp keyed by sf; the
     lineage markers make reuse safe (same seed → same web → same crawl)."""
+    import json
+
     from .crawl import CrawlHandle, _committed_waves, crawl
 
     sf = _sf_of(sf_dir)
     n_pages = _SF_PAGES.get(sf, 4000)
     out_dir = f"/tmp/ccray_crawl_sf{sf}"
-    if not force and _committed_waves(out_dir):
+    vfile = os.path.join(out_dir, "cache_version.json")
+    version_ok = False
+    try:
+        with open(vfile) as f:
+            version_ok = json.load(f)["version"] == CACHE_VERSION
+    except (OSError, KeyError, ValueError):
+        pass
+    if not force and version_ok and _committed_waves(out_dir):
         last = _committed_waves(out_dir)[-1]
         return CrawlHandle(out_dir=out_dir, waves=last["wave"] + 1, n_jobs=last["total_jobs"])
     web, seeds = make_skewed_web(n_pages, n_hosts=max(8, n_pages // 250), seed=42)
     spec = CrawlSpec(delay=0.02)
-    return crawl(web, seeds, spec, out_dir)
+    handle = crawl(web, seeds, spec, out_dir)
+    from ..storage import write_json
+
+    write_json(vfile, {"version": CACHE_VERSION})
+    return handle
 
 
 # ---------------- SQL-checked queries ----------------

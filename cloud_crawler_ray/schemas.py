@@ -37,6 +37,8 @@ WEB_SCHEMA = pa.schema(
         ("body", pa.large_binary()),
         ("redirect_to", pa.string()),        # "" unless 3xx
         ("latency_ms", pa.int32()),          # deterministic simulated latency
+        ("auth", pa.string()),               # "user:pass" when basic-auth protected
+        ("set_cookie", pa.string()),         # Set-Cookie response header ("" = none)
     ]
 )
 

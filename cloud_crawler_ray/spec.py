@@ -28,7 +28,9 @@ class CrawlSpec:
     discard_page: bool = False                # drop bodies/spans after hooks
     delay: float = 0.0                        # per-host politeness seconds
     redirect_limit: int = 5                   # http.rb:35
-    user_agent: str = "cloud-crawler-ray/0.1"
+    user_agent: str = "cloud-crawler-ray/0.1"  # "random" → seeded UA stream
+    ua_seed: int = 1364249661                 # determinism for "random" UAs
+    accept_cookies: bool = False              # dsl_front_end.rb:52
     follow_links: bool = True                 # False = BatchCurlJob mode
 
     # hooks (executed in the extract stage, in reference order)

@@ -54,6 +54,7 @@ FETCH_OUT_SCHEMA = pa.schema(
         ("spans", pa.list_(SPAN_TYPE)),
         ("child_urls", pa.list_(pa.string())),
         ("child_ordinal_base", pa.int64()),
+        ("user_agent", pa.string()),
         ("counter_keys", pa.list_(pa.string())),
         ("counter_vals", pa.list_(pa.int64())),
     ]
@@ -73,6 +74,9 @@ class FetchExtract:
         self.wave = wave
         self.adm = LinkAdmission(spec, self.net)
         self._hook_res = [(re.compile(p), fn) for p, fn in spec.on_pages_like]
+        from ..stages.cookies import CookieStore
+
+        self.cookies = CookieStore() if spec.accept_cookies else None
 
 
 
@@ -88,9 +92,12 @@ class FetchExtract:
         fts = batch.column("fetch_time_ms").to_pylist()
         ends = batch.column("job_end_ms").to_pylist()
 
+        from ..functions.agents import agent_for
+
         for url, referer, depth, seq, host, ft, end in zip(
             urls, referers, depths, seqs, hosts, fts, ends
         ):
+            ua = agent_for(spec.user_agent, spec.ua_seed, seq)
             chain = fetch_chain(self.net, url, depth, referer, spec.redirect_limit)
             kept = chain if spec.keep_redirects else chain[-1:]
             ordinal_base = 0
@@ -108,7 +115,12 @@ class FetchExtract:
                         for k, t, m, o in ex.spans
                     ]
                 )
+                if self.cookies is not None and p.set_cookie:
+                    from ..canon import host_of as _host_of
+
+                    self.cookies.merge(_host_of(p.url), [p.set_cookie])
                 page_dict = {
+                    "user_agent": ua,
                     "url": p.url,
                     "canonical_url": canonical_url(p.url),
                     "code": p.code,
@@ -150,6 +162,7 @@ class FetchExtract:
                 cols["job_url"].append(url)
                 cols["job_host"].append(host)
                 cols["job_end_ms"].append(end)
+                cols["user_agent"].append(ua)
                 cols["spans"].append(page_dict["spans"])
                 cols["child_urls"].append(children)
                 cols["child_ordinal_base"].append(ordinal_base)

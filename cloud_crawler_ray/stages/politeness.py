@@ -86,6 +86,9 @@ class ChainLatencyIndex:
         return self._canon.get(canonical_url(u))
 
     def get(self, u: str, default: int = 0) -> int:
+        from ..canon import strip_userinfo
+
+        u = strip_userinfo(u)  # match the server-side URL, like net.lookup
         i = self.exact.get(u)
         if i is None:
             i = self._canon_find(u)

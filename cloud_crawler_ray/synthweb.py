@@ -47,6 +47,8 @@ class FakePage:
     base: str | None = None              # <base href>
     body: bytes | None = None            # explicit body overrides generation
     latency_ms: int = 10
+    auth: str | None = None              # "user:pass" → 401 without credentials
+    set_cookie: str | None = None        # Set-Cookie response header
 
     @property
     def url(self) -> str:
@@ -100,6 +102,8 @@ def web_table(pages: list[FakePage], robots: dict[str, str] | None = None) -> pa
         "body": [],
         "redirect_to": [],
         "latency_ms": [],
+        "auth": [],
+        "set_cookie": [],
     }
     for p in pages:
         rows["url"].append(p.url)
@@ -115,6 +119,8 @@ def web_table(pages: list[FakePage], robots: dict[str, str] | None = None) -> pa
             rows["body"].append(render_body(p))
             rows["redirect_to"].append("")
         rows["latency_ms"].append(p.latency_ms)
+        rows["auth"].append(p.auth or "")
+        rows["set_cookie"].append(p.set_cookie or "")
     for host, body in (robots or {}).items():
         rows["url"].append(f"http://{host}/robots.txt")
         rows["status"].append(200)
@@ -122,6 +128,8 @@ def web_table(pages: list[FakePage], robots: dict[str, str] | None = None) -> pa
         rows["body"].append(body.encode())
         rows["redirect_to"].append("")
         rows["latency_ms"].append(5)
+        rows["auth"].append("")
+        rows["set_cookie"].append("")
     return pa.table(rows, schema=WEB_SCHEMA)
 
 

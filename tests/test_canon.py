@@ -106,3 +106,11 @@ def test_to_absolute_fastpath_parity():
         finally:
             c._ABS_FAST_RE = saved
         assert fast == slow, (link, fast, slow)
+
+
+def test_userinfo_urls():
+    u = "http://u:p@www.example.com/secret"
+    assert canon.host_of(u) == "www.example.com"
+    assert canon.strip_userinfo(u) == "http://www.example.com/secret"
+    assert canon.strip_userinfo("http://x.com/a@b") == "http://x.com/a@b"  # @ in path kept
+    assert canon.host_of("http://x.com:8080/a") == "x.com"

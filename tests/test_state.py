@@ -85,3 +85,26 @@ def test_shard_check_and_add_first_wins(ray_session):
         assert out == [True, True, False, True, False]
     finally:
         ray.kill(s)
+
+
+def test_cookie_store_merge_expiry():
+    import datetime
+
+    from cloud_crawler_ray.stages.cookies import CookieStore
+
+    cs = CookieStore()
+    cs.merge("h.com", ["a=1; Path=/", "b=2"])
+    cs.merge("h.com", ["a=9"])  # last write wins
+    assert cs.cookie_header("h.com") == "a=9; b=2"
+    cs.merge("h.com", ["old=x; expires=Mon, 01 Jan 2001 00:00:00 GMT"])
+    assert "old=" not in cs.cookie_header("h.com")
+    assert cs.cookie_header("other.com") == ""
+
+
+def test_random_agent_seeded():
+    from cloud_crawler_ray.functions.agents import agent_for, random_agent
+
+    assert random_agent(7, 1) == random_agent(7, 1)
+    assert random_agent(7, 1) != random_agent(7, 2)
+    assert agent_for("fixed-ua", 7, 1) == "fixed-ua"
+    assert agent_for("random", 7, 3).startswith("Mozilla/5.0")

@@ -95,3 +95,23 @@ def multi_host_web():
                 )
             )
     return web_table(pages), [page_url("p0", "a.example.com"), page_url("p0", "b.example.com")]
+
+
+def auth_web():
+    """Basic-auth protected page (batch_crawl_job_spec.rb:152-158 analog):
+    /secret requires u:p; link without creds → 401; seeding with userinfo
+    credentials succeeds."""
+    pages = [
+        FakePage(name="p0", links=["open", "secret"]),
+        FakePage(name="open"),
+        FakePage(name="secret", auth="u:p", links=["open"], texts=["classified"]),
+    ]
+    return web_table(pages), [page_url("p0")]
+
+
+def cookie_web():
+    pages = [
+        FakePage(name="p0", links=["p1"], set_cookie="session=abc123; Path=/"),
+        FakePage(name="p1", set_cookie="pref=dark"),
+    ]
+    return web_table(pages), [page_url("p0")]
