@@ -1,0 +1,95 @@
+"""Windowed aggregates over an ordered event log.
+
+Ray Data has no event-time window/watermark machinery; the reference has no
+streaming semantics either (SURVEY §2.8 — wave-synchronous batch). For
+stream-shaped inputs (the ``events`` table) windows are expressed as plain
+batch algebra: assign each event its tumbling-window start (pure column
+arithmetic), pre-aggregate per block with the native Arrow group_by kernel,
+then combine partials per (window, key) shard — integer/window-start output
+so the DuckDB oracle matches exactly.
+
+Session windows use per-key sorted gap detection inside ``map_groups`` —
+documented ordering assumption: events of one key fit one group (hash
+partitioning by key), sorted by ts within the group function itself.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def tumbling_counts(
+    ds: rd.Dataset, window_s: int = 3600, ts_col: str = "ts", key_col: str = "event_type"
+) -> rd.Dataset:
+    """Events per (key, tumbling window). Returns (event_type, window_start
+    epoch seconds, cnt) — partial per-block counts, tiny final combine."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t.column(ts_col), pa.int64()), 1_000_000)
+        win = pc.multiply(pc.divide(epoch, window_s), window_s)  # int floor-div
+        tt = pa.table({key_col: t.column(key_col), "window_start": win})
+        g = tt.group_by([key_col, "window_start"]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "window_start", "partial"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = partials.groupby([key_col, "window_start"], as_index=False)["partial"].sum()
+    return out.rename(columns={"partial": "cnt"})
+
+
+def tumbling_sum(
+    ds: rd.Dataset,
+    window_s: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    val_col: str = "value",
+) -> pd.DataFrame:
+    """Sum of *val_col* per (key, window); value kept as the raw double sum
+    is float — for oracle-exact comparison we also return the count."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t.column(ts_col), pa.int64()), 1_000_000)
+        win = pc.multiply(pc.divide(epoch, window_s), window_s)
+        tt = pa.table(
+            {key_col: t.column(key_col), "window_start": win, val_col: t.column(val_col)}
+        )
+        g = tt.group_by([key_col, "window_start"]).aggregate(
+            [(val_col, "sum"), ([], "count_all")]
+        )
+        return g.rename_columns([key_col, "window_start", "psum", "pcnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = partials.groupby([key_col, "window_start"], as_index=False).agg(
+        vsum=("psum", "sum"), cnt=("pcnt", "sum")
+    )
+    return out
+
+
+def session_windows(
+    ds: rd.Dataset,
+    gap_s: int = 1800,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> rd.Dataset:
+    """Session windows per key: events sorted by ts, a gap > gap_s starts a
+    new session. Output: (key, session_start, session_end, n_events).
+    Partitioning assumption: one group per key via groupby(key)."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col)
+        ts = g[ts_col].astype("int64").to_numpy() // 1_000_000
+        new_session = np.concatenate([[True], np.diff(ts) > gap_s])
+        sid = np.cumsum(new_session)
+        out = (
+            pd.DataFrame({"sid": sid, "ts": ts})
+            .groupby("sid")
+            .agg(session_start=("ts", "min"), session_end=("ts", "max"), n_events=("ts", "size"))
+            .reset_index(drop=True)
+        )
+        out.insert(0, key_col, g[key_col].iloc[0])
+        return out
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")

@@ -171,6 +171,23 @@ def q_embedding_neardup(sf_dir: str):
 # ---------------- rows-only queries (not SQL-expressible) ----------------
 
 
+def q_windowed_count(sf_dir: str):
+    """Tumbling 1-hour windowed counts over the events stream (the
+    streaming-shaped workload expressed as batch algebra)."""
+    from ..ops.windows import tumbling_counts
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"])
+    return tumbling_counts(ev, window_s=3600)
+
+
+def q_session_windows(sf_dir: str):
+    """Gap-based session windows per user (gap > 30 min starts a session)."""
+    from ..ops.windows import session_windows
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"])
+    return session_windows(ev, gap_s=1800)
+
+
 def q_lang_id(sf_dir: str):
     from ..ops.textstats import lang_id
 
@@ -231,6 +248,8 @@ QUERIES = {
     "seq_assign": q_seq_assign,
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,
+    "windowed_count": q_windowed_count,
+    "session_windows": q_session_windows,
     "lang_id": q_lang_id,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
@@ -320,5 +339,31 @@ ORACLE_SQL = {
         SELECT a.vec_id AS a, b.vec_id AS b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    """,
+    "windowed_count": """
+        SELECT event_type,
+               ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2
+    """,
+    "session_windows": """
+        WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),
+        m AS (
+          SELECT user_id, t,
+                 CASE WHEN lag(t) OVER w IS NULL
+                        OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        ),
+        s AS (
+          SELECT user_id, t,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m
+        )
+        SELECT user_id,
+               min(t)::BIGINT AS session_start,
+               max(t)::BIGINT AS session_end,
+               count(*)::BIGINT AS n_events
+        FROM s GROUP BY user_id, sid
     """,
 }

@@ -31,6 +31,10 @@ class CrawlSpec:
     user_agent: str = "cloud-crawler-ray/0.1"  # "random" → seeded UA stream
     ua_seed: int = 1364249661                 # determinism for "random" UAs
     accept_cookies: bool = False              # dsl_front_end.rb:52
+    headless: bool = False                    # option surface only (http.rb:198-209
+    #                                           selenium re-render; no browser in
+    #                                           this sandbox — no-op, like the
+    #                                           reference's stub browser.rb:33-37)
     follow_links: bool = True                 # False = BatchCurlJob mode
 
     # hooks (executed in the extract stage, in reference order)

@@ -99,3 +99,13 @@ def test_rows_only_query(entrymod, name):
     df = to_df(entrymod.queries()[name](SF_SMALL))
     assert len(df) >= 0  # runs, stable schema
     assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", ["windowed_count", "session_windows"])
+def test_windowed_sql_checked(entrymod, con, name):
+    got = normalize(to_df(entrymod.queries()[name](SF)))
+    exp = normalize(con.execute(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    for c in got.columns:
+        assert got[c].tolist() == exp[c].tolist(), c

@@ -1,0 +1,28 @@
+"""Example pipelines (reference examples/ parity) run end-to-end."""
+
+
+def test_word_count_example(ray_session):
+    from examples.word_count import main
+
+    counters = main("/tmp/ccray_t_wordcount")
+    assert counters["pages"] > 100
+    assert any(k.startswith("word:") for k in counters)
+
+
+def test_find_404s_example(ray_session):
+    from examples.find_404s import main
+
+    rows = main("/tmp/ccray_t_404s")
+    urls = {r["url"] for r in rows}
+    assert urls == {
+        "http://www.example.com/missing-1",
+        "http://www.example.com/missing-2",
+    }
+    assert all(r["error"] for r in rows)
+
+
+def test_crawl_by_selector_example(ray_session):
+    from examples.crawl_by_selector import main
+
+    anchors = main("/tmp/ccray_t_selector")
+    assert anchors and all(k.startswith("anchor:") for k in anchors)

@@ -280,3 +280,22 @@ def test_multimodal_plumbing(ray_session, tmp_path):
         feats.sort_values("media_id").reset_index(drop=True),
         feats2.sort_values("media_id").reset_index(drop=True),
     )
+
+
+def test_tumbling_sum_close_to_duckdb(con, ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.windows import tumbling_sum
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+    got = tumbling_sum(ev, window_s=3600).sort_values(["event_type", "window_start"])
+    exp = con.execute(
+        """
+        SELECT event_type, ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
+               sum(value) AS vsum, count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    assert got["cnt"].tolist() == exp["cnt"].tolist()
+    assert np.allclose(got["vsum"].to_numpy(), exp["vsum"].to_numpy())
