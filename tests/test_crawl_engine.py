@@ -163,3 +163,33 @@ def test_cookie_jar_populated():
     fx(batch)
     header = fx.cookies.cookie_header("www.example.com")
     assert "session=abc123" in header and "pref=dark" in header
+
+
+def test_politeness_invariant_on_skewed_web(ray_session, tmp_path):
+    """The north_rule skew scenario: one hot host with ~50% of pages. The
+    per-host politeness budget must hold exactly — consecutive fetches of
+    any host spaced >= delay on the virtual clock — while other hosts
+    proceed on independent clocks."""
+    from cloud_crawler_ray.synthweb import make_skewed_web
+
+    web, seeds = make_skewed_web(400, n_hosts=5, seed=11)
+    delay = 0.05
+    handle = crawl(web, seeds, CrawlSpec(delay=delay), str(tmp_path / "out"))
+
+    import collections
+
+    by_host = collections.defaultdict(list)
+    frontier = handle.crawl_order().take_all()
+    pages = {p["seq"]: p for p in handle.pages().take_all()}
+    from cloud_crawler_ray.canon import host_of
+
+    for r in frontier:
+        p = pages[r["seq"]]
+        by_host[host_of(r["url"])].append((r["seq"], p["fetch_time_ms"]))
+    assert len(by_host) == 5
+    hot = max(by_host.values(), key=len)
+    assert len(hot) > len(frontier) * 0.4  # the skew is real
+    for host, rows in by_host.items():
+        rows.sort()
+        times = [t for _, t in rows]
+        assert all(b - a >= delay * 1000 for a, b in zip(times, times[1:])), host
