@@ -76,9 +76,18 @@ class CrawlHandle:
     n_jobs: int
 
     def documents(self) -> rd.Dataset:
-        ds = read_table(os.path.join(self.out_dir, "raw"), columns=["canonical_url", "spans"])
+        # only fetched pages become documents (oracle.py:319-321 — failed
+        # fetches produce a pages row but no document)
+        ds = read_table(
+            os.path.join(self.out_dir, "raw"),
+            columns=["canonical_url", "spans", "fetched"],
+        )
         return ds.map_batches(
-            lambda t: pa.table({"doc_id": t.column("canonical_url"), "spans": t.column("spans")}),
+            lambda t: (
+                lambda f: pa.table(
+                    {"doc_id": f.column("canonical_url"), "spans": f.column("spans")}
+                )
+            )(t.filter(t.column("fetched"))),
             batch_format="pyarrow",
         )
 
@@ -354,7 +363,11 @@ def _crawl_inner(
                 AddSeen(state.shards), batch_format="pyarrow", batch_size=4096
             ).count()
         state.advance_clocks({h: int(t) for h, t in last["clocks"].items()})
-        # drop any partial (uncommitted) later-wave outputs before recompute
+    if resume:
+        # drop any partial (uncommitted) wave outputs before recompute —
+        # unconditionally: a crash before the FIRST lineage marker still
+        # leaves partial wave-0 parquet parts that would duplicate every row
+        # on rerun (start_wave is 0 when nothing committed)
         for kind in ("raw", "frontier", "seen"):
             for d in glob.glob(os.path.join(out_dir, kind, "wave=*")):
                 w = int(os.path.basename(d).split("=")[1])

@@ -56,6 +56,25 @@ def test_resume_after_uncommitted_wave(ray_session, tmp_path):
     assert_parity(res, resumed)
 
 
+def test_resume_after_crash_before_first_commit(ray_session, tmp_path):
+    """Crash before the FIRST lineage marker lands: partial wave-0 parquet
+    parts must be purged on resume, not duplicated alongside the rerun's
+    files (ADVICE r1 — the purge used to be gated on `committed`)."""
+    import shutil
+
+    web, seeds = webs.small_dag()
+    spec = CrawlSpec(delay=0.2)
+    out = str(tmp_path / "out")
+
+    full = crawl(web, seeds, spec, out)
+    # fake the crash: remove ALL lineage markers, keep every wave's data
+    shutil.rmtree(os.path.join(out, "lineage"))
+
+    resumed = crawl(web, seeds, spec, out, resume=True)
+    res = crawl_oracle(web, seeds, spec)
+    assert_parity(res, resumed)  # would see 2x rows without the purge
+
+
 def test_distributed_planner_matches(ray_session, tmp_path):
     """small_wave_threshold=0 forces the fully distributed plan path
     (groupby dedup, sharded anti-join, sort+zip_with_index, groupby(host)

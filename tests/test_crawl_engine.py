@@ -76,6 +76,7 @@ SCENARIOS = [
     ("skip_patterns", webs.skip_pattern_web, CrawlSpec(skip_link_patterns=[r"/admin"])),
     ("politeness", webs.multi_host_web, CrawlSpec(delay=0.5)),
     ("discard", webs.small_dag, CrawlSpec(discard_page=True)),
+    ("dead_links", webs.dead_link_web, CrawlSpec()),
 ]
 
 
@@ -84,6 +85,17 @@ def test_engine_matches_oracle(ray_session, tmp_path, name, web_fn, spec):
     web, seeds = web_fn()
     res, handle = run_both(web, seeds, spec, tmp_path)
     assert_parity(res, handle)
+
+
+def test_dead_link_yields_page_but_no_document(ray_session, tmp_path):
+    """Failed fetches appear in pages() (error row) but never in documents()."""
+    web, seeds = webs.dead_link_web()
+    res, handle = run_both(web, seeds, CrawlSpec(), tmp_path)
+    assert_parity(res, handle)
+    page_urls = {p["url"] for p in handle.pages().take_all()}
+    assert any(u.endswith("/missing") for u in page_urls)
+    doc_ids = {d["doc_id"] for d in handle.documents().take_all()}
+    assert not any(d.endswith("/missing") for d in doc_ids)
 
 
 def test_curl_mode(ray_session, tmp_path):

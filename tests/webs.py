@@ -109,6 +109,18 @@ def auth_web():
     return web_table(pages), [page_url("p0")]
 
 
+def dead_link_web():
+    """A link to an unregistered URL → error page (fetched=False). The page
+    row exists but no document row does (ADVICE r1: documents() must filter
+    on fetched; the reference emits documents only for fetched pages)."""
+    pages = [
+        FakePage(name="p0", links=["ok", "missing"]),
+        FakePage(name="ok", texts=["alive"]),
+        # "missing" is intentionally NOT registered
+    ]
+    return web_table(pages), [page_url("p0")]
+
+
 def cookie_web():
     pages = [
         FakePage(name="p0", links=["p1"], set_cookie="session=abc123; Path=/"),
