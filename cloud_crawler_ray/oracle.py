@@ -268,6 +268,14 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
     clocks: dict[str, int] = {}
     next_seq = 0
 
+    from .pipelines.crawl import fire_hook
+
+    fire_hook(
+        spec.before_crawl,
+        {"event": "before_crawl", "total_jobs": 0, "counters": dict(res.counters)},
+        res.counters,
+    )
+
     # wave 0: normalized seeds in list order
     frontier = [
         {"url": normalize_seed(u), "referer": "", "depth": 0, "parent_seq": -1, "ordinal": i}
@@ -286,6 +294,14 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
                     continue
                 in_wave.add(c)
             jobs.append(j)
+        if not jobs:
+            break  # engine breaks at n_jobs == 0 before firing batch hooks
+        fire_hook(
+            spec.before_batch,
+            {"event": "before_batch", "wave": wave, "n_jobs": len(jobs),
+             "total_jobs": next_seq, "counters": dict(res.counters)},
+            res.counters,
+        )
         next_frontier: list[dict] = []
         wave_marks: set[str] = set()
         for j in jobs:
@@ -342,10 +358,22 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
                     child_base += len(admitted)
         if spec.follow_links:  # curl mode has no bloom marking (batch_curl_job.rb)
             res.seen |= wave_marks  # mark-at-wave-commit (batch_crawl_job.rb:139-153)
+        fire_hook(
+            spec.after_batch,
+            {"event": "after_batch", "wave": wave, "n_jobs": len(jobs),
+             "total_jobs": next_seq, "counters": dict(res.counters)},
+            res.counters,
+        )
         frontier = next_frontier
         wave += 1
         if not spec.follow_links:
             break
+    fire_hook(
+        spec.after_crawl,
+        {"event": "after_crawl", "waves": wave, "total_jobs": next_seq,
+         "counters": dict(res.counters), "pages": res.pages},
+        res.counters,
+    )
     return res
 
 

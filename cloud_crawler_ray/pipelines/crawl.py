@@ -102,7 +102,13 @@ class CrawlHandle:
 
     def counters(self) -> dict[str, int]:
         """Hook counter aggregation — explode the per-page increment lists and
-        groupby-sum (the m_cache.incr analog, partial+final combine)."""
+        groupby-sum (the m_cache.incr analog, partial+final combine), merged
+        with the driver-side lifecycle-hook counters (before/after crawl and
+        batch, persisted at hook_counters.json)."""
+        lifecycle: dict[str, int] = {}
+        hc = os.path.join(self.out_dir, "hook_counters.json")
+        if os.path.exists(hc):
+            lifecycle = {k: int(v) for k, v in read_json(hc).items()}
         ds = read_table(
             os.path.join(self.out_dir, "raw"), columns=["counter_keys", "counter_vals"]
         )
@@ -118,7 +124,10 @@ class CrawlHandle:
         from ray.data.aggregate import Sum
 
         out = exploded.groupby("key").aggregate(Sum("val", alias_name="count"))
-        return {r["key"]: r["count"] for r in out.take_all()}
+        merged = {r["key"]: r["count"] for r in out.take_all()}
+        for k, v in lifecycle.items():
+            merged[k] = merged.get(k, 0) + v
+        return merged
 
     def seen(self) -> set[str]:
         seen_dir = os.path.join(self.out_dir, "seen")
@@ -218,6 +227,18 @@ def _plan_wave_local(
 def _committed_waves(out_dir: str) -> list[dict]:
     markers = sorted(glob.glob(os.path.join(out_dir, "lineage", "wave=*.json")))
     return [read_json(m) for m in markers]
+
+
+def fire_hook(fn, ctx: dict, counters: dict[str, int]) -> None:
+    """Run a lifecycle hook; a returned {key: int} dict is merged into the
+    crawl counters (the m_cache.incr analog). Shared by engine and oracle so
+    the counter semantics cannot drift."""
+    if fn is None:
+        return
+    out = fn(ctx)
+    if isinstance(out, dict):
+        for k, v in out.items():
+            counters[k] = counters.get(k, 0) + int(v)
 
 
 class AddSeen:
@@ -344,12 +365,14 @@ def _crawl_inner(
     ncpus = int(ray.cluster_resources().get("CPU", 4))
 
     start_wave, next_seq, total_jobs = 0, 0, 0
+    hook_counters: dict[str, int] = {}
     committed = _committed_waves(out_dir) if resume else []
     if committed:
         last = committed[-1]
         start_wave = last["wave"] + 1
         next_seq = last["next_seq"]
         total_jobs = last["total_jobs"]
+        hook_counters = {k: int(v) for k, v in last.get("hook_counters", {}).items()}
         # replay committed seen deltas into fresh shards (distributed restore)
         seen_files = [
             f
@@ -392,6 +415,14 @@ def _crawl_inner(
             raw_prev, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
         ).map_batches(explode_children, batch_format="pyarrow")
         fr_tbl, fr_ds = _collect_if_small(fr_ds, small_wave_threshold)
+
+    if start_wave == 0:
+        # root-job do_pre_batch → do_before_crawl (batch_job.rb:219-224)
+        fire_hook(
+            spec.before_crawl,
+            {"event": "before_crawl", "total_jobs": 0, "counters": dict(hook_counters)},
+            hook_counters,
+        )
 
     wave = start_wave
     while True:
@@ -446,6 +477,14 @@ def _crawl_inner(
                 max(1, min(math.ceil(n_jobs / fetch_batch_size), ncpus * 2))
             )
             _prof(f"w{wave} slots_write")
+
+        # pre-batch hook: batch is planned (post dedup/seen), fetch not begun
+        fire_hook(
+            spec.before_batch,
+            {"event": "before_batch", "wave": wave, "n_jobs": n_jobs,
+             "total_jobs": total_jobs, "counters": dict(hook_counters)},
+            hook_counters,
+        )
 
         # --- fetch + extract (single consumption → durable raw) ---
         if fetch_mode == "tasks":
@@ -530,6 +569,16 @@ def _crawl_inner(
         state.advance_clocks(updates)
         next_seq += n_jobs
         total_jobs += n_jobs
+        # post-batch hook: wave data saved and seen marked (do_post_batch,
+        # batch_job.rb:192-211); fires BEFORE the lineage marker so its
+        # counter increments are in the wave's committed snapshot (resume
+        # replays neither the wave nor the hook)
+        fire_hook(
+            spec.after_batch,
+            {"event": "after_batch", "wave": wave, "n_jobs": n_jobs,
+             "total_jobs": total_jobs, "counters": dict(hook_counters)},
+            hook_counters,
+        )
         write_json(
             os.path.join(out_dir, "lineage", f"wave={wave:05d}.json"),
             {
@@ -537,6 +586,7 @@ def _crawl_inner(
                 "n_jobs": n_jobs,
                 "next_seq": next_seq,
                 "total_jobs": total_jobs,
+                "hook_counters": dict(hook_counters),
                 "clocks": {h: int(t) for h, t in updates.items()}
                 | {
                     h: int(t)
@@ -568,4 +618,14 @@ def _crawl_inner(
             fr_tbl, fr_ds = _collect_if_small(fr_ds, small_wave_threshold)
         wave += 1
 
-    return CrawlHandle(out_dir=out_dir, waves=wave, n_jobs=total_jobs)
+    handle = CrawlHandle(out_dir=out_dir, waves=wave, n_jobs=total_jobs)
+    # after_crawl receives the page-store analog (dsl_core.rb:172-174 passes
+    # @page_store; here the handle's lazy readers)
+    fire_hook(
+        spec.after_crawl,
+        {"event": "after_crawl", "waves": wave, "total_jobs": total_jobs,
+         "counters": dict(hook_counters), "handle": handle},
+        hook_counters,
+    )
+    write_json(os.path.join(out_dir, "hook_counters.json"), hook_counters)
+    return handle

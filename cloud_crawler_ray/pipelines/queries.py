@@ -38,7 +38,24 @@ def _emb(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-CACHE_VERSION = 2  # bump when the raw/frontier schema changes
+CACHE_VERSION = 3  # bump when the raw/frontier schema or flagship spec changes
+
+
+def _flagship_on_page(p: dict) -> dict:
+    """Per-page counter hook on the flagship crawl (word_count.rb analog)."""
+    return {"pages": 1, f"code_{p['code']}": 1, "fetched_pages": int(p["fetched"])}
+
+
+def _flagship_before_crawl(ctx: dict) -> dict:
+    return {"crawls_started": 1}
+
+
+def _flagship_before_batch(ctx: dict) -> dict:
+    return {"batches": 1, "planned_jobs": ctx["n_jobs"]}
+
+
+def _flagship_after_crawl(ctx: dict) -> dict:
+    return {"crawls_finished": 1, "waves_total": ctx["waves"]}
 
 
 def crawl_handle_for(sf_dir: str, force: bool = False):
@@ -63,7 +80,13 @@ def crawl_handle_for(sf_dir: str, force: bool = False):
         last = _committed_waves(out_dir)[-1]
         return CrawlHandle(out_dir=out_dir, waves=last["wave"] + 1, n_jobs=last["total_jobs"])
     web, seeds = make_skewed_web(n_pages, n_hosts=max(8, n_pages // 250), seed=42)
-    spec = CrawlSpec(delay=0.02)
+    spec = CrawlSpec(
+        delay=0.02,
+        on_every_page=_flagship_on_page,
+        before_crawl=_flagship_before_crawl,
+        before_batch=_flagship_before_batch,
+        after_crawl=_flagship_after_crawl,
+    )
     handle = crawl(web, seeds, spec, out_dir)
     from ..storage import write_json
 
@@ -229,6 +252,20 @@ def q_crawl_order(sf_dir: str):
     return crawl_handle_for(sf_dir).crawl_order()
 
 
+def q_hook_counters(sf_dir: str):
+    """Crawl counters from the DSL hook surface: per-page on_every_page
+    increments (aggregated distributed via the counter columns) merged with
+    the driver-side lifecycle hooks (before/after crawl+batch), as a sorted
+    key/count table. Parity vs the Python oracle is covered by
+    tests/test_crawl_engine.py::test_lifecycle_hooks_parity."""
+    c = crawl_handle_for(sf_dir).counters()
+    keys = sorted(c)
+    return pa.table(
+        {"key": pa.array(keys, pa.string()),
+         "count": pa.array([int(c[k]) for k in keys], pa.int64())}
+    )
+
+
 def q_media_features(sf_dir: str):
     from ..ops.multimodal import extract_media_features, media_table_from_documents
 
@@ -257,6 +294,7 @@ QUERIES = {
     "crawl_documents": q_crawl_documents,
     "crawl_pages": q_crawl_pages,
     "crawl_order": q_crawl_order,
+    "hook_counters": q_hook_counters,
     "media_features": q_media_features,
 }
 

@@ -43,6 +43,21 @@ class CrawlSpec:
     focus_crawl: Callable[[dict, list[str]], list[str]] | None = None
     skip_link_fn: Callable[[str], bool] | None = None
 
+    # crawl/batch lifecycle hooks (dsl_front_end.rb:154-172). Fired on the
+    # driver: before_crawl once before wave 0 (the root-job do_pre_batch,
+    # batch_job.rb:219-224), before_batch/after_batch per wave (the
+    # reference registers them per batch; execution was left TODO —
+    # batch_job.rb:192,199 — we implement the intent), after_crawl once at
+    # the end with the page-store analog in ctx (dsl_core.rb:172-174).
+    # Each receives a ctx dict ({event, wave, n_jobs, total_jobs,
+    # counters, ...}); a returned {key: int} dict is merged into the
+    # crawl's counters (the m_cache.incr analog) and persisted in the
+    # lineage markers so counters survive kill/resume exactly once.
+    before_crawl: Callable[[dict], Any] | None = None
+    after_crawl: Callable[[dict], Any] | None = None
+    before_batch: Callable[[dict], Any] | None = None
+    after_batch: Callable[[dict], Any] | None = None
+
     def compiled_skip_patterns(self):
         import re
 

@@ -113,6 +113,57 @@ def test_counters_via_hooks(ray_session, tmp_path):
     assert handle.counters() == res.counters
 
 
+def _title_tokens_hook(p):
+    """sugary_word_count analog: count title-ish tokens per page (the
+    local_cache.incr loop of examples/sugary_word_count.rb:49-58)."""
+    toks = {}
+    for s in p.get("spans") or []:
+        if s["kind"] == "text":
+            for t in s["text"].lower().split():
+                toks[f"tok_{t}"] = toks.get(f"tok_{t}", 0) + 1
+            break  # first text span ~ the title
+    return toks
+
+
+def test_lifecycle_hooks_parity(ray_session, tmp_path):
+    """before/after_crawl + before/after_batch fire at reference-identical
+    points with identical ctx on engine and oracle; counter effects surface
+    through CrawlHandle.counters() (dsl_front_end.rb:154-172 +
+    examples/sugary_word_count.rb after_batch sync)."""
+    web, seeds = webs.small_dag()
+    spec = CrawlSpec(
+        on_every_page=_title_tokens_hook,
+        before_crawl=lambda ctx: {"crawl_started": 1},
+        after_crawl=lambda ctx: {"crawl_finished": 1, "final_jobs": ctx["total_jobs"]},
+        before_batch=lambda ctx: {"batches_started": 1, f"wave_{ctx['wave']}_jobs": ctx["n_jobs"]},
+        after_batch=lambda ctx: {"batches_finished": 1},
+    )
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)
+    got, exp = handle.counters(), res.counters
+    assert got == exp
+    assert got["crawl_started"] == 1 and got["crawl_finished"] == 1
+    assert got["batches_started"] == got["batches_finished"] == handle.waves
+
+
+def test_lifecycle_hooks_survive_resume(ray_session, tmp_path):
+    """Counters from batch hooks are persisted in the lineage markers:
+    kill-and-resume must not re-fire hooks for committed waves."""
+    web, seeds = webs.linear_chain(4)
+    spec = CrawlSpec(
+        before_crawl=lambda ctx: {"crawl_started": 1},
+        after_batch=lambda ctx: {"batches_finished": 1},
+        after_crawl=lambda ctx: {"crawl_finished": 1},
+    )
+    out = str(tmp_path / "out")
+    crawl(web, seeds, spec, out, max_waves=2)
+    handle = crawl(web, seeds, spec, out, resume=True)
+    res = crawl_oracle(web, seeds, spec)
+    assert handle.counters() == res.counters
+    assert handle.counters()["crawl_started"] == 1
+    assert handle.counters()["batches_finished"] == handle.waves
+
+
 def test_focus_crawl_distributed(ray_session, tmp_path):
     web, seeds = webs.small_dag()
     spec = CrawlSpec(
