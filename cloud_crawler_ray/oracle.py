@@ -283,9 +283,12 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
     ]
     wave = 0
     while frontier:
-        # order by (parent_seq, ordinal); in-wave dedup keep-first; committed-seen filter
+        # order by (parent_seq, ordinal); in-wave dedup keep-first; committed-seen
+        # filter; job_limit caps the wave, remainder carries to the next pool
+        # (batch_job.rb:229-241 spill-to-checkpoint)
         frontier.sort(key=lambda j: (j["parent_seq"], j["ordinal"]))
         jobs = []
+        rest: list[dict] = []
         in_wave: set[str] = set()
         for j in frontier:
             c = canonical_url(j["url"])
@@ -293,7 +296,10 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
                 if c in res.seen or c in in_wave:
                     continue
                 in_wave.add(c)
-            jobs.append(j)
+            if spec.job_limit is not None and len(jobs) >= spec.job_limit:
+                rest.append(j)
+            else:
+                jobs.append(j)
         if not jobs:
             break  # engine breaks at n_jobs == 0 before firing batch hooks
         fire_hook(
@@ -364,9 +370,9 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
              "total_jobs": next_seq, "counters": dict(res.counters)},
             res.counters,
         )
-        frontier = next_frontier
+        frontier = rest + next_frontier
         wave += 1
-        if not spec.follow_links:
+        if not spec.follow_links and not rest:
             break
     fire_hook(
         spec.after_crawl,

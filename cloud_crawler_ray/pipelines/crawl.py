@@ -46,6 +46,9 @@ from ..stages.frontier_ops import dedup_candidates, explode_children, filter_uns
 from ..stages.indexing import zip_with_index
 from ..stages.politeness import assign_slots, build_chain_latency_index
 
+# candidate-row schema shared by seeds, explode_children, and spill
+_FRONTIER_COLS = ["url", "canonical_url", "host", "referer", "depth", "parent_seq", "ordinal"]
+
 META_COLS = [
     "url",
     "canonical_url",
@@ -162,7 +165,7 @@ def _seeds_frontier(seeds: list[str]) -> pa.Table:
 def _plan_wave_local(
     cand: pa.Table, state, chain_idx: dict, delay_ms: int,
     base_seq: int, wave: int, spec,
-) -> pa.Table:
+) -> tuple[pa.Table, pa.Table]:
     """Driver-side wave planning for small waves (≤ small_wave_threshold).
 
     Semantically identical to the distributed path (dedup_candidates →
@@ -190,13 +193,19 @@ def _plan_wave_local(
         unseen = state.check(cand.column("canonical_url").to_pylist())
         cand = cand.filter(pa.array(unseen))
 
+    spill = cand.slice(0, 0)
     if cand.num_rows == 0:
-        return cand
+        return cand, spill
 
     order = pc.sort_indices(
         cand, sort_keys=[("parent_seq", "ascending"), ("ordinal", "ascending")]
     )
     cand = cand.take(order)
+    # job_limit throttle: cap the wave, spill the (post-dedup, still-sorted)
+    # remainder for the next wave's pool (batch_job.rb:229-241)
+    if spec.job_limit is not None and cand.num_rows > spec.job_limit:
+        spill = cand.slice(spec.job_limit)
+        cand = cand.slice(0, spec.job_limit)
     n = cand.num_rows
     cand = cand.append_column(
         "seq", pa.array(np.arange(base_seq, base_seq + n, dtype=np.int64))
@@ -221,7 +230,7 @@ def _plan_wave_local(
     cand = cand.append_column("fetch_time_ms", pa.array(t.astype(np.int64)))
     cand = cand.append_column("job_end_ms", pa.array(ends.astype(np.int64)))
     cand = cand.append_column("wave", pa.array([wave] * n, pa.int32()))
-    return cand
+    return cand, spill
 
 
 def _committed_waves(out_dir: str) -> list[dict]:
@@ -391,7 +400,7 @@ def _crawl_inner(
         # unconditionally: a crash before the FIRST lineage marker still
         # leaves partial wave-0 parquet parts that would duplicate every row
         # on rerun (start_wave is 0 when nothing committed)
-        for kind in ("raw", "frontier", "seen"):
+        for kind in ("raw", "frontier", "seen", "spill"):
             for d in glob.glob(os.path.join(out_dir, kind, "wave=*")):
                 w = int(os.path.basename(d).split("=")[1])
                 if w >= start_wave:
@@ -410,10 +419,26 @@ def _crawl_inner(
             if fr_tbl.num_rows > small_wave_threshold:
                 fr_ds, fr_tbl = rd.from_arrow(fr_tbl), None
     else:
-        raw_prev = _wave_dir(out_dir, "raw", start_wave - 1)
-        fr_ds = rd.read_parquet(
-            raw_prev, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
-        ).map_batches(explode_children, batch_format="pyarrow")
+        # resumed frontier = children of the last committed wave + its spill
+        spill_prev = _wave_dir(out_dir, "spill", start_wave - 1)
+        spill_ds = (
+            rd.read_parquet(spill_prev).map_batches(
+                lambda t: t.select(_FRONTIER_COLS), batch_format="pyarrow"
+            )
+            if glob.glob(os.path.join(spill_prev, "*.parquet"))
+            else None
+        )
+        if spec.follow_links:
+            raw_prev = _wave_dir(out_dir, "raw", start_wave - 1)
+            fr_ds = rd.read_parquet(
+                raw_prev, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
+            ).map_batches(explode_children, batch_format="pyarrow")
+            if spill_ds is not None:
+                fr_ds = fr_ds.union(spill_ds)
+        elif spill_ds is not None:
+            fr_ds = spill_ds
+        else:  # curl crawl fully committed — nothing left to do
+            fr_ds = rd.from_arrow(pa.table({c: [] for c in _FRONTIER_COLS}))
         fr_tbl, fr_ds = _collect_if_small(fr_ds, small_wave_threshold)
 
     if start_wave == 0:
@@ -431,20 +456,27 @@ def _crawl_inner(
         fdir = _wave_dir(out_dir, "frontier", wave)
         raw_dir = _wave_dir(out_dir, "raw", wave)
         seen_dir = _wave_dir(out_dir, "seen", wave)
+        spill_dir = _wave_dir(out_dir, "spill", wave)
         local = fr_tbl is not None
+        spill_tbl: pa.Table | None = None  # local-mode spill (also on disk)
+        spilled = False
 
         # --- plan the wave (dedup → seen anti-join → seq → politeness) ---
         if local:
             if fr_tbl.num_rows == 0:
                 break
             _prof("pre")
-            fm_tbl = _plan_wave_local(
+            fm_tbl, spill_tbl = _plan_wave_local(
                 fr_tbl, state, chain_idx, delay_ms, next_seq, wave, spec
             )
             _prof(f"w{wave} plan_local n={fm_tbl.num_rows}")
             n_jobs = fm_tbl.num_rows
             if n_jobs == 0:
                 break
+            if spill_tbl.num_rows:
+                spilled = True
+                os.makedirs(spill_dir, exist_ok=True)
+                pq.write_table(spill_tbl, os.path.join(spill_dir, "part-0.parquet"))
             os.makedirs(fdir, exist_ok=True)
             pq.write_table(fm_tbl, os.path.join(fdir, "part-0.parquet"))
             _prof(f"w{wave} frontier_write")
@@ -462,6 +494,25 @@ def _crawl_inner(
             n_jobs = f.count()
             if n_jobs == 0:
                 break
+            if spec.job_limit is not None and n_jobs > spec.job_limit:
+                # cap the wave at job_limit; spill the sorted remainder
+                # (sans seq — it is re-assigned when the row re-enters a
+                # wave plan, landing on the same value because spilled rows
+                # sort before any newer children). zip_with_index returned
+                # materialized blocks, so the two filters don't recompute
+                # the plan chain.
+                spilled = True
+                cutoff = next_seq + spec.job_limit
+
+                def _tail(t: pa.Table, c=cutoff) -> pa.Table:
+                    return t.filter(pc.greater_equal(t.column("seq"), c)).drop_columns(["seq"])
+
+                f.map_batches(_tail, batch_format="pyarrow").write_parquet(spill_dir)
+                f = f.map_batches(
+                    lambda t, c=cutoff: t.filter(pc.less(t.column("seq"), c)),
+                    batch_format="pyarrow",
+                )
+                n_jobs = spec.job_limit
             _prof(f"w{wave} plan_sort n={n_jobs}")
             f = assign_slots(f, state, chain_idx_ref, delay_ms)
             w = wave
@@ -597,24 +648,43 @@ def _crawl_inner(
         )
         committed.append(read_json(os.path.join(out_dir, "lineage", f"wave={wave:05d}.json")))
 
-        if not spec.follow_links:
+        if not spec.follow_links and not spilled:
             wave += 1
             break
 
-        # --- next frontier ---
+        # --- next frontier (children of this wave + spilled remainder) ---
         if local:
-            raw_children = pq.read_table(
-                raw_dir, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
-            )
-            fr_tbl = explode_children(raw_children)
+            if spec.follow_links:
+                raw_children = pq.read_table(
+                    raw_dir, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
+                )
+                fr_tbl = explode_children(raw_children)
+                if spill_tbl is not None and spill_tbl.num_rows:
+                    fr_tbl = pa.concat_tables(
+                        [fr_tbl.select(_FRONTIER_COLS), spill_tbl.select(_FRONTIER_COLS)]
+                    )
+            else:  # curl mode: no children, drain the spill
+                fr_tbl = spill_tbl.select(_FRONTIER_COLS)
             fr_ds = None
             _prof(f"w{wave} children n={fr_tbl.num_rows}")
             if fr_tbl.num_rows > small_wave_threshold:
                 fr_ds, fr_tbl = rd.from_arrow(fr_tbl), None
         else:
-            fr_ds = rd.read_parquet(
-                raw_dir, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
-            ).map_batches(explode_children, batch_format="pyarrow")
+            spill_ds = (
+                rd.read_parquet(spill_dir).map_batches(
+                    lambda t: t.select(_FRONTIER_COLS), batch_format="pyarrow"
+                )
+                if spilled
+                else None
+            )
+            if spec.follow_links:
+                fr_ds = rd.read_parquet(
+                    raw_dir, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
+                ).map_batches(explode_children, batch_format="pyarrow")
+                if spill_ds is not None:
+                    fr_ds = fr_ds.union(spill_ds)
+            else:
+                fr_ds = spill_ds
             fr_tbl, fr_ds = _collect_if_small(fr_ds, small_wave_threshold)
         wave += 1
 

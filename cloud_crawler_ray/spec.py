@@ -36,6 +36,14 @@ class CrawlSpec:
     #                                           this sandbox — no-op, like the
     #                                           reference's stub browser.rb:33-37)
     follow_links: bool = True                 # False = BatchCurlJob mode
+    # Max jobs fetched per wave; the remainder of the planned pool spills to
+    # a durable checkpoint partition drained by later waves (the qless
+    # job_limit throttle, batch_job.rb:229-241 + dsl_front_end.rb:73-77 —
+    # the reference checkpoints overflow and leaves restore TODO; here the
+    # spill is merged into the next wave's candidate pool, which provably
+    # preserves the uncapped per-URL seq order because candidate priority
+    # (parent_seq, ordinal) is monotone across waves).
+    job_limit: int | None = None
 
     # hooks (executed in the extract stage, in reference order)
     on_every_page: Callable[[dict], Any] | None = None        # do_page_blocks

@@ -109,6 +109,21 @@ def auth_web():
     return web_table(pages), [page_url("p0")]
 
 
+def branching_web(branch=3, depth=3):
+    """Deterministic high-branching tree — the ChildSpawningBatchJob analog
+    (spec/child_spawning_batch_job.rb:29-76) used for job_limit/spill tests."""
+    pages = []
+
+    def build(name, d):
+        kids = [f"{name}-{i}" for i in range(branch)] if d < depth else []
+        pages.append(FakePage(name=name, links=kids))
+        for k in kids:
+            build(k, d + 1)
+
+    build("r", 0)
+    return web_table(pages), [page_url("r")]
+
+
 def dead_link_web():
     """A link to an unregistered URL → error page (fetched=False). The page
     row exists but no document row does (ADVICE r1: documents() must filter
