@@ -34,6 +34,10 @@ from .extract import extract_page, is_parseable
 from .spec import CrawlSpec
 
 
+# 1 initial attempt + 3 retries on Timeout/BadResponse/EOF (http.rb:211-216)
+MAX_HTTP_RETRIES = 3
+
+
 @dataclass
 class FetchedPage:
     url: str
@@ -41,11 +45,16 @@ class FetchedPage:
     body: bytes
     content_type: str
     redirect_to: str
-    latency_ms: int
+    latency_ms: int          # response_time of the successful attempt
     depth: int
     referer: str
     error: str = ""
     set_cookie: str = ""
+    clock_ms: int = -1       # politeness-clock cost incl. failed attempts
+
+    def __post_init__(self):
+        if self.clock_ms < 0:
+            self.clock_ms = self.latency_ms
 
     @property
     def fetched(self) -> bool:
@@ -130,7 +139,8 @@ class SyntheticNet:
 
 
 def fetch_chain(
-    net: SyntheticNet, url: str, depth: int, referer: str, redirect_limit: int
+    net: SyntheticNet, url: str, depth: int, referer: str, redirect_limit: int,
+    cookie_header: str = "",
 ) -> list[FetchedPage]:
     """Fetch a URL following same-host redirects up to the limit
     (http.rb:68-91, 155-169; same-host-only follow http.rb:245-247).
@@ -145,6 +155,23 @@ def fetch_chain(
                 FetchedPage(cur, 0, b"", "", "", 0, depth, referer, error="connection refused")
             )
             return pages
+        # transient-failure model: the row's first fail_times attempts raise
+        # (Timeout/BadResponse/EOF analog); the fetcher retries up to
+        # MAX_HTTP_RETRIES (http.rb:211-216). Each failed attempt still costs
+        # latency on the politeness clock; response_time is the successful
+        # attempt's alone.
+        fails = int(row.get("fail_times") or 0)
+        max_attempts = MAX_HTTP_RETRIES + 1
+        if fails >= max_attempts:
+            pages.append(
+                FetchedPage(
+                    cur, 0, b"", "", "", 0, depth, referer,
+                    error="retries exhausted",
+                    clock_ms=max_attempts * int(row["latency_ms"]),
+                )
+            )
+            return pages
+        attempts_clock = (fails + 1) * int(row["latency_ms"])
         required = row.get("auth") or ""
         if required:
             # HTTP basic auth from the URL's userinfo (http.rb:191; FakePage
@@ -158,20 +185,28 @@ def fetch_chain(
                 pages.append(
                     FetchedPage(
                         cur, 401, b"", "text/html", "", int(row["latency_ms"]),
-                        depth, referer,
+                        depth, referer, clock_ms=attempts_clock,
                     )
                 )
                 return pages
+        body = row["body"]
+        gate = row.get("require_cookie") or ""
+        if gate:
+            from .stages.cookies import LOGIN_STUB_BODY, header_has_pair
+
+            if not header_has_pair(cookie_header, gate):
+                body = LOGIN_STUB_BODY  # cookie-gated content
         page = FetchedPage(
             cur,
             int(row["status"]),
-            row["body"],
+            body,
             row["content_type"],
             row["redirect_to"] or "",
             int(row["latency_ms"]),
             depth,
             referer,
             set_cookie=row.get("set_cookie") or "",
+            clock_ms=attempts_clock,
         )
         pages.append(page)
         target = page.redirect_to
@@ -261,9 +296,11 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
     adm = LinkAdmission(spec, net)
     res = OracleResult()
     from .functions.agents import agent_for
-    from .stages.cookies import CookieStore
+    from .stages.cookies import merge_committed_header, request_cookie_header
 
-    cookie_jar = CookieStore()
+    # wave-committed cookie jar: requests in wave N carry cookies committed
+    # by waves < N (mark-at-commit, same protocol as the seen set)
+    committed_hdrs: dict[str, str] = {}
     delay_ms = int(spec.delay * 1000)
     clocks: dict[str, int] = {}
     next_seq = 0
@@ -310,6 +347,7 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
         )
         next_frontier: list[dict] = []
         wave_marks: set[str] = set()
+        wave_cookies: list[tuple[int, int, str, str]] = []  # seq, pos, host, hdr
         for j in jobs:
             seq = next_seq
             next_seq += 1
@@ -317,23 +355,29 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
             host = host_of(j["url"])
             t = clocks.get(host, 0) + delay_ms
             ua = agent_for(spec.user_agent, spec.ua_seed, seq)
-            chain = fetch_chain(net, j["url"], j["depth"], j["referer"], spec.redirect_limit)
-            total_latency = sum(p.latency_ms for p in chain)
+            req_cookies = request_cookie_header(
+                spec.cookies, committed_hdrs.get(host, ""), spec.accept_cookies
+            )
+            chain = fetch_chain(
+                net, j["url"], j["depth"], j["referer"], spec.redirect_limit,
+                cookie_header=req_cookies,
+            )
+            total_latency = sum(p.clock_ms for p in chain)
             clocks[host] = t + total_latency
             res.fetch_log.append((host, t, j["url"]))
             wave_marks.add(canonical_url(j["url"]))
 
             kept = chain if spec.keep_redirects else chain[-1:]
             child_base = 0  # ordinals numbered per job across kept pages
-            for p in kept:
+            for pos, p in enumerate(kept):
                 ex = (
                     extract_page(p.url, p.body, p.content_type)
                     if p.fetched and is_parseable(p.content_type)
                     else None
                 )
                 pd = _page_dict(p, ex, seq, wave, t, ua)
-                if spec.accept_cookies and p.set_cookie:
-                    cookie_jar.merge(host_of(p.url), [p.set_cookie])
+                if spec.accept_cookies and p.set_cookie and p.fetched:
+                    wave_cookies.append((seq, pos, host_of(p.url), p.set_cookie))
                 _run_hooks(spec, pd, res.counters)
                 if spec.discard_page:
                     pd["spans"] = []
@@ -364,6 +408,12 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
                     child_base += len(admitted)
         if spec.follow_links:  # curl mode has no bloom marking (batch_curl_job.rb)
             res.seen |= wave_marks  # mark-at-wave-commit (batch_crawl_job.rb:139-153)
+        # commit the wave's cookies in deterministic (seq, chain-pos) order
+        by_host: dict[str, list[str]] = {}
+        for _seq, _pos, h, sc in sorted(wave_cookies):
+            by_host.setdefault(h, []).append(sc)
+        for h, scs in by_host.items():
+            committed_hdrs[h] = merge_committed_header(committed_hdrs.get(h, ""), scs)
         fire_hook(
             spec.after_batch,
             {"event": "after_batch", "wave": wave, "n_jobs": len(jobs),

@@ -375,6 +375,7 @@ def _crawl_inner(
 
     start_wave, next_seq, total_jobs = 0, 0, 0
     hook_counters: dict[str, int] = {}
+    cookie_hdrs: dict[str, str] = {}  # wave-committed per-host Cookie headers
     committed = _committed_waves(out_dir) if resume else []
     if committed:
         last = committed[-1]
@@ -382,6 +383,7 @@ def _crawl_inner(
         next_seq = last["next_seq"]
         total_jobs = last["total_jobs"]
         hook_counters = {k: int(v) for k, v in last.get("hook_counters", {}).items()}
+        cookie_hdrs = dict(last.get("cookies", {}))
         # replay committed seen deltas into fresh shards (distributed restore)
         seen_files = [
             f
@@ -540,14 +542,14 @@ def _crawl_inner(
         # --- fetch + extract (single consumption → durable raw) ---
         if fetch_mode == "tasks":
             raw = fetch_in.map_batches(
-                make_fetch_fn(web_ref, spec, wave, crawl_id),
+                make_fetch_fn(web_ref, spec, wave, crawl_id, cookie_hdrs),
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
             )
         else:
             raw = fetch_in.map_batches(
                 FetchExtract,
-                fn_constructor_args=(web_ref, spec, wave),
+                fn_constructor_args=(web_ref, spec, wave, cookie_hdrs),
                 batch_format="pyarrow",
                 batch_size=fetch_batch_size,
                 concurrency=fetch_concurrency,
@@ -620,6 +622,34 @@ def _crawl_inner(
         state.advance_clocks(updates)
         next_seq += n_jobs
         total_jobs += n_jobs
+        # commit the wave's Set-Cookie responses in deterministic
+        # (seq, chain-pos) order into the per-host jar (http.rb:196 merge,
+        # made wave-synchronous like the seen set). Bounded driver work:
+        # only cookie-bearing fetched rows cross (two short columns).
+        if spec.accept_cookies:
+            from ..canon import host_of as _host_of
+            from ..stages.cookies import merge_committed_header
+
+            ck = pq.read_table(
+                raw_dir, columns=["url", "seq", "chain_pos", "set_cookie", "fetched"]
+            )
+            mask = pc.and_(
+                pc.not_equal(ck.column("set_cookie"), ""), ck.column("fetched")
+            )
+            ck = ck.filter(mask)
+            if ck.num_rows:
+                order = pc.sort_indices(
+                    ck, sort_keys=[("seq", "ascending"), ("chain_pos", "ascending")]
+                )
+                ck = ck.take(order)
+                by_host: dict[str, list[str]] = {}
+                for u, sc in zip(
+                    ck.column("url").to_pylist(), ck.column("set_cookie").to_pylist()
+                ):
+                    by_host.setdefault(_host_of(u), []).append(sc)
+                for h, scs in by_host.items():
+                    cookie_hdrs[h] = merge_committed_header(cookie_hdrs.get(h, ""), scs)
+
         # post-batch hook: wave data saved and seen marked (do_post_batch,
         # batch_job.rb:192-211); fires BEFORE the lineage marker so its
         # counter increments are in the wave's committed snapshot (resume
@@ -638,6 +668,7 @@ def _crawl_inner(
                 "next_seq": next_seq,
                 "total_jobs": total_jobs,
                 "hook_counters": dict(hook_counters),
+                "cookies": dict(cookie_hdrs),
                 "clocks": {h: int(t) for h, t in updates.items()}
                 | {
                     h: int(t)

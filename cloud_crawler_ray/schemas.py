@@ -39,6 +39,12 @@ WEB_SCHEMA = pa.schema(
         ("latency_ms", pa.int32()),          # deterministic simulated latency
         ("auth", pa.string()),               # "user:pass" when basic-auth protected
         ("set_cookie", pa.string()),         # Set-Cookie response header ("" = none)
+        ("fail_times", pa.int32()),          # first N attempts raise a transient
+        #                                      error (Timeout/BadResponse/EOF model;
+        #                                      the fetcher retries 3x, http.rb:211-216)
+        ("require_cookie", pa.string()),     # "name=value" the request Cookie header
+        #                                      must carry to see the real body; else a
+        #                                      login stub is served ("" = public page)
     ]
 )
 

@@ -31,6 +31,12 @@ class CrawlSpec:
     user_agent: str = "cloud-crawler-ray/0.1"  # "random" → seeded UA stream
     ua_seed: int = 1364249661                 # determinism for "random" UAs
     accept_cookies: bool = False              # dsl_front_end.rb:52
+    # initial cookies sent with every request (opts[:cookies], http.rb:179;
+    # crawl_job_spec.rb:221-224). The jar grows from Set-Cookie responses
+    # only when accept_cookies is True; jar updates commit at wave
+    # boundaries (like the seen set), so fetch stays deterministic and
+    # distribution-safe in both task and actor mode.
+    cookies: dict[str, str] | None = None
     headless: bool = False                    # option surface only (http.rb:198-209
     #                                           selenium re-render; no browser in
     #                                           this sandbox — no-op, like the

@@ -64,3 +64,36 @@ class CookieStore:
 
     def clear(self) -> None:
         self._jars.clear()
+
+
+LOGIN_STUB_BODY = b"<html><body><p>login required</p></body></html>"
+
+
+def request_cookie_header(
+    spec_cookies: dict[str, str] | None, committed_hdr: str, accept_cookies: bool
+) -> str:
+    """The ``Cookie:`` value for a request: initial opts cookies + the
+    wave-committed jar for the host. Emitted unless the jar is empty or
+    (not accept_cookies and no initial cookies) — http.rb:179."""
+    if not (accept_cookies or spec_cookies):
+        return ""
+    parts = [f"{k}={v}" for k, v in sorted((spec_cookies or {}).items())]
+    if committed_hdr:
+        parts.append(committed_hdr)
+    return "; ".join(parts)
+
+
+def merge_committed_header(existing_hdr: str, set_cookies: list[str]) -> str:
+    """Fold a wave's ordered Set-Cookie headers into a host's committed
+    Cookie header (name=value pairs; last write per name wins,
+    cookie_store.rb:45-56 to_s semantics)."""
+    cs = CookieStore()
+    if existing_hdr:
+        cs.merge("h", [existing_hdr])
+    cs.merge("h", set_cookies)
+    return cs.cookie_header("h")
+
+
+def header_has_pair(cookie_header: str, pair: str) -> bool:
+    """True iff the request Cookie header carries the exact name=value pair."""
+    return pair in {p.strip() for p in cookie_header.split(";") if p.strip()}

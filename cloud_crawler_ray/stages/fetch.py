@@ -57,12 +57,14 @@ FETCH_OUT_SCHEMA = pa.schema(
         ("user_agent", pa.string()),
         ("counter_keys", pa.list_(pa.string())),
         ("counter_vals", pa.list_(pa.int64())),
+        ("set_cookie", pa.string()),
+        ("chain_pos", pa.int32()),
     ]
 )
 
 
 class FetchExtract:
-    def __init__(self, web_ref, spec: CrawlSpec, wave: int):
+    def __init__(self, web_ref, spec: CrawlSpec, wave: int, cookie_hdrs: dict | None = None):
         payload = ray.get(web_ref)
         if isinstance(payload, tuple):  # (table, prebuilt sorted-hash index)
             self.net = SyntheticNet(payload[0], index=payload[1])
@@ -77,6 +79,9 @@ class FetchExtract:
         from ..stages.cookies import CookieStore
 
         self.cookies = CookieStore() if spec.accept_cookies else None
+        # wave-committed per-host Cookie headers (set by the driver per wave;
+        # read-only here, so fetch stays deterministic in task mode too)
+        self.cookie_hdrs: dict[str, str] = cookie_hdrs or {}
 
 
 
@@ -98,10 +103,18 @@ class FetchExtract:
             urls, referers, depths, seqs, hosts, fts, ends
         ):
             ua = agent_for(spec.user_agent, spec.ua_seed, seq)
-            chain = fetch_chain(self.net, url, depth, referer, spec.redirect_limit)
+            from ..stages.cookies import request_cookie_header
+
+            req_cookies = request_cookie_header(
+                spec.cookies, self.cookie_hdrs.get(host, ""), spec.accept_cookies
+            )
+            chain = fetch_chain(
+                self.net, url, depth, referer, spec.redirect_limit,
+                cookie_header=req_cookies,
+            )
             kept = chain if spec.keep_redirects else chain[-1:]
             ordinal_base = 0
-            for p in kept:
+            for pos, p in enumerate(kept):
                 ex = (
                     extract_page(p.url, p.body, p.content_type)
                     if p.fetched and is_parseable(p.content_type)
@@ -168,6 +181,8 @@ class FetchExtract:
                 cols["child_ordinal_base"].append(ordinal_base)
                 cols["counter_keys"].append(ckeys)
                 cols["counter_vals"].append(cvals)
+                cols["set_cookie"].append(p.set_cookie)
+                cols["chain_pos"].append(pos)
                 ordinal_base += len(children)
 
         return pa.table(cols, schema=FETCH_OUT_SCHEMA)
@@ -202,7 +217,10 @@ class FetchExtract:
 _PROC_CACHE: dict[str, FetchExtract] = {}
 
 
-def make_fetch_fn(web_ref, spec: CrawlSpec, wave: int, crawl_id: str):
+def make_fetch_fn(
+    web_ref, spec: CrawlSpec, wave: int, crawl_id: str,
+    cookie_hdrs: dict | None = None,
+):
     def fetch_batch(batch: pa.Table) -> pa.Table:
         fx = _PROC_CACHE.get(crawl_id)
         if fx is None:
@@ -210,6 +228,7 @@ def make_fetch_fn(web_ref, spec: CrawlSpec, wave: int, crawl_id: str):
             fx = FetchExtract(web_ref, spec, wave)
             _PROC_CACHE[crawl_id] = fx
         fx.wave = wave
+        fx.cookie_hdrs = cookie_hdrs or {}
         return fx(batch)
 
     return fetch_batch

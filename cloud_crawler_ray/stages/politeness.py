@@ -47,15 +47,26 @@ class ChainLatencyIndex:
         import numpy as np
 
         from ..canon import host_of
+        from ..oracle import MAX_HTTP_RETRIES
 
         self._urls = web.column("url").to_pylist()
         statuses = web.column("status").to_numpy(zero_copy_only=False)
         self._redirects = web.column("redirect_to").to_pylist()
         lats = web.column("latency_ms").to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-row clock cost = attempts x latency: failed transient attempts
+        # cost latency too (fetch_chain's retry model, http.rb:211-216)
+        max_attempts = MAX_HTTP_RETRIES + 1
+        if "fail_times" in web.column_names:
+            fails = web.column("fail_times").to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            fails = np.zeros(len(lats), dtype=np.int64)
+        attempts = np.minimum(fails + 1, max_attempts)
+        costs = lats * attempts
+        exhausted = fails >= max_attempts
         self.exact: dict[str, int] = {}
         for i, u in enumerate(self._urls):
             self.exact.setdefault(u, i)
-        self.chain = lats.copy()
+        self.chain = costs.copy()
         redirect_rows = [
             i
             for i in range(len(self._urls))
@@ -64,9 +75,14 @@ class ChainLatencyIndex:
         for i in redirect_rows:
             total, cur, row = 0, self._urls[i], i
             for _hop in range(redirect_limit + 1):
-                total += int(lats[row])
+                total += int(costs[row])
                 tgt = self._redirects[row]
-                if 300 <= statuses[row] < 400 and tgt and host_of(tgt) == host_of(cur):
+                if (
+                    not exhausted[row]
+                    and 300 <= statuses[row] < 400
+                    and tgt
+                    and host_of(tgt) == host_of(cur)
+                ):
                     nxt = self.exact.get(tgt)
                     if nxt is None:
                         nxt = self._canon_find(tgt)

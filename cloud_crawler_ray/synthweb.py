@@ -49,6 +49,10 @@ class FakePage:
     latency_ms: int = 10
     auth: str | None = None              # "user:pass" → 401 without credentials
     set_cookie: str | None = None        # Set-Cookie response header
+    fail_times: int = 0                  # transient failures before success
+    #                                      (>3 → the fetcher's retry budget is
+    #                                      exhausted and the page errors out)
+    require_cookie: str | None = None    # "name=value" gating the real body
 
     @property
     def url(self) -> str:
@@ -104,6 +108,8 @@ def web_table(pages: list[FakePage], robots: dict[str, str] | None = None) -> pa
         "latency_ms": [],
         "auth": [],
         "set_cookie": [],
+        "fail_times": [],
+        "require_cookie": [],
     }
     for p in pages:
         rows["url"].append(p.url)
@@ -121,6 +127,8 @@ def web_table(pages: list[FakePage], robots: dict[str, str] | None = None) -> pa
         rows["latency_ms"].append(p.latency_ms)
         rows["auth"].append(p.auth or "")
         rows["set_cookie"].append(p.set_cookie or "")
+        rows["fail_times"].append(p.fail_times)
+        rows["require_cookie"].append(p.require_cookie or "")
     for host, body in (robots or {}).items():
         rows["url"].append(f"http://{host}/robots.txt")
         rows["status"].append(200)
@@ -130,6 +138,8 @@ def web_table(pages: list[FakePage], robots: dict[str, str] | None = None) -> pa
         rows["latency_ms"].append(5)
         rows["auth"].append("")
         rows["set_cookie"].append("")
+        rows["fail_times"].append(0)
+        rows["require_cookie"].append("")
     return pa.table(rows, schema=WEB_SCHEMA)
 
 

@@ -77,6 +77,7 @@ SCENARIOS = [
     ("politeness", webs.multi_host_web, CrawlSpec(delay=0.5)),
     ("discard", webs.small_dag, CrawlSpec(discard_page=True)),
     ("dead_links", webs.dead_link_web, CrawlSpec()),
+    ("transient_retries", webs.transient_web, CrawlSpec(delay=0.1)),
 ]
 
 
@@ -96,6 +97,32 @@ def test_dead_link_yields_page_but_no_document(ray_session, tmp_path):
     assert any(u.endswith("/missing") for u in page_urls)
     doc_ids = {d["doc_id"] for d in handle.documents().take_all()}
     assert not any(d.endswith("/missing") for d in doc_ids)
+
+
+def test_transient_retry_semantics(ray_session, tmp_path):
+    """Mid-retry success yields a fetched page whose response_time is the
+    successful attempt's; retry exhaustion yields an error page whose
+    politeness-clock cost covers all 4 attempts (http.rb:211-216)."""
+    web, seeds = webs.transient_web()
+    spec = CrawlSpec(delay=0.1)
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)
+
+    pages = {p["url"].rsplit("/", 1)[1]: p for p in handle.pages().take_all()}
+    assert pages["flaky"]["fetched"] and pages["flaky"]["response_time_ms"] == 10
+    assert not pages["dead4"]["fetched"]
+    assert pages["dead4"]["error"] == "retries exhausted"
+    doc_ids = {d["doc_id"] for d in handle.documents().take_all()}
+    assert any(d.endswith("/flaky") for d in doc_ids)
+    assert not any(d.endswith("/dead4") for d in doc_ids)
+
+    # clock accounting: all on one host, serial order p0, flaky, dead4, ok.
+    # flaky costs 3x10ms, dead4 costs 4x10ms on the virtual clock.
+    t = {n: pages[n]["fetch_time_ms"] for n in ("p0", "flaky", "dead4", "ok")}
+    delay = 100
+    assert t["flaky"] == t["p0"] + 10 + delay
+    assert t["dead4"] == t["flaky"] + 30 + delay
+    assert t["ok"] == t["dead4"] + 40 + delay
 
 
 def test_curl_mode(ray_session, tmp_path):

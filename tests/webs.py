@@ -109,6 +109,20 @@ def auth_web():
     return web_table(pages), [page_url("p0")]
 
 
+def transient_web():
+    """Transient-failure pages (http.rb:211-216 retry model): 'flaky'
+    succeeds after 2 failed attempts; 'dead4' exhausts the 3-retry budget
+    and yields an error page. Failed attempts cost latency on the
+    politeness clock; response_time is the successful attempt's alone."""
+    pages = [
+        FakePage(name="p0", links=["flaky", "dead4", "ok"], latency_ms=10),
+        FakePage(name="flaky", fail_times=2, latency_ms=10, texts=["survived retries"]),
+        FakePage(name="dead4", fail_times=5, latency_ms=10),
+        FakePage(name="ok", latency_ms=10),
+    ]
+    return web_table(pages), [page_url("p0")]
+
+
 def branching_web(branch=3, depth=3):
     """Deterministic high-branching tree — the ChildSpawningBatchJob analog
     (spec/child_spawning_batch_job.rb:29-76) used for job_limit/spill tests."""
@@ -140,5 +154,32 @@ def cookie_web():
     pages = [
         FakePage(name="p0", links=["p1"], set_cookie="session=abc123; Path=/"),
         FakePage(name="p1", set_cookie="pref=dark"),
+    ]
+    return web_table(pages), [page_url("p0")]
+
+
+def cookie_gate_web():
+    """Cookie round-trip (http.rb:196 + crawl_job_spec.rb:221-224 analog):
+    p0 sets a session cookie and links to 'gate', whose real body (with the
+    'members only' text) is served only when the request Cookie header
+    carries session=abc123 — otherwise a login stub."""
+    pages = [
+        FakePage(name="p0", links=["gate"], set_cookie="session=abc123; Path=/"),
+        FakePage(
+            name="gate",
+            require_cookie="session=abc123",
+            texts=["members only"],
+            links=["inner"],
+        ),
+        FakePage(name="inner", texts=["inner sanctum"]),
+    ]
+    return web_table(pages), [page_url("p0")]
+
+
+def vip_gate_web():
+    """Initial-cookies (opts[:cookies]) gate — no Set-Cookie involved."""
+    pages = [
+        FakePage(name="p0", links=["vip"]),
+        FakePage(name="vip", require_cookie="vip=1", texts=["vip lounge"]),
     ]
     return web_table(pages), [page_url("p0")]
