@@ -31,11 +31,17 @@ _WS = re.compile(r"\s+")
 
 HTML_TYPES = ("text/html", "application/xhtml+xml")
 XML_TYPES = ("text/xml", "application/xml")
+JSON_TYPES = ("application/json", "text/json")
+
+
+def is_json_type(content_type: str) -> bool:
+    ct = (content_type or "").split(";")[0].strip().lower()
+    return ct in JSON_TYPES
 
 
 def is_parseable(content_type: str) -> bool:
     ct = (content_type or "").split(";")[0].strip().lower()
-    return ct in HTML_TYPES or ct in XML_TYPES
+    return ct in HTML_TYPES or ct in XML_TYPES or ct in JSON_TYPES
 
 
 def scrub(text: str) -> str:
@@ -138,6 +144,21 @@ def extract_page(url: str, body: bytes, content_type: str) -> Extraction:
     return an empty Extraction (doc is nil, page.rb:143-149)."""
     if not is_parseable(content_type) or not body:
         return Extraction()
+    if is_json_type(content_type):
+        # BatchApiJob payload (batch_api_job.rb:33-104): a JSON API response
+        # becomes one normalized (sorted-key, compact) span of kind "json" —
+        # the doc-store sink projects it back out. Invalid JSON → no spans.
+        import json
+
+        try:
+            doc = json.loads(body.decode("utf-8", "ignore"))
+        except ValueError:
+            return Extraction()
+        ex = Extraction()
+        ex.spans.append(
+            ("json", json.dumps(doc, sort_keys=True, separators=(",", ":")), "", 0)
+        )
+        return ex
     base = find_base(body)
     parser = _SpanParser(url, base)
     parser.feed(body.decode("utf-8", "ignore"))

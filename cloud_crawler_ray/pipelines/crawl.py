@@ -97,6 +97,30 @@ class CrawlHandle:
     def pages(self) -> rd.Dataset:
         return read_table(os.path.join(self.out_dir, "raw"), columns=META_COLS)
 
+    def doc_store(self) -> rd.Dataset:
+        """JSON doc-store sink (BatchApiJob → RedisDocStore analog,
+        batch_api_job.rb:33-104, redis_doc_store.rb:35-138): one
+        (doc_id, doc) row per fetched page whose payload is a JSON span."""
+        ds = read_table(
+            os.path.join(self.out_dir, "raw"),
+            columns=["canonical_url", "spans", "fetched"],
+        )
+
+        def project(t: pa.Table) -> pa.Table:
+            t = t.filter(t.column("fetched"))
+            t = t.filter(pc.greater(pc.list_value_length(t.column("spans")), 0))
+            first = pc.list_element(t.column("spans"), 0)
+            t = t.filter(pc.equal(pc.struct_field(first, "kind"), "json"))
+            first = pc.list_element(t.column("spans"), 0)
+            return pa.table(
+                {
+                    "doc_id": t.column("canonical_url"),
+                    "doc": pc.struct_field(first, "text"),
+                }
+            )
+
+        return ds.map_batches(project, batch_format="pyarrow")
+
     def crawl_order(self) -> rd.Dataset:
         ds = read_table(
             os.path.join(self.out_dir, "frontier"), columns=["wave", "seq", "url"]

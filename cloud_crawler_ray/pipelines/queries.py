@@ -252,6 +252,21 @@ def q_crawl_order(sf_dir: str):
     return crawl_handle_for(sf_dir).crawl_order()
 
 
+def q_api_doc_store(sf_dir: str):
+    """BatchApiJob analog (batch_api_job.rb:33-104): url-list fetch of JSON
+    endpoints → (doc_id, doc) store, normalized compact JSON."""
+    from ..synthweb import make_api_web
+    from .crawl import crawl
+
+    sf = _sf_of(sf_dir)
+    n = max(100, _SF_PAGES.get(sf, 4000) // 10)
+    web, seeds = make_api_web(n)
+    handle = crawl(
+        web, seeds, CrawlSpec(follow_links=False), f"/tmp/ccray_api_sf{sf}"
+    )
+    return handle.doc_store()
+
+
 def q_hook_counters(sf_dir: str):
     """Crawl counters from the DSL hook surface: per-page on_every_page
     increments (aggregated distributed via the counter columns) merged with
@@ -295,6 +310,7 @@ QUERIES = {
     "crawl_pages": q_crawl_pages,
     "crawl_order": q_crawl_order,
     "hook_counters": q_hook_counters,
+    "api_doc_store": q_api_doc_store,
     "media_features": q_media_features,
 }
 

@@ -143,6 +143,31 @@ def web_table(pages: list[FakePage], robots: dict[str, str] | None = None) -> pa
     return pa.table(rows, schema=WEB_SCHEMA)
 
 
+def make_api_web(n_docs: int, seed: int = 7) -> tuple[pa.Table, list[str]]:
+    """Deterministic JSON-API fixture (BatchApiJob target): n_docs endpoints
+    each serving a JSON document; seeds = every endpoint (url-list mode)."""
+    import json
+    import zlib
+
+    pages = []
+    for i in range(n_docs):
+        doc = {
+            "id": i,
+            "name": f"item {i}",
+            "score": zlib.crc32(f"{seed}:{i}".encode()) % 1000,
+            "tags": [f"t{(i + j) % 11}" for j in range(i % 4)],
+        }
+        pages.append(
+            FakePage(
+                name=f"api/items/{i}",
+                content_type="application/json",
+                body=json.dumps(doc).encode(),
+                latency_ms=5 + zlib.crc32(f"{seed}:lat:{i}".encode()) % 10,
+            )
+        )
+    return web_table(pages), [p.url for p in pages]
+
+
 from dataclasses import dataclass as _dataclass
 
 

@@ -133,6 +133,33 @@ def test_curl_mode(ray_session, tmp_path):
     assert handle.n_jobs == 2  # duplicates fetched, no dedup
 
 
+def test_api_doc_store(ray_session, tmp_path):
+    """BatchApiJob analog: JSON endpoints → (doc_id, doc) store with
+    normalized compact JSON; invalid JSON yields a page but no doc."""
+    import json
+
+    from cloud_crawler_ray.synthweb import FakePage, make_api_web, web_table
+
+    web, seeds = make_api_web(12)
+    spec = CrawlSpec(follow_links=False)
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)
+    store = {r["doc_id"]: r["doc"] for r in handle.doc_store().take_all()}
+    assert len(store) == 12
+    doc0 = json.loads(store[seeds[0].lower()])
+    assert doc0["id"] == 0 and doc0["name"] == "item 0"
+    # normalized: sorted keys, compact separators
+    assert store[seeds[0].lower()] == json.dumps(doc0, sort_keys=True, separators=(",", ":"))
+
+    bad = web_table(
+        [FakePage(name="api/bad", content_type="application/json", body=b"{nope")]
+    )
+    res2, handle2 = run_both(bad, ["http://www.example.com/api/bad"], spec, tmp_path / "2")
+    assert_parity(res2, handle2)
+    assert handle2.pages().count() == 1
+    assert handle2.doc_store().count() == 0
+
+
 def test_counters_via_hooks(ray_session, tmp_path):
     web, seeds = webs.small_dag()
     spec = CrawlSpec(on_every_page=lambda p: {"pages": 1, f"code_{p['code']}": 1})
