@@ -42,6 +42,67 @@ def _add_shard(batch: pa.Table, col: str, n_shards: int = _N_SHARDS) -> pa.Table
     return batch.append_column("shard", pa.array(shards, pa.int32()))
 
 
+def keyed_attach(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    payload_cols: list[str],
+    n_shards: int = _N_SHARDS,
+) -> rd.Dataset:
+    """Hash-repartition equi-join: attach *right*'s payload columns to *left*
+    rows on ``key`` (right unique per key; unmatched left rows get nulls).
+    Shape: union-with-tag → shard by crc(key) → per-shard pandas merge. No
+    driver materialization and no O(corpus) broadcast — the replacement for
+    the r1 driver-side size dicts / candidate gathers."""
+    lschema, rschema = left.schema(), right.schema()
+    lonly = [n for n in lschema.names if n != key]
+    _rt = dict(zip(rschema.names, rschema.types))
+    _lt = dict(zip(lschema.names, lschema.types))
+    rtypes = {n: _rt[n] for n in payload_cols}
+    ltypes = {n: _lt[n] for n in lonly}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = _add_shard(t, key)
+        t = t.append_column("_side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
+        for c in payload_cols:
+            t = t.append_column(c, pa.nulls(t.num_rows, type=rtypes[c]))
+        return t.select([key] + lonly + list(payload_cols) + ["shard", "_side"])
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = t.select([key] + payload_cols)
+        t = _add_shard(t, key)
+        t = t.append_column("_side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
+        for c in lonly:
+            t = t.append_column(c, pa.nulls(t.num_rows, type=ltypes[c]))
+        return t.select([key] + lonly + list(payload_cols) + ["shard", "_side"])
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [(key, _lt[key])]
+        + [(c, ltypes[c]) for c in lonly]
+        + [(c, rtypes[c]) for c in payload_cols]
+    )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        l = g[g["_side"] == 0].drop(columns=list(payload_cols))
+        r = g[g["_side"] == 1][[key] + list(payload_cols)]
+        out = l.merge(r, on=key, how="left").drop(columns=["_side", "shard"])
+        # rebuild against the declared schema: pandas null-padding turned
+        # int columns float; every output block must carry identical types
+        return pa.table(
+            {
+                f.name: pa.Array.from_pandas(out[f.name], type=f.type, safe=False)
+                for f in out_schema
+            },
+            schema=out_schema,
+        )
+
+    return both.groupby("shard").map_groups(merge, batch_format="pandas")
+
+
 def exact_dedup(ds: rd.Dataset) -> rd.Dataset:
     """Keep the lowest doc_id per identical normalized text (hash-partition
     by fingerprint + per-group first — the page-store last-write analog
@@ -166,49 +227,117 @@ def minhash_lsh_pairs(
             {"a": pd.Series(out_a, dtype=object), "b": pd.Series(out_b, dtype=object)}
         )
 
+    def dedup_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
+
+    def shard_on_pair(t: pa.Table) -> pa.Table:
+        import zlib
+
+        keys = [
+            f"{a}|{b}"
+            for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist())
+        ]
+        return t.append_column(
+            "pshard",
+            pa.array([zlib.crc32(k.encode()) % _N_SHARDS for k in keys], pa.int32()),
+        )
+
     cand = (
         banded.groupby("shard")
         .map_groups(bucket_pairs_shard, batch_format="pandas")
-        .to_pandas()
+        .map_batches(shard_on_pair, batch_format="pyarrow")
+        .groupby("pshard")
+        .map_groups(dedup_pairs_shard, batch_format="pandas")
+        .materialize()
     )
-    stats = {"candidate_pairs_raw": len(cand)}
-    if cand.empty:
-        return (
-            pa.table(
-                {"a": [], "b": [], "n_common": [], "n_a": [], "n_b": [], "jaccard": []}
-            ),
-            stats,
+    stats = {"candidate_pairs": cand.count()}
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if stats["candidate_pairs"] == 0:
+        stats["confirmed_pairs"] = 0
+        return empty, stats
+
+    # verify WITHOUT gathering docs to the driver: ship each doc's sorted
+    # unique shingle-hash array to its candidate pairs via two
+    # hash-repartition joins (on a, then on b), then an exact per-pair
+    # sorted-array intersection — all inside map stages.
+    def shingle_sets(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        hs = [
+            np.unique(_shingle_hashes(t, shingle_k)).view(np.int64).tolist()
+            for t in texts
+        ]
+        return pa.table(
+            {"doc_id": pa.array(ids), "hs": pa.array(hs, pa.list_(pa.int64()))}
         )
-    cand = cand.drop_duplicates(subset=["a", "b"])
-    stats["candidate_pairs"] = len(cand)
 
-    # verify: gather shingle sets for candidate ids only
-    ids_needed = set(cand["a"]) | set(cand["b"])
-    idref = ray.put(ids_needed)
+    sets = ds.map_batches(shingle_sets, batch_format="pyarrow", batch_size=2048)
 
-    def gather(batch: pa.Table) -> pa.Table:
-        need = ray.get(idref)
-        mask = pa.array([d in need for d in batch.column("doc_id").to_pylist()])
-        return batch.filter(mask)
+    def rename(cols: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([cols.get(n, n) for n in t.column_names])
 
-    docs = ds.map_batches(gather, batch_format="pyarrow").to_pandas()
-    shingles = {
-        d: T.char_shingles(t, shingle_k) for d, t in zip(docs["doc_id"], docs["text"])
-    }
-    rows_out = {"a": [], "b": [], "n_common": [], "n_a": [], "n_b": [], "jaccard": []}
-    for a_, b_ in zip(cand["a"], cand["b"]):
-        sa, sb = shingles[a_], shingles[b_]
-        c = len(sa & sb)
-        j = c / max(1, len(sa) + len(sb) - c)
-        if j >= threshold:
-            rows_out["a"].append(a_)
-            rows_out["b"].append(b_)
-            rows_out["n_common"].append(c)
-            rows_out["n_a"].append(len(sa))
-            rows_out["n_b"].append(len(sb))
-            rows_out["jaccard"].append(j)
-    stats["confirmed_pairs"] = len(rows_out["a"])
-    return pa.table(rows_out), stats
+        return fn
+
+    sets_a = sets.map_batches(rename({"doc_id": "a", "hs": "sh_a"}), batch_format="pyarrow")
+    sets_b = sets.map_batches(rename({"doc_id": "b", "hs": "sh_b"}), batch_format="pyarrow")
+    with_a = keyed_attach(cand, sets_a, "a", ["sh_a"])
+    with_b = keyed_attach(with_a, sets_b, "b", ["sh_b"])
+
+    def verify(t: pa.Table) -> pa.Table:
+        rows_out = {"a": [], "b": [], "n_common": [], "n_a": [], "n_b": [], "jaccard": []}
+        for a_, b_, ha, hb in zip(
+            t.column("a").to_pylist(),
+            t.column("b").to_pylist(),
+            t.column("sh_a").to_pylist(),
+            t.column("sh_b").to_pylist(),
+        ):
+            sa = np.asarray(ha, dtype=np.int64)
+            sb = np.asarray(hb, dtype=np.int64)
+            c = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = c / max(1, len(sa) + len(sb) - c)
+            if j >= threshold:
+                rows_out["a"].append(a_)
+                rows_out["b"].append(b_)
+                rows_out["n_common"].append(c)
+                rows_out["n_a"].append(len(sa))
+                rows_out["n_b"].append(len(sb))
+                rows_out["jaccard"].append(j)
+        return pa.table(
+            {
+                "a": pa.array(rows_out["a"]),
+                "b": pa.array(rows_out["b"]),
+                "n_common": pa.array(rows_out["n_common"], pa.int64()),
+                "n_a": pa.array(rows_out["n_a"], pa.int64()),
+                "n_b": pa.array(rows_out["n_b"], pa.int64()),
+                "jaccard": pa.array(rows_out["jaccard"], pa.float64()),
+            }
+        )
+
+    confirmed_ds = with_b.map_batches(verify, batch_format="pyarrow")
+    # the confirmed-duplicate pair set is the (small) output — collecting IT
+    # is bounded by the dup graph, not the corpus
+    tables = [t for t in ray.get(confirmed_ds.to_arrow_refs()) if t.num_rows]
+    confirmed = (
+        pa.concat_tables([t.select(empty.column_names) for t in tables])
+        if tables
+        else empty
+    )
+    if confirmed.num_rows:
+        confirmed = confirmed.take(
+            pc.sort_indices(confirmed, sort_keys=[("a", "ascending"), ("b", "ascending")])
+        )
+    stats["confirmed_pairs"] = confirmed.num_rows
+    return confirmed, stats
 
 
 def dedup_groups_from_pairs(pairs: pa.Table, all_ids: list) -> pa.Table:
@@ -247,6 +376,161 @@ def dedup_groups_from_pairs(pairs: pa.Table, all_ids: list) -> pa.Table:
         rows["group_rep"].append(rep)
         rows["keep"].append(rep == d)
     return pa.table(rows)
+
+
+def dedup_groups(
+    docs: rd.Dataset, pairs: pa.Table, driver_pair_cap: int = 1_000_000
+) -> rd.Dataset:
+    """(doc_id, group_rep, keep) for EVERY doc, distributed: the corpus never
+    reaches the driver (the r1 take_all anti-pattern). Only the confirmed
+    duplicate PAIR GRAPH is inspected centrally — and only while it fits
+    driver_pair_cap; above the cap, connected components are computed by
+    distributed hash-min label propagation over the pair subgraph (nodes not
+    in any pair are their own representative and never enter an iteration).
+    """
+    if pairs.num_rows <= driver_pair_cap:
+        labels = _components_driver(pairs)
+    else:
+        labels = _components_label_prop(pairs)
+    ref = ray.put(labels)
+
+    def attach(t: pa.Table) -> pa.Table:
+        lab = ray.get(ref)
+        ids = t.column("doc_id").to_pylist()
+        reps = [lab.get(d, d) for d in ids]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "group_rep": pa.array(reps),
+                "keep": pa.array([r == d for r, d in zip(reps, ids)], pa.bool_()),
+            }
+        )
+
+    return docs.map_batches(attach, batch_format="pyarrow")
+
+
+def _components_driver(pairs: pa.Table) -> dict:
+    """Union-find over the pair graph (bounded by the dup graph, not the
+    corpus); labels = min doc_id per component."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if str(rb) < str(ra):
+                ra, rb = rb, ra
+            parent[rb] = ra
+    comp_min: dict = {}
+    for x in list(parent):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    return {x: comp_min[find(x)] for x in parent}
+
+
+def _components_label_prop(pairs: pa.Table, max_iters: int = 64) -> dict:
+    """Distributed hash-min label propagation over the pair subgraph: per
+    round, every edge proposes min(label_a, label_b) to both endpoints,
+    sharded label tables take per-node minima; stops at fixpoint. Driver
+    sees only per-round changed counts and the final (node, label) pairs of
+    the dup subgraph."""
+    edges = rd.from_arrow(pairs.select(["a", "b"])).materialize()
+    nodes = (
+        rd.from_arrow(
+            pa.table({"node": pa.concat_arrays([
+                pairs.column("a").combine_chunks(),
+                pairs.column("b").combine_chunks(),
+            ])})
+        )
+        .map_batches(lambda t: _add_shard(t, "node"), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop_duplicates("node")[["node"]], batch_format="pandas"
+        )
+    )
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"), "label": t.column("node")}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(max_iters):
+        lab_a = labels.map_batches(
+            lambda t: t.rename_columns(["a", "lab_a"]), batch_format="pyarrow"
+        )
+        lab_b = labels.map_batches(
+            lambda t: t.rename_columns(["b", "lab_b"]), batch_format="pyarrow"
+        )
+        e = keyed_attach(keyed_attach(edges, lab_a, "a", ["lab_a"]), lab_b, "b", ["lab_b"])
+
+        def messages(t: pa.Table) -> pa.Table:
+            la = t.column("lab_a").to_pylist()
+            lb = t.column("lab_b").to_pylist()
+            m = [min(x, y) for x, y in zip(la, lb)]
+            return pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                    ),
+                    "label": pa.array(m + m),
+                }
+            )
+
+        proposals = e.map_batches(messages, batch_format="pyarrow").union(labels)
+
+        def min_label(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False)["label"].min()
+
+        new_labels = (
+            proposals.map_batches(lambda t: _add_shard(t, "node"), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(min_label, batch_format="pandas")
+            .materialize()
+        )
+        old = keyed_attach(
+            new_labels.map_batches(
+                lambda t: t.rename_columns(["node", "new"]), batch_format="pyarrow"
+            ),
+            labels.map_batches(
+                lambda t: t.rename_columns(["node", "old"]), batch_format="pyarrow"
+            ),
+            "node",
+            ["old"],
+        )
+        changed = old.map_batches(
+            lambda t: pa.table(
+                {
+                    "c": pa.array(
+                        [
+                            sum(
+                                1
+                                for n, o in zip(
+                                    t.column("new").to_pylist(), t.column("old").to_pylist()
+                                )
+                                if n != o
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("c")
+        labels = new_labels
+        if not changed:
+            break
+    out: dict = {}
+    for t in ray.get(labels.to_arrow_refs()):  # dup-subgraph nodes only
+        if t.num_rows == 0 or "node" not in t.column_names:
+            continue  # empty sort partitions carry no schema
+        for n, l in zip(t.column("node").to_pylist(), t.column("label").to_pylist()):
+            out[n] = l
+    return out
 
 
 def simhash_bits(text: str, seed: int = 11) -> int:
@@ -367,8 +651,8 @@ def ngram_jaccard_pairs(
     sh = ds.map_batches(explode, batch_format="pyarrow", batch_size=2048)
 
     # per-doc shingle-set sizes: computed straight from the text (the shingle
-    # set is per-doc local) — no shuffle, collected driver-side (one int per
-    # doc)
+    # set is per-doc local) — stays a Dataset; sizes reach the pair rows via
+    # hash-repartition joins, never an O(corpus) driver dict
     def size_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
@@ -379,7 +663,7 @@ def ngram_jaccard_pairs(
             }
         )
 
-    sizes = ds.map_batches(size_batch, batch_format="pyarrow", batch_size=2048).to_pandas()
+    sizes = ds.map_batches(size_batch, batch_format="pyarrow", batch_size=2048)
 
     def pair_counts_shard(g: pd.DataFrame) -> pd.DataFrame:
         """Per-shard: local groupby(sh) → pair combos → local pair counts
@@ -434,65 +718,113 @@ def ngram_jaccard_pairs(
         .map_groups(sum_pairs_shard, batch_format="pandas")
     )
 
-    size_map = dict(zip(sizes["doc_id"], sizes["n"]))
-    size_ref = ray.put(size_map)
+    def rename(cols: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([cols.get(n, n) for n in t.column_names])
+
+        return fn
+
+    sizes_a = sizes.map_batches(rename({"doc_id": "a", "n": "n_a"}), batch_format="pyarrow")
+    sizes_b = sizes.map_batches(rename({"doc_id": "b", "n": "n_b"}), batch_format="pyarrow")
+    with_sizes = keyed_attach(
+        keyed_attach(pair_counts, sizes_a, "a", ["n_a"]), sizes_b, "b", ["n_b"]
+    )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        sm = ray.get(size_ref)
-        a = batch.column("a").to_pylist()
-        b = batch.column("b").to_pylist()
-        c = batch.column("count()").to_pylist()
-        rows = {"a": [], "b": [], "n_common": [], "n_a": [], "n_b": []}
-        for ai, bi, ci in zip(a, b, c):
-            na, nb = sm[ai], sm[bi]
-            if den * ci >= num * (na + nb - ci):
-                rows["a"].append(ai)
-                rows["b"].append(bi)
-                rows["n_common"].append(ci)
-                rows["n_a"].append(na)
-                rows["n_b"].append(nb)
-        return pa.table(
+        c = pc.cast(batch.column("count()"), pa.int64())
+        na = pc.cast(batch.column("n_a"), pa.int64())
+        nb = pc.cast(batch.column("n_b"), pa.int64())
+        keep = pc.greater_equal(
+            pc.multiply(pa.scalar(den, pa.int64()), c),
+            pc.multiply(pa.scalar(num, pa.int64()), pc.subtract(pc.add(na, nb), c)),
+        )
+        out = pa.table(
             {
-                "a": pa.array(rows["a"]),
-                "b": pa.array(rows["b"]),
-                "n_common": pa.array(rows["n_common"], pa.int64()),
-                "n_a": pa.array(rows["n_a"], pa.int64()),
-                "n_b": pa.array(rows["n_b"], pa.int64()),
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "n_common": c,
+                "n_a": na,
+                "n_b": nb,
             }
         )
+        return out.filter(keep)
 
-    return pair_counts.map_batches(finalize, batch_format="pyarrow")
+    return with_sizes.map_batches(finalize, batch_format="pyarrow")
+
+
+def _emb_matrix(t: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, L2-normalized float64 matrix) from an Arrow block, zero-copy
+    flatten of the fixed-width list column."""
+    ids = np.asarray(t.column(id_col).to_pylist())
+    col = t.column("embedding").combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    M = flat.reshape(t.num_rows, flat.size // max(1, t.num_rows))
+    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    return ids, M
+
+
+@ray.remote(num_cpus=0.5)
+def _pack_block(t: pa.Table, id_col: str):
+    return _emb_matrix(t, id_col)
+
+@ray.remote(num_cpus=0.5)
+def _block_pair_sims(pa_, pb_, threshold: float, same: bool) -> pa.Table:
+    ia, A = pa_
+    ib, B = pb_
+    sims = A @ B.T
+    ii, jj = np.where(sims >= threshold)
+    if same:
+        keep = ii < jj
+        ii, jj = ii[keep], jj[keep]
+    out_a, out_b, out_c = [], [], []
+    for r, c in zip(ii, jj):
+        x, y = int(ia[r]), int(ib[c])
+        if x == y:
+            continue
+        if x > y:
+            x, y = y, x
+        out_a.append(x)
+        out_b.append(y)
+        out_c.append(float(sims[r, c]))
+    return pa.table(
+        {
+            "a": pa.array(out_a, pa.int64()),
+            "b": pa.array(out_b, pa.int64()),
+            "cos": pa.array(out_c, pa.float64()),
+        }
+    )
 
 
 def embedding_neardup_pairs(
     emb: rd.Dataset, threshold: float = 0.95, id_col: str = "vec_id"
 ) -> pa.Table:
-    """Embedding-cosine near-dup: rows vs broadcast normalized matrix, block
-    matmul per batch (numpy f64), emit i<j pairs with cos ≥ threshold. At
-    real scale the broadcast side becomes LSH/IVF buckets; this is the exact
-    baseline."""
-    full = emb.to_pandas()
-    ids = np.asarray(full[id_col])
-    M = np.stack(full["embedding"].to_numpy()).astype(np.float64)
-    M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-    mat_ref = ray.put((ids, M))
-
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, allM = ray.get(mat_ref)
-        bids = np.asarray(batch[id_col])
-        B = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        B /= np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
-        sims = B @ allM.T
-        out = {"a": [], "b": [], "cos": []}
-        for r in range(sims.shape[0]):
-            hits = np.where(sims[r] >= threshold)[0]
-            for h in hits:
-                if bids[r] < all_ids[h]:
-                    out["a"].append(int(bids[r]))
-                    out["b"].append(int(all_ids[h]))
-                    out["cos"].append(float(sims[r, h]))
-        return pd.DataFrame(out, columns=["a", "b", "cos"])
-
-    pairs = emb.map_batches(fn, batch_format="pandas", batch_size=1024).to_pandas()
-    pairs = pairs.sort_values(["a", "b"]) if len(pairs) else pairs
-    return pa.Table.from_pandas(pairs, preserve_index=False)
+    """EXACT embedding-cosine near-dup as a distributed block-pair join: the
+    dataset's materialized blocks stay in the object store; one Ray task per
+    block pair (i ≤ j) does the cross matmul and emits a<b pairs with cos ≥
+    threshold. Driver memory is O(#blocks + result pairs) — the r1 version's
+    whole-table to_pandas + dense broadcast is gone. Exact all-pairs is
+    inherently O(n²) compute; the sub-quadratic scale path is knn_ivf-style
+    bucketing (similarity.py) at lower recall."""
+    mat = emb.materialize()
+    refs = [
+        ref
+        for bundle in mat.iter_internal_ref_bundles()
+        for ref, meta in zip(bundle.block_refs, bundle.metadata)
+        if meta.num_rows
+    ]
+    packed = [_pack_block.remote(r, id_col) for r in refs]
+    futs = [
+        _block_pair_sims.remote(packed[i], packed[j], threshold, i == j)
+        for i in range(len(packed))
+        for j in range(i, len(packed))
+    ]
+    tables = [t for t in ray.get(futs) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "cos": pa.array([], pa.float64())}
+        )
+    out = pa.concat_tables(tables)
+    # duplicate (a,b) can only arise from self-comparison symmetry, which
+    # `same`/id ordering already excludes — every unordered block pair runs once
+    return out.take(pc.sort_indices(out, sort_keys=[("a", "ascending"), ("b", "ascending")]))

@@ -44,7 +44,9 @@ def knn_brute(
         rows = {"query_id": [], "neighbor_id": [], "cos": []}
         top = min(k + 1, sims.shape[1])  # +1 in case self is in this batch
         for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], top - 1)[:top]
+            # (cos desc, neighbor_id asc) — ties at the cut keep the lowest
+            # id, matching the SQL oracle's row_number ordering exactly
+            idx = np.lexsort((bids, -sims[qi]))[:top]
             for j in idx:
                 if bids[j] != qids_[qi]:
                     rows["query_id"].append(int(qids_[qi]))
@@ -122,7 +124,7 @@ def knn_ivf(
             sims = Q_[quers] @ sub.T
             top = min(k + 1, sims.shape[1])
             for row, qi in enumerate(quers):
-                idx = np.argpartition(-sims[row], top - 1)[:top]
+                idx = np.lexsort((sub_ids, -sims[row]))[:top]
                 for j in idx:
                     if sub_ids[j] != qids_[qi]:
                         rows["query_id"].append(int(qids_[qi]))

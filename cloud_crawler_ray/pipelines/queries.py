@@ -176,12 +176,18 @@ def q_seq_assign(sf_dir: str):
     return zip_with_index(orders, ["o_orderkey"], col="seq", base=0)
 
 
+def _query_vecs(sf_dir: str, n: int = 5) -> pd.DataFrame:
+    """The small query side, via parquet predicate pushdown — only the
+    matching row groups are read (no full-table driver read)."""
+    return pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), filters=[("vec_id", "<", n)]
+    ).to_pandas()
+
+
 def q_knn_cosine(sf_dir: str):
     from ..ops.similarity import knn_brute
 
-    queries = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
-    queries = queries[queries["vec_id"] < 5]
-    return knn_brute(_emb(sf_dir), queries, k=10)
+    return knn_brute(_emb(sf_dir), _query_vecs(sf_dir), k=10)
 
 
 def q_embedding_neardup(sf_dir: str):
@@ -218,12 +224,14 @@ def q_lang_id(sf_dir: str):
 
 
 def q_minhash_dedup(sf_dir: str):
-    from ..ops.dedup import dedup_groups_from_pairs, minhash_lsh_pairs
+    """MinHash LSH near-dup groups, corpus-side fully distributed: candidate
+    generation, in-pipeline verify, and per-doc group assignment never
+    materialize the corpus on the driver (only the confirmed pair graph)."""
+    from ..ops.dedup import dedup_groups, minhash_lsh_pairs
 
     docs = _docs(sf_dir)
     pairs, _stats = minhash_lsh_pairs(docs, threshold=0.6)
-    all_ids = [r["doc_id"] for r in docs.select_columns(["doc_id"]).take_all()]
-    return dedup_groups_from_pairs(pairs, sorted(all_ids))
+    return dedup_groups(docs.select_columns(["doc_id"]), pairs)
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -235,9 +243,7 @@ def q_simhash_pairs(sf_dir: str):
 def q_knn_ivf(sf_dir: str):
     from ..ops.similarity import knn_ivf
 
-    queries = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
-    queries = queries[queries["vec_id"] < 5]
-    return knn_ivf(_emb(sf_dir), queries, k=10, nlist=16, nprobe=4)
+    return knn_ivf(_emb(sf_dir), _query_vecs(sf_dir), k=10, nlist=16, nprobe=4)
 
 
 def q_crawl_documents(sf_dir: str):

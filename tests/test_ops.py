@@ -146,6 +146,33 @@ def test_minhash_lsh_finds_planted_dups(ray_session):
     assert (~dup_rows["keep"]).sum() >= 36
 
 
+def test_dedup_groups_distributed_matches_driver(ray_session):
+    """dedup_groups: hash-min label propagation (forced via driver_pair_cap=0)
+    must produce identical (doc_id, group_rep, keep) rows to the driver-side
+    union-find, including multi-edge chained components."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import dedup_groups
+
+    docs = rd.from_arrow(pa.table({"doc_id": list(range(12))}))
+    # components: {0,1,2,3} (chain), {5,7}, singletons elsewhere
+    pairs = pa.table(
+        {"a": pa.array([1, 2, 0, 5], pa.int64()), "b": pa.array([2, 3, 1, 7], pa.int64())}
+    )
+    want = dedup_groups(docs, pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = (
+        dedup_groups(docs, pairs, driver_pair_cap=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    reps = dict(zip(want["doc_id"], want["group_rep"]))
+    assert reps[0] == reps[1] == reps[2] == reps[3] == 0
+    assert reps[5] == reps[7] == 5
+    assert reps[4] == 4 and want["keep"].sum() == 12 - 4  # 3+1 dup rows dropped
+
+
 def test_simhash_finds_exactish_dups(ray_session):
     ds, _ = _docs_with_dups(ray_session)
     from cloud_crawler_ray.ops.dedup import simhash_pairs
