@@ -30,15 +30,22 @@ _N_SHARDS = 64
 
 
 def _add_shard(batch: pa.Table, col: str, n_shards: int = _N_SHARDS) -> pa.Table:
-    """Attach shard = crc32(key) % n_shards. Grouping by the SHARD instead of
+    """Attach shard = hash(key) % n_shards. Grouping by the SHARD instead of
     the raw key turns millions of tiny map_groups calls into n_shards calls
     whose bodies do a local pandas groupby — same result, none of the
     per-group scheduling overhead. This is the standard 'hash-partition then
-    aggregate locally' shape every dedup op here uses."""
-    import zlib
+    aggregate locally' shape every dedup op here uses.
 
-    keys = batch.column(col).to_pylist()
-    shards = [zlib.crc32(str(k).encode()) % n_shards for k in keys]
+    Vectorized: integer keys take a modulo; strings go through pandas'
+    vectorized hasher (shard routing only needs within-run consistency, and
+    results are independent of the routing)."""
+    key_col = batch.column(col)
+    if pa.types.is_integer(key_col.type):
+        vals = key_col.to_numpy(zero_copy_only=False).astype(np.int64)
+        shards = np.mod(vals, n_shards).astype(np.int32)
+    else:
+        arr = np.asarray(key_col.to_pylist(), dtype=object)
+        shards = (pd.util.hash_array(arr) % n_shards).astype(np.int32)
     return batch.append_column("shard", pa.array(shards, pa.int32()))
 
 
@@ -48,12 +55,21 @@ def keyed_attach(
     key: str,
     payload_cols: list[str],
     n_shards: int = _N_SHARDS,
+    right_count: int | None = None,
+    broadcast_cap: int = 500_000,
 ) -> rd.Dataset:
-    """Hash-repartition equi-join: attach *right*'s payload columns to *left*
-    rows on ``key`` (right unique per key; unmatched left rows get nulls).
-    Shape: union-with-tag → shard by crc(key) → per-shard pandas merge. No
-    driver materialization and no O(corpus) broadcast — the replacement for
-    the r1 driver-side size dicts / candidate gathers."""
+    """Equi-join: attach *right*'s payload columns to *left* rows on ``key``
+    (right unique per key; unmatched left rows get nulls).
+
+    Hybrid, like the wave planner: when the right side is known to be small
+    (right_count ≤ broadcast_cap) it is collected once into the object store
+    and read per task (ray.put-style broadcast — worker memory O(right),
+    driver holds only refs); otherwise the fully distributed path:
+    union-with-tag → shard by crc(key) → per-shard pandas merge. Neither
+    path materializes the corpus on the driver. Tests force the join path
+    via broadcast_cap=0."""
+    if right_count is not None and right_count <= broadcast_cap:
+        return _broadcast_attach(left, right, key, payload_cols)
     lschema, rschema = left.schema(), right.schema()
     lonly = [n for n in lschema.names if n != key]
     _rt = dict(zip(rschema.names, rschema.types))
@@ -101,6 +117,33 @@ def keyed_attach(
         )
 
     return both.groupby("shard").map_groups(merge, batch_format="pandas")
+
+
+def _broadcast_attach(
+    left: rd.Dataset, right: rd.Dataset, key: str, payload_cols: list[str]
+) -> rd.Dataset:
+    """Small-right join: one object-store copy of the right table, dict
+    lookup inside map_batches. Exactly the semantics of the join path."""
+    tables = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
+    lookup: dict = {}
+    for t in tables:
+        cols = [t.column(c).to_pylist() for c in payload_cols]
+        for i, k in enumerate(t.column(key).to_pylist()):
+            lookup[k] = tuple(col[i] for col in cols)
+    ref = ray.put(lookup)
+    rschema = dict(zip(right.schema().names, right.schema().types))
+    miss = tuple([None] * len(payload_cols))
+
+    def attach(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        vals = [lk.get(k, miss) for k in t.column(key).to_pylist()]
+        for ci, c in enumerate(payload_cols):
+            t = t.append_column(
+                c, pa.array([v[ci] for v in vals], type=rschema[c])
+            )
+        return t
+
+    return left.map_batches(attach, batch_format="pyarrow")
 
 
 def exact_dedup(ds: rd.Dataset) -> rd.Dataset:
@@ -187,6 +230,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.6,
     bucket_cap: int = 200,
+    join_broadcast_cap: int = 500_000,
 ) -> tuple[pa.Table, dict]:
     """MinHash → LSH banding → candidate pairs → exact-Jaccard verification.
 
@@ -265,10 +309,43 @@ def minhash_lsh_pairs(
         stats["confirmed_pairs"] = 0
         return empty, stats
 
-    # verify WITHOUT gathering docs to the driver: ship each doc's sorted
-    # unique shingle-hash array to its candidate pairs via two
-    # hash-repartition joins (on a, then on b), then an exact per-pair
-    # sorted-array intersection — all inside map stages.
+    # verify WITHOUT gathering docs to the driver: compute shingle-hash sets
+    # ONLY for docs that appear in a candidate pair (semi-join on the small
+    # candidate-id side), then ship each set to its pairs via two keyed
+    # joins (on a, then on b) and verify with an exact sorted-array
+    # intersection — all inside map stages.
+    def rename(cols: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([cols.get(n, n) for n in t.column_names])
+
+        return fn
+
+    cand_ids = (
+        cand.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                    ),
+                    "m": pa.array(np.ones(2 * t.num_rows, dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(lambda t: _add_shard(t, "doc_id"), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lambda g: g.drop_duplicates("doc_id")[["doc_id", "m"]], batch_format="pandas")
+        .materialize()
+    )
+    n_cand_ids = cand_ids.count()
+    cand_docs = keyed_attach(
+        ds, cand_ids, "doc_id", ["m"],
+        right_count=n_cand_ids, broadcast_cap=join_broadcast_cap,
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("m"), 1)).drop_columns(["m"]),
+        batch_format="pyarrow",
+    )
+
     def shingle_sets(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
@@ -280,27 +357,13 @@ def minhash_lsh_pairs(
             {"doc_id": pa.array(ids), "hs": pa.array(hs, pa.list_(pa.int64()))}
         )
 
-    sets = ds.map_batches(shingle_sets, batch_format="pyarrow", batch_size=2048)
+    sets = cand_docs.map_batches(
+        shingle_sets, batch_format="pyarrow", batch_size=2048
+    ).materialize()
 
-    def rename(cols: dict):
-        def fn(t: pa.Table) -> pa.Table:
-            return t.rename_columns([cols.get(n, n) for n in t.column_names])
-
-        return fn
-
-    sets_a = sets.map_batches(rename({"doc_id": "a", "hs": "sh_a"}), batch_format="pyarrow")
-    sets_b = sets.map_batches(rename({"doc_id": "b", "hs": "sh_b"}), batch_format="pyarrow")
-    with_a = keyed_attach(cand, sets_a, "a", ["sh_a"])
-    with_b = keyed_attach(with_a, sets_b, "b", ["sh_b"])
-
-    def verify(t: pa.Table) -> pa.Table:
+    def _verify_rows(abs_pairs, get_a, get_b) -> pa.Table:
         rows_out = {"a": [], "b": [], "n_common": [], "n_a": [], "n_b": [], "jaccard": []}
-        for a_, b_, ha, hb in zip(
-            t.column("a").to_pylist(),
-            t.column("b").to_pylist(),
-            t.column("sh_a").to_pylist(),
-            t.column("sh_b").to_pylist(),
-        ):
+        for a_, b_, ha, hb in ((x, y, get_a(x, i), get_b(y, i)) for i, (x, y) in enumerate(abs_pairs)):
             sa = np.asarray(ha, dtype=np.int64)
             sb = np.asarray(hb, dtype=np.int64)
             c = len(np.intersect1d(sa, sb, assume_unique=True))
@@ -323,7 +386,43 @@ def minhash_lsh_pairs(
             }
         )
 
-    confirmed_ds = with_b.map_batches(verify, batch_format="pyarrow")
+    if n_cand_ids <= join_broadcast_cap:
+        # broadcast the candidate-doc sets ONCE (object store, bounded by the
+        # candidate-id cap) and verify distributed over the pairs — the join
+        # path below would ship each set once PER PAIR through the shuffle
+        # (at sf0.1: 85k pairs x ~2k-hash sets ≈ GBs), the broadcast ships it
+        # once per worker.
+        set_lookup: dict = {}
+        for t in ray.get(sets.to_arrow_refs()):
+            for d, hs in zip(t.column("doc_id").to_pylist(), t.column("hs").to_pylist()):
+                set_lookup[d] = np.asarray(hs, dtype=np.int64)
+        set_ref = ray.put(set_lookup)
+
+        def verify_bcast(t: pa.Table) -> pa.Table:
+            lk = ray.get(set_ref)
+            ab = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+            return _verify_rows(ab, lambda x, i: lk[x], lambda y, i: lk[y])
+
+        confirmed_ds = cand.map_batches(verify_bcast, batch_format="pyarrow")
+    else:
+        sets_a = sets.map_batches(rename({"doc_id": "a", "hs": "sh_a"}), batch_format="pyarrow")
+        sets_b = sets.map_batches(rename({"doc_id": "b", "hs": "sh_b"}), batch_format="pyarrow")
+        with_a = keyed_attach(
+            cand, sets_a, "a", ["sh_a"], right_count=n_cand_ids,
+            broadcast_cap=join_broadcast_cap,
+        )
+        with_b = keyed_attach(
+            with_a, sets_b, "b", ["sh_b"], right_count=n_cand_ids,
+            broadcast_cap=join_broadcast_cap,
+        )
+
+        def verify_join(t: pa.Table) -> pa.Table:
+            ab = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+            ha = t.column("sh_a").to_pylist()
+            hb = t.column("sh_b").to_pylist()
+            return _verify_rows(ab, lambda x, i: ha[i], lambda y, i: hb[i])
+
+        confirmed_ds = with_b.map_batches(verify_join, batch_format="pyarrow")
     # the confirmed-duplicate pair set is the (small) output — collecting IT
     # is bounded by the dup graph, not the corpus
     tables = [t for t in ray.get(confirmed_ds.to_arrow_refs()) if t.num_rows]
@@ -627,6 +726,7 @@ def ngram_jaccard_pairs(
     num: int = 1,
     den: int = 2,
     shingle_freq_cap: int = 1000,
+    join_broadcast_cap: int = 500_000,
 ) -> rd.Dataset:
     """EXACT n-gram (word k-shingle) Jaccard ≥ num/den via distributed
     explode + self-join on shingles — integer arithmetic end-to-end so the
@@ -663,7 +763,7 @@ def ngram_jaccard_pairs(
             }
         )
 
-    sizes = ds.map_batches(size_batch, batch_format="pyarrow", batch_size=2048)
+    sizes = ds.map_batches(size_batch, batch_format="pyarrow", batch_size=2048).materialize()
 
     def pair_counts_shard(g: pd.DataFrame) -> pd.DataFrame:
         """Per-shard: local groupby(sh) → pair combos → local pair counts
@@ -724,10 +824,16 @@ def ngram_jaccard_pairs(
 
         return fn
 
+    n_docs = ds.count()
     sizes_a = sizes.map_batches(rename({"doc_id": "a", "n": "n_a"}), batch_format="pyarrow")
     sizes_b = sizes.map_batches(rename({"doc_id": "b", "n": "n_b"}), batch_format="pyarrow")
     with_sizes = keyed_attach(
-        keyed_attach(pair_counts, sizes_a, "a", ["n_a"]), sizes_b, "b", ["n_b"]
+        keyed_attach(
+            pair_counts, sizes_a, "a", ["n_a"],
+            right_count=n_docs, broadcast_cap=join_broadcast_cap,
+        ),
+        sizes_b, "b", ["n_b"],
+        right_count=n_docs, broadcast_cap=join_broadcast_cap,
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -806,6 +912,13 @@ def embedding_neardup_pairs(
     inherently O(n²) compute; the sub-quadratic scale path is knn_ivf-style
     bucketing (similarity.py) at lower recall."""
     mat = emb.materialize()
+    n = mat.count()
+    # coalesce to matmul-sized blocks: B(B+1)/2 tasks, each an ~8k x 8k
+    # cross product — hundreds of tiny parquet blocks would mean 10^4+
+    # trivial tasks (scheduling-bound), giant blocks blow worker memory
+    target = max(1, min((n + 8191) // 8192, 128))
+    if mat.num_blocks() and abs(mat.num_blocks() - target) > max(2, target // 2):
+        mat = mat.repartition(target).materialize()
     refs = [
         ref
         for bundle in mat.iter_internal_ref_bundles()

@@ -86,13 +86,9 @@ def session_windows(
     of its keys (guaranteed by the hash)."""
 
     def add_shard(t: pa.Table) -> pa.Table:
-        import zlib
+        from .dedup import _add_shard
 
-        keys = t.column(key_col).to_pylist()
-        return t.append_column(
-            "shard",
-            pa.array([zlib.crc32(str(k).encode()) % n_shards for k in keys], pa.int32()),
-        )
+        return _add_shard(t, key_col, n_shards)
 
     def sessions_shard(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, ts_col])

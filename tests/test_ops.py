@@ -139,6 +139,10 @@ def test_minhash_lsh_finds_planted_dups(ray_session):
     hit = planted & found
     assert len(hit) >= 36, (len(hit), stats)  # ≥90% of planted dups found
 
+    # the fully distributed join path (broadcast gate off) must agree exactly
+    pairs_j, _ = minhash_lsh_pairs(ds, threshold=0.6, join_broadcast_cap=0)
+    assert pairs_j.to_pydict() == pairs.to_pydict()
+
     groups = dedup_groups_from_pairs(pairs, tbl.column("doc_id").to_pylist())
     gdf = groups.to_pandas()
     assert len(gdf) == 540
@@ -216,6 +220,15 @@ def test_ngram_jaccard_matches_duckdb(con, docs, ray_session):
         """
     ).df()
     assert got[["a", "b", "n_common"]].values.tolist() == exp[["a", "b", "n_common"]].values.tolist()
+
+    # forced distributed size join (broadcast gate off) must agree exactly
+    got_j = (
+        ngram_jaccard_pairs(docs, k=3, num=1, den=4, join_broadcast_cap=0)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert got_j.values.tolist() == got.values.tolist()
 
 
 def test_knn_brute_vs_numpy(ray_session):
