@@ -283,13 +283,16 @@ class AddSeen:
         self.n = len(shards)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..state.shards import shard_of
+        from ..state.shards import group_indices_by_shard
 
         keys = batch.column("canonical_url").to_pylist()
-        groups: dict[int, list[str]] = {}
-        for k in keys:
-            groups.setdefault(shard_of(k, self.n), []).append(k)
-        ray.get([self.shards[s].add.remote(ks) for s, ks in groups.items()])
+        groups = group_indices_by_shard(keys, self.n)
+        ray.get(
+            [
+                self.shards[s].add.remote([keys[i] for i in idxs])
+                for s, idxs in groups.items()
+            ]
+        )
         return pa.table({"n": pa.array([len(keys)], pa.int64())})
 
 

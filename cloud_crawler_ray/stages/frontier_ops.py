@@ -73,20 +73,19 @@ class SeenFilter:
         self.n = len(shards)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.shards import group_indices_by_shard
+
         keys = batch.column("canonical_url").to_pylist()
         if not keys:
             return batch
-        groups: dict[int, list[int]] = {}
-        for i, k in enumerate(keys):
-            groups.setdefault(shard_of(k, self.n), []).append(i)
+        groups = group_indices_by_shard(keys, self.n)
         futs = {
             sid: self.shards[sid].check.remote([keys[i] for i in idxs])
             for sid, idxs in groups.items()
         }
         mask = np.zeros(len(keys), dtype=bool)
         for sid, idxs in groups.items():
-            for i, unseen in zip(idxs, ray.get(futs[sid])):
-                mask[i] = unseen
+            mask[idxs] = ray.get(futs[sid])
         return batch.filter(pa.array(mask))
 
 

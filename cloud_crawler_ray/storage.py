@@ -23,11 +23,30 @@ except ImportError:
 
 
 def write_table(ds: rd.Dataset, path: str) -> None:
+    """Write a Dataset as one table partition. Lance branch is real and
+    import-gated (north_rule names Lance tables); the sandbox has no
+    pylance wheel and no network, so parquet is the active format — same
+    schemas, same directory-per-partition layout either way."""
     os.makedirs(path, exist_ok=True)
+    if HAVE_LANCE:
+        import lance
+
+        # stream batches into the lance writer — no full materialization
+        schema = ds.schema().base_schema
+        batches = ds.iter_batches(batch_format="pyarrow")
+        lance.write_dataset(iter(batches), path, schema=schema, mode="overwrite")
+        return
     ds.write_parquet(path)
 
 
 def read_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
+    if HAVE_LANCE and os.path.isdir(path) and any(
+        n.endswith(".lance") or n == "_versions" for n in os.listdir(path)
+    ):
+        import lance
+
+        t = lance.dataset(path).to_table(columns=columns)
+        return rd.from_arrow(t)
     return rd.read_parquet(path, columns=columns)
 
 
