@@ -133,6 +133,22 @@ def test_curl_mode(ray_session, tmp_path):
     assert handle.n_jobs == 2  # duplicates fetched, no dedup
 
 
+def test_procedural_web_matches_materialized(ray_session, tmp_path):
+    """The bench's ProceduralWeb (pages computed on demand in fetch workers)
+    must crawl identically to the materialized table of the same params —
+    this pins the correctness of the measured benchmark pipeline."""
+    from cloud_crawler_ray.synthweb import ProceduralWeb, SkewedWebParams, make_skewed_web
+
+    params = SkewedWebParams(n_pages=120, n_hosts=4, seed=9)
+    web_tbl, seeds = make_skewed_web(120, n_hosts=4, seed=9)
+    pweb = ProceduralWeb(params)
+    assert pweb.seeds() == seeds
+    spec = CrawlSpec(delay=0.05)
+    res = crawl_oracle(web_tbl, seeds, spec)
+    handle = crawl(pweb, seeds, spec, str(tmp_path / "out"))
+    assert_parity(res, handle)
+
+
 def test_recur_crawl(ray_session, tmp_path):
     """queue.recur analog: N recurring rounds, each a fresh full crawl in
     its own partition, every round identical to the oracle."""
