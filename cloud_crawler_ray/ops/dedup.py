@@ -6,9 +6,13 @@ where a DuckDB oracle hash-compares results.
 Scale notes (10^10-doc posture, exercised at 10^3-10^5):
 - signatures are fixed-width per doc → shuffle volume is O(docs), not O(text)
 - candidate generation caps hot buckets/shingles (logged, never silent)
-- pair verification joins only candidate ids back to content; at test scale
-  the candidate set is collected (provably ≤ cap²·buckets), at real scale
-  the same verify is a bucket-wise map_groups join
+- NOTHING materializes the corpus on the driver: pair verification reaches
+  content via keyed_attach (size-gated: object-store broadcast under the
+  cap, hash-repartition join above it — both exact, the join path
+  test-forced); duplicate components come from the bounded pair graph
+  (driver union-find under a cap, distributed hash-min label propagation
+  above it); exact embedding near-dup is a block-pair cross product over
+  object-store block refs
 """
 
 from __future__ import annotations
