@@ -333,6 +333,7 @@ def crawl(
     fetch_batch_size: int = 512,
     fetch_mode: str = "tasks",
     small_wave_threshold: int = 100_000,
+    driver_fetch_threshold: int = 256,
     max_waves: int | None = None,
     resume: bool = False,
     state: ShardedState | None = None,
@@ -362,6 +363,7 @@ def crawl(
             fetch_batch_size=fetch_batch_size,
             fetch_mode=fetch_mode,
             small_wave_threshold=small_wave_threshold,
+            driver_fetch_threshold=driver_fetch_threshold,
             max_waves=max_waves, resume=resume,
         )
     finally:
@@ -387,7 +389,7 @@ def _collect_if_small(ds: rd.Dataset, threshold: int) -> tuple[pa.Table | None, 
 def _crawl_inner(
     web, seeds, spec, out_dir, state,
     *, fetch_concurrency, fetch_batch_size, fetch_mode,
-    small_wave_threshold, max_waves, resume,
+    small_wave_threshold, driver_fetch_threshold, max_waves, resume,
 ) -> CrawlHandle:
     import math
     import sys
@@ -496,6 +498,8 @@ def _crawl_inner(
             fr_ds = rd.from_arrow(pa.table({c: [] for c in _FRONTIER_COLS}))
         fr_tbl, fr_ds = _collect_if_small(fr_ds, small_wave_threshold)
 
+    driver_fx: FetchExtract | None = None  # in-process fetcher for tiny waves
+
     if start_wave == 0:
         # root-job do_pre_batch → do_before_crawl (batch_job.rb:219-224)
         fire_hook(
@@ -593,21 +597,37 @@ def _crawl_inner(
         )
 
         # --- fetch + extract (single consumption → durable raw) ---
-        if fetch_mode == "tasks":
-            raw = fetch_in.map_batches(
-                make_fetch_fn(web_ref, spec, wave, crawl_id, cookie_hdrs),
-                batch_format="pyarrow",
-                batch_size=fetch_batch_size,
-            )
+        # a wave smaller than one fetch batch gains nothing from a
+        # distributed execution (~0.5-1 s floor per wave); run it in-process
+        # — same FetchExtract, same output files (hybrid-planner philosophy;
+        # real waves and actor mode always go distributed)
+        if (
+            local
+            and fetch_mode == "tasks"
+            and n_jobs <= driver_fetch_threshold
+        ):
+            if driver_fx is None:
+                driver_fx = FetchExtract(web_ref, spec, wave, cookie_hdrs)
+            driver_fx.wave = wave
+            driver_fx.cookie_hdrs = cookie_hdrs
+            os.makedirs(raw_dir, exist_ok=True)
+            pq.write_table(driver_fx(fm_tbl), os.path.join(raw_dir, "part-0.parquet"))
         else:
-            raw = fetch_in.map_batches(
-                FetchExtract,
-                fn_constructor_args=(web_ref, spec, wave, cookie_hdrs),
-                batch_format="pyarrow",
-                batch_size=fetch_batch_size,
-                concurrency=fetch_concurrency,
-            )
-        raw.write_parquet(raw_dir)
+            if fetch_mode == "tasks":
+                raw = fetch_in.map_batches(
+                    make_fetch_fn(web_ref, spec, wave, crawl_id, cookie_hdrs),
+                    batch_format="pyarrow",
+                    batch_size=fetch_batch_size,
+                )
+            else:
+                raw = fetch_in.map_batches(
+                    FetchExtract,
+                    fn_constructor_args=(web_ref, spec, wave, cookie_hdrs),
+                    batch_format="pyarrow",
+                    batch_size=fetch_batch_size,
+                    concurrency=fetch_concurrency,
+                )
+            raw.write_parquet(raw_dir)
         _prof(f"w{wave} fetch_extract_write")
 
         # --- seen delta (job urls + fetched page urls) + commit ---

@@ -125,6 +125,17 @@ def test_transient_retry_semantics(ray_session, tmp_path):
     assert t["ok"] == t["dead4"] + 40 + delay
 
 
+def test_distributed_task_fetch(ray_session, tmp_path):
+    """driver_fetch_threshold=0 forces every wave through the distributed
+    task-mode fetch even for tiny waves (the default runs sub-batch waves
+    in-process); results must be identical."""
+    web, seeds = webs.small_dag()
+    spec = CrawlSpec(delay=0.1)
+    res = crawl_oracle(web, seeds, spec)
+    handle = crawl(web, seeds, spec, str(tmp_path / "out"), driver_fetch_threshold=0)
+    assert_parity(res, handle)
+
+
 def test_curl_mode(ray_session, tmp_path):
     web, seeds = webs.small_dag()
     spec = CrawlSpec(follow_links=False)
