@@ -905,6 +905,167 @@ def _block_pair_sims(pa_, pb_, threshold: float, same: bool) -> pa.Table:
     )
 
 
+def embedding_neardup_lsh(
+    emb: rd.Dataset,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    n_planes: int = 14,
+    n_tables: int = 8,
+    seed: int = 13,
+    bucket_cap: int = 2000,
+    join_broadcast_cap: int = 500_000,
+) -> tuple[pa.Table, dict]:
+    """Sub-quadratic embedding near-dup — the at-scale path next to the
+    exact block-pair join: random-hyperplane LSH (per table, bucket on the
+    sign pattern of n_planes projections; cos ≥ t pairs collide in one
+    table with prob 1-(θ/π)·n_planes-ish, recall stacked over n_tables),
+    candidate pairs from bucket co-membership, exact cosine verify with
+    vectors attached via the size-gated keyed join. Over-cap buckets are
+    skipped and COUNTED (no silent drops). Returns (pairs, stats); recall
+    vs the exact op is pinned in tests."""
+    first = emb.limit(1).take_all()
+    if not first:
+        return (
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())}),
+            {"candidate_pairs": 0, "confirmed_pairs": 0, "skipped_buckets": 0},
+        )
+    dim = len(first[0]["embedding"])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    planes_ref = ray.put(planes)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        P = ray.get(planes_ref)
+        ids, M = _emb_matrix(t, id_col)
+        out_ids, out_buckets = [], []
+        for ti in range(n_tables):
+            bits = (M @ P[ti].T) > 0  # (n, n_planes) sign pattern
+            keys = np.packbits(bits, axis=1, bitorder="little")[:, :2]
+            codes = keys[:, 0].astype(np.int64) + (
+                keys[:, 1].astype(np.int64) << 8 if keys.shape[1] > 1 else 0
+            )
+            out_ids.extend(int(i) for i in ids)
+            out_buckets.extend(f"{ti}:{c}" for c in codes)
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()),
+             "bucket": pa.array(out_buckets, pa.string())}
+        )
+
+    def bucket_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # over-cap buckets emit one (-1,-1) sentinel row each — counted,
+        # never silently dropped
+        out_a, out_b = [], []
+        for _, grp in g.groupby("bucket"):
+            ids = sorted(grp["doc_id"].tolist())
+            if len(ids) < 2:
+                continue
+            if len(ids) > bucket_cap:
+                out_a.append(-1)
+                out_b.append(-1)
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype=np.int64), "b": pd.Series(out_b, dtype=np.int64)}
+        )
+
+    def dedup_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
+
+    def shard_on_pair(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "pshard", pa.array(((a * 1000003 + b) % _N_SHARDS).astype(np.int32))
+        )
+
+    bucketed = emb.map_batches(bucketize, batch_format="pyarrow").map_batches(
+        lambda t: _add_shard(t, "bucket"), batch_format="pyarrow"
+    )
+    raw_pairs = (
+        bucketed.groupby("shard")
+        .map_groups(bucket_pairs_shard, batch_format="pandas")
+        .materialize()
+    )
+    skipped = int(
+        raw_pairs.map_batches(
+            lambda t: pa.table(
+                {"s": pa.array(
+                    [int(pc.sum(pc.cast(pc.equal(t.column("a"), -1), pa.int64())).as_py() or 0)],
+                    pa.int64(),
+                )}
+            ),
+            batch_format="pyarrow",
+        ).sum("s")
+        or 0
+    )
+    cand = (
+        raw_pairs.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("a"), -1)), batch_format="pyarrow"
+        )
+        .map_batches(shard_on_pair, batch_format="pyarrow")
+        .groupby("pshard")
+        .map_groups(dedup_pairs_shard, batch_format="pandas")
+        .materialize()
+    )
+    stats = {"candidate_pairs": cand.count(), "skipped_buckets": skipped}
+
+    n_vecs = emb.count()
+    emb_a = emb.map_batches(
+        lambda t: pa.table({"a": t.column(id_col), "va": t.column("embedding")}),
+        batch_format="pyarrow",
+    )
+    emb_b = emb.map_batches(
+        lambda t: pa.table({"b": t.column(id_col), "vb": t.column("embedding")}),
+        batch_format="pyarrow",
+    )
+    with_a = keyed_attach(
+        cand, emb_a, "a", ["va"], right_count=n_vecs, broadcast_cap=join_broadcast_cap
+    )
+    with_b = keyed_attach(
+        with_a, emb_b, "b", ["vb"], right_count=n_vecs, broadcast_cap=join_broadcast_cap
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        out = {"a": [], "b": [], "cos": []}
+        for a_, b_, va, vb in zip(
+            t.column("a").to_pylist(), t.column("b").to_pylist(),
+            t.column("va").to_pylist(), t.column("vb").to_pylist(),
+        ):
+            x = np.asarray(va, dtype=np.float64)
+            y = np.asarray(vb, dtype=np.float64)
+            c = float(
+                x @ y / max(np.linalg.norm(x) * np.linalg.norm(y), 1e-12)
+            )
+            if c >= threshold:
+                out["a"].append(a_)
+                out["b"].append(b_)
+                out["cos"].append(c)
+        return pa.table(
+            {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64()),
+             "cos": pa.array(out["cos"], pa.float64())}
+        )
+
+    tables = [
+        t for t in ray.get(with_b.map_batches(verify, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows and "a" in t.column_names
+    ]
+    if not tables:
+        stats["confirmed_pairs"] = 0
+        return (
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "cos": pa.array([], pa.float64())}),
+            stats,
+        )
+    out = pa.concat_tables(tables)
+    out = out.take(pc.sort_indices(out, sort_keys=[("a", "ascending"), ("b", "ascending")]))
+    stats["confirmed_pairs"] = out.num_rows
+    return out, stats
+
+
 def embedding_neardup_pairs(
     emb: rd.Dataset, threshold: float = 0.95, id_col: str = "vec_id"
 ) -> pa.Table:

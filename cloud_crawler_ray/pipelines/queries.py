@@ -245,6 +245,18 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_pairs(_docs(sf_dir), hamming_threshold=3)
 
 
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Sub-quadratic LSH variant of embedding near-dup (the at-scale path;
+    the exact block-pair op is the SQL-checked baseline). Deterministic
+    seed → stable output; recall pinned vs exact in tests."""
+    from ..ops.dedup import embedding_neardup_lsh
+
+    pairs, _stats = embedding_neardup_lsh(
+        _emb(sf_dir), threshold=0.5, n_planes=6, n_tables=16
+    )
+    return pairs.select(["a", "b"])
+
+
 def q_knn_ivf(sf_dir: str):
     from ..ops.similarity import knn_ivf
 
@@ -311,6 +323,7 @@ QUERIES = {
     "seq_assign": q_seq_assign,
     "knn_cosine": q_knn_cosine,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "windowed_count": q_windowed_count,
     "session_windows": q_session_windows,
     "lang_id": q_lang_id,

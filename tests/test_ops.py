@@ -293,6 +293,35 @@ def test_embedding_neardup_pairs(ray_session):
     assert len(found) <= 4  # random 16-d vectors rarely collide at 0.99
 
 
+def test_embedding_neardup_lsh_recall(ray_session):
+    """Random-hyperplane LSH near-dup: precision is exact by construction
+    (in-bucket cosine verify); recall vs the exact block-pair op must be
+    high on planted near-dups at the default params."""
+    import numpy as np
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import embedding_neardup_lsh, embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((400, 32))
+    ids = list(range(400))
+    vecs = [list(map(float, v)) for v in base]
+    for k in range(40):  # planted near-dups of the first 40 vectors
+        ids.append(1000 + k)
+        vecs.append(list(map(float, base[k] + 0.05 * rng.standard_normal(32))))
+    emb_tbl = pa.table({"vec_id": pa.array(ids, pa.int64()), "embedding": vecs})
+
+    exact = embedding_neardup_pairs(rd.from_arrow(emb_tbl), threshold=0.9)
+    approx, stats = embedding_neardup_lsh(rd.from_arrow(emb_tbl), threshold=0.9)
+    exact_pairs = set(zip(exact["a"].to_pylist(), exact["b"].to_pylist()))
+    approx_pairs = set(zip(approx["a"].to_pylist(), approx["b"].to_pylist()))
+    assert len(exact_pairs) >= 35  # the planted dups are really above 0.9
+    assert approx_pairs <= exact_pairs  # exact verify ⇒ no false positives
+    recall = len(approx_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.9, (recall, stats)
+    assert stats["skipped_buckets"] == 0
+
+
 def test_multimodal_plumbing(ray_session, tmp_path):
     import ray.data as rd
 
