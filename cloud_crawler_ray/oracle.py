@@ -324,8 +324,7 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
         # filter; job_limit caps the wave, remainder carries to the next pool
         # (batch_job.rb:229-241 spill-to-checkpoint)
         frontier.sort(key=lambda j: (j["parent_seq"], j["ordinal"]))
-        jobs = []
-        rest: list[dict] = []
+        admitted: list[dict] = []
         in_wave: set[str] = set()
         for j in frontier:
             c = canonical_url(j["url"])
@@ -333,10 +332,18 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
                 if c in res.seen or c in in_wave:
                     continue
                 in_wave.add(c)
-            if spec.job_limit is not None and len(jobs) >= spec.job_limit:
-                rest.append(j)
-            else:
-                jobs.append(j)
+            admitted.append(j)
+        # priority ordering (north-rule priority queue): dedup attribution
+        # above stays (parent_seq, ordinal)-first; the PROCESSING order — and
+        # hence which jobs the cap keeps — is priority-first
+        if spec.priority_fn is not None:
+            admitted.sort(
+                key=lambda j: (-int(spec.priority_fn(j)), j["parent_seq"], j["ordinal"])
+            )
+        if spec.job_limit is not None:
+            jobs, rest = admitted[: spec.job_limit], admitted[spec.job_limit :]
+        else:
+            jobs, rest = admitted, []
         if not jobs:
             break  # engine breaks at n_jobs == 0 before firing batch hooks
         fire_hook(

@@ -221,15 +221,32 @@ def _plan_wave_local(
     if cand.num_rows == 0:
         return cand, spill
 
-    order = pc.sort_indices(
-        cand, sort_keys=[("parent_seq", "ascending"), ("ordinal", "ascending")]
-    )
+    # processing order: priority-first when a priority_fn is set (the
+    # north-rule priority queue; with job_limit the cap keeps the
+    # top-priority jobs), else pure (parent_seq, ordinal) BFS order
+    if spec.priority_fn is not None:
+        prio = pa.array(
+            [int(spec.priority_fn(r)) for r in cand.to_pylist()], pa.int64()
+        )
+        cand = cand.append_column("prio", prio)
+        sort_keys = [
+            ("prio", "descending"),
+            ("parent_seq", "ascending"),
+            ("ordinal", "ascending"),
+        ]
+    else:
+        sort_keys = [("parent_seq", "ascending"), ("ordinal", "ascending")]
+    order = pc.sort_indices(cand, sort_keys=sort_keys)
     cand = cand.take(order)
     # job_limit throttle: cap the wave, spill the (post-dedup, still-sorted)
     # remainder for the next wave's pool (batch_job.rb:229-241)
     if spec.job_limit is not None and cand.num_rows > spec.job_limit:
         spill = cand.slice(spec.job_limit)
         cand = cand.slice(0, spec.job_limit)
+    if "prio" in cand.column_names:
+        cand = cand.drop_columns(["prio"])
+        if "prio" in spill.column_names:
+            spill = spill.drop_columns(["prio"])
     n = cand.num_rows
     cand = cand.append_column(
         "seq", pa.array(np.arange(base_seq, base_seq + n, dtype=np.int64))
@@ -549,7 +566,20 @@ def _crawl_inner(
                 f = dedup_candidates(f)
                 f = filter_unseen(f, state)
             _prof("pre")
-            f = zip_with_index(f, ["parent_seq", "ordinal"], col="seq", base=next_seq)
+            if spec.priority_fn is not None:
+                pf = spec.priority_fn
+
+                def add_neg_prio(t: pa.Table, pf=pf) -> pa.Table:
+                    return t.append_column(
+                        "neg_prio",
+                        pa.array([-int(pf(r)) for r in t.to_pylist()], pa.int64()),
+                    )
+
+                f = f.map_batches(add_neg_prio, batch_format="pyarrow")
+                sort_cols = ["neg_prio", "parent_seq", "ordinal"]
+            else:
+                sort_cols = ["parent_seq", "ordinal"]
+            f = zip_with_index(f, sort_cols, col="seq", base=next_seq)
             n_jobs = f.count()
             if n_jobs == 0:
                 break
@@ -576,7 +606,9 @@ def _crawl_inner(
             f = assign_slots(f, state, chain_idx_ref, delay_ms)
             w = wave
             f = f.map_batches(
-                lambda t, w=w: t.append_column("wave", pa.array([w] * t.num_rows, pa.int32())),
+                lambda t, w=w: (
+                    t.drop_columns(["neg_prio"]) if "neg_prio" in t.column_names else t
+                ).append_column("wave", pa.array([w] * t.num_rows, pa.int32())),
                 batch_format="pyarrow",
             )
             f.write_parquet(fdir)

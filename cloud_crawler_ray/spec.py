@@ -50,6 +50,16 @@ class CrawlSpec:
     # preserves the uncapped per-URL seq order because candidate priority
     # (parent_seq, ordinal) is monotone across waves).
     job_limit: int | None = None
+    # Optional frontier priority (the north-rule "priority queue" surface):
+    # a callable over the candidate row dict {url, referer, depth,
+    # parent_seq, ordinal} returning an int; each wave's admitted jobs are
+    # ordered by (priority DESC, parent_seq, ordinal) before seq assignment,
+    # so higher-priority URLs fetch first — and with job_limit set, the cap
+    # keeps the TOP-priority jobs and spills the rest (best-first crawling
+    # under a budget). None = pure BFS order (the reference's ordering).
+    # In-wave dedup attribution (which parent claims a URL) stays
+    # first-(parent_seq, ordinal) regardless of priority.
+    priority_fn: Callable[[dict], int] | None = None
 
     # hooks (executed in the extract stage, in reference order)
     on_every_page: Callable[[dict], Any] | None = None        # do_page_blocks

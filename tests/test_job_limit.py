@@ -73,6 +73,46 @@ def test_job_limit_curl_mode(ray_session, tmp_path):
     assert handle.waves == 3  # 3 + 3 + 1
 
 
+def _prefer_branch_2(job: dict) -> int:
+    return 1 if "/r-2" in job["url"] else 0
+
+
+def test_priority_queue_ordering(ray_session, tmp_path):
+    """priority_fn orders each wave's jobs (priority DESC, then BFS order) —
+    the north-rule priority-queue surface; engine matches oracle exactly."""
+    web, seeds = webs.branching_web(branch=3, depth=2)
+    spec = CrawlSpec(priority_fn=_prefer_branch_2, delay=0.1)
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)
+    seq = {r["url"].rsplit("/", 1)[1]: r["seq"] for r in handle.crawl_order().take_all()}
+    # in wave 1 the priority-1 branch root fetches before its siblings
+    assert seq["r-2"] < seq["r-0"] < seq["r-1"]
+
+
+def test_priority_queue_distributed(ray_session, tmp_path):
+    web, seeds = webs.branching_web(branch=3, depth=2)
+    spec = CrawlSpec(priority_fn=_prefer_branch_2)
+    res = crawl_oracle(web, seeds, spec)
+    handle = crawl(web, seeds, spec, str(tmp_path / "out"), small_wave_threshold=0)
+    assert_parity(res, handle)
+
+
+def test_priority_with_job_limit_is_best_first(ray_session, tmp_path):
+    """With a cap, the kept jobs are the TOP-priority ones; the rest spill."""
+    web, seeds = webs.branching_web(branch=3, depth=2)
+    spec = CrawlSpec(priority_fn=_prefer_branch_2, job_limit=2)
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)
+    order = [
+        r["url"].rsplit("/", 1)[1]
+        for r in sorted(handle.crawl_order().take_all(), key=lambda r: r["seq"])
+    ]
+    # wave 0: r; wave 1 (cap 2): r-2 first (priority), then r-0; r-1 spills
+    # and is outranked next wave by r-2's children (also priority-1)
+    assert order[:3] == ["r", "r-2", "r-0"]
+    assert order.index("r-1") > order.index("r-2-0")
+
+
 def test_job_limit_resume_mid_spill(ray_session, tmp_path):
     """Kill after a capped wave committed (spill pending on disk): resume
     must drain the spill and match the oracle exactly."""
