@@ -150,6 +150,31 @@ def test_minhash_lsh_finds_planted_dups(ray_session):
     assert (~dup_rows["keep"]).sum() >= 36
 
 
+def test_keyed_attach_both_paths(ray_session):
+    """keyed_attach: broadcast and join paths agree, unmatched left keys get
+    nulls, int payload types survive the pandas round-trip."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import keyed_attach
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 99], pa.int64()), "x": ["a", "b", "c", "d"]})
+    )
+    right = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "n": pa.array([10, 20, 30], pa.int64())})
+    )
+    for cap in (10, 0):  # broadcast path, then forced join path
+        out = (
+            keyed_attach(left, right, "k", ["n"], right_count=3, broadcast_cap=cap)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert out["k"].tolist() == [1, 2, 3, 99]
+        assert out["n"].tolist()[:3] == [10, 20, 30]
+        assert pd.isna(out["n"].iloc[3])
+
+
 def test_dedup_groups_distributed_matches_driver(ray_session):
     """dedup_groups: hash-min label propagation (forced via driver_pair_cap=0)
     must produce identical (doc_id, group_rep, keep) rows to the driver-side
