@@ -53,6 +53,22 @@ def _add_shard(batch: pa.Table, col: str, n_shards: int = _N_SHARDS) -> pa.Table
     return batch.append_column("shard", pa.array(shards, pa.int32()))
 
 
+def _collect_arrow(ds: rd.Dataset, columns: list[str]) -> list[pa.Table]:
+    """Collect a (small, pair-bounded) Dataset's non-empty blocks as Arrow
+    tables with the given columns. Zero-row pandas blocks from upstream
+    map_groups stages can pass through map_batches untransformed — they are
+    dropped here."""
+    out = []
+    for t in ray.get(ds.to_arrow_refs()):
+        if isinstance(t, pd.DataFrame):
+            if not len(t):
+                continue
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_rows and set(columns) <= set(t.column_names):
+            out.append(t.select(columns))
+    return out
+
+
 def keyed_attach(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -429,12 +445,8 @@ def minhash_lsh_pairs(
         confirmed_ds = with_b.map_batches(verify_join, batch_format="pyarrow")
     # the confirmed-duplicate pair set is the (small) output — collecting IT
     # is bounded by the dup graph, not the corpus
-    tables = [t for t in ray.get(confirmed_ds.to_arrow_refs()) if t.num_rows]
-    confirmed = (
-        pa.concat_tables([t.select(empty.column_names) for t in tables])
-        if tables
-        else empty
-    )
+    tables = _collect_arrow(confirmed_ds, empty.column_names)
+    confirmed = pa.concat_tables(tables) if tables else empty
     if confirmed.num_rows:
         confirmed = confirmed.take(
             pc.sort_indices(confirmed, sort_keys=[("a", "ascending"), ("b", "ascending")])
@@ -954,23 +966,30 @@ def embedding_neardup_lsh(
 
     def bucket_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
         # over-cap buckets emit one (-1,-1) sentinel row each — counted,
-        # never silently dropped
-        out_a, out_b = [], []
+        # never silently dropped. Pair combos are vectorized (triu_indices).
+        frames = []
+        skipped = 0
         for _, grp in g.groupby("bucket"):
-            ids = sorted(grp["doc_id"].tolist())
-            if len(ids) < 2:
+            ids = np.sort(grp["doc_id"].to_numpy().astype(np.int64))
+            m = len(ids)
+            if m < 2:
                 continue
-            if len(ids) > bucket_cap:
-                out_a.append(-1)
-                out_b.append(-1)
+            if m > bucket_cap:
+                skipped += 1
                 continue
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype=np.int64), "b": pd.Series(out_b, dtype=np.int64)}
-        )
+            i, j = np.triu_indices(m, 1)
+            frames.append(pd.DataFrame({"a": ids[i], "b": ids[j]}))
+        if skipped:
+            frames.append(
+                pd.DataFrame(
+                    {"a": np.full(skipped, -1, np.int64), "b": np.full(skipped, -1, np.int64)}
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
+            )
+        return pd.concat(frames, ignore_index=True)
 
     def dedup_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
@@ -1030,29 +1049,32 @@ def embedding_neardup_lsh(
     )
 
     def verify(t: pa.Table) -> pa.Table:
-        out = {"a": [], "b": [], "cos": []}
-        for a_, b_, va, vb in zip(
-            t.column("a").to_pylist(), t.column("b").to_pylist(),
-            t.column("va").to_pylist(), t.column("vb").to_pylist(),
-        ):
-            x = np.asarray(va, dtype=np.float64)
-            y = np.asarray(vb, dtype=np.float64)
-            c = float(
-                x @ y / max(np.linalg.norm(x) * np.linalg.norm(y), 1e-12)
+        # vectorized row-wise cosine over the whole batch (a Python loop
+        # here costs ~2 µs/pair x millions of candidates)
+        if t.num_rows == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cos": pa.array([], pa.float64())}
             )
-            if c >= threshold:
-                out["a"].append(a_)
-                out["b"].append(b_)
-                out["cos"].append(c)
+        A = np.asarray(t.column("va").to_pylist(), dtype=np.float64)
+        B = np.asarray(t.column("vb").to_pylist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.maximum(
+            np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1), 1e-12
+        )
+        cos = num / den
+        keep = cos >= threshold
         return pa.table(
-            {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64()),
-             "cos": pa.array(out["cos"], pa.float64())}
+            {
+                "a": pc.cast(t.column("a"), pa.int64()).filter(pa.array(keep)),
+                "b": pc.cast(t.column("b"), pa.int64()).filter(pa.array(keep)),
+                "cos": pa.array(cos[keep], pa.float64()),
+            }
         )
 
-    tables = [
-        t for t in ray.get(with_b.map_batches(verify, batch_format="pyarrow").to_arrow_refs())
-        if t.num_rows and "a" in t.column_names
-    ]
+    tables = _collect_arrow(
+        with_b.map_batches(verify, batch_format="pyarrow"), ["a", "b", "cos"]
+    )
     if not tables:
         stats["confirmed_pairs"] = 0
         return (

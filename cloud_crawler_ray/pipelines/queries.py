@@ -247,13 +247,14 @@ def q_simhash_pairs(sf_dir: str):
 
 def q_embedding_neardup_lsh(sf_dir: str):
     """Sub-quadratic LSH variant of embedding near-dup (the at-scale path;
-    the exact block-pair op is the SQL-checked baseline). Deterministic
+    the exact block-pair op is the SQL-checked baseline). Runs at the
+    realistic near-dup threshold 0.9 where hyperplane LSH prunes hard —
+    at looser thresholds (e.g. the baseline's 0.5) candidate buckets
+    approach all-pairs and the exact op is the right tool. Deterministic
     seed → stable output; recall pinned vs exact in tests."""
     from ..ops.dedup import embedding_neardup_lsh
 
-    pairs, _stats = embedding_neardup_lsh(
-        _emb(sf_dir), threshold=0.5, n_planes=6, n_tables=16
-    )
+    pairs, _stats = embedding_neardup_lsh(_emb(sf_dir), threshold=0.9)
     return pairs.select(["a", "b"])
 
 
