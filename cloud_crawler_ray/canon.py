@@ -58,6 +58,10 @@ _ABS_FAST_RE = re.compile(
 )
 
 
+_REL_FAST_RE = re.compile(r"^/?[a-z0-9_~\-][a-z0-9._~\-/]*$")
+_AUTH_FAST_RE = re.compile(r"^(https?://[a-z0-9.\-]+(?::[0-9]+)?)/")
+
+
 def to_absolute(link: str, page_url: str, base_url: str | None = None) -> str | None:
     """Absolutize *link* against *base_url* (from <base href>) or *page_url*.
 
@@ -70,6 +74,21 @@ def to_absolute(link: str, page_url: str, base_url: str | None = None) -> str | 
         # already absolute with a safe charset: anchor-strip, re-encode,
         # urljoin and ensure_path are all provably identity
         return link
+    if (
+        base_url is None
+        and "/." not in link
+        and _REL_FAST_RE.match(link)
+        and "?" not in page_url
+        and "#" not in page_url
+    ):
+        # plain relative reference against a clean page URL: anchor-strip
+        # and re-encode are identity (safe charset, no '#'/'%'), urljoin is
+        # a plain path merge (no dot segments), ensure_path is identity
+        m = _AUTH_FAST_RE.match(page_url)
+        if m:
+            if link[0] == "/":
+                return m.group(1) + link
+            return page_url[: page_url.rfind("/") + 1] + link
     try:
         link = reencode(strip_anchor(str(link)))
         root = base_url if base_url else page_url

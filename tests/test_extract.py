@@ -75,3 +75,63 @@ def test_fakepage_render_roundtrip():
     ]
     kinds = [s[0] for s in ex.spans]
     assert "image" in kinds and "link" in kinds and "text" in kinds
+
+
+EDGE_BODIES = [
+    b"<html><body><p>plain</p></body></html>",
+    b'<a href="/x">quoted</a><a href=\'/y\'>single</a><a href=/z>bare</a>',
+    b"<A HREF='/up'>UPPER tags</A><IMG SRC='/m.png'>",
+    b"<!-- <a href='/ghost'>comment</a> --><a href='/real'>r</a>",
+    b"<!DOCTYPE html><html><body><p>doc</p></body></html>",
+    b"<img src='/self.png'/><video src='/v.mp4'/>",
+    b"<a href='/open'>never closed",
+    b"<script>var x = '<a href=/no>'</script><p>after script</p>",
+    b"<style>a { color: red }</style><title>skip me</title><p>kept</p>",
+    b"<p>ent &amp; ities &lt;kept&gt;</p><a href='/e?a=1&amp;b=2'>ent link</a>",
+    b"<head><base href='http://other.example.com/base/'></head><a href='rel'>r</a>",
+    b"<a href='/a'><b>bold <i>nested</i></b> text</a>",
+    b"<p>text with  runs\n\nand breaks</p><br><hr/>",
+    b"<a href=\"/attr\" title=\"x > y\">gt in attr</a>",
+    b"<a href='/dup' href='/dup2'>dup attr</a>",
+    b"<td>table</td><a href='p1.html'>dotted rel</a><a href='../up'>dots</a>",
+    b"<a href='#'>anchor only</a><a href='?q=1'>query only</a>",
+    b"",
+    b"just text no tags at all",
+]
+
+
+def test_fast_parser_matches_stdlib():
+    """The fast regex tokenizer and the stdlib html.parser drive the same
+    handler; spans, links, and anchor text must be identical across every
+    scenario web, the skewed corpus, and edge-case bodies."""
+    from cloud_crawler_ray.synthweb import make_skewed_web
+    from tests import webs
+
+    bodies: list[tuple[str, bytes]] = []
+    for maker in (
+        webs.small_dag, webs.offdomain_web, webs.redirect_web, webs.query_web,
+        webs.robots_web, webs.auth_web, webs.cookie_gate_web, webs.dead_link_web,
+        webs.branching_web,
+    ):
+        web, _seeds = maker()
+        for url, body, ct in zip(
+            web.column("url").to_pylist(),
+            web.column("body").to_pylist(),
+            web.column("content_type").to_pylist(),
+        ):
+            if ct.startswith("text/html"):
+                bodies.append((url, body))
+    skew, _ = make_skewed_web(300, n_hosts=5, seed=21)
+    for url, body in zip(
+        skew.column("url").to_pylist()[:300], skew.column("body").to_pylist()[:300]
+    ):
+        bodies.append((url, body))
+    for i, b in enumerate(EDGE_BODIES):
+        bodies.append((f"http://www.example.com/edge{i}", b))
+
+    for url, body in bodies:
+        fast = extract_page(url, body, "text/html", tokenizer="fast")
+        slow = extract_page(url, body, "text/html", tokenizer="stdlib")
+        assert fast.spans == slow.spans, (url, body)
+        assert fast.links == slow.links, (url, body)
+        assert fast.anchor_text == slow.anchor_text, (url, body)
