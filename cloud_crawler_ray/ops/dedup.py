@@ -198,17 +198,27 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_SHINGLE_CACHE: dict[str, int] = {}
+
+
+def _shingle_hash_one(s: str) -> int:
+    """Memoized shingle hash — k-char shingles repeat heavily (Zipfian), and
+    a blake2b per occurrence dominated signature time. Bounded cache."""
+    h = _SHINGLE_CACHE.get(s)
+    if h is None:
+        if len(_SHINGLE_CACHE) > 2_000_000:
+            _SHINGLE_CACHE.clear()
+        h = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+        _SHINGLE_CACHE[s] = h
+    return h
+
+
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     sh = T.char_shingles(text, k)
     if not sh:
         return np.array([0], dtype=np.uint64)
     return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
-            for s in sh
-        ),
-        dtype=np.uint64,
-        count=len(sh),
+        (_shingle_hash_one(s) for s in sh), dtype=np.uint64, count=len(sh)
     )
 
 
