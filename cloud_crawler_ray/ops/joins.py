@@ -1,0 +1,117 @@
+"""Distributed as-of join — a custom operator Ray Data lacks.
+
+For each left row, find the right-side row with the greatest "time" ≤ the
+left row's time among rows sharing the join key (direction="backward",
+inclusive). Shape: hash-partition BOTH sides by key into shards
+(union-with-tag, one shuffle), then one vectorized ``pandas.merge_asof``
+per shard — every key's rows land in exactly one shard, so the per-shard
+merge is globally correct. Partitioning assumption: a shard holds all rows
+of its keys (guaranteed by the hash).
+
+Tie-break: right rows with equal (key, time) resolve to the one greatest by
+*tie_col* (the right side is sorted (time, tie_col) and merge_asof takes
+the last match), making results hash-exact against a SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from .dedup import _add_shard
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tie_col: str | None = None,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Inner as-of join (backward, inclusive). *left* keeps all its columns
+    plus ``asof_<right_ts>`` and the right_payload columns; left rows with
+    no matching right row are dropped (ASOF JOIN inner semantics)."""
+    lcols = list(left.schema().names)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        t = _add_shard(t, key, n_shards)
+        return t.append_column(
+            "_side", pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        )
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        t = _add_shard(t, key, n_shards)
+        return t.append_column(
+            "_side", pa.array(np.ones(t.num_rows, dtype=np.int8))
+        )
+
+    # harmonize schemas for the union: each side gets the other's columns
+    # as typed nulls
+    ls, rs = left.schema(), right.schema()
+    lt = dict(zip(ls.names, ls.types))
+    rt = dict(zip(rs.names, rs.types))
+    lonly = [c for c in ls.names if c not in rt]
+    ronly = [c for c in rs.names if c not in lt]
+    all_cols = list(ls.names) + ronly
+
+    def pad(side_only: list[str], types: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            for c in side_only:
+                t = t.append_column(c, pa.nulls(t.num_rows, type=types[c]))
+            return t.select(all_cols + ["shard", "_side"])
+
+        return fn
+
+    both = (
+        left.map_batches(tag_left, batch_format="pyarrow")
+        .map_batches(pad(ronly, rt), batch_format="pyarrow")
+        .union(
+            right.map_batches(tag_right, batch_format="pyarrow").map_batches(
+                pad(lonly, lt), batch_format="pyarrow"
+            )
+        )
+    )
+
+    out_cols = lcols + [f"asof_{right_ts}"] + right_payload
+    out_schema = pa.schema(
+        [(c, lt[c]) for c in lcols]
+        + [(f"asof_{right_ts}", rt[right_ts])]
+        + [(c, rt[c]) for c in right_payload]
+    )
+
+    def _to_arrow(m: pd.DataFrame) -> pa.Table:
+        # declared schema on every block — empty shards / pandas upcasts
+        # must not leak divergent dtypes into the block stream
+        return pa.table(
+            {
+                f.name: pa.Array.from_pandas(m[f.name], type=f.type, safe=False)
+                for f in out_schema
+            },
+            schema=out_schema,
+        )
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        l = g[g["_side"] == 0][lcols].sort_values(left_ts, kind="stable")
+        rcols = [key, right_ts] + right_payload
+        r_sort = [right_ts] + ([tie_col] if tie_col else [])
+        r = g[g["_side"] == 1][rcols].sort_values(r_sort, kind="stable")
+        if not len(l) or not len(r):
+            return _to_arrow(pd.DataFrame({c: pd.Series([], dtype=object) for c in out_cols}))
+        m = pd.merge_asof(
+            l,
+            r.rename(columns={right_ts: f"asof_{right_ts}"}),
+            left_on=left_ts,
+            right_on=f"asof_{right_ts}",
+            by=key,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m = m.dropna(subset=[f"asof_{right_ts}"])  # inner semantics
+        return _to_arrow(m[out_cols])
+
+    return both.groupby("shard").map_groups(merge, batch_format="pandas")

@@ -69,6 +69,38 @@ def tumbling_sum(
     return out
 
 
+def hopping_counts(
+    ds: rd.Dataset,
+    window_s: int = 3600,
+    hop_s: int = 900,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> pd.DataFrame:
+    """Hopping (sliding) windowed counts: each event lands in
+    window_s/hop_s overlapping windows (window_s must be a multiple of
+    hop_s). Same partial/combine shape as tumbling — the window explosion
+    is pure vectorized column arithmetic inside the partial."""
+    assert window_s % hop_s == 0, "window_s must be a multiple of hop_s"
+    k = window_s // hop_s
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t.column(ts_col), pa.int64()), 1_000_000)
+        e = epoch.to_numpy(zero_copy_only=False)
+        base = (e // hop_s) * hop_s
+        # windows containing t: base, base-hop, ..., base-(k-1)*hop
+        starts = np.concatenate([base - i * hop_s for i in range(k)])
+        keys = t.column(key_col).to_pylist() * k
+        tt = pa.table(
+            {key_col: pa.array(keys), "window_start": pa.array(starts, pa.int64())}
+        )
+        g = tt.group_by([key_col, "window_start"]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "window_start", "partial"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = partials.groupby([key_col, "window_start"], as_index=False)["partial"].sum()
+    return out.rename(columns={"partial": "cnt"})
+
+
 def session_windows(
     ds: rd.Dataset,
     gap_s: int = 1800,

@@ -214,6 +214,66 @@ def q_windowed_count(sf_dir: str):
     return tumbling_counts(ev, window_s=3600)
 
 
+def q_hopping_count(sf_dir: str):
+    """Hopping (sliding) windowed counts — 1h windows every 15min."""
+    from ..ops.windows import hopping_counts
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"])
+    return hopping_counts(ev, window_s=3600, hop_s=900)
+
+
+_DAY_US = 86_400_000_000
+
+
+def q_asof_join(sf_dir: str):
+    """Distributed as-of join: each event matched to the user's latest order
+    on/before the event's date (backward inclusive; ties on date resolve to
+    the max orderkey — hash-exact vs the SQL oracle)."""
+    import pyarrow.compute as pc
+
+    from ..ops.joins import asof_join
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id", "ts"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "k": t.column("user_id"),
+                "d": pc.divide(pc.cast(t.column("ts"), pa.int64()), _DAY_US),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    odr = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "k": t.column("o_custkey"),
+                "od": pc.divide(pc.cast(t.column("o_orderdate"), pa.int64()), _DAY_US),
+                "o_orderkey": t.column("o_orderkey"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        ev, odr, key="k", left_ts="d", right_ts="od",
+        right_payload=["o_orderkey"], tie_col="o_orderkey",
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "asof_days": t.column("asof_od"),
+                "asof_orderkey": t.column("o_orderkey"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based session windows per user (gap > 30 min starts a session)."""
     from ..ops.windows import session_windows
@@ -326,6 +386,8 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "windowed_count": q_windowed_count,
+    "hopping_count": q_hopping_count,
+    "asof_join": q_asof_join,
     "session_windows": q_session_windows,
     "lang_id": q_lang_id,
     "minhash_dedup": q_minhash_dedup,
@@ -424,6 +486,28 @@ ORACLE_SQL = {
                ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
                count(*)::BIGINT AS cnt
         FROM events GROUP BY 1, 2
+    """,
+    "hopping_count": """
+        SELECT event_type,
+               (((epoch_us(ts) // 1000000) // 900) - g.k) * 900 AS window_start,
+               count(*)::BIGINT AS cnt
+        FROM events CROSS JOIN generate_series(0, 3) g(k)
+        GROUP BY 1, 2
+    """,
+    "asof_join": """
+        WITH e AS (SELECT event_id, user_id AS k,
+                          epoch_us(ts) // 86400000000 AS d FROM events),
+             o AS (SELECT o_custkey AS k,
+                          epoch_us(o_orderdate) // 86400000000 AS od,
+                          o_orderkey FROM orders),
+             m AS (SELECT e.event_id, e.k, max(o.od) AS asof_days
+                   FROM e JOIN o ON o.k = e.k AND o.od <= e.d
+                   GROUP BY 1, 2)
+        SELECT m.event_id,
+               m.asof_days::BIGINT AS asof_days,
+               max(o.o_orderkey)::BIGINT AS asof_orderkey
+        FROM m JOIN o ON o.k = m.k AND o.od = m.asof_days
+        GROUP BY 1, 2
     """,
     "session_windows": """
         WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t FROM events),

@@ -150,6 +150,56 @@ def test_minhash_lsh_finds_planted_dups(ray_session):
     assert (~dup_rows["keep"]).sum() >= 36
 
 
+def test_asof_join_semantics(ray_session):
+    """Backward-inclusive as-of: latest right ts <= left ts per key; ties on
+    ts resolve to max tie_col; keys with no prior right row drop."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.joins import asof_join
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "k": pa.array([10, 10, 10, 99], pa.int64()),
+                "t": pa.array([5, 10, 2, 50], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([10, 10, 10, 10], pa.int64()),
+                "rt": pa.array([3, 10, 10, 20], pa.int64()),
+                "val": pa.array([100, 200, 300, 400], pa.int64()),
+            }
+        )
+    )
+    out = (
+        asof_join(left, right, key="k", left_ts="t", right_ts="rt",
+                  right_payload=["val"], tie_col="val")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # id=3 (t=2, earliest rt is 3) and id=4 (k=99) have no match → dropped
+    assert out["id"].tolist() == [1, 2]
+    assert out["asof_rt"].tolist() == [3, 10]  # inclusive match at t=10
+    assert out["val"].tolist() == [100, 300]  # tie at rt=10 → max val
+
+
+def test_hopping_counts_sum(ray_session):
+    """Every event lands in exactly window/hop windows."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.windows import hopping_counts
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type"])
+    n = ev.count()
+    out = hopping_counts(ev, window_s=3600, hop_s=900)
+    assert out["cnt"].sum() == 4 * n
+
+
 def test_keyed_attach_both_paths(ray_session):
     """keyed_attach: broadcast and join paths agree, unmatched left keys get
     nulls, int payload types survive the pandas round-trip."""
