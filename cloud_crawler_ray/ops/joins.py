@@ -23,6 +23,91 @@ import ray.data as rd
 from .dedup import _add_shard
 
 
+def range_join_count(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    left_point: str,
+    right_point: str,
+    width: int,
+    out_id: str,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Banded range join, count form: for each left row, the number of right
+    rows sharing *key* whose point lies in [left_point, left_point + width).
+    Inner semantics: left rows with zero matches drop.
+
+    Shape: one hash-partition of both sides by key, then a sort + binary
+    search sweep per key inside each shard (no per-key cross product — the
+    count is searchsorted(hi) - searchsorted(lo) on the key's sorted right
+    points). Output: (out_id, n_events)."""
+    ls = dict(zip(left.schema().names, left.schema().types))
+
+    def tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = _add_shard(t, key, n_shards)
+            return t.append_column(
+                "_side", pa.array(np.full(t.num_rows, side, dtype=np.int8))
+            )
+
+        return fn
+
+    # harmonized minimal schemas: key, point, id (right id unused)
+    def proj_left(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: t.column(key),
+                "_pt": pa.compute.cast(t.column(left_point), pa.int64()),
+                out_id: t.column(out_id),
+            }
+        )
+
+    def proj_right(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: t.column(key),
+                "_pt": pa.compute.cast(t.column(right_point), pa.int64()),
+                out_id: pa.nulls(t.num_rows, type=ls[out_id]),
+            }
+        )
+
+    both = (
+        left.map_batches(proj_left, batch_format="pyarrow")
+        .map_batches(tag(0), batch_format="pyarrow")
+        .union(
+            right.map_batches(proj_right, batch_format="pyarrow").map_batches(
+                tag(1), batch_format="pyarrow"
+            )
+        )
+    )
+    out_schema = pa.schema([(out_id, ls[out_id]), ("n_events", pa.int64())])
+
+    def sweep(g: pd.DataFrame) -> pa.Table:
+        l = g[g["_side"] == 0]
+        r = g[g["_side"] == 1].sort_values([key, "_pt"], kind="stable")
+        ids_out, counts = [], []
+        r_groups = {k: grp["_pt"].to_numpy() for k, grp in r.groupby(key)}
+        for k, grp in l.groupby(key):
+            pts = r_groups.get(k)
+            if pts is None:
+                continue
+            lo = np.searchsorted(pts, grp["_pt"].to_numpy(), side="left")
+            hi = np.searchsorted(pts, grp["_pt"].to_numpy() + width, side="left")
+            n = hi - lo
+            m = n > 0
+            ids_out.extend(grp[out_id].to_numpy()[m].tolist())
+            counts.extend(n[m].tolist())
+        return pa.table(
+            {
+                out_id: pa.array(ids_out, ls[out_id]),
+                "n_events": pa.array(counts, pa.int64()),
+            },
+            schema=out_schema,
+        )
+
+    return both.groupby("shard").map_groups(sweep, batch_format="pandas")
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -274,6 +274,41 @@ def q_asof_join(sf_dir: str):
     )
 
 
+def q_range_join(sf_dir: str):
+    """Banded range join: per error event, count the same user's events in
+    the preceding hour (window [t-3600, t); errors with none drop)."""
+    import pyarrow.compute as pc
+
+    from ..ops.joins import range_join_count
+
+    def to_secs(t: pa.Table, shift: int) -> pa.Table:
+        secs = pc.divide(pc.cast(t.column("ts"), pa.int64()), 1_000_000)
+        return pa.table(
+            {
+                "k": t.column("user_id"),
+                "t": pc.add(secs, shift),
+                "event_id": t.column("event_id")
+                if "event_id" in t.column_names
+                else pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    errors = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    ).map_batches(
+        lambda t: to_secs(t.filter(pc.equal(t.column("event_type"), "error")), -3600),
+        batch_format="pyarrow",
+    )
+    all_ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    ).map_batches(lambda t: to_secs(t, 0), batch_format="pyarrow")
+    return range_join_count(
+        errors, all_ev, key="k", left_point="t", right_point="t", width=3600,
+        out_id="event_id",
+    )
+
+
 def q_session_windows(sf_dir: str):
     """Gap-based session windows per user (gap > 30 min starts a session)."""
     from ..ops.windows import session_windows
@@ -388,6 +423,7 @@ QUERIES = {
     "windowed_count": q_windowed_count,
     "hopping_count": q_hopping_count,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "session_windows": q_session_windows,
     "lang_id": q_lang_id,
     "minhash_dedup": q_minhash_dedup,
@@ -493,6 +529,15 @@ ORACLE_SQL = {
                count(*)::BIGINT AS cnt
         FROM events CROSS JOIN generate_series(0, 3) g(k)
         GROUP BY 1, 2
+    """,
+    "range_join": """
+        WITH ev AS (SELECT event_id, user_id,
+                           epoch_us(ts) // 1000000 AS t, event_type FROM events)
+        SELECT l.event_id, count(*)::BIGINT AS n_events
+        FROM ev l JOIN ev r ON r.user_id = l.user_id
+          AND r.t >= l.t - 3600 AND r.t < l.t
+        WHERE l.event_type = 'error'
+        GROUP BY 1
     """,
     "asof_join": """
         WITH e AS (SELECT event_id, user_id AS k,

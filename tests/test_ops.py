@@ -188,6 +188,44 @@ def test_asof_join_semantics(ray_session):
     assert out["val"].tolist() == [100, 300]  # tie at rt=10 → max val
 
 
+def test_range_join_count_semantics(ray_session):
+    """Counts right rows with point in [left_point, left_point + width) per
+    key; zero-count left rows drop."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.joins import range_join_count
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2], pa.int64()),
+                "p": pa.array([10, 100, 10], pa.int64()),
+                "id": pa.array([101, 102, 103], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2], pa.int64()),
+                "p": pa.array([10, 14, 15, 500], pa.int64()),
+                "id": pa.array([0, 0, 0, 0], pa.int64()),
+            }
+        )
+    )
+    out = (
+        range_join_count(left, right, key="k", left_point="p", right_point="p",
+                         width=5, out_id="id")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # id=101: right points in [10,15) for k=1 → {10,14} = 2
+    # id=102: [100,105) → none → dropped; id=103: k=2, [10,15) → none → dropped
+    assert out["id"].tolist() == [101]
+    assert out["n_events"].tolist() == [2]
+
+
 def test_hopping_counts_sum(ray_session):
     """Every event lands in exactly window/hop windows."""
     import ray.data as rd
