@@ -343,13 +343,38 @@ def q_simhash_pairs(sf_dir: str):
 def q_embedding_neardup_lsh(sf_dir: str):
     """Sub-quadratic LSH variant of embedding near-dup (the at-scale path;
     the exact block-pair op is the SQL-checked baseline). Runs at the
-    realistic near-dup threshold 0.9 where hyperplane LSH prunes hard —
-    at looser thresholds (e.g. the baseline's 0.5) candidate buckets
-    approach all-pairs and the exact op is the right tool. Deterministic
-    seed → stable output; recall pinned vs exact in tests."""
+    realistic near-dup threshold 0.9 where hyperplane LSH prunes hard — at
+    looser thresholds candidate buckets approach all-pairs and the exact op
+    is the right tool. The testdata embeddings have no pairs above cos
+    ~0.51, so the corpus is augmented with deterministic planted near-dups
+    (seeded noise on the first 20 vectors, ids offset by 10^6); the result
+    is the recovered planted pairs. Recall is separately pinned in tests."""
+    import numpy as np
+
     from ..ops.dedup import embedding_neardup_lsh
 
-    pairs, _stats = embedding_neardup_lsh(_emb(sf_dir), threshold=0.9)
+    planted_src = _query_vecs(sf_dir, 20)
+    rng = np.random.default_rng(17)
+    rows_id, rows_vec = [], []
+    for vid, vec in zip(planted_src["vec_id"], planted_src["embedding"]):
+        v = np.asarray(list(vec), dtype=np.float64)
+        rows_id.append(int(vid) + 1_000_000)
+        rows_vec.append((v + 0.03 * rng.standard_normal(v.size)).tolist())
+    planted = rd.from_arrow(
+        pa.table({"vec_id": pa.array(rows_id, pa.int64()), "embedding": rows_vec})
+    )
+    emb = _emb(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "vec_id": pa.compute.cast(t.column("vec_id"), pa.int64()),
+                "embedding": pa.compute.cast(
+                    t.column("embedding"), pa.list_(pa.float64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    pairs, _stats = embedding_neardup_lsh(emb.union(planted), threshold=0.9)
     return pairs.select(["a", "b"])
 
 
