@@ -105,6 +105,117 @@ class MediaFeatureExtractor:
         return pa.table(cols, schema=FEATURE_SCHEMA)
 
 
+THUMB_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),
+        ("width", pa.int32()),      # resized dims (aspect-preserving fit)
+        ("height", pa.int32()),
+        ("payload", pa.large_binary()),  # thumbnail bytes (fake backend: hash-derived)
+        ("backend", pa.string()),
+    ]
+)
+
+FRAME_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("frame_idx", pa.int32()),
+        ("ts_ms", pa.int64()),      # frame timestamp at the nominal 25 fps
+        ("payload", pa.large_binary()),
+        ("backend", pa.string()),
+    ]
+)
+
+
+class MediaResizer:
+    """Actor-pool resize stage: aspect-preserving fit into max_dim. The
+    pixel work is the stubbed backend (PIL absent — thumbnail bytes are
+    hash-derived and deterministic); the Ray plumbing (init-once backend,
+    small binary batches, typed output schema) is real."""
+
+    def __init__(self, max_dim: int = 64):
+        self.backend = DecodeBackend()
+        self.max_dim = max_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {name: [] for name in THUMB_SCHEMA.names}
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            f = self.backend.decode(payload, kind)
+            w, h = f["width"], f["height"]
+            scale = min(1.0, self.max_dim / max(w, h))
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            thumb = hashlib.blake2b(
+                payload + bytes([nw & 0xFF, nh & 0xFF]), digest_size=32
+            ).digest()
+            cols["media_id"].append(mid)
+            cols["kind"].append(kind)
+            cols["width"].append(nw)
+            cols["height"].append(nh)
+            cols["payload"].append(thumb)
+            cols["backend"].append(self.backend.name)
+        return pa.table(cols, schema=THUMB_SCHEMA)
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (videos → one row per sampled frame,
+    every_n-th frame up to max_frames). Flat-map explode with small binary
+    batches; non-video rows pass through nothing."""
+
+    def __init__(self, every_n: int = 4, max_frames: int = 4, fps: int = 25):
+        self.backend = DecodeBackend()
+        self.every_n = every_n
+        self.max_frames = max_frames
+        self.fps = fps
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {name: [] for name in FRAME_SCHEMA.names}
+        for mid, kind, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("kind").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if kind != "video":
+                continue
+            n = self.backend.decode(payload, kind)["n_frames"]
+            idxs = list(range(0, n, self.every_n))[: self.max_frames]
+            for i in idxs:
+                frame = hashlib.blake2b(
+                    payload + i.to_bytes(4, "little"), digest_size=32
+                ).digest()
+                cols["media_id"].append(mid)
+                cols["frame_idx"].append(i)
+                cols["ts_ms"].append(i * 1000 // self.fps)
+                cols["payload"].append(frame)
+                cols["backend"].append(self.backend.name)
+        return pa.table(cols, schema=FRAME_SCHEMA)
+
+
+def resize_media(media: rd.Dataset, max_dim: int = 64, concurrency: int = 2) -> rd.Dataset:
+    return media.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"max_dim": max_dim},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+
+def sample_frames(
+    media: rd.Dataset, every_n: int = 4, max_frames: int = 4, concurrency: int = 2
+) -> rd.Dataset:
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_n": every_n, "max_frames": max_frames},
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+
 def media_table_from_documents(docs: rd.Dataset) -> rd.Dataset:
     """Explode the interleaved-span documents table into a media table with
     synthesized payloads (the fetch-media stage stand-in)."""

@@ -432,6 +432,23 @@ def q_media_features(sf_dir: str):
     return extract_media_features(media_table_from_documents(docs))
 
 
+def q_media_frames(sf_dir: str):
+    """Video frame sampling over the crawl's media table (actor pool; the
+    decode is the documented deterministic stub, plumbing is real)."""
+    from ..ops.multimodal import media_table_from_documents, sample_frames
+
+    docs = crawl_handle_for(sf_dir).documents()
+    return sample_frames(media_table_from_documents(docs))
+
+
+def q_media_thumbnails(sf_dir: str):
+    """Aspect-preserving resize of the crawl's media into 64px thumbnails."""
+    from ..ops.multimodal import media_table_from_documents, resize_media
+
+    docs = crawl_handle_for(sf_dir).documents()
+    return resize_media(media_table_from_documents(docs), max_dim=64)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -460,6 +477,8 @@ QUERIES = {
     "hook_counters": q_hook_counters,
     "api_doc_store": q_api_doc_store,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
+    "media_thumbnails": q_media_thumbnails,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"

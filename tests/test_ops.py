@@ -150,6 +150,44 @@ def test_minhash_lsh_finds_planted_dups(ray_session):
     assert (~dup_rows["keep"]).sum() >= 36
 
 
+def test_media_resize_and_frame_sampling(ray_session):
+    """Resize / frame-sample actor-pool plumbing: typed schemas, aspect-fit
+    dims, every_n-th-frame sampling capped at max_frames, video-only."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.multimodal import (
+        DecodeBackend, media_table_from_documents, resize_media, sample_frames,
+    )
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["d1", "d2"],
+                "spans": [
+                    [
+                        {"kind": "image", "text": "", "media_ref": "/a.png", "offset": 0},
+                        {"kind": "video", "text": "", "media_ref": "/v.mp4", "offset": 1},
+                    ],
+                    [{"kind": "text", "text": "no media", "media_ref": "", "offset": 0}],
+                ],
+            }
+        )
+    )
+    media = media_table_from_documents(docs)
+    thumbs = resize_media(media, max_dim=64).to_pandas()
+    assert len(thumbs) == 2  # image + video both resized
+    assert (thumbs[["width", "height"]].max(axis=1) <= 64).all()
+    assert (thumbs[["width", "height"]].min(axis=1) >= 1).all()
+
+    frames = sample_frames(media, every_n=4, max_frames=4).to_pandas()
+    assert set(frames["media_id"]) == {"d1#1"}  # only the video
+    be = DecodeBackend()
+    payload = media.to_pandas().set_index("media_id").loc["d1#1", "payload"]
+    n = be.decode(payload, "video")["n_frames"]
+    assert frames["frame_idx"].tolist() == list(range(0, n, 4))[:4]
+    assert (frames["ts_ms"] == frames["frame_idx"] * 1000 // 25).all()
+
+
 def test_asof_join_semantics(ray_session):
     """Backward-inclusive as-of: latest right ts <= left ts per key; ties on
     ts resolve to max tie_col; keys with no prior right row drop."""
