@@ -78,7 +78,21 @@ class CrawlHandle:
     waves: int
     n_jobs: int
 
+    def _raw_files(self) -> list[str]:
+        return glob.glob(os.path.join(self.out_dir, "raw", "wave=*", "*.parquet"))
+
+    @staticmethod
+    def _empty(schema: pa.Schema) -> rd.Dataset:
+        return rd.from_arrow(schema.empty_table())
+
     def documents(self) -> rd.Dataset:
+        from ..schemas import DOCUMENTS_SCHEMA
+
+        if not self._raw_files():  # zero-job crawl (e.g. empty seed list)
+            return self._empty(DOCUMENTS_SCHEMA)
+        return self._documents_inner()
+
+    def _documents_inner(self) -> rd.Dataset:
         # only fetched pages become documents (oracle.py:319-321 — failed
         # fetches produce a pages row but no document)
         ds = read_table(
@@ -95,12 +109,20 @@ class CrawlHandle:
         )
 
     def pages(self) -> rd.Dataset:
+        if not self._raw_files():
+            from ..stages.fetch import FETCH_OUT_SCHEMA
+
+            return self._empty(
+                pa.schema([FETCH_OUT_SCHEMA.field(c) for c in META_COLS])
+            )
         return read_table(os.path.join(self.out_dir, "raw"), columns=META_COLS)
 
     def doc_store(self) -> rd.Dataset:
         """JSON doc-store sink (BatchApiJob → RedisDocStore analog,
         batch_api_job.rb:33-104, redis_doc_store.rb:35-138): one
         (doc_id, doc) row per fetched page whose payload is a JSON span."""
+        if not self._raw_files():
+            return self._empty(pa.schema([("doc_id", pa.string()), ("doc", pa.string())]))
         ds = read_table(
             os.path.join(self.out_dir, "raw"),
             columns=["canonical_url", "spans", "fetched"],
@@ -122,6 +144,12 @@ class CrawlHandle:
         return ds.map_batches(project, batch_format="pyarrow")
 
     def crawl_order(self) -> rd.Dataset:
+        from ..schemas import CRAWL_ORDER_SCHEMA
+
+        if not glob.glob(
+            os.path.join(self.out_dir, "frontier", "wave=*", "*.parquet")
+        ):
+            return self._empty(CRAWL_ORDER_SCHEMA)
         ds = read_table(
             os.path.join(self.out_dir, "frontier"), columns=["wave", "seq", "url"]
         )
@@ -136,6 +164,8 @@ class CrawlHandle:
         hc = os.path.join(self.out_dir, "hook_counters.json")
         if os.path.exists(hc):
             lifecycle = {k: int(v) for k, v in read_json(hc).items()}
+        if not self._raw_files():
+            return lifecycle
         ds = read_table(
             os.path.join(self.out_dir, "raw"), columns=["counter_keys", "counter_vals"]
         )

@@ -144,6 +144,23 @@ def test_curl_mode(ray_session, tmp_path):
     assert handle.n_jobs == 2  # duplicates fetched, no dedup
 
 
+def test_empty_seed_crawl(ray_session, tmp_path):
+    """A crawl with no seeds (or one whose wave 0 plans zero jobs) completes
+    and every reader returns an empty, correctly-typed result."""
+    web, _ = webs.small_dag()
+    spec = CrawlSpec(before_crawl=lambda ctx: {"started": 1})
+    handle = crawl(web, [], spec, str(tmp_path / "out"))
+    assert handle.n_jobs == 0
+    assert handle.pages().count() == 0
+    assert handle.documents().count() == 0
+    assert handle.doc_store().count() == 0
+    assert handle.crawl_order().count() == 0
+    assert handle.seen() == set()
+    assert handle.counters() == {"started": 1}
+    res = crawl_oracle(web, [], spec)
+    assert res.pages == [] and res.counters == {"started": 1}
+
+
 def test_procedural_web_matches_materialized(ray_session, tmp_path):
     """The bench's ProceduralWeb (pages computed on demand in fetch workers)
     must crawl identically to the materialized table of the same params —
