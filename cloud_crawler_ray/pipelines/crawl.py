@@ -186,6 +186,15 @@ class CrawlHandle:
             merged[k] = merged.get(k, 0) + v
         return merged
 
+    def export_documents(self, path: str) -> None:
+        """Write the final interleaved-documents table through the storage
+        interface (Lance when pylance is installed, partitioned parquet
+        otherwise) — the durable doc-table sink a downstream training
+        pipeline consumes."""
+        from ..storage import write_table
+
+        write_table(self.documents(), path)
+
     def seen(self) -> set[str]:
         seen_dir = os.path.join(self.out_dir, "seen")
         if not os.path.isdir(seen_dir) or not glob.glob(

@@ -144,6 +144,23 @@ def test_curl_mode(ray_session, tmp_path):
     assert handle.n_jobs == 2  # duplicates fetched, no dedup
 
 
+def test_export_documents(ray_session, tmp_path):
+    """The storage-interface sink round-trips the documents table."""
+    from cloud_crawler_ray.storage import read_table
+
+    web, seeds = webs.small_dag()
+    handle = crawl(web, seeds, CrawlSpec(), str(tmp_path / "out"))
+    out = str(tmp_path / "docs_table")
+    handle.export_documents(out)
+    back = read_table(out).take_all()
+    orig = handle.documents().take_all()
+    key = lambda r: r["doc_id"]
+    assert sorted((r["doc_id"] for r in back)) == sorted((r["doc_id"] for r in orig))
+    b0 = {r["doc_id"]: r["spans"] for r in back}
+    o0 = {r["doc_id"]: r["spans"] for r in orig}
+    assert b0 == o0
+
+
 def test_empty_seed_crawl(ray_session, tmp_path):
     """A crawl with no seeds (or one whose wave 0 plans zero jobs) completes
     and every reader returns an empty, correctly-typed result."""
