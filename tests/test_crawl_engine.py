@@ -144,6 +144,51 @@ def test_curl_mode(ray_session, tmp_path):
     assert handle.n_jobs == 2  # duplicates fetched, no dedup
 
 
+def _ks_priority(job: dict) -> int:
+    return 2 if "/gate" in job["url"] else (1 if "/flaky" in job["url"] else 0)
+
+
+@pytest.mark.parametrize("planner", ["local", "distributed"])
+def test_kitchen_sink_feature_interactions(ray_session, tmp_path, planner):
+    """Retries + cookie gate + redirects + robots + dead link + job_limit +
+    priority + lifecycle hooks + politeness, all in one crawl, on both
+    planner paths — exact oracle parity including clocks and counters."""
+    web, seeds = webs.kitchen_sink_web()
+    spec = CrawlSpec(
+        delay=0.1,
+        obey_robots_txt=True,
+        accept_cookies=True,
+        keep_redirects=True,
+        job_limit=3,
+        priority_fn=_ks_priority,
+        on_every_page=lambda p: {"pages": 1, f"code_{p['code']}": 1},
+        before_batch=lambda ctx: {"batches": 1},
+        after_crawl=lambda ctx: {"done": 1},
+    )
+    res = crawl_oracle(web, seeds, spec)
+    handle = crawl(
+        web, seeds, spec, str(tmp_path / "out"),
+        small_wave_threshold=0 if planner == "distributed" else 100_000,
+    )
+    assert_parity(res, handle)
+    assert handle.counters() == res.counters
+
+    urls = {p["url"].rsplit("/", 1)[1] for p in handle.pages().take_all()}
+    assert "y" not in urls  # robots kept private/y out
+    assert {"flaky", "gate", "g1", "t1", "t2", "missing"} <= urls
+    docs = {d["doc_id"].rsplit("/", 1)[1] for d in handle.documents().take_all()}
+    assert "missing" not in docs  # dead link: page row, no document
+    # cookie committed in wave 0 → gate (wave 1+) serves the real body
+    texts = [
+        s["text"]
+        for d in handle.documents().take_all()
+        if d["doc_id"].endswith("/gate")
+        for s in d["spans"] or []
+        if s["kind"] == "text"
+    ]
+    assert "inner circle" in texts
+
+
 def test_export_documents(ray_session, tmp_path):
     """The storage-interface sink round-trips the documents table."""
     from cloud_crawler_ray.storage import read_table

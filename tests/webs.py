@@ -109,6 +109,35 @@ def auth_web():
     return web_table(pages), [page_url("p0")]
 
 
+def kitchen_sink_web():
+    """Every fetch-model feature in one graph: branching tree + transient
+    retries + cookie gate + redirect + robots-disallowed subtree + a dead
+    link — for the feature-interaction integration test."""
+    pages = [
+        FakePage(
+            name="p0",
+            links=["a", "b", "flaky", "gate", "r1", "private/x", "missing"],
+            set_cookie="tok=k9; Path=/",
+            latency_ms=10,
+        ),
+        FakePage(name="a", links=["a1", "a2"], latency_ms=15),
+        FakePage(name="a1"), FakePage(name="a2"),
+        FakePage(name="b", links=["b1"], latency_ms=5),
+        FakePage(name="b1"),
+        FakePage(name="flaky", fail_times=2, texts=["survived"], links=["f1"]),
+        FakePage(name="f1"),
+        FakePage(name="gate", require_cookie="tok=k9", texts=["inner circle"], links=["g1"]),
+        FakePage(name="g1"),
+        FakePage(name="r1", redirect="t1"),
+        FakePage(name="t1", links=["t2"]),
+        FakePage(name="t2"),
+        FakePage(name="private/x", links=["private/y"]),
+        FakePage(name="private/y"),
+    ]
+    robots = {HOST: "User-agent: *\nDisallow: /private"}
+    return web_table(pages, robots=robots), [page_url("p0")]
+
+
 def transient_web():
     """Transient-failure pages (http.rb:211-216 retry model): 'flaky'
     succeeds after 2 failed attempts; 'dead4' exhausts the 3-retry budget
