@@ -45,8 +45,12 @@ def is_parseable(content_type: str) -> bool:
 
 
 def scrub(text: str) -> str:
-    """UTF-8 scrub + whitespace collapse (page.rb:109-113 iconv IGNORE)."""
-    return _WS.sub(" ", text.encode("utf-8", "ignore").decode("utf-8", "ignore")).strip()
+    """UTF-8 scrub + whitespace collapse (page.rb:109-113 iconv IGNORE).
+    ASCII fast path: the encode/decode round-trip is identity for ASCII
+    (and for any valid str — it only matters for exotic inputs)."""
+    if not text.isascii():
+        text = text.encode("utf-8", "ignore").decode("utf-8", "ignore")
+    return _WS.sub(" ", text).strip()
 
 
 @dataclass
@@ -179,6 +183,13 @@ def _find_cdata_close(lower: str, tag: str, pos: int) -> int:
         pos = j
 
 
+# tags the handler actually reacts to — forwarding anything else is a
+# guaranteed no-op (handle_starttag ignores tags outside a/img/video and
+# SKIP_CONTENT; handle_endtag outside a and SKIP_CONTENT)
+_RELEVANT_START = frozenset({"a", "img", "video", "script", "style", "title", "head"})
+_RELEVANT_END = frozenset({"a", "script", "style", "title", "head"})
+
+
 def _fast_feed(handler: _SpanParser, text: str) -> None:
     import html as _html
 
@@ -199,8 +210,11 @@ def _fast_feed(handler: _SpanParser, text: str) -> None:
             continue  # comment / doctype / processing instruction
         tag = name.lower()
         if m.group(1):
-            handler.handle_endtag(tag)
+            if tag in _RELEVANT_END:
+                handler.handle_endtag(tag)
             continue
+        if tag not in _RELEVANT_START:
+            continue  # handler no-op either way; skip the call overhead
         attrs_str = m.group(3) or ""
         if tag == "a":
             attrs = _attr_from(attrs_str, _HREF_RE, "href")
