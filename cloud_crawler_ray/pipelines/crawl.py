@@ -291,24 +291,13 @@ def _plan_wave_local(
         "seq", pa.array(np.arange(base_seq, base_seq + n, dtype=np.int64))
     )
 
-    import pandas as pd
+    from ..stages.politeness import slot_block
 
-    hosts = cand.column("host").to_pylist()
-    urls = cand.column("url").to_pylist()
-    uniq_hosts = list(dict.fromkeys(hosts))
+    uniq_hosts = list(dict.fromkeys(cand.column("host").to_pylist()))
     clocks = state.get_clocks(uniq_hosts)
-    # vectorized per-host serial slots (rows already in seq order):
-    # t_i = clock + (k_i+1)·delay + per-host exclusive latency cumsum
-    lat = np.fromiter((chain_idx.get(u, 0) for u in urls), dtype=np.int64, count=n)
-    hs = pd.Series(hosts)
-    grp = hs.groupby(hs, sort=False)
-    within = grp.cumcount().to_numpy()
-    cum_lat = pd.Series(lat).groupby(hs, sort=False).cumsum().to_numpy() - lat
-    clock0 = hs.map(clocks).to_numpy()
-    t = clock0 + delay_ms * (within + 1) + cum_lat
-    ends = t + lat
-    cand = cand.append_column("fetch_time_ms", pa.array(t.astype(np.int64)))
-    cand = cand.append_column("job_end_ms", pa.array(ends.astype(np.int64)))
+    # vectorized per-host serial slots (rows already in seq order) — the
+    # same kernel the distributed ShardSlotAssigner runs per host-shard
+    cand = slot_block(cand, clocks, chain_idx, delay_ms)
     cand = cand.append_column("wave", pa.array([wave] * n, pa.int32()))
     return cand, spill
 

@@ -51,16 +51,35 @@ def _first_of_run_mask(keys) -> pa.Array:
     return pa.concat_arrays([pa.array([True]), neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq])
 
 
-def _first_per_group(group: pa.Table) -> pa.Table:
-    order = pc.sort_indices(
-        group, sort_keys=[("parent_seq", "ascending"), ("ordinal", "ascending")]
-    )
-    return group.take(order[:1])
+# Hash-shard count for the dedup shuffle. A group-per-URL groupby pays Ray's
+# ~2 ms/group UDF overhead exactly when the distributed planner runs (>100k
+# candidates); hashing to a bounded shard count keeps the per-group overhead
+# constant while the per-shard work stays the vectorized sort+mask kernel.
+_DEDUP_SHARDS = 64
 
 
-def dedup_candidates(ds: rd.Dataset) -> rd.Dataset:
+def _dedup_shard(group: pa.Table) -> pa.Table:
+    """Per-shard exact dedup: all rows of a canonical_url hash to one shard,
+    so the within-shard sort + first-of-run mask (the `_dedup_batch` body) is
+    globally correct."""
+    return _dedup_batch(group).drop_columns(["_ushard"])
+
+
+def dedup_candidates(ds: rd.Dataset, n_shards: int = _DEDUP_SHARDS) -> rd.Dataset:
+    """In-wave first-wins dedup, shard-local: per-batch partial (combiner)
+    → hash(canonical_url) shard column → groupby(shard) with the same
+    vectorized kernel per shard. Plan cost scales with rows, not with the
+    number of distinct URLs (the frontier-scale requirement)."""
+    from ..state.shards import shards_of
+
     ds = ds.map_batches(_dedup_batch, batch_format="pyarrow")
-    return ds.groupby("canonical_url").map_groups(_first_per_group, batch_format="pyarrow")
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = shards_of(t.column("canonical_url").to_pylist(), n_shards)
+        return t.append_column("_ushard", pa.array(sh, pa.int64()))
+
+    ds = ds.map_batches(add_shard, batch_format="pyarrow")
+    return ds.groupby("_ushard").map_groups(_dedup_shard, batch_format="pyarrow")
 
 
 class SeenFilter:

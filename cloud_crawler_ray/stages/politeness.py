@@ -115,9 +115,47 @@ def build_chain_latency_index(web: pa.Table, redirect_limit: int = 5) -> ChainLa
     return ChainLatencyIndex(web, redirect_limit)
 
 
-class SlotAssigner:
-    """map_groups callable for groupby("host"): adds fetch_time_ms and
-    job_end_ms columns. One clock-shard RPC per host per wave."""
+def slot_block(
+    tbl: pa.Table, clocks: dict[str, int], chain_idx, delay_ms: int
+) -> pa.Table:
+    """Vectorized multi-host slot assignment over one table whose rows are
+    already in seq order. Per host (pandas groupby over the whole block, no
+    per-host Python):
+
+        t_i = clock_host + (k_i+1)*delay + exclusive-cumsum(chain latency)
+
+    Shared by the driver-side planner (_plan_wave_local) and the distributed
+    shard assigner below so the politeness model cannot drift between paths.
+    """
+    import pandas as pd
+
+    n = tbl.num_rows
+    hosts = tbl.column("host").to_pylist()
+    urls = tbl.column("url").to_pylist()
+    lat = np.fromiter((chain_idx.get(u, 0) for u in urls), dtype=np.int64, count=n)
+    hs = pd.Series(hosts)
+    within = hs.groupby(hs, sort=False).cumcount().to_numpy()
+    cum_lat = pd.Series(lat).groupby(hs, sort=False).cumsum().to_numpy() - lat
+    clock0 = hs.map(lambda h: clocks.get(h, 0)).to_numpy(dtype=np.int64)
+    t = clock0 + delay_ms * (within + 1) + cum_lat
+    ends = t + lat
+    tbl = tbl.append_column("fetch_time_ms", pa.array(t.astype(np.int64)))
+    tbl = tbl.append_column("job_end_ms", pa.array(ends.astype(np.int64)))
+    return tbl
+
+
+# Host-hash shard count for the slot-assignment shuffle: fine at any host
+# cardinality (the per-group map_groups overhead is paid per shard, not per
+# host — batch_job.rb:178-183's per-host serialization is preserved because
+# every row of a host hashes to the same shard).
+_SLOT_SHARDS = 64
+
+
+class ShardSlotAssigner:
+    """map_groups callable for groupby(host-hash shard): adds fetch_time_ms
+    and job_end_ms via the vectorized multi-host kernel. One *batched* clock
+    RPC per shard per wave (ShardedState.get_clocks fans it out per state
+    shard), never one per host."""
 
     def __init__(self, state, chain_idx_ref, delay_ms: int):
         self.state = state
@@ -128,28 +166,27 @@ class SlotAssigner:
     def __call__(self, group: pa.Table) -> pa.Table:
         if self._chain_idx is None:
             self._chain_idx = ray.get(self.chain_idx_ref)
-        host = group.column("host")[0].as_py()
+        group = group.drop_columns(["_hshard"])
         order = pa.compute.sort_indices(group, sort_keys=[("seq", "ascending")])
         group = group.take(order)
-        clock = self.state.get_clocks([host])[host]
-        urls = group.column("url").to_pylist()
-        lat = np.array([self._chain_idx.get(u, 0) for u in urls], dtype=np.int64)
-        n = len(urls)
-        # t_i = clock + (i+1)*delay + cumsum_exclusive(latency)
-        cum = np.concatenate([[0], np.cumsum(lat)[:-1]]) if n else np.array([], dtype=np.int64)
-        t = clock + self.delay_ms * np.arange(1, n + 1, dtype=np.int64) + cum
-        ends = t + lat
-        group = group.append_column("fetch_time_ms", pa.array(t, type=pa.int64()))
-        group = group.append_column("job_end_ms", pa.array(ends, type=pa.int64()))
-        return group
+        uniq_hosts = list(dict.fromkeys(group.column("host").to_pylist()))
+        clocks = self.state.get_clocks(uniq_hosts)
+        return slot_block(group, clocks, self._chain_idx, self.delay_ms)
 
 
 def assign_slots(
-    ds: rd.Dataset, state, chain_idx_ref, delay_ms: int
+    ds: rd.Dataset, state, chain_idx_ref, delay_ms: int, n_shards: int = _SLOT_SHARDS
 ) -> rd.Dataset:
-    assigner = SlotAssigner(state, chain_idx_ref, delay_ms)
+    from ..state.shards import shards_of
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = shards_of(t.column("host").to_pylist(), n_shards)
+        return t.append_column("_hshard", pa.array(sh, pa.int64()))
+
+    assigner = ShardSlotAssigner(state, chain_idx_ref, delay_ms)
 
     def assign(group: pa.Table) -> pa.Table:  # map_groups wants a plain fn
         return assigner(group)
 
-    return ds.groupby("host").map_groups(assign, batch_format="pyarrow")
+    ds = ds.map_batches(add_shard, batch_format="pyarrow")
+    return ds.groupby("_hshard").map_groups(assign, batch_format="pyarrow")
