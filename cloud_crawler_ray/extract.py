@@ -160,13 +160,21 @@ def _attr_from(attrs_str: str, rx: re.Pattern, name: str) -> list:
     if not m:
         return []
     val = next((g for g in m.groups() if g is not None), "")
-    if val.endswith("/") and m.group(3) is not None and m.end() == len(attrs_str):
-        val = val[:-1]  # unquoted value glued to a self-closing slash
     if "&" in val:
         import html as _html
 
         val = _html.unescape(val)
     return [(name, val)]
+
+
+def _is_self_closing(attrs_str: str) -> bool:
+    """True only when a trailing '/' is a real self-closing marker — i.e.
+    preceded by whitespace, a closing quote, or nothing. A '/' glued to an
+    unquoted attribute value (`<a href=/docs/>`) is part of the value in the
+    stdlib tokenizer (attrfind's unquoted pattern eats '/'), so the tag is a
+    plain start tag and the value keeps its slash."""
+    s = attrs_str.rstrip()
+    return s.endswith("/") and (len(s) == 1 or s[-2] in " \t\n\r\"'")
 
 
 def _find_cdata_close(lower: str, tag: str, pos: int) -> int:
@@ -223,7 +231,7 @@ def _fast_feed(handler: _SpanParser, text: str) -> None:
         else:
             attrs = []
         handler.handle_starttag(tag, attrs)
-        if attrs_str.rstrip().endswith("/"):
+        if _is_self_closing(attrs_str):
             handler.handle_endtag(tag)  # self-closing (startendtag)
         elif tag in ("script", "style"):
             # CDATA mode (stdlib): raw content until the matching close

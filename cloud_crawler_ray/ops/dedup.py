@@ -649,6 +649,18 @@ def _components_label_prop(pairs: pa.Table, max_iters: int = 64) -> dict:
         labels = new_labels
         if not changed:
             break
+    else:
+        # hash-min propagates ~1 hop/round: a component with diameter >
+        # max_iters would get WRONG representatives if we returned silently.
+        import warnings
+
+        warnings.warn(
+            f"_components_label_prop did not reach fixpoint in {max_iters} "
+            f"rounds ({changed} labels still changing) — component labels may "
+            "be split; raise max_iters for graphs with long duplicate chains",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     out: dict = {}
     for t in ray.get(labels.to_arrow_refs()):  # dup-subgraph nodes only
         if t.num_rows == 0 or "node" not in t.column_names:
@@ -957,16 +969,22 @@ def embedding_neardup_lsh(
     planes = rng.standard_normal((n_tables, n_planes, dim))
     planes_ref = ray.put(planes)
 
+    # pack ALL ceil(n_planes/8) sign bytes into the bucket code (packing a
+    # fixed 2-byte prefix would silently ignore planes beyond 16 and decouple
+    # bucket granularity from the requested parameter)
+    if n_planes > 56:
+        raise ValueError("n_planes must be <= 56 (bucket code packs into int64)")
+    n_bytes = (n_planes + 7) // 8
+    byte_shifts = (np.arange(n_bytes, dtype=np.int64) * 8)[None, :]
+
     def bucketize(t: pa.Table) -> pa.Table:
         P = ray.get(planes_ref)
         ids, M = _emb_matrix(t, id_col)
         out_ids, out_buckets = [], []
         for ti in range(n_tables):
             bits = (M @ P[ti].T) > 0  # (n, n_planes) sign pattern
-            keys = np.packbits(bits, axis=1, bitorder="little")[:, :2]
-            codes = keys[:, 0].astype(np.int64) + (
-                keys[:, 1].astype(np.int64) << 8 if keys.shape[1] > 1 else 0
-            )
+            keys = np.packbits(bits, axis=1, bitorder="little")[:, :n_bytes]
+            codes = (keys.astype(np.int64) << byte_shifts).sum(axis=1)
             out_ids.extend(int(i) for i in ids)
             out_buckets.extend(f"{ti}:{c}" for c in codes)
         return pa.table(

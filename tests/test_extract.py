@@ -97,6 +97,14 @@ EDGE_BODIES = [
     b"<a href='#'>anchor only</a><a href='?q=1'>query only</a>",
     b"",
     b"just text no tags at all",
+    # unquoted attribute values ending in '/' are NOT self-closing markers
+    # (the slash is part of the value in the stdlib tokenizer)
+    b"<a href=/z/>x</a>",
+    b"<a href=http://h/p/>y</a>",
+    b"<img src=a.png/>",
+    b"<a href=/docs//>double slash</a>",
+    b"<a href=/spaced />self-closed after space",
+    b'<a href="/quoted"/>self-closed after quote',
 ]
 
 

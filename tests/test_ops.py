@@ -472,6 +472,24 @@ def test_embedding_neardup_lsh_recall(ray_session):
     assert recall >= 0.9, (recall, stats)
     assert stats["skipped_buckets"] == 0
 
+    # n_planes > 16 must actually change bucket granularity (the bucket code
+    # packs ceil(n_planes/8) bytes, not a fixed 2-byte prefix): with many
+    # planes and one table, random vectors land in far more distinct buckets,
+    # so candidate pairs collapse while the verify stays exact.
+    wide, wide_stats = embedding_neardup_lsh(
+        rd.from_arrow(emb_tbl), threshold=0.9, n_planes=24, n_tables=1
+    )
+    narrow, narrow_stats = embedding_neardup_lsh(
+        rd.from_arrow(emb_tbl), threshold=0.9, n_planes=4, n_tables=1
+    )
+    assert wide_stats["candidate_pairs"] < narrow_stats["candidate_pairs"]
+    wide_pairs = set(zip(wide["a"].to_pylist(), wide["b"].to_pylist()))
+    assert wide_pairs <= exact_pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        embedding_neardup_lsh(rd.from_arrow(emb_tbl), n_planes=60)
+
 
 def test_multimodal_plumbing(ray_session, tmp_path):
     import ray.data as rd
