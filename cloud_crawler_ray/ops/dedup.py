@@ -223,26 +223,34 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 
 def minhash_signatures(
-    ds: rd.Dataset, num_perm: int = 64, shingle_k: int = 5
+    ds: rd.Dataset, num_perm: int = 64, shingle_k: int = 5, with_hashes: bool = False
 ) -> rd.Dataset:
     """doc_id → MinHash signature (list<uint64 as int64>), vectorized per
-    doc: sig_i = min((a_i·h + b_i) mod p) over shingle hashes h."""
+    doc: sig_i = min((a_i·h + b_i) mod p) over shingle hashes h.
+
+    with_hashes=True also emits ``hs`` — the sorted unique shingle-hash set
+    (list<int64>) — so a downstream exact-Jaccard verify can reuse the
+    shingle work instead of recomputing it from text. Trade: hs is ~8 bytes
+    per shingle (same order as the text itself) flowing through the object
+    store; callers that never verify should leave it off."""
     a, b = _perm_params(num_perm)
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        sigs = []
+        sigs, hss = [], []
         for t in texts:
             h = _shingle_hashes(t, shingle_k)
             vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
             sigs.append(vals.min(axis=1).astype(np.int64).tolist())
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "sig": pa.array(sigs, pa.list_(pa.int64())),
-            }
-        )
+            if with_hashes:
+                hss.append(np.unique(h).view(np.int64).tolist())
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            "sig": pa.array(sigs, pa.list_(pa.int64())),
+        }
+        if with_hashes:
+            cols["hs"] = pa.array(hss, pa.list_(pa.int64()))
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
 
@@ -268,7 +276,11 @@ def minhash_lsh_pairs(
     Buckets larger than bucket_cap are skipped and counted in stats
     (no silent caps)."""
     rows = num_perm // bands
-    sigs = minhash_signatures(ds, num_perm, shingle_k)
+    # with_hashes: the signature pass already enumerates every shingle; keep
+    # the per-doc unique hash sets so the exact-Jaccard verify below reuses
+    # them instead of re-shingling candidate docs from text (the r2 perf
+    # regression). Materialized once — consumed by both banding and verify.
+    sigs = minhash_signatures(ds, num_perm, shingle_k, with_hashes=True).materialize()
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids, bhashes = [], []
@@ -339,11 +351,11 @@ def minhash_lsh_pairs(
         stats["confirmed_pairs"] = 0
         return empty, stats
 
-    # verify WITHOUT gathering docs to the driver: compute shingle-hash sets
-    # ONLY for docs that appear in a candidate pair (semi-join on the small
-    # candidate-id side), then ship each set to its pairs via two keyed
-    # joins (on a, then on b) and verify with an exact sorted-array
-    # intersection — all inside map stages.
+    # verify WITHOUT gathering docs to the driver: semi-join the signature
+    # stage's per-doc shingle-hash sets to the docs that appear in a
+    # candidate pair (small candidate-id side), then ship each set to its
+    # pairs (broadcast under the cap, keyed joins above) and verify with an
+    # exact sorted-array intersection — all inside map stages.
     def rename(cols: dict):
         def fn(t: pa.Table) -> pa.Table:
             return t.rename_columns([cols.get(n, n) for n in t.column_names])
@@ -368,27 +380,15 @@ def minhash_lsh_pairs(
         .materialize()
     )
     n_cand_ids = cand_ids.count()
-    cand_docs = keyed_attach(
-        ds, cand_ids, "doc_id", ["m"],
+    sets = keyed_attach(
+        sigs.map_batches(
+            lambda t: t.select(["doc_id", "hs"]), batch_format="pyarrow"
+        ),
+        cand_ids, "doc_id", ["m"],
         right_count=n_cand_ids, broadcast_cap=join_broadcast_cap,
     ).map_batches(
         lambda t: t.filter(pc.equal(t.column("m"), 1)).drop_columns(["m"]),
         batch_format="pyarrow",
-    )
-
-    def shingle_sets(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
-        hs = [
-            np.unique(_shingle_hashes(t, shingle_k)).view(np.int64).tolist()
-            for t in texts
-        ]
-        return pa.table(
-            {"doc_id": pa.array(ids), "hs": pa.array(hs, pa.list_(pa.int64()))}
-        )
-
-    sets = cand_docs.map_batches(
-        shingle_sets, batch_format="pyarrow", batch_size=2048
     ).materialize()
 
     def _verify_rows(abs_pairs, get_a, get_b) -> pa.Table:
