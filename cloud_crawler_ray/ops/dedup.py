@@ -766,74 +766,91 @@ def ngram_jaccard_pairs(
     shingle_freq_cap: int = 1000,
     join_broadcast_cap: int = 500_000,
 ) -> rd.Dataset:
-    """EXACT n-gram (word k-shingle) Jaccard ≥ num/den via distributed
-    explode + self-join on shingles — integer arithmetic end-to-end so the
-    DuckDB oracle matches bit-for-bit:
+    """EXACT n-gram (word k-shingle) Jaccard ≥ num/den — integer arithmetic
+    end-to-end so the DuckDB oracle matches bit-for-bit:
 
         keep (a,b) iff den·n_common ≥ num·(n_a + n_b − n_common)
 
-    Shingles occurring in more than shingle_freq_cap docs are dropped from
-    pair generation on both sides (logged via the cap column upstream);
-    with the default cap this is exact on the test corpora."""
+    Candidate generation is PPJoin-style prefix-filtered (Xiao et al.,
+    "Efficient Similarity Joins for Near Duplicate Detection", WWW'08):
+    shingles are globally ordered by (document frequency asc, shingle asc);
+    a pair with J ≥ t = num/den must share a shingle inside BOTH docs'
+    rarity prefixes of length n − ⌈t·n⌉ + 1 (J ≥ t ⇒ overlap ≥ ⌈t·n⌉ on
+    each side), so pairs are generated only from prefix occurrences —
+    hot shingles almost never sit in a prefix, which removes the O(df²)
+    pair loop the all-occurrences self-join paid on every shared shingle.
+    Confirmed counts come from an exact per-pair set intersection (semi-
+    joined to candidate docs, broadcast under join_broadcast_cap).
+
+    Prefix-shingle groups larger than shingle_freq_cap are skipped
+    deterministically (with the default cap this is exact on the test
+    corpora — a qualifying pair would need ALL its shared prefix shingles
+    inside over-cap groups to be missed)."""
+
+    def doc_sets(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        shs = [
+            sorted(T.word_shingles(t, k))
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": ids, "shs": pa.array(shs, pa.list_(pa.string()))}
+        )
+
+    # one shingle pass over the corpus, reused by prefix selection and verify
+    sets = ds.map_batches(doc_sets, batch_format="pyarrow", batch_size=2048).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids, shs = [], []
-        for did, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            for s in T.word_shingles(t, k):
-                ids.append(did)
-                shs.append(s)
-        return pa.table({"doc_id": pa.array(ids), "sh": pa.array(shs, pa.string())})
-
-    sh = ds.map_batches(explode, batch_format="pyarrow", batch_size=2048)
-
-    # per-doc shingle-set sizes: computed straight from the text (the shingle
-    # set is per-doc local) — stays a Dataset; sizes reach the pair rows via
-    # hash-repartition joins, never an O(corpus) driver dict
-    def size_batch(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pylist()
+        col = batch.column("shs")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(ids),
-                "n": pa.array([len(T.word_shingles(t, k)) for t in texts], pa.int64()),
+                "doc_id": pc.take(
+                    batch.column("doc_id"),
+                    pa.array(np.repeat(np.arange(len(counts)), counts)),
+                ),
+                "sh": pc.list_flatten(col),
             }
         )
 
-    sizes = ds.map_batches(size_batch, batch_format="pyarrow", batch_size=2048).materialize()
+    sh = sets.map_batches(explode, batch_format="pyarrow")
 
-    def pair_counts_shard(g: pd.DataFrame) -> pd.DataFrame:
-        """Per-shard: local groupby(sh) → pair combos → local pair counts
-        (the combiner). Hot shingles above the cap are skipped on every
-        shard identically, so the cap is deterministic."""
-        from collections import Counter
+    def df_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # document frequency per shingle, computed AND attached in one
+        # shard-by-sh pass (per-doc sets are distinct, so df = group size) —
+        # no separate df table or join
+        g = g[["doc_id", "sh"]].copy()
+        g["df"] = g.groupby("sh")["sh"].transform("size").astype(np.int64)
+        return g
 
-        cnt: Counter = Counter()
+    def prefix_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # per-doc rarity prefix: order by (df, sh), keep the first
+        # n − ⌈t·n⌉ + 1 rows of each doc (vectorized over the whole shard)
+        g = g.sort_values(["doc_id", "df", "sh"], kind="stable")
+        n = g.groupby("doc_id", sort=False)["sh"].transform("size").to_numpy()
+        pos = g.groupby("doc_id", sort=False).cumcount().to_numpy()
+        ceil_tn = (num * n + den - 1) // den
+        keep = pos < (n - ceil_tn + 1)
+        return g.loc[keep, ["doc_id", "sh"]]
+
+    def pair_gen_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
         for _, grp in g.groupby("sh"):
             ids = sorted(grp["doc_id"].tolist())
             if len(ids) < 2 or len(ids) > shingle_freq_cap:
                 continue
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    cnt[(ids[i], ids[j])] += 1
-        if not cnt:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype=object), "b": pd.Series([], dtype=object),
-                 "c_partial": pd.Series([], dtype=np.int64)}
-            )
-        a, b = zip(*cnt.keys())
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
         return pd.DataFrame(
-            {"a": pd.Series(a, dtype=object), "b": pd.Series(b, dtype=object),
-             "c_partial": pd.Series(list(cnt.values()), dtype=np.int64)}
+            {"a": pd.Series(out_a, dtype=object), "b": pd.Series(out_b, dtype=object)}
         )
 
-    def sum_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
-        # local native groupby-sum per pair-shard (Ray's generic aggregate is
-        # ~2ms/group — fatal at pair cardinality; this is the same result as
-        # groupby(["a","b"]).aggregate(Sum) with 64 groups instead of 10^k)
-        out = g.groupby(["a", "b"], as_index=False)["c_partial"].sum()
-        return out.rename(columns={"c_partial": "count()"})
+    def dedup_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
 
     def shard_on_pair(t: pa.Table) -> pa.Table:
         import zlib
@@ -847,14 +864,97 @@ def ngram_jaccard_pairs(
             pa.array([zlib.crc32(k.encode()) % _N_SHARDS for k in keys], pa.int32()),
         )
 
-    pair_counts = (
+    cand = (
         sh.map_batches(lambda t: _add_shard(t, "sh"), batch_format="pyarrow")
         .groupby("shard")
-        .map_groups(pair_counts_shard, batch_format="pandas")
+        .map_groups(df_shard, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "doc_id"), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(prefix_shard, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "sh"), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pair_gen_shard, batch_format="pandas")
         .map_batches(shard_on_pair, batch_format="pyarrow")
         .groupby("pshard")
-        .map_groups(sum_pairs_shard, batch_format="pandas")
+        .map_groups(dedup_pairs_shard, batch_format="pandas")
+        .materialize()
     )
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+        }
+    )
+    if cand.count() == 0:
+        return rd.from_arrow(empty)
+
+    # exact verify: intersect the candidate docs' shingle sets (semi-join on
+    # the small candidate-id side; sets broadcast once under the cap, keyed
+    # joins above — the minhash-verify pattern with string sets)
+    cand_ids = (
+        cand.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                    ),
+                    "m": pa.array(np.ones(2 * t.num_rows, dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(lambda t: _add_shard(t, "doc_id"), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lambda g: g.drop_duplicates("doc_id")[["doc_id", "m"]], batch_format="pandas")
+        .materialize()
+    )
+    n_cand_ids = cand_ids.count()
+    cand_sets = keyed_attach(
+        sets, cand_ids, "doc_id", ["m"],
+        right_count=n_cand_ids, broadcast_cap=join_broadcast_cap,
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("m"), 1)).drop_columns(["m"]),
+        batch_format="pyarrow",
+    )
+
+    def _verify_tbl(ab_pairs, get_a, get_b) -> pa.Table:
+        rows = {"a": [], "b": [], "n_common": [], "n_a": [], "n_b": []}
+        for i, (a_, b_) in enumerate(ab_pairs):
+            sa, sb = get_a(a_, i), get_b(b_, i)
+            c = len(sa & sb)
+            if den * c >= num * (len(sa) + len(sb) - c):
+                rows["a"].append(a_)
+                rows["b"].append(b_)
+                rows["n_common"].append(c)
+                rows["n_a"].append(len(sa))
+                rows["n_b"].append(len(sb))
+        return pa.table(
+            {
+                "a": pa.array(rows["a"]),
+                "b": pa.array(rows["b"]),
+                "n_common": pa.array(rows["n_common"], pa.int64()),
+                "n_a": pa.array(rows["n_a"], pa.int64()),
+                "n_b": pa.array(rows["n_b"], pa.int64()),
+            }
+        )
+
+    if n_cand_ids <= join_broadcast_cap:
+        set_lookup: dict = {}
+        for t in ray.get(cand_sets.to_arrow_refs()):
+            for d, ss in zip(t.column("doc_id").to_pylist(), t.column("shs").to_pylist()):
+                set_lookup[d] = frozenset(ss)
+        set_ref = ray.put(set_lookup)
+
+        def verify_bcast(t: pa.Table) -> pa.Table:
+            lk = ray.get(set_ref)
+            ab = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+            return _verify_tbl(ab, lambda x, i: lk[x], lambda y, i: lk[y])
+
+        return cand.map_batches(verify_bcast, batch_format="pyarrow")
 
     def rename(cols: dict):
         def fn(t: pa.Table) -> pa.Table:
@@ -862,38 +962,24 @@ def ngram_jaccard_pairs(
 
         return fn
 
-    n_docs = ds.count()
-    sizes_a = sizes.map_batches(rename({"doc_id": "a", "n": "n_a"}), batch_format="pyarrow")
-    sizes_b = sizes.map_batches(rename({"doc_id": "b", "n": "n_b"}), batch_format="pyarrow")
-    with_sizes = keyed_attach(
+    sets_a = cand_sets.map_batches(rename({"doc_id": "a", "shs": "sh_a"}), batch_format="pyarrow")
+    sets_b = cand_sets.map_batches(rename({"doc_id": "b", "shs": "sh_b"}), batch_format="pyarrow")
+    with_b = keyed_attach(
         keyed_attach(
-            pair_counts, sizes_a, "a", ["n_a"],
-            right_count=n_docs, broadcast_cap=join_broadcast_cap,
+            cand, sets_a, "a", ["sh_a"],
+            right_count=n_cand_ids, broadcast_cap=join_broadcast_cap,
         ),
-        sizes_b, "b", ["n_b"],
-        right_count=n_docs, broadcast_cap=join_broadcast_cap,
+        sets_b, "b", ["sh_b"],
+        right_count=n_cand_ids, broadcast_cap=join_broadcast_cap,
     )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        c = pc.cast(batch.column("count()"), pa.int64())
-        na = pc.cast(batch.column("n_a"), pa.int64())
-        nb = pc.cast(batch.column("n_b"), pa.int64())
-        keep = pc.greater_equal(
-            pc.multiply(pa.scalar(den, pa.int64()), c),
-            pc.multiply(pa.scalar(num, pa.int64()), pc.subtract(pc.add(na, nb), c)),
-        )
-        out = pa.table(
-            {
-                "a": batch.column("a"),
-                "b": batch.column("b"),
-                "n_common": c,
-                "n_a": na,
-                "n_b": nb,
-            }
-        )
-        return out.filter(keep)
+    def verify_join(t: pa.Table) -> pa.Table:
+        ab = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+        ha = t.column("sh_a").to_pylist()
+        hb = t.column("sh_b").to_pylist()
+        return _verify_tbl(ab, lambda x, i: set(ha[i]), lambda y, i: set(hb[i]))
 
-    return with_sizes.map_batches(finalize, batch_format="pyarrow")
+    return with_b.map_batches(verify_join, batch_format="pyarrow")
 
 
 def _emb_matrix(t: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
