@@ -142,25 +142,27 @@ def keyed_attach(
 def _broadcast_attach(
     left: rd.Dataset, right: rd.Dataset, key: str, payload_cols: list[str]
 ) -> rd.Dataset:
-    """Small-right join: one object-store copy of the right table, dict
-    lookup inside map_batches. Exactly the semantics of the join path."""
-    tables = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
-    lookup: dict = {}
-    for t in tables:
-        cols = [t.column(c).to_pylist() for c in payload_cols]
-        for i, k in enumerate(t.column(key).to_pylist()):
-            lookup[k] = tuple(col[i] for col in cols)
-    ref = ray.put(lookup)
+    """Small-right join: one object-store copy of the right table, vectorized
+    hash-probe inside map_batches (pc.index_in → pc.take; a null index takes
+    a null payload, so unmatched left rows get nulls — exactly the join-path
+    semantics, no per-row Python)."""
     rschema = dict(zip(right.schema().names, right.schema().types))
-    miss = tuple([None] * len(payload_cols))
+    tables = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows]
+    if tables:
+        rt = pa.concat_tables(
+            [t.select([key] + list(payload_cols)) for t in tables]
+        ).combine_chunks()
+    else:
+        rt = pa.table(
+            {c: pa.array([], type=rschema[c]) for c in [key] + list(payload_cols)}
+        )
+    ref = ray.put(rt)
 
     def attach(t: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        vals = [lk.get(k, miss) for k in t.column(key).to_pylist()]
-        for ci, c in enumerate(payload_cols):
-            t = t.append_column(
-                c, pa.array([v[ci] for v in vals], type=rschema[c])
-            )
+        r = ray.get(ref)
+        idx = pc.index_in(t.column(key), value_set=r.column(key).combine_chunks())
+        for c in payload_cols:
+            t = t.append_column(c, pc.take(r.column(c), idx))
         return t
 
     return left.map_batches(attach, batch_format="pyarrow")

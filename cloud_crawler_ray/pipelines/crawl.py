@@ -195,14 +195,31 @@ class CrawlHandle:
 
         write_table(self.documents(), path)
 
-    def seen(self) -> set[str]:
+    def seen_urls(self) -> rd.Dataset:
+        """Committed URL-seen set as a Dataset of distinct canonical_url —
+        the at-scale reader: the set is deduped shard-locally and never
+        materializes on the driver (test helpers build Python sets from it
+        at test scale). Curl mode marks nothing → typed empty Dataset."""
         seen_dir = os.path.join(self.out_dir, "seen")
         if not os.path.isdir(seen_dir) or not glob.glob(
             os.path.join(seen_dir, "wave=*", "*.parquet")
         ):
-            return set()  # curl mode marks nothing
+            return self._empty(pa.schema([("canonical_url", pa.string())]))
+        from ..state.shards import shards_of
+
+        def add_shard(t: pa.Table) -> pa.Table:
+            sh = shards_of(t.column("canonical_url").to_pylist(), 64)
+            return t.append_column("shard", pa.array(sh, pa.int64()))
+
         ds = read_table(seen_dir, columns=["canonical_url"])
-        return set(ds.to_pandas()["canonical_url"])
+        return (
+            ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda t: t.group_by("canonical_url").aggregate([]),
+                batch_format="pyarrow",
+            )
+        )
 
 
 def _seeds_frontier(seeds: list[str]) -> pa.Table:

@@ -25,7 +25,8 @@ def assert_parity(res, handle):
     assert got == res.crawl_order
 
     # seen set
-    assert handle.seen() == res.seen
+    from tests.webs import seen_set
+    assert seen_set(handle) == res.seen
 
     # pages metadata incl. the virtual politeness clock
     keyfn = lambda p: (p["seq"], p["url"])
@@ -217,7 +218,7 @@ def test_empty_seed_crawl(ray_session, tmp_path):
     assert handle.documents().count() == 0
     assert handle.doc_store().count() == 0
     assert handle.crawl_order().count() == 0
-    assert handle.seen() == set()
+    assert handle.seen_urls().count() == 0
     assert handle.counters() == {"started": 1}
     res = crawl_oracle(web, [], spec)
     assert res.pages == [] and res.counters == {"started": 1}

@@ -49,7 +49,8 @@ def test_job_limit_preserves_uncapped_seq_order(ray_session, tmp_path):
         return out
 
     assert docs(capped) == docs(free)
-    assert capped.seen() == free.seen()
+    from tests.webs import seen_set
+    assert seen_set(capped) == seen_set(free)
 
 
 def test_job_limit_distributed_planner(ray_session, tmp_path):

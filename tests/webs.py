@@ -212,3 +212,12 @@ def vip_gate_web():
         FakePage(name="vip", require_cookie="vip=1", texts=["vip lounge"]),
     ]
     return web_table(pages), [page_url("p0")]
+
+
+def seen_set(handle) -> set[str]:
+    """Test helper: collect the committed seen set into a Python set (the
+    library returns a Dataset so the set never materializes driver-side in
+    production code)."""
+    df = handle.seen_urls().to_pandas()
+    # Ray's to_pandas drops the schema on empty datasets
+    return set(df["canonical_url"]) if "canonical_url" in df.columns else set()
