@@ -74,7 +74,7 @@ def keyed_attach(
     right: rd.Dataset,
     key: str,
     payload_cols: list[str],
-    n_shards: int = _N_SHARDS,
+    n_shards: int | None = None,
     right_count: int | None = None,
     broadcast_cap: int = 500_000,
 ) -> rd.Dataset:
@@ -90,6 +90,15 @@ def keyed_attach(
     via broadcast_cap=0."""
     if right_count is not None and right_count <= broadcast_cap:
         return _broadcast_attach(left, right, key, payload_cols)
+    if n_shards is None:
+        # data-size-aware shard count: at least one shard per 2 CPUs (keep
+        # the merge stage parallel) and at most ~500k right rows per shard
+        # (bound the per-shard pandas merge) — the fixed 64 default capped
+        # parallelism AND per-shard size at real scale
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        n_shards = max(_N_SHARDS, 2 * ncpu)
+        if right_count is not None:
+            n_shards = max(n_shards, right_count // 500_000 + 1)
     lschema, rschema = left.schema(), right.schema()
     lonly = [n for n in lschema.names if n != key]
     _rt = dict(zip(rschema.names, rschema.types))

@@ -46,3 +46,13 @@ def test_crawl_by_selector_example(ray_session):
 
     anchors = main("/tmp/ccray_t_selector")
     assert anchors and all(k.startswith("anchor:") for k in anchors)
+
+
+def test_count_listings_example(ray_session):
+    """count_listings.rb analog: depth-1 batch crawl, listing links selected
+    by the structural predicate and surfaced once each."""
+    from examples.count_listings import main
+
+    listings = main("/tmp/ccray_t_listings")
+    assert listings and all(k.startswith("listing:") for k in listings)
+    assert all("/p2" in k for k in listings)
