@@ -449,6 +449,137 @@ def q_media_thumbnails(sf_dir: str):
     return resize_media(media_table_from_documents(docs), max_dim=64)
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary: bounded-cardinality (6-group) multi-
+    aggregate as per-block Arrow group_by partials + tiny driver combine —
+    the shuffle carries one row per (block, group), never per input row.
+    Quantities are integer-valued; sums are exact int64. Price aggregates
+    are element-exact min/max (no float-sum order sensitivity)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pc.cast(pc.round(t.column("l_quantity")), pa.int64()),
+                "price": t.column("l_extendedprice"),
+            }
+        )
+        return tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price", "min"), ("price", "max"), ("qty", "count")]
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        sum_qty=("qty_sum", "sum"),
+        min_price=("price_min", "min"),
+        max_price=("price_max", "max"),
+        count_order=("qty_count", "sum"),
+    )
+    out["sum_qty"] = out["sum_qty"].astype(np.int64)
+    out["count_order"] = out["count_order"].astype(np.int64)
+    return out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "min_price", "max_price", "count_order"]
+    ]
+
+
+def _exact_counts_by_key(parts: rd.Dataset, key: str, out_col: str) -> rd.Dataset:
+    """Per-block partial counts → hash-shard by key → local pandas sum:
+    exact per-key counts at unbounded key cardinality (one map_groups call
+    per shard, not per key)."""
+    import numpy as np
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        return t.append_column("shard", pa.array((k % 64).astype(np.int64)))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key, as_index=False)["partial"].sum()
+        return out.rename(columns={"partial": out_col})
+
+    return (
+        parts.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(combine, batch_format="pandas")
+    )
+
+
+def q_top_segment_customers(sf_dir: str):
+    """Top-3 customers per market segment by order count: sharded exact
+    per-customer counts (combiner + shard-local sum), market segment
+    attached via the size-gated broadcast join, per-segment top-k local to
+    each segment group (5 segments). Deterministic tie-break by c_custkey."""
+    import numpy as np
+
+    from ..ops.dedup import keyed_attach
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["c_custkey", "partial"])
+
+    counts = _exact_counts_by_key(
+        orders.map_batches(partial, batch_format="pyarrow"), "c_custkey", "order_cnt"
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    with_seg = keyed_attach(
+        counts, cust, "c_custkey", ["c_mktsegment"], right_count=cust.count()
+    )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["order_cnt", "c_custkey"], ascending=[False, True], kind="stable"
+        ).head(3).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["c_mktsegment", "c_custkey", "order_cnt", "rank"]]
+
+    return with_seg.groupby("c_mktsegment").map_groups(top3, batch_format="pandas")
+
+
+def q_nation_orders(sf_dir: str):
+    """Orders per nation name — a two-hop dimension join done the 100-TB
+    way: the fact table (orders) streams once, customer→nationkey attaches
+    via the broadcast join, per-block partial counts combine driver-side
+    (25 nations), and the nation-name map is a 25-row dimension read."""
+    import numpy as np
+
+    from ..ops.dedup import keyed_attach
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    ).map_batches(lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
+    with_nat = keyed_attach(
+        orders, cust, "c_custkey", ["c_nationkey"], right_count=cust.count()
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_nationkey").aggregate([("c_nationkey", "count")])
+        return g.rename_columns(["c_nationkey", "partial"])
+
+    parts = with_nat.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("c_nationkey", as_index=False)["partial"].sum()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = agg.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.rename(columns={"partial": "order_cnt"})[["n_name", "order_cnt"]]
+    out["order_cnt"] = out["order_cnt"].astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -479,6 +610,9 @@ QUERIES = {
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "media_thumbnails": q_media_thumbnails,
+    "pricing_summary": q_pricing_summary,
+    "top_segment_customers": q_top_segment_customers,
+    "nation_orders": q_nation_orders,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -617,5 +751,33 @@ ORACLE_SQL = {
                max(t)::BIGINT AS session_end,
                count(*)::BIGINT AS n_events
         FROM s GROUP BY user_id, sid
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_segment_customers": """
+        WITH cnt AS (
+          SELECT o_custkey AS c_custkey, count(*)::BIGINT AS order_cnt
+          FROM orders GROUP BY 1)
+        SELECT c_mktsegment, c_custkey, order_cnt, rank FROM (
+          SELECT c.c_mktsegment, cnt.c_custkey, cnt.order_cnt,
+                 row_number() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY cnt.order_cnt DESC, cnt.c_custkey)::BIGINT AS rank
+          FROM cnt JOIN customer c ON c.c_custkey = cnt.c_custkey)
+        WHERE rank <= 3
+    """,
+    "nation_orders": """
+        SELECT n_name, count(*)::BIGINT AS order_cnt
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY n_name
     """,
 }

@@ -78,6 +78,9 @@ def test_oracle_keys_subset(entrymod):
         "seq_assign",
         "knn_cosine",
         "embedding_neardup",
+        "pricing_summary",
+        "top_segment_customers",
+        "nation_orders",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
