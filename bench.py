@@ -225,6 +225,15 @@ def run_scaling() -> dict:
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # per-rep paired efficiencies (adjacent runs share the same load window)
+    # and their median — the distribution, not just the per-level best
+    per_rep = [
+        round((a["value"] / b["value"]) / (hi / lo), 3)
+        for a, b in zip(runs_lo, runs_hi)
+    ]
+    med = sorted(per_rep)[len(per_rep) // 2] if len(per_rep) % 2 else round(
+        sum(sorted(per_rep)[len(per_rep) // 2 - 1 : len(per_rep) // 2 + 1]) / 2, 3
+    )
     return {
         "metric": (
             "scaling efficiency: single-wave fetch+extract+score crawl "
@@ -237,6 +246,10 @@ def run_scaling() -> dict:
         f"urls_per_sec_{hi}": r_hi["urls_per_sec"],
         "crawl_jobs": r_hi.get("crawl_jobs"),
         "scaling_efficiency": round(eff, 3),
+        "per_rep_efficiency": per_rep,
+        "median_efficiency": med,
+        f"all_sec_{lo}": [r["value"] for r in runs_lo],
+        f"all_sec_{hi}": [r["value"] for r in runs_hi],
         "sf": r_hi["sf"],
     }
 

@@ -170,18 +170,24 @@ class CrawlHandle:
             os.path.join(self.out_dir, "raw"), columns=["counter_keys", "counter_vals"]
         )
 
-        def explode(t: pa.Table) -> pa.Table:
+        def explode_partial(t: pa.Table) -> pa.Table:
+            # explode + per-block partial sum in one stage (Ray's generic
+            # grouped aggregate costs ~2ms/group — hooks can emit
+            # vocabulary-sized key sets, e.g. the word_count example, so the
+            # combine must be partial-per-block + small final merge)
             keys, vals = [], []
             for ks, vs in zip(t.column("counter_keys").to_pylist(), t.column("counter_vals").to_pylist()):
                 keys.extend(ks)
                 vals.extend(vs)
-            return pa.table({"key": pa.array(keys, pa.string()), "val": pa.array(vals, pa.int64())})
+            tt = pa.table({"key": pa.array(keys, pa.string()), "val": pa.array(vals, pa.int64())})
+            return tt.group_by("key").aggregate([("val", "sum")])
 
-        exploded = ds.map_batches(explode, batch_format="pyarrow")
-        from ray.data.aggregate import Sum
-
-        out = exploded.groupby("key").aggregate(Sum("val", alias_name="count"))
-        merged = {r["key"]: r["count"] for r in out.take_all()}
+        parts = ds.map_batches(explode_partial, batch_format="pyarrow").to_pandas()
+        merged = (
+            parts.groupby("key")["val_sum"].sum().astype(int).to_dict()
+            if len(parts)
+            else {}
+        )
         for k, v in lifecycle.items():
             merged[k] = merged.get(k, 0) + v
         return merged
@@ -656,11 +662,15 @@ def _crawl_inner(
                 ).append_column("wave", pa.array([w] * t.num_rows, pa.int32())),
                 batch_format="pyarrow",
             )
+            # materialize the slotted frontier ONCE: the durable write, the
+            # fetch input, and the seen-commit projection below all reuse the
+            # object-store blocks instead of re-reading the parquet
+            f = f.materialize()
             f.write_parquet(fdir)
             # split the slotted frontier so the fetch pool gets even blocks —
-            # the groupby(host) upstream leaves the hot host as one huge
-            # block, which would serialize fetch into a single task
-            fetch_in = rd.read_parquet(fdir).repartition(
+            # the groupby upstream can leave a hot shard as one huge block,
+            # which would serialize fetch into a single task
+            fetch_in = f.repartition(
                 max(1, min(math.ceil(n_jobs / fetch_batch_size), ncpus * 2))
             )
             _prof(f"w{wave} slots_write")
@@ -743,7 +753,7 @@ def _crawl_inner(
                 lambda t: t.filter(pc.field("fetched")).select(["canonical_url"]),
                 batch_format="pyarrow",
             )
-            job_canon = rd.read_parquet(fdir, columns=["canonical_url"])
+            job_canon = f.select_columns(["canonical_url"])
             adder = AddSeen(state.shards) if spec.follow_links else None
 
             def distinct_and_mark(t: pa.Table) -> pa.Table:
