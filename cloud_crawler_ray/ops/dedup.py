@@ -570,12 +570,15 @@ def _components_driver(pairs: pa.Table) -> dict:
     return {x: comp_min[find(x)] for x in parent}
 
 
-def _components_label_prop(pairs: pa.Table, max_iters: int = 64) -> dict:
+def _components_label_prop(pairs: pa.Table, max_iters: int = 512) -> dict:
     """Distributed hash-min label propagation over the pair subgraph: per
     round, every edge proposes min(label_a, label_b) to both endpoints,
     sharded label tables take per-node minima; stops at fixpoint. Driver
     sees only per-round changed counts and the final (node, label) pairs of
-    the dup subgraph."""
+    the dup subgraph. Hash-min converges in O(component diameter) rounds;
+    max_iters is a runaway cap (a duplicate-chain diameter beyond 512 is
+    pathological), and exceeding it warns loudly rather than silently
+    returning split components."""
     edges = rd.from_arrow(pairs.select(["a", "b"])).materialize()
     nodes = (
         rd.from_arrow(
