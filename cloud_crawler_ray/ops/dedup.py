@@ -18,6 +18,7 @@ Scale notes (10^10-doc posture, exercised at 10^3-10^5):
 from __future__ import annotations
 
 import hashlib
+import os
 from collections import defaultdict
 
 import numpy as np
@@ -579,6 +580,11 @@ def _components_label_prop(pairs: pa.Table, max_iters: int = 512) -> dict:
     max_iters is a runaway cap (a duplicate-chain diameter beyond 512 is
     pathological), and exceeding it warns loudly rather than silently
     returning split components."""
+    # shard count sized to the pair graph: every join/groupby below emits
+    # one block per shard, and an iterative loop at a fixed 64 shards
+    # compounds block count until the sort-shuffles cost maps×reduces tasks
+    # (a 40-row graph was estimated at 10 GB of driver memory by round 4)
+    n_sh = max(8, min(_N_SHARDS, pairs.num_rows // 50_000 + 8))
     edges = rd.from_arrow(pairs.select(["a", "b"])).materialize()
     nodes = (
         rd.from_arrow(
@@ -587,17 +593,22 @@ def _components_label_prop(pairs: pa.Table, max_iters: int = 512) -> dict:
                 pairs.column("b").combine_chunks(),
             ])})
         )
-        .map_batches(lambda t: _add_shard(t, "node"), batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "node", n_sh), batch_format="pyarrow")
         .groupby("shard")
         .map_groups(
             lambda g: g.drop_duplicates("node")[["node"]], batch_format="pandas"
         )
     )
-    labels = nodes.map_batches(
-        lambda t: pa.table({"node": t.column("node"), "label": t.column("node")}),
-        batch_format="pyarrow",
-    ).materialize()
+    labels = (
+        nodes.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "label": t.column("node")}),
+            batch_format="pyarrow",
+        )
+        .repartition(n_sh)
+        .materialize()
+    )
 
+    prev_checksum: int | None = None
     for _ in range(max_iters):
         lab_a = labels.map_batches(
             lambda t: t.rename_columns(["a", "lab_a"]), batch_format="pyarrow"
@@ -605,7 +616,10 @@ def _components_label_prop(pairs: pa.Table, max_iters: int = 512) -> dict:
         lab_b = labels.map_batches(
             lambda t: t.rename_columns(["b", "lab_b"]), batch_format="pyarrow"
         )
-        e = keyed_attach(keyed_attach(edges, lab_a, "a", ["lab_a"]), lab_b, "b", ["lab_b"])
+        e = keyed_attach(
+            keyed_attach(edges, lab_a, "a", ["lab_a"], n_shards=n_sh),
+            lab_b, "b", ["lab_b"], n_shards=n_sh,
+        )
 
         def messages(t: pa.Table) -> pa.Table:
             la = t.column("lab_a").to_pylist()
@@ -625,53 +639,73 @@ def _components_label_prop(pairs: pa.Table, max_iters: int = 512) -> dict:
         def min_label(g: pd.DataFrame) -> pd.DataFrame:
             return g.groupby("node", as_index=False)["label"].min()
 
+        # repartition each round's label table back to n_sh blocks: groupby
+        # partitions by INPUT BLOCK COUNT and map_groups emits one block per
+        # group, so without the collapse the block count compounds ~6× per
+        # round (1 → 8 → 50 → 302 → 1814 measured on a 40-row graph) and
+        # shuffle cost with it
         new_labels = (
-            proposals.map_batches(lambda t: _add_shard(t, "node"), batch_format="pyarrow")
+            proposals.map_batches(lambda t: _add_shard(t, "node", n_sh), batch_format="pyarrow")
             .groupby("shard")
             .map_groups(min_label, batch_format="pandas")
+            .repartition(n_sh)
             .materialize()
         )
-        old = keyed_attach(
-            new_labels.map_batches(
-                lambda t: t.rename_columns(["node", "new"]), batch_format="pyarrow"
-            ),
-            labels.map_batches(
-                lambda t: t.rename_columns(["node", "old"]), batch_format="pyarrow"
-            ),
-            "node",
-            ["old"],
+        # pointer doubling: label ← label(label). Every label value is itself
+        # a node of the subgraph (labels are hash-min over node ids), and
+        # label(x) ≤ x, so one self-join halves the remaining chain depth —
+        # with the one-hop edge step above, convergence is O(log diameter)
+        # rounds instead of O(diameter).
+        parents = new_labels.map_batches(
+            lambda t: t.rename_columns(["label", "label2"]), batch_format="pyarrow"
         )
-        changed = old.map_batches(
-            lambda t: pa.table(
-                {
-                    "c": pa.array(
-                        [
-                            sum(
-                                1
-                                for n, o in zip(
-                                    t.column("new").to_pylist(), t.column("old").to_pylist()
-                                )
-                                if n != o
-                            )
-                        ],
-                        pa.int64(),
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        ).sum("c")
+        doubled = keyed_attach(new_labels, parents, "label", ["label2"], n_shards=n_sh)
+
+        def take_double(t: pa.Table) -> pa.Table:
+            l2 = pc.coalesce(t.column("label2"), t.column("label"))
+            return pa.table(
+                {"node": t.column("node"), "label": pc.min_element_wise(t.column("label"), l2)}
+            )
+
+        new_labels = (
+            doubled.map_batches(take_double, batch_format="pyarrow")
+            .repartition(n_sh)
+            .materialize()
+        )
+        # fixpoint test WITHOUT a join: labels only move toward the
+        # component minimum, so any change alters the label multiset — an
+        # order- and partition-insensitive checksum (sum of 32-bit row
+        # hashes; fits int64 at any row count) detects it in one cheap
+        # map+sum pass instead of a keyed self-join per round. A checksum
+        # collision (~2^-32/round) could only end the loop one round early
+        # on an already-near-converged graph.
+        def _block_checksum(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(
+                np.asarray(t.column("label").to_pylist(), dtype=object)
+            )
+            return pa.table(
+                {"h": pa.array([int((h % (1 << 32)).astype(np.int64).sum())], pa.int64())}
+            )
+
+        checksum = int(new_labels.map_batches(_block_checksum, batch_format="pyarrow").sum("h"))
         labels = new_labels
-        if not changed:
+        if os.environ.get("CCRAY_LP_DEBUG"):
+            import sys as _sys
+            import time as _time
+
+            print(f"[lp round checksum={checksum} t={_time.time():.1f}]", file=_sys.stderr)
+        if checksum == prev_checksum:
             break
+        prev_checksum = checksum
     else:
-        # hash-min propagates ~1 hop/round: a component with diameter >
-        # max_iters would get WRONG representatives if we returned silently.
+        # with pointer doubling convergence is O(log diameter); hitting the
+        # cap means a pathological graph, and returning silently would hand
+        # back split components.
         import warnings
 
         warnings.warn(
             f"_components_label_prop did not reach fixpoint in {max_iters} "
-            f"rounds ({changed} labels still changing) — component labels may "
-            "be split; raise max_iters for graphs with long duplicate chains",
+            "rounds — component labels may be split; raise max_iters",
             RuntimeWarning,
             stacklevel=2,
         )

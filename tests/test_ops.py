@@ -328,6 +328,28 @@ def test_dedup_groups_distributed_matches_driver(ray_session):
     assert reps[4] == 4 and want["keep"].sum() == 12 - 4  # 3+1 dup rows dropped
 
 
+def test_label_prop_long_chain_pointer_doubling(ray_session):
+    """A duplicate CHAIN of diameter 20 must converge in O(log diameter)
+    label-prop rounds (pointer doubling), not O(diameter) — and the per-round
+    label table must stay at a bounded block count (the groupby/map_groups
+    block multiplication compounded ~6x per round before the repartition
+    collapse, making a 40-row graph unrunnable)."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import dedup_groups
+
+    pairs = pa.table(
+        {"a": pa.array(list(range(20)), pa.int64()), "b": pa.array(list(range(1, 21)), pa.int64())}
+    )
+    docs = rd.from_arrow(pa.table({"doc_id": list(range(25))}))
+    out = dedup_groups(docs, pairs, driver_pair_cap=0).to_pandas()
+    chain = out[out.doc_id <= 20]
+    assert (chain["group_rep"] == 0).all()
+    assert (chain["keep"] == (chain["doc_id"] == 0)).all()
+    singles = out[out.doc_id > 20]
+    assert (singles["group_rep"] == singles["doc_id"]).all()
+
+
 def test_simhash_finds_exactish_dups(ray_session):
     ds, _ = _docs_with_dups(ray_session)
     from cloud_crawler_ray.ops.dedup import simhash_pairs
