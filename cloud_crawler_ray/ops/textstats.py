@@ -49,6 +49,31 @@ def token_counts(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(fn, batch_format="pandas", batch_size=8192)
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, and single
+# non-alphanumeric marks — the GPT-2-style split shape (runs, not
+# whitespace words). Vectorized with pandas' C-level str.count.
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_token_counts(ds: rd.Dataset) -> rd.Dataset:
+    """doc_id → number of BPE-ish pre-tokens (the subword-tokenizer cost
+    estimate a training-data pipeline budgets by, next to the whitespace
+    count in token_counts)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": batch["text"]
+                .str.lower()
+                .str.count(_BPE_RE)
+                .astype("int64"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=8192)
+
+
 def quality_scores(ds: rd.Dataset) -> rd.Dataset:
     """Per-doc quality counts (lengths, stopwords, punctuation, alpha chars).
     Integer counts so the DuckDB oracle hash-matches exactly."""

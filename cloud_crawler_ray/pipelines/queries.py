@@ -109,6 +109,12 @@ def q_token_count(sf_dir: str):
     return token_counts(_docs(sf_dir))
 
 
+def q_bpe_token_count(sf_dir: str):
+    from ..ops.textstats import bpe_token_counts
+
+    return bpe_token_counts(_docs(sf_dir))
+
+
 def q_quality_score(sf_dir: str):
     from ..ops.textstats import quality_scores
 
@@ -613,6 +619,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_segment_customers": q_top_segment_customers,
     "nation_orders": q_nation_orders,
+    "bpe_token_count": q_bpe_token_count,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -779,5 +786,11 @@ ORACLE_SQL = {
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON n_nationkey = c_nationkey
         GROUP BY n_name
+    """,
+    "bpe_token_count": """
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT
+                 AS n_bpe_tokens
+        FROM documents
     """,
 }

@@ -81,6 +81,7 @@ def test_oracle_keys_subset(entrymod):
         "pricing_summary",
         "top_segment_customers",
         "nation_orders",
+        "bpe_token_count",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
