@@ -167,14 +167,23 @@ def _attr_from(attrs_str: str, rx: re.Pattern, name: str) -> list:
     return [(name, val)]
 
 
+_ATTR_TAIL_SPLIT = re.compile(r"[\s\"']")
+
+
 def _is_self_closing(attrs_str: str) -> bool:
-    """True only when a trailing '/' is a real self-closing marker — i.e.
-    preceded by whitespace, a closing quote, or nothing. A '/' glued to an
-    unquoted attribute value (`<a href=/docs/>`) is part of the value in the
-    stdlib tokenizer (attrfind's unquoted pattern eats '/'), so the tag is a
-    plain start tag and the value keeps its slash."""
+    """True only when a trailing '/' is a real self-closing marker. In the
+    stdlib tokenizer a '/' glued to an UNQUOTED VALUE (`<a href=/docs/>`) is
+    part of the value (attrfind's unquoted pattern eats '/'), but a '/'
+    glued to a bare attribute NAME (`<a data-x/>`, `<a href='/q'data-y/>`)
+    still self-closes. So: self-closing iff the slash follows whitespace, a
+    quote, or nothing — or the token glued to it (after the last
+    whitespace/quote) carries no '=' (bare name, not a value)."""
     s = attrs_str.rstrip()
-    return s.endswith("/") and (len(s) == 1 or s[-2] in " \t\n\r\"'")
+    if not s.endswith("/"):
+        return False
+    if len(s) == 1 or s[-2] in " \t\n\r\"'":
+        return True
+    return "=" not in _ATTR_TAIL_SPLIT.split(s)[-1]
 
 
 def _find_cdata_close(lower: str, tag: str, pos: int) -> int:

@@ -108,7 +108,7 @@ def keyed_attach(
     ltypes = {n: _lt[n] for n in lonly}
 
     def tag_left(t: pa.Table) -> pa.Table:
-        t = _add_shard(t, key)
+        t = _add_shard(t, key, n_shards)
         t = t.append_column("_side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
         for c in payload_cols:
             t = t.append_column(c, pa.nulls(t.num_rows, type=rtypes[c]))
@@ -116,7 +116,7 @@ def keyed_attach(
 
     def tag_right(t: pa.Table) -> pa.Table:
         t = t.select([key] + payload_cols)
-        t = _add_shard(t, key)
+        t = _add_shard(t, key, n_shards)
         t = t.append_column("_side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
         for c in lonly:
             t = t.append_column(c, pa.nulls(t.num_rows, type=ltypes[c]))
@@ -928,17 +928,20 @@ def ngram_jaccard_pairs(
         .materialize()
     )
 
-    empty = pa.table(
-        {
-            "a": pa.array([], pa.int64()),
-            "b": pa.array([], pa.int64()),
-            "n_common": pa.array([], pa.int64()),
-            "n_a": pa.array([], pa.int64()),
-            "n_b": pa.array([], pa.int64()),
-        }
-    )
     if cand.count() == 0:
-        return rd.from_arrow(empty)
+        # typed like the non-empty path: a/b carry the corpus doc_id type
+        id_t = dict(zip(ds.schema().names, ds.schema().types))["doc_id"]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([], id_t),
+                    "b": pa.array([], id_t),
+                    "n_common": pa.array([], pa.int64()),
+                    "n_a": pa.array([], pa.int64()),
+                    "n_b": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     # exact verify: intersect the candidate docs' shingle sets (semi-join on
     # the small candidate-id side; sets broadcast once under the cap, keyed

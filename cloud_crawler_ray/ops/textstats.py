@@ -52,7 +52,10 @@ def token_counts(ds: rd.Dataset) -> rd.Dataset:
 # BPE-ish pre-tokenization: letter runs, digit runs, and single
 # non-alphanumeric marks — the GPT-2-style split shape (runs, not
 # whitespace words). Vectorized with pandas' C-level str.count.
-_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# Whitespace is spelled as the explicit ASCII class so the Python engine
+# and the DuckDB/RE2 oracle agree on every codepoint (\s is Unicode-aware
+# in Python but ASCII-only in RE2: \v and \xa0 would diverge).
+_BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\t\n\f\r ]"
 
 
 def bpe_token_counts(ds: rd.Dataset) -> rd.Dataset:

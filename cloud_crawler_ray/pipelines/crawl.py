@@ -182,7 +182,26 @@ class CrawlHandle:
             tt = pa.table({"key": pa.array(keys, pa.string()), "val": pa.array(vals, pa.int64())})
             return tt.group_by("key").aggregate([("val", "sum")])
 
-        parts = ds.map_batches(explode_partial, batch_format="pyarrow").to_pandas()
+        # hash-shard the partials and sum per shard before collecting, so the
+        # driver holds O(distinct keys), not O(blocks × distinct keys)
+        from ..state.shards import shards_of
+
+        def shard_sum(t: pa.Table) -> pa.Table:
+            return t.group_by("key").aggregate([("val_sum", "sum")]).rename_columns(
+                ["key", "val_sum"]
+            )
+
+        def add_shard(t: pa.Table) -> pa.Table:
+            sh = shards_of(t.column("key").to_pylist(), 64)
+            return t.append_column("shard", pa.array(sh, pa.int64()))
+
+        parts = (
+            ds.map_batches(explode_partial, batch_format="pyarrow")
+            .map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(shard_sum, batch_format="pyarrow")
+            .to_pandas()
+        )
         merged = (
             parts.groupby("key")["val_sum"].sum().astype(int).to_dict()
             if len(parts)

@@ -789,8 +789,8 @@ ORACLE_SQL = {
     """,
     "bpe_token_count": """
         SELECT doc_id,
-               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT
-                 AS n_bpe_tokens
+               len(regexp_extract_all(lower(text),
+                   '[a-z]+|[0-9]+|[^a-z0-9\\t\\n\\f\\r ]'))::BIGINT AS n_bpe_tokens
         FROM documents
     """,
 }

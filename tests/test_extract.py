@@ -105,6 +105,11 @@ EDGE_BODIES = [
     b"<a href=/docs//>double slash</a>",
     b"<a href=/spaced />self-closed after space",
     b'<a href="/quoted"/>self-closed after quote',
+    # a '/' glued to a bare attribute NAME self-closes (no '=' in the tail)
+    b"<a data-x/>x</a>",
+    b"<a href='/q'data-y/>z</a>",
+    b"<a href=/docs/ data/>w",
+    b"<a href=x y=/z/>v</a>",
 ]
 
 
