@@ -845,7 +845,10 @@ def ngram_jaccard_pairs(
             {"doc_id": ids, "shs": pa.array(shs, pa.list_(pa.string()))}
         )
 
-    # one shingle pass over the corpus, reused by prefix selection and verify
+    # One shingle pass over the corpus, reused by prefix selection and
+    # verify. The materialized set table is corpus-sized (≈ the text itself)
+    # — an explicit memory-for-CPU trade, spillable by the object store; the
+    # alternative re-shingles the corpus twice from text.
     sets = ds.map_batches(doc_sets, batch_format="pyarrow", batch_size=2048).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:

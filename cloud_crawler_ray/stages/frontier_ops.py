@@ -51,11 +51,20 @@ def _first_of_run_mask(keys) -> pa.Array:
     return pa.concat_arrays([pa.array([True]), neq.combine_chunks() if isinstance(neq, pa.ChunkedArray) else neq])
 
 
-# Hash-shard count for the dedup shuffle. A group-per-URL groupby pays Ray's
+# Hash-shard floor for the dedup shuffle. A group-per-URL groupby pays Ray's
 # ~2 ms/group UDF overhead exactly when the distributed planner runs (>100k
 # candidates); hashing to a bounded shard count keeps the per-group overhead
 # constant while the per-shard work stays the vectorized sort+mask kernel.
 _DEDUP_SHARDS = 64
+
+
+def _cluster_shards(floor: int = _DEDUP_SHARDS) -> int:
+    """Shard count scaled to the cluster: ~2 shards per CPU keeps every core
+    busy in the per-shard stage and bounds per-shard size as the cluster
+    (and the wave) grows — a fixed 64 would cap parallelism on a multi-node
+    cluster and balloon per-shard sorts at 10^8-row waves."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(floor, 2 * ncpu)
 
 
 def _dedup_shard(group: pa.Table) -> pa.Table:
@@ -65,13 +74,15 @@ def _dedup_shard(group: pa.Table) -> pa.Table:
     return _dedup_batch(group).drop_columns(["_ushard"])
 
 
-def dedup_candidates(ds: rd.Dataset, n_shards: int = _DEDUP_SHARDS) -> rd.Dataset:
+def dedup_candidates(ds: rd.Dataset, n_shards: int | None = None) -> rd.Dataset:
     """In-wave first-wins dedup, shard-local: per-batch partial (combiner)
     → hash(canonical_url) shard column → groupby(shard) with the same
     vectorized kernel per shard. Plan cost scales with rows, not with the
     number of distinct URLs (the frontier-scale requirement)."""
     from ..state.shards import shards_of
 
+    if n_shards is None:
+        n_shards = _cluster_shards()
     ds = ds.map_batches(_dedup_batch, batch_format="pyarrow")
 
     def add_shard(t: pa.Table) -> pa.Table:

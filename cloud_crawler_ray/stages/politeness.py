@@ -144,10 +144,11 @@ def slot_block(
     return tbl
 
 
-# Host-hash shard count for the slot-assignment shuffle: fine at any host
+# Host-hash shard floor for the slot-assignment shuffle: fine at any host
 # cardinality (the per-group map_groups overhead is paid per shard, not per
 # host — batch_job.rb:178-183's per-host serialization is preserved because
-# every row of a host hashes to the same shard).
+# every row of a host hashes to the same shard). The actual count scales
+# with cluster CPUs (frontier_ops._cluster_shards).
 _SLOT_SHARDS = 64
 
 
@@ -175,9 +176,13 @@ class ShardSlotAssigner:
 
 
 def assign_slots(
-    ds: rd.Dataset, state, chain_idx_ref, delay_ms: int, n_shards: int = _SLOT_SHARDS
+    ds: rd.Dataset, state, chain_idx_ref, delay_ms: int, n_shards: int | None = None
 ) -> rd.Dataset:
     from ..state.shards import shards_of
+    from .frontier_ops import _cluster_shards
+
+    if n_shards is None:
+        n_shards = _cluster_shards(_SLOT_SHARDS)
 
     def add_shard(t: pa.Table) -> pa.Table:
         sh = shards_of(t.column("host").to_pylist(), n_shards)
