@@ -459,10 +459,17 @@ def crawl(
 
 
 def _collect_if_small(ds: rd.Dataset, threshold: int) -> tuple[pa.Table | None, rd.Dataset]:
-    """Bring a frontier Dataset to the driver iff it is small. Counts via
-    block metadata; collects via arrow refs (typed, no pandas round-trip)."""
+    """Bring a frontier Dataset to the driver iff it is small. Materializes
+    ONCE, then both the count and (if small) the collect are metadata/ref
+    reads on the same blocks — a lazy count() + to_arrow_refs() would execute
+    the upstream chain twice, and a big frontier handed back lazily would be
+    re-executed a third time by the wave planner's sort. Frontier rows are
+    small (urls + ints) and the object store spills, so materializing here is
+    bounded at any scale. Threshold 0 (pure distributed mode) stays fully
+    lazy: the planner chain fuses into the next wave's sort execution."""
     if threshold <= 0:
         return None, ds
+    ds = ds.materialize()
     n = ds.count()
     if n <= threshold:
         refs = ds.to_arrow_refs()
@@ -471,6 +478,41 @@ def _collect_if_small(ds: rd.Dataset, threshold: int) -> tuple[pa.Table | None, 
             return pa.table({}), ds
         return pa.concat_tables(tables), ds
     return None, ds
+
+
+def _passthrough_part_writer(dirpath: str, project=None):
+    """map_batches stage that durably writes each block to *dirpath* as a
+    parquet part and passes the block on (optionally projected) — fusing a
+    durable write into the surrounding execution instead of paying a separate
+    per-wave write execution (~0.3-1 s floor each on Ray 2.49). Part names
+    derive from the block's min seq (globally unique per wave, disjoint
+    across blocks), so a Ray task retry overwrites the same file — the write
+    is idempotent under at-least-once execution, and uncommitted wave dirs
+    are purged wholesale on resume regardless."""
+    import pyarrow.parquet as pq
+
+    def write(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            os.makedirs(dirpath, exist_ok=True)
+            lo = pc.min(t.column("seq")).as_py()
+            # raw fetch blocks carry one row per redirect hop (chain_pos);
+            # a block split can fall inside a job's chain, so the min seq
+            # alone is not unique across sibling blocks — qualify with the
+            # min-seq row's first chain_pos
+            if "chain_pos" in t.column_names:
+                sub = t.filter(pc.equal(t.column("seq"), lo))
+                name = f"part-{lo:012d}-{pc.min(sub.column('chain_pos')).as_py():03d}.parquet"
+            else:
+                name = f"part-{lo:012d}.parquet"
+            pq.write_table(t, os.path.join(dirpath, name))
+        return t if project is None else project(t)
+
+    return write
+
+
+def _seen_projection(t: pa.Table) -> pa.Table:
+    """Raw fetch block → the columns the seen-commit needs."""
+    return t.filter(pc.field("fetched")).select(["canonical_url"])
 
 
 def _crawl_inner(
@@ -649,8 +691,9 @@ def _crawl_inner(
                 sort_cols = ["neg_prio", "parent_seq", "ordinal"]
             else:
                 sort_cols = ["parent_seq", "ordinal"]
-            f = zip_with_index(f, sort_cols, col="seq", base=next_seq)
-            n_jobs = f.count()
+            f, n_jobs = zip_with_index(
+                f, sort_cols, col="seq", base=next_seq, with_count=True
+            )
             if n_jobs == 0:
                 break
             if spec.job_limit is not None and n_jobs > spec.job_limit:
@@ -681,11 +724,13 @@ def _crawl_inner(
                 ).append_column("wave", pa.array([w] * t.num_rows, pa.int32())),
                 batch_format="pyarrow",
             )
-            # materialize the slotted frontier ONCE: the durable write, the
-            # fetch input, and the seen-commit projection below all reuse the
-            # object-store blocks instead of re-reading the parquet
-            f = f.materialize()
-            f.write_parquet(fdir)
+            # materialize the slotted frontier ONCE, writing the durable
+            # frontier parts inside the same execution (passthrough writer —
+            # no separate write_parquet execution); the fetch input and the
+            # seen-commit projection below reuse the object-store blocks
+            f = f.map_batches(
+                _passthrough_part_writer(fdir), batch_format="pyarrow", batch_size=None
+            ).materialize()
             # split the slotted frontier so the fetch pool gets even blocks —
             # the groupby upstream can leave a hot shard as one huge block,
             # which would serialize fetch into a single task
@@ -733,7 +778,31 @@ def _crawl_inner(
                     batch_size=fetch_batch_size,
                     concurrency=fetch_concurrency,
                 )
-            raw.write_parquet(raw_dir)
+            if not local and spec.follow_links:
+                # fuse the raw write with the seen-commit: the fetch stage
+                # writes its durable raw parts in-task (passthrough writer)
+                # and forwards only the fetched canonical_urls; union with
+                # the wave's job urls → per-batch local distinct → idempotent
+                # shard mark → seen parquet. ONE Ray execution where there
+                # used to be two (raw write_parquet + a full re-read of
+                # raw_dir for the seen delta).
+                raw_meta = raw.map_batches(
+                    _passthrough_part_writer(raw_dir, project=_seen_projection),
+                    batch_format="pyarrow",
+                    batch_size=None,
+                )
+                adder = AddSeen(state.shards)
+
+                def distinct_and_mark(t: pa.Table, adder=adder) -> pa.Table:
+                    out = t.group_by("canonical_url").aggregate([])  # local distinct
+                    adder(out)  # fused seen-shard commit (idempotent adds)
+                    return out
+
+                f.select_columns(["canonical_url"]).union(raw_meta).map_batches(
+                    distinct_and_mark, batch_format="pyarrow"
+                ).write_parquet(seen_dir)
+            else:
+                raw.write_parquet(raw_dir)
         _prof(f"w{wave} fetch_extract_write")
 
         # --- seen delta (job urls + fetched page urls) + commit ---
@@ -756,7 +825,10 @@ def _crawl_inner(
                 fm_tbl.column("host").to_pylist(), fm_tbl.column("job_end_ms").to_pylist()
             ):
                 updates[h] = max(updates.get(h, 0), int(e))
-        elif not spec.follow_links:
+        else:
+            # the seen delta (if any) was committed inside the fetch execution
+            # above; only the clock advance remains — two small columns of the
+            # wave's frontier, read driver-side (no Ray execution)
             ends_tbl = pq.read_table(fdir, columns=["host", "job_end_ms"])
             import pandas as _pd
 
@@ -767,36 +839,6 @@ def _crawl_inner(
                 }
             )
             updates = {h: int(v) for h, v in edf.groupby("host")["end"].max().items()}
-        else:
-            raw_canon = rd.read_parquet(raw_dir, columns=["canonical_url", "fetched"]).map_batches(
-                lambda t: t.filter(pc.field("fetched")).select(["canonical_url"]),
-                batch_format="pyarrow",
-            )
-            job_canon = f.select_columns(["canonical_url"])
-            adder = AddSeen(state.shards) if spec.follow_links else None
-
-            def distinct_and_mark(t: pa.Table) -> pa.Table:
-                out = t.group_by("canonical_url").aggregate([])  # local distinct
-                if adder is not None:
-                    adder(out)  # fused seen-shard commit (idempotent adds)
-                return out
-
-            job_canon.union(raw_canon).map_batches(
-                distinct_and_mark, batch_format="pyarrow"
-            ).write_parquet(seen_dir)
-            # clock advance: two small columns of the wave's frontier, driver-side
-            ends_tbl = pq.read_table(fdir, columns=["host", "job_end_ms"])
-            import pandas as _pd
-
-            edf = _pd.DataFrame(
-                {
-                    "host": ends_tbl.column("host").to_pylist(),
-                    "end": ends_tbl.column("job_end_ms").to_numpy(zero_copy_only=False),
-                }
-            )
-            updates = {
-                h: int(v) for h, v in edf.groupby("host")["end"].max().items()
-            }
         _prof(f"w{wave} seen_commit")
         state.advance_clocks(updates)
         next_seq += n_jobs

@@ -25,9 +25,14 @@ def _stamp(block: pa.Table, col: str, start: int) -> pa.Table:
 
 
 def zip_with_index(
-    ds: rd.Dataset, sort_keys: list[str], col: str = "seq", base: int = 0
-) -> rd.Dataset:
-    """Sort by *sort_keys* and add a global 0-based (+base) row index."""
+    ds: rd.Dataset, sort_keys: list[str], col: str = "seq", base: int = 0,
+    with_count: bool = False,
+) -> rd.Dataset | tuple[rd.Dataset, int]:
+    """Sort by *sort_keys* and add a global 0-based (+base) row index.
+
+    With ``with_count=True`` also returns the total row count — already known
+    here from the sorted blocks' metadata, so callers skip a whole
+    ``ds.count()`` execution (one fewer per-wave Ray execution floor)."""
     ds = ds.sort(sort_keys).materialize()
     refs, counts = [], []
     for bundle in ds.iter_internal_ref_bundles():
@@ -38,6 +43,6 @@ def zip_with_index(
             counts.append(meta.num_rows)
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]) + base if counts else []
     new_refs = [_stamp.remote(r, col, int(o)) for r, o in zip(refs, offsets)]
-    if not new_refs:
-        return ds
-    return rd.from_arrow_refs(new_refs)
+    total = int(sum(counts))
+    out = ds if not new_refs else rd.from_arrow_refs(new_refs)
+    return (out, total) if with_count else out
