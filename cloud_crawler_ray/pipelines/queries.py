@@ -586,6 +586,239 @@ def q_nation_orders(sf_dir: str):
     return out.sort_values("n_name").reset_index(drop=True)
 
 
+def _rev_e4(t: pa.Table, price_col: str, disc_col: str, complement: bool) -> pa.Array:
+    """Exact integer revenue in 1e-4 currency units: price-cents × (discount-
+    cents | 100−discount-cents). Prices/discounts carry 2 decimals, so the
+    cent casts are exact and the int64 sum is order-insensitive — float sums
+    across different block orders could differ from the SQL oracle in the
+    last bits."""
+    import pyarrow.compute as pc
+
+    price = pc.cast(pc.round(pc.multiply(t.column(price_col), 100.0)), pa.int64())
+    disc = pc.cast(pc.round(pc.multiply(t.column(disc_col), 100.0)), pa.int64())
+    if complement:
+        disc = pc.subtract(pa.scalar(100, pa.int64()), disc)
+    return pc.multiply(price, disc)
+
+
+def q_forecast_revenue(sf_dir: str):
+    """TPC-H Q6-style forecast revenue. The three-way filter is pushed into
+    the parquet scan (row-group pruning + row-level filtering inside the
+    read tasks — only a 2-column filtered stream leaves storage); the sum is
+    a one-int64-per-block partial with a driver-side final add."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    expr = (
+        (pc.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+        & (pc.field("l_shipdate") < datetime.datetime(1997, 1, 1))
+        & (pc.field("l_discount") >= 0.05)
+        & (pc.field("l_discount") <= 0.07)
+        & (pc.field("l_quantity") < 24)
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount"],
+        filter=expr,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = pc.sum(_rev_e4(t, "l_extendedprice", "l_discount", complement=False))
+        return pa.table({"partial": pa.array([s.as_py() or 0], pa.int64())})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({"revenue_e4": [np.int64(parts["partial"].sum())]})
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-style shipping priority: top-10 unshipped BUILDING-segment
+    orders by revenue. Both joins are keyed_attach (size-gated broadcast /
+    sharded merge — never a driver-side dict); per-(order, date) revenue is
+    summed shard-locally after per-block partials, and the top-k runs per
+    shard with only 10 rows per shard reaching the driver."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import keyed_attach
+
+    cutoff = datetime.datetime(1998, 6, 1)
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pc.field("c_mktsegment") == "BUILDING",
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") < cutoff,
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    # semi-join: attach the (filtered) segment and keep matches only
+    orders_f = keyed_attach(
+        orders, cust, "c_custkey", ["c_mktsegment"], right_count=cust.count()
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("c_mktsegment"))).select(
+            ["o_orderkey", "o_orderdate"]
+        ),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_shipdate") > cutoff,
+    )
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "rev": _rev_e4(t, "l_extendedprice", "l_discount", complement=True),
+            }
+        )
+        return tt.group_by("o_orderkey").aggregate([("rev", "sum")])
+
+    li_part = li.map_batches(line_partial, batch_format="pyarrow")
+    with_date = keyed_attach(
+        li_part, orders_f, "o_orderkey", ["o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("o_orderdate"))),
+        batch_format="pyarrow",
+    )
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column("shard", pa.array((k % 64).astype(np.int64)))
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["o_orderkey", "o_orderdate"], as_index=False)["rev_sum"].sum()
+        out = out.sort_values(
+            ["rev_sum", "o_orderkey"], ascending=[False, True], kind="stable"
+        ).head(10)
+        return out
+
+    tops = (
+        with_date.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    tops = tops.sort_values(
+        ["rev_sum", "o_orderkey"], ascending=[False, True], kind="stable"
+    ).head(10)
+    tops["revenue_e4"] = tops["rev_sum"].astype(np.int64)
+    return tops[["o_orderkey", "revenue_e4", "o_orderdate"]].reset_index(drop=True)
+
+
+def q_order_priority(sf_dir: str):
+    """TPC-H Q4-style order-priority check, adapted to this schema: orders
+    from 1997Q1 having at least one line shipped after the order date
+    (EXISTS → per-orderkey max(l_shipdate) via sharded partial-max, attached
+    with the keyed join, then a 5-group driver combine)."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import keyed_attach
+
+    lo, hi = datetime.datetime(1997, 1, 1), datetime.datetime(1997, 4, 1)
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def partial_max(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
+        return g.rename_columns(["o_orderkey", "max_ship"])
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column("shard", pa.array((k % 64).astype(np.int64)))
+
+    def shard_max(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("o_orderkey", as_index=False)["max_ship"].max()
+
+    max_ship = (
+        li.map_batches(partial_max, batch_format="pyarrow")
+        .map_batches(add_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_max, batch_format="pandas")
+    )
+    flagged = keyed_attach(orders, max_ship, "o_orderkey", ["max_ship"]).map_batches(
+        lambda t: t.filter(pc.greater(t.column("max_ship"), t.column("o_orderdate"))),
+        batch_format="pyarrow",
+    )
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_orderpriority").aggregate([("o_orderpriority", "count")])
+        return g.rename_columns(["o_orderpriority", "partial"])
+
+    parts = flagged.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False)["partial"].sum()
+    out = out.rename(columns={"partial": "order_count"})
+    out["order_count"] = out["order_count"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def q_promo_revenue(sf_dir: str):
+    """TPC-H Q14-style promotion effect for 1997-03: part type attaches to
+    the month's lineitem via the broadcast join (part is the small side),
+    and both the promo and total revenues are exact int64 partials — the
+    ratio is left to the caller so the result stays hash-exact."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import keyed_attach
+
+    lo, hi = datetime.datetime(1997, 3, 1), datetime.datetime(1997, 4, 1)
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi),
+    ).map_batches(
+        lambda t: t.rename_columns(["p_partkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow",
+    )
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    with_type = keyed_attach(
+        li, part, "p_partkey", ["p_type"], right_count=part.count()
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = _rev_e4(t, "l_extendedprice", "l_discount", complement=True)
+        promo = pc.equal(t.column("p_type"), "PROMO")
+        psum = pc.sum(pc.if_else(promo, rev, pa.scalar(0, pa.int64())))
+        tsum = pc.sum(rev)
+        return pa.table(
+            {
+                "promo": pa.array([psum.as_py() or 0], pa.int64()),
+                "total": pa.array([tsum.as_py() or 0], pa.int64()),
+            }
+        )
+
+    parts = with_type.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "promo_rev_e4": [np.int64(parts["promo"].sum())],
+            "total_rev_e4": [np.int64(parts["total"].sum())],
+        }
+    )
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -620,6 +853,10 @@ QUERIES = {
     "top_segment_customers": q_top_segment_customers,
     "nation_orders": q_nation_orders,
     "bpe_token_count": q_bpe_token_count,
+    "forecast_revenue": q_forecast_revenue,
+    "shipping_priority": q_shipping_priority,
+    "order_priority": q_order_priority,
+    "promo_revenue": q_promo_revenue,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -792,5 +1029,54 @@ ORACLE_SQL = {
                len(regexp_extract_all(lower(text),
                    '[a-z]+|[0-9]+|[^a-z0-9\\t\\n\\f\\r ]'))::BIGINT AS n_bpe_tokens
         FROM documents
+    """,
+    "forecast_revenue": """
+        SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_discount * 100) AS BIGINT))::BIGINT AS revenue_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "shipping_priority": """
+        SELECT o_orderkey, revenue_e4, o_orderdate FROM (
+          SELECT l_orderkey AS o_orderkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+                   AS revenue_e4,
+                 o_orderdate
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-06-01'
+            AND l_shipdate  > TIMESTAMP '1998-06-01'
+          GROUP BY l_orderkey, o_orderdate)
+        ORDER BY revenue_e4 DESC, o_orderkey
+        LIMIT 10
+    """,
+    "order_priority": """
+        SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    "promo_revenue": """
+        SELECT sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)::BIGINT
+                 AS promo_rev_e4,
+               sum(rev)::BIGINT AS total_rev_e4
+        FROM (
+          SELECT p_type,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+            AND l_shipdate <  TIMESTAMP '1997-04-01')
     """,
 }

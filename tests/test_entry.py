@@ -82,6 +82,10 @@ def test_oracle_keys_subset(entrymod):
         "top_segment_customers",
         "nation_orders",
         "bpe_token_count",
+        "forecast_revenue",
+        "shipping_priority",
+        "order_priority",
+        "promo_revenue",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
