@@ -659,14 +659,21 @@ def q_shipping_priority(sf_dir: str):
         lambda t: t.rename_columns(["o_orderkey", "c_custkey", "o_orderdate"]),
         batch_format="pyarrow",
     )
-    # semi-join: attach the (filtered) segment and keep matches only
-    orders_f = keyed_attach(
-        orders, cust, "c_custkey", ["c_mktsegment"], right_count=cust.count()
-    ).map_batches(
-        lambda t: t.filter(pc.is_valid(t.column("c_mktsegment"))).select(
-            ["o_orderkey", "o_orderdate"]
-        ),
-        batch_format="pyarrow",
+    # semi-join: attach the (filtered) segment and keep matches only.
+    # Materialized because it is both counted (for the size gate below) and
+    # joined — without it the filter chain would execute twice; the pinned
+    # set is the post-filter dimension side, not the fact table.
+    orders_f = (
+        keyed_attach(
+            orders, cust, "c_custkey", ["c_mktsegment"], right_count=cust.count()
+        )
+        .map_batches(
+            lambda t: t.filter(pc.is_valid(t.column("c_mktsegment"))).select(
+                ["o_orderkey", "o_orderdate"]
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
     )
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -684,8 +691,10 @@ def q_shipping_priority(sf_dir: str):
         return tt.group_by("o_orderkey").aggregate([("rev", "sum")])
 
     li_part = li.map_batches(line_partial, batch_format="pyarrow")
+    # size-gated: the filtered order list broadcasts (map-side probe, no
+    # shuffle of the lineitem partials) until it outgrows the cap
     with_date = keyed_attach(
-        li_part, orders_f, "o_orderkey", ["o_orderdate"]
+        li_part, orders_f, "o_orderkey", ["o_orderdate"], right_count=orders_f.count()
     ).map_batches(
         lambda t: t.filter(pc.is_valid(t.column("o_orderdate"))),
         batch_format="pyarrow",
@@ -718,8 +727,11 @@ def q_shipping_priority(sf_dir: str):
 def q_order_priority(sf_dir: str):
     """TPC-H Q4-style order-priority check, adapted to this schema: orders
     from 1997Q1 having at least one line shipped after the order date
-    (EXISTS → per-orderkey max(l_shipdate) via sharded partial-max, attached
-    with the keyed join, then a 5-group driver combine)."""
+    (EXISTS → broadcast the quarter's order dates onto lineitem, filter the
+    qualifying lines map-side, then distinct orderkeys per shard and a
+    5-group driver combine — the fact table is never shuffled; if the order
+    window outgrew the broadcast cap, keyed_attach falls back to the sharded
+    join on its own)."""
     import datetime
 
     import numpy as np
@@ -732,38 +744,45 @@ def q_order_priority(sf_dir: str):
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
         filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
-    )
+    ).materialize()
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_shipdate"]),
+        batch_format="pyarrow",
     )
-
-    def partial_max(t: pa.Table) -> pa.Table:
-        g = t.group_by("l_orderkey").aggregate([("l_shipdate", "max")])
-        return g.rename_columns(["o_orderkey", "max_ship"])
-
-    def add_shard(t: pa.Table) -> pa.Table:
-        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
-        return t.append_column("shard", pa.array((k % 64).astype(np.int64)))
-
-    def shard_max(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby("o_orderkey", as_index=False)["max_ship"].max()
-
-    max_ship = (
-        li.map_batches(partial_max, batch_format="pyarrow")
-        .map_batches(add_shard, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(shard_max, batch_format="pandas")
-    )
-    flagged = keyed_attach(orders, max_ship, "o_orderkey", ["max_ship"]).map_batches(
-        lambda t: t.filter(pc.greater(t.column("max_ship"), t.column("o_orderdate"))),
+    flagged = keyed_attach(
+        li,
+        orders,
+        "o_orderkey",
+        ["o_orderdate", "o_orderpriority"],
+        right_count=orders.count(),
+    ).map_batches(
+        # NULL o_orderdate (line outside the quarter) compares NULL → dropped
+        lambda t: t.filter(
+            pc.greater(t.column("l_shipdate"), t.column("o_orderdate"))
+        ).select(["o_orderkey", "o_orderpriority"]),
         batch_format="pyarrow",
     )
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by("o_orderpriority").aggregate([("o_orderpriority", "count")])
-        return g.rename_columns(["o_orderpriority", "partial"])
+    # EXISTS: distinct qualifying orderkeys — per-block distinct partial,
+    # then shard-local distinct so no orderkey spans shards
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["o_orderkey", "o_orderpriority"]).aggregate([])
+        k = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return g.append_column("shard", pa.array((k % 64).astype(np.int64)))
 
-    parts = flagged.map_batches(count_partial, batch_format="pyarrow").to_pandas()
+    def shard_counts(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(subset="o_orderkey")
+        out = d.groupby("o_orderpriority", as_index=False).size()
+        return out.rename(columns={"size": "partial"})
+
+    parts = (
+        flagged.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_counts, batch_format="pandas")
+        .to_pandas()
+    )
     out = parts.groupby("o_orderpriority", as_index=False)["partial"].sum()
     out = out.rename(columns={"partial": "order_count"})
     out["order_count"] = out["order_count"].astype(np.int64)
