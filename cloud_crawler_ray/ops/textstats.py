@@ -8,6 +8,7 @@ combiner pattern, reference analog examples/sugary_word_count.rb:49-73).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -138,3 +139,76 @@ def fingerprints(ds: rd.Dataset) -> rd.Dataset:
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)
+
+
+def vocab_topk(ds: rd.Dataset, k: int = 50, n_shards: int = 64) -> pd.DataFrame:
+    """Corpus-wide top-k vocabulary (token, cnt), ties broken by token asc —
+    the vocabulary-building pass of a tokenizer-training pipeline.
+
+    Per-batch value_counts shrink each block to one (token, partial) row per
+    distinct token, then tokens hash-shard so every token's partials meet in
+    exactly one shard; each shard totals locally and forwards only its own
+    top-k, so the driver merges n_shards * k rows no matter the corpus size
+    (a global top-k element is by definition in its shard's top-k)."""
+    from .dedup import _add_shard
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split(r"\s+", regex=True).explode()
+        toks = toks[toks.notna() & (toks != "")]
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "partial": vc.values})
+
+    partials = ds.map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    ).map_batches(lambda t: _add_shard(t, "token", n_shards), batch_format="pyarrow")
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("token", as_index=False)["partial"].sum()
+        tot = tot.sort_values(
+            ["partial", "token"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return tot.rename(columns={"partial": "cnt"})
+
+    tops = (
+        partials.groupby("shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    tops = tops.sort_values(
+        ["cnt", "token"], ascending=[False, True], kind="stable"
+    ).head(k)
+    tops["cnt"] = tops["cnt"].astype("int64")
+    return tops[["token", "cnt"]].reset_index(drop=True)
+
+
+def token_count_quantiles(
+    ds: rd.Dataset, qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+) -> pd.DataFrame:
+    """Exact PERCENTILE_DISC quantiles of per-doc token counts — the
+    length-distribution summary a pipeline sizes its packing/truncation by.
+
+    Distributed as a histogram: each block collapses to (n_tokens, count)
+    partials, the driver combines a table bounded by the number of DISTINCT
+    token counts (≪ corpus size — document lengths share values), and the
+    quantile is read off the cumulative histogram at rank ceil(q*n), the
+    SQL PERCENTILE_DISC / DuckDB quantile_disc convention (verified
+    empirically, including the ceil-on-float boundary)."""
+    import math
+
+    counts = token_counts(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("n_tokens").aggregate([("n_tokens", "count")])
+        return g.rename_columns(["n_tokens", "partial"])
+
+    parts = counts.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hist = parts.groupby("n_tokens")["partial"].sum().sort_index()
+    n = int(hist.sum())
+    cum = hist.cumsum().to_numpy()
+    values = hist.index.to_numpy()
+    out = []
+    for q in qs:
+        rank = max(1, math.ceil(q * n))  # 1-based; same float math as the oracle
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out.append((float(q), int(values[min(idx, len(values) - 1)])))
+    return pd.DataFrame(out, columns=["q", "n_tokens_q"])

@@ -838,6 +838,32 @@ def q_promo_revenue(sf_dir: str):
     )
 
 
+def q_train_test_split(sf_dir: str):
+    """Deterministic hash-based train/test assignment over documents —
+    map-side only, reproducible under re-runs/resume (ops/sampling.py)."""
+    from ..ops.sampling import train_test_split
+
+    return train_test_split(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+    )
+
+
+def q_vocab_topk(sf_dir: str):
+    """Corpus top-50 vocabulary with counts (sharded token totals; driver
+    sees n_shards x k rows only)."""
+    from ..ops.textstats import vocab_topk
+
+    return vocab_topk(_docs(sf_dir), k=50)
+
+
+def q_token_quantiles(sf_dir: str):
+    """Exact PERCENTILE_DISC deciles of per-doc token counts via
+    distributed histogram partials."""
+    from ..ops.textstats import token_count_quantiles
+
+    return token_count_quantiles(_docs(sf_dir))
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -876,6 +902,9 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "order_priority": q_order_priority,
     "promo_revenue": q_promo_revenue,
+    "train_test_split": q_train_test_split,
+    "vocab_topk": q_vocab_topk,
+    "token_quantiles": q_token_quantiles,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -1097,5 +1126,29 @@ ORACLE_SQL = {
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= TIMESTAMP '1997-03-01'
             AND l_shipdate <  TIMESTAMP '1997-04-01')
+    """,
+    "train_test_split": """
+        SELECT doc_id,
+               CASE WHEN CAST(doc_id AS HUGEINT) * 2654435761
+                         % 4294967296 % 100 < 90
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    """,
+    "vocab_topk": f"""
+        SELECT token, count(*)::BIGINT AS cnt
+        FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY cnt DESC, token
+        LIMIT 50
+    """,
+    "token_quantiles": f"""
+        WITH tc AS (SELECT len({_TOKENS})::BIGINT AS n_tokens FROM documents)
+        SELECT CAST(0.10 AS DOUBLE) AS q,
+               quantile_disc(n_tokens, 0.10)::BIGINT AS n_tokens_q FROM tc
+        UNION ALL SELECT 0.25, quantile_disc(n_tokens, 0.25)::BIGINT FROM tc
+        UNION ALL SELECT 0.50, quantile_disc(n_tokens, 0.50)::BIGINT FROM tc
+        UNION ALL SELECT 0.75, quantile_disc(n_tokens, 0.75)::BIGINT FROM tc
+        UNION ALL SELECT 0.90, quantile_disc(n_tokens, 0.90)::BIGINT FROM tc
+        UNION ALL SELECT 0.99, quantile_disc(n_tokens, 0.99)::BIGINT FROM tc
     """,
 }

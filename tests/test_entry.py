@@ -86,6 +86,9 @@ def test_oracle_keys_subset(entrymod):
         "shipping_priority",
         "order_priority",
         "promo_revenue",
+        "train_test_split",
+        "vocab_topk",
+        "token_quantiles",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
