@@ -212,3 +212,31 @@ def token_count_quantiles(
         idx = int(np.searchsorted(cum, rank, side="left"))
         out.append((float(q), int(values[min(idx, len(values) - 1)])))
     return pd.DataFrame(out, columns=["q", "n_tokens_q"])
+
+
+def vocab_size(ds: rd.Dataset, n_shards: int = 64) -> pd.DataFrame:
+    """Exact distinct-token count — per-block distinct partials, tokens
+    hash-sharded so each distinct token is counted in exactly one shard,
+    driver sums n_shards scalars. The SQL-checkable twin of the HyperLogLog
+    sketch in ops/sketches.py (which is the 100-TB path when the distinct
+    set itself is too large to shuffle)."""
+    from .dedup import _add_shard
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split(r"\s+", regex=True).explode()
+        toks = toks[toks.notna() & (toks != "")].drop_duplicates()
+        return pd.DataFrame({"token": toks.astype(str)})
+
+    parts = ds.map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    ).map_batches(lambda t: _add_shard(t, "token", n_shards), batch_format="pyarrow")
+
+    def shard_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"partial": [g["token"].nunique()]})
+
+    tot = (
+        parts.groupby("shard")
+        .map_groups(shard_count, batch_format="pandas")
+        .to_pandas()
+    )
+    return pd.DataFrame({"n_distinct_tokens": [np.int64(tot["partial"].sum())]})

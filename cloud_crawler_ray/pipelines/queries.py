@@ -864,6 +864,22 @@ def q_token_quantiles(sf_dir: str):
     return token_count_quantiles(_docs(sf_dir))
 
 
+def q_vocab_size(sf_dir: str):
+    """Exact distinct-token count (sharded distinct partials)."""
+    from ..ops.textstats import vocab_size
+
+    return vocab_size(_docs(sf_dir))
+
+
+def q_hll_distinct(sf_dir: str):
+    """HyperLogLog distinct-token estimate — the mergeable-sketch scale
+    path; error bound pytest-pinned against the exact count (no SQL oracle:
+    the estimate is sketch-defined, not SQL-expressible)."""
+    from ..ops.sketches import hll_distinct_tokens
+
+    return hll_distinct_tokens(_docs(sf_dir))
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -905,6 +921,8 @@ QUERIES = {
     "train_test_split": q_train_test_split,
     "vocab_topk": q_vocab_topk,
     "token_quantiles": q_token_quantiles,
+    "vocab_size": q_vocab_size,
+    "hll_distinct": q_hll_distinct,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -1140,6 +1158,10 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY cnt DESC, token
         LIMIT 50
+    """,
+    "vocab_size": f"""
+        SELECT count(DISTINCT token)::BIGINT AS n_distinct_tokens
+        FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
     """,
     "token_quantiles": f"""
         WITH tc AS (SELECT len({_TOKENS})::BIGINT AS n_tokens FROM documents)

@@ -89,6 +89,7 @@ def test_oracle_keys_subset(entrymod):
         "train_test_split",
         "vocab_topk",
         "token_quantiles",
+        "vocab_size",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
@@ -104,7 +105,8 @@ def test_sql_checked_query(entrymod, con, name):
 @pytest.mark.parametrize(
     "name",
     ["lang_id", "minhash_dedup", "simhash_pairs", "knn_ivf",
-     "crawl_documents", "crawl_pages", "crawl_order", "media_features"],
+     "crawl_documents", "crawl_pages", "crawl_order", "media_features",
+     "hll_distinct"],
 )
 def test_rows_only_query(entrymod, name):
     df = to_df(entrymod.queries()[name](SF_SMALL))

@@ -1,0 +1,64 @@
+"""HyperLogLog sketch: error bound vs exact, mergeability, determinism,
+and the distributed pipeline against the exact sharded distinct count."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def test_hll_error_bound_and_determinism():
+    from cloud_crawler_ray.ops.sketches import hll_estimate, hll_partial
+
+    # 200k distinct values, p=12 → stderr ≈ 1.04/sqrt(4096) ≈ 1.6%;
+    # assert within 5% (≈3 sigma)
+    vals = np.array([f"tok-{i}" for i in range(200_000)], dtype=object)
+    reg = hll_partial(vals, p=12)
+    est = hll_estimate(reg)
+    assert abs(est - 200_000) / 200_000 < 0.05
+    # deterministic: same input → identical registers (fixed-key hash)
+    assert np.array_equal(reg, hll_partial(vals.copy(), p=12))
+
+
+def test_hll_small_range_linear_counting():
+    from cloud_crawler_ray.ops.sketches import hll_estimate, hll_partial
+
+    vals = np.array([f"w{i}" for i in range(50)], dtype=object)
+    est = hll_estimate(hll_partial(vals, p=12))
+    # linear-counting regime is near-exact at tiny cardinalities
+    assert abs(est - 50) < 2
+
+
+def test_hll_merge_equals_union():
+    from cloud_crawler_ray.ops.sketches import hll_merge, hll_partial
+
+    a = np.array([f"a{i}" for i in range(10_000)], dtype=object)
+    b = np.array([f"b{i}" for i in range(10_000)], dtype=object)
+    merged = hll_merge(
+        np.stack([hll_partial(a, p=12), hll_partial(b, p=12)])
+    )
+    union = hll_partial(np.concatenate([a, b]), p=12)
+    assert np.array_equal(merged, union)
+
+
+def test_hll_distinct_tokens_vs_exact(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.sketches import hll_distinct_tokens
+    from cloud_crawler_ray.ops.textstats import vocab_size
+
+    # 4000 docs × 30 mostly-unique tokens → a vocabulary in the HLL regime
+    rng = np.random.default_rng(7)
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4000, dtype=np.int64),
+            "text": [
+                " ".join(f"w{rng.integers(0, 60_000)}" for _ in range(30))
+                for _ in range(4000)
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(8)
+    exact = int(vocab_size(ds)["n_distinct_tokens"].iloc[0])
+    est = float(hll_distinct_tokens(ds, p=12)["estimate"].iloc[0])
+    assert abs(est - exact) / exact < 0.05
