@@ -9,6 +9,7 @@ the killed one, and (c) the assignment is SQL-expressible for the oracle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -40,3 +41,38 @@ def train_test_split(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def consistent_sample(
+    ds: rd.Dataset, key: str = "doc_id", k: int = 100, n_shards: int = 64
+) -> "pd.DataFrame":
+    """Deterministic uniform sample: the k rows whose hashed key is smallest
+    (ties by key). Membership is a pure function of the key SET — stable
+    under re-runs, resume, repartitioning, and growth (adding rows can only
+    swap members out, never reshuffle survivors), which is what makes it the
+    eval-holdout / debugging-sample primitive at 100 TB.
+
+    Per-block partial top-k → hash-shard → per-shard top-k, so the driver
+    merges n_shards*k rows regardless of input size."""
+    from .dedup import _add_shard
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_KNUTH)) % np.uint64(_M32)
+        take = min(k, len(h))
+        idx = np.lexsort((ids, h))[:take]
+        out = t.take(pa.array(idx, pa.int64()))
+        return out.append_column("h", pa.array(h[idx].astype(np.int64)))
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["h", key], kind="stable").head(k)
+
+    tops = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, key, n_shards), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    tops = tops.sort_values(["h", key], kind="stable").head(k)
+    return tops.drop(columns=["h", "shard"]).reset_index(drop=True)

@@ -864,6 +864,17 @@ def q_token_quantiles(sf_dir: str):
     return token_count_quantiles(_docs(sf_dir))
 
 
+def q_consistent_sample(sf_dir: str):
+    """Deterministic hash-min sample of 100 doc_ids — membership a pure
+    function of the key set (ops/sampling.py)."""
+    from ..ops.sampling import consistent_sample
+
+    return consistent_sample(
+        rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]),
+        k=100,
+    )
+
+
 def q_vocab_size(sf_dir: str):
     """Exact distinct-token count (sharded distinct partials)."""
     from ..ops.textstats import vocab_size
@@ -923,6 +934,7 @@ QUERIES = {
     "token_quantiles": q_token_quantiles,
     "vocab_size": q_vocab_size,
     "hll_distinct": q_hll_distinct,
+    "consistent_sample": q_consistent_sample,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -1158,6 +1170,11 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY cnt DESC, token
         LIMIT 50
+    """,
+    "consistent_sample": """
+        SELECT doc_id FROM documents
+        ORDER BY CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296, doc_id
+        LIMIT 100
     """,
     "vocab_size": f"""
         SELECT count(DISTINCT token)::BIGINT AS n_distinct_tokens

@@ -90,6 +90,7 @@ def test_oracle_keys_subset(entrymod):
         "vocab_topk",
         "token_quantiles",
         "vocab_size",
+        "consistent_sample",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
