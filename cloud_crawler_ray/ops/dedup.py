@@ -34,6 +34,15 @@ _MERSENNE = (1 << 61) - 1
 _N_SHARDS = 64
 
 
+def cluster_shards() -> int:
+    """Shard count scaled to the cluster: at least _N_SHARDS, at least two
+    per CPU so sharded map_groups stages never cap parallelism below the
+    machine (the fixed 64 default would be the ceiling on a >32-CPU
+    cluster)."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(_N_SHARDS, 2 * ncpu)
+
+
 def _add_shard(batch: pa.Table, col: str, n_shards: int = _N_SHARDS) -> pa.Table:
     """Attach shard = hash(key) % n_shards. Grouping by the SHARD instead of
     the raw key turns millions of tiny map_groups calls into n_shards calls
@@ -96,8 +105,7 @@ def keyed_attach(
         # the merge stage parallel) and at most ~500k right rows per shard
         # (bound the per-shard pandas merge) — the fixed 64 default capped
         # parallelism AND per-shard size at real scale
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        n_shards = max(_N_SHARDS, 2 * ncpu)
+        n_shards = cluster_shards()
         if right_count is not None:
             n_shards = max(n_shards, right_count // 500_000 + 1)
     lschema, rschema = left.schema(), right.schema()

@@ -74,5 +74,7 @@ def consistent_sample(
         .map_groups(shard_topk, batch_format="pandas")
         .to_pandas()
     )
+    if tops.empty:  # empty input: to_pandas() loses even the columns
+        return pd.DataFrame({key: pd.Series(dtype="int64")})
     tops = tops.sort_values(["h", key], kind="stable").head(k)
     return tops.drop(columns=["h", "shard"]).reset_index(drop=True)

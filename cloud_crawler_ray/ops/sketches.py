@@ -68,12 +68,12 @@ def hll_distinct_tokens(ds: rd.Dataset, p: int = 12) -> pd.DataFrame:
     Per-batch tokenize → one (register-array) row per batch → a bounded
     combine stage so the driver merges a handful of 2^p-byte rows, never one
     per input block (at 100 TB the partial stream itself is large)."""
+    from .textstats import tokenize
+
     m = 1 << p
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.split(r"\s+", regex=True).explode()
-        toks = toks[toks.notna() & (toks != "")]
-        reg = hll_partial(toks.to_numpy(), p)
+        reg = hll_partial(tokenize(batch["text"]).to_numpy(), p)
         return pd.DataFrame({"reg": [reg.tobytes()]})
 
     def combine(batch: pd.DataFrame) -> pd.DataFrame:
@@ -88,9 +88,12 @@ def hll_distinct_tokens(ds: rd.Dataset, p: int = 12) -> pd.DataFrame:
         .map_batches(combine, batch_format="pandas", batch_size=1 << 30)
         .to_pandas()
     )
-    reg = hll_merge(
-        np.stack([np.frombuffer(b, dtype=np.uint8) for b in parts["reg"]])
-    )
+    if parts.empty:  # empty corpus: zero registers, estimate 0
+        reg = np.zeros(m, dtype=np.uint8)
+    else:
+        reg = hll_merge(
+            np.stack([np.frombuffer(b, dtype=np.uint8) for b in parts["reg"]])
+        )
     return pd.DataFrame(
         {"estimate": [hll_estimate(reg)], "registers": [m], "p": [p]}
     )

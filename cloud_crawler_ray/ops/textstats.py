@@ -17,20 +17,22 @@ from ray.data.aggregate import Sum
 from ..functions import text as T
 
 
+def tokenize(series: pd.Series) -> pd.Series:
+    """Whitespace tokenization shared by EVERY token-level operator here and
+    in ops/sketches.py — one definition so a tokenizer-parity fix (cf. the
+    regex-parity fix history) lands everywhere at once. Must stay in
+    lockstep with the oracle's regexp_split_to_array(lower(text), '\\s+')."""
+    toks = series.str.lower().str.split(r"\s+", regex=True).explode()
+    return toks[toks.notna() & (toks != "")]
+
+
 def word_count(ds: rd.Dataset) -> rd.Dataset:
     """Global token counts (the word_count DSL example,
     examples/word_count.rb:60-75). Per-batch partial counts shrink the
     shuffle: one (token, partial) row per distinct token per batch."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = (
-            batch["text"]
-            .str.lower()
-            .str.split(r"\s+", regex=True)
-            .explode()
-        )
-        toks = toks[toks.notna() & (toks != "")]
-        vc = toks.value_counts()
+        vc = tokenize(batch["text"]).value_counts()
         return pd.DataFrame({"token": vc.index.astype(str), "partial": vc.values})
 
     partials = ds.map_batches(partial, batch_format="pandas", batch_size=4096)
@@ -153,9 +155,7 @@ def vocab_topk(ds: rd.Dataset, k: int = 50, n_shards: int = 64) -> pd.DataFrame:
     from .dedup import _add_shard
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.split(r"\s+", regex=True).explode()
-        toks = toks[toks.notna() & (toks != "")]
-        vc = toks.value_counts()
+        vc = tokenize(batch["text"]).value_counts()
         return pd.DataFrame({"token": vc.index.astype(str), "partial": vc.values})
 
     partials = ds.map_batches(
@@ -174,6 +174,8 @@ def vocab_topk(ds: rd.Dataset, k: int = 50, n_shards: int = 64) -> pd.DataFrame:
         .map_groups(shard_topk, batch_format="pandas")
         .to_pandas()
     )
+    if tops.empty:  # empty corpus: to_pandas() loses even the columns
+        return pd.DataFrame({"token": pd.Series(dtype=str), "cnt": pd.Series(dtype="int64")})
     tops = tops.sort_values(
         ["cnt", "token"], ascending=[False, True], kind="stable"
     ).head(k)
@@ -202,6 +204,8 @@ def token_count_quantiles(
         return g.rename_columns(["n_tokens", "partial"])
 
     parts = counts.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"q": pd.Series(dtype=float), "n_tokens_q": pd.Series(dtype="int64")})
     hist = parts.groupby("n_tokens")["partial"].sum().sort_index()
     n = int(hist.sum())
     cum = hist.cumsum().to_numpy()
@@ -223,8 +227,7 @@ def vocab_size(ds: rd.Dataset, n_shards: int = 64) -> pd.DataFrame:
     from .dedup import _add_shard
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.split(r"\s+", regex=True).explode()
-        toks = toks[toks.notna() & (toks != "")].drop_duplicates()
+        toks = tokenize(batch["text"]).drop_duplicates()
         return pd.DataFrame({"token": toks.astype(str)})
 
     parts = ds.map_batches(
@@ -239,4 +242,5 @@ def vocab_size(ds: rd.Dataset, n_shards: int = 64) -> pd.DataFrame:
         .map_groups(shard_count, batch_format="pandas")
         .to_pandas()
     )
-    return pd.DataFrame({"n_distinct_tokens": [np.int64(tot["partial"].sum())]})
+    n = np.int64(tot["partial"].sum()) if not tot.empty else np.int64(0)
+    return pd.DataFrame({"n_distinct_tokens": [n]})

@@ -646,11 +646,13 @@ def q_shipping_priority(sf_dir: str):
     from ..ops.dedup import keyed_attach
 
     cutoff = datetime.datetime(1998, 6, 1)
+    # materialized: the broadcast gate counts it AND _broadcast_attach
+    # collects it — without this the filtered scan would run twice
     cust = rd.read_parquet(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_mktsegment"],
         filter=pc.field("c_mktsegment") == "BUILDING",
-    )
+    ).materialize()
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
@@ -700,9 +702,9 @@ def q_shipping_priority(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    def add_shard(t: pa.Table) -> pa.Table:
-        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
-        return t.append_column("shard", pa.array((k % 64).astype(np.int64)))
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    n_sh = cluster_shards()
 
     def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby(["o_orderkey", "o_orderdate"], as_index=False)["rev_sum"].sum()
@@ -712,7 +714,9 @@ def q_shipping_priority(sf_dir: str):
         return out
 
     tops = (
-        with_date.map_batches(add_shard, batch_format="pyarrow")
+        with_date.map_batches(
+            lambda t: _add_shard(t, "o_orderkey", n_sh), batch_format="pyarrow"
+        )
         .groupby("shard")
         .map_groups(shard_topk, batch_format="pandas")
         .to_pandas()
@@ -765,12 +769,15 @@ def q_order_priority(sf_dir: str):
         batch_format="pyarrow",
     )
 
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    n_sh = cluster_shards()
+
     # EXISTS: distinct qualifying orderkeys — per-block distinct partial,
     # then shard-local distinct so no orderkey spans shards
     def distinct_partial(t: pa.Table) -> pa.Table:
         g = t.group_by(["o_orderkey", "o_orderpriority"]).aggregate([])
-        k = g.column("o_orderkey").to_numpy(zero_copy_only=False)
-        return g.append_column("shard", pa.array((k % 64).astype(np.int64)))
+        return _add_shard(g, "o_orderkey", n_sh)
 
     def shard_counts(g: pd.DataFrame) -> pd.DataFrame:
         d = g.drop_duplicates(subset="o_orderkey")
@@ -813,8 +820,12 @@ def q_promo_revenue(sf_dir: str):
     part = rd.read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
     )
+    # the oracle's INNER join drops partless lines from BOTH sums — keep
+    # parity by filtering the attach's null payloads before summing
     with_type = keyed_attach(
         li, part, "p_partkey", ["p_type"], right_count=part.count()
+    ).map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("p_type"))), batch_format="pyarrow"
     )
 
     def partial(t: pa.Table) -> pa.Table:

@@ -62,3 +62,27 @@ def test_hll_distinct_tokens_vs_exact(ray_session):
     exact = int(vocab_size(ds)["n_distinct_tokens"].iloc[0])
     est = float(hll_distinct_tokens(ds, p=12)["estimate"].iloc[0])
     assert abs(est - exact) / exact < 0.05
+
+
+def test_token_ops_empty_corpus(ray_session):
+    """Empty input must yield empty/zero results, not crash (the
+    to_pandas() of an empty grouped Dataset loses even the columns)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.sampling import consistent_sample
+    from cloud_crawler_ray.ops.sketches import hll_distinct_tokens
+    from cloud_crawler_ray.ops.textstats import (
+        token_count_quantiles,
+        vocab_size,
+        vocab_topk,
+    )
+
+    empty = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    assert float(hll_distinct_tokens(empty)["estimate"].iloc[0]) == 0.0
+    assert int(vocab_size(empty)["n_distinct_tokens"].iloc[0]) == 0
+    assert len(vocab_topk(empty)) == 0
+    assert len(token_count_quantiles(empty)) == 0
+    assert len(consistent_sample(empty, k=10)) == 0
