@@ -1,0 +1,173 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, quality-ranked dedup, per-group stratified sampling, and
+type-token repetition stats.
+
+Scale shapes: decontamination broadcasts the (small-by-definition) eval-set
+n-gram hashes once and filters map-side; keep-best dedup is the exact_dedup
+hash-partition with a quality-ranked winner instead of first-id; stratified
+sampling is per-block partial top-k per stratum → one shard per stratum
+hash → shard-local final top-k, so the driver never sees more than
+n_strata x k rows; repetition stats are pure map-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions import text as T
+from .dedup import _add_shard, _shingle_hash_one
+from .sampling import _KNUTH, _M32
+
+# polynomial multiplier for combining token hashes into an n-gram hash
+# (odd constant → bijective step mod 2^64; any fixed mixer works since both
+# the eval side and the corpus side use the same function)
+_GRAM_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _doc_gram_hashes(text: str, n: int) -> np.ndarray:
+    """uint64 hash per token n-gram of ``text`` (shared tokenizer). Token
+    hashes are memoized blake2b-64; windows combine them polynomially with
+    numpy sliding windows — no per-gram string building or hashing."""
+    toks = T.tokenize(text)
+    if len(toks) < n:
+        return np.empty(0, dtype=np.uint64)
+    th = np.fromiter(
+        (_shingle_hash_one(t) for t in toks), dtype=np.uint64, count=len(toks)
+    )
+    win = np.lib.stride_tricks.sliding_window_view(th, n)
+    pows = _GRAM_MULT ** np.arange(n, dtype=np.uint64)
+    return (win * pows).sum(axis=1, dtype=np.uint64)
+
+
+def decontaminate(
+    ds: rd.Dataset, n: int = 8, eval_mod: int = 50
+) -> rd.Dataset:
+    """Drop every non-eval document sharing at least one token ``n``-gram
+    with the eval holdout (doc_id % eval_mod == 0) — the standard
+    train-set decontamination step before pretraining.
+
+    The eval side is a benchmark suite: small by definition (10^2-10^5
+    docs even when the corpus is 100 TB), so its distinct gram hashes are
+    collected once, sorted, and broadcast via ray.put; the corpus pass is
+    a map-side filter doing one vectorized searchsorted per document.
+    Docs shorter than n tokens carry no grams and always survive."""
+    def eval_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % eval_mod == 0))
+        out: list[np.ndarray] = [np.empty(0, dtype=np.uint64)]
+        for txt in t.column("text").to_pylist():
+            out.append(_doc_gram_hashes(txt, n))
+        g = np.unique(np.concatenate(out))
+        return pa.table({"g": pa.array(g.astype(np.int64), pa.int64())})
+
+    eval_ds = ds.map_batches(eval_grams, batch_format="pyarrow")
+    parts = [b["g"].to_numpy().astype(np.uint64)
+             for b in eval_ds.iter_batches(batch_format="pandas")]
+    grams = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    grams_ref = ray.put(grams)
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        ref = ray.get(grams_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = np.ones(len(t), dtype=bool)
+        for i, (did, txt) in enumerate(zip(ids, t.column("text").to_pylist())):
+            if did % eval_mod == 0:
+                keep[i] = False
+                continue
+            gh = _doc_gram_hashes(txt, n)
+            if len(gh) and len(ref):
+                pos = np.searchsorted(ref, gh)
+                pos[pos == len(ref)] = 0
+                if (ref[pos] == gh).any():
+                    keep[i] = False
+        return t.filter(pa.array(keep)).select(["doc_id"])
+
+    return ds.map_batches(keep_clean, batch_format="pyarrow", batch_size=4096)
+
+
+def dedup_keep_best(ds: rd.Dataset) -> rd.Dataset:
+    """Exact dedup keeping the highest-quality member per duplicate group
+    (most tokens, ties to the lowest doc_id) instead of the first id — the
+    representative-selection variant used when duplicate pages differ in
+    completeness. Same hash-partition shape as exact_dedup."""
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        fps = [T.fingerprint(x) for x in texts]
+        ntok = [T.token_count(x) for x in texts]
+        return (
+            t.append_column("fp", pa.array(fps, pa.string()))
+            .append_column("n_tokens", pa.array(ntok, pa.int64()))
+        )
+
+    def best_per_fp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["fp", "n_tokens", "doc_id"], ascending=[True, False, True],
+            kind="stable",
+        )
+        return g.drop_duplicates("fp", keep="first")[["doc_id"]]
+
+    keyed = ds.map_batches(add_keys, batch_format="pyarrow", batch_size=8192)
+    sharded = keyed.map_batches(lambda t: _add_shard(t, "fp"), batch_format="pyarrow")
+    return sharded.groupby("shard").map_groups(best_per_fp, batch_format="pandas")
+
+
+def stratified_sample(
+    ds: rd.Dataset, group: str = "lang", key: str = "doc_id", k: int = 20
+) -> rd.Dataset:
+    """Deterministic per-stratum sample: within each ``group`` value keep
+    the k rows with the smallest multiplicative hash of ``key`` (ties by
+    key) — per-language / per-source quota sampling with the same
+    pure-function-of-the-keys stability as consistent_sample.
+
+    Per-block partial top-k per stratum bounds the shuffle at
+    strata_per_block x k rows per block; strata then hash-shard so the
+    final top-k is shard-local (a stratum never spans shards)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([group, key]).to_pandas()
+        ids = df[key].to_numpy().astype(np.uint64)
+        df["h"] = ((ids * np.uint64(_KNUTH)) % np.uint64(_M32)).astype(np.int64)
+        df = df.sort_values(["h", key], kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby(group, sort=False).head(k), preserve_index=False
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", key], kind="stable")
+        return g.groupby(group, sort=False).head(k)[[group, key]]
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    sharded = parts.map_batches(lambda t: _add_shard(t, group), batch_format="pyarrow")
+    return sharded.groupby("shard").map_groups(final, batch_format="pandas")
+
+
+def repetition_stats(ds: rd.Dataset) -> rd.Dataset:
+    """Per-document type-token counts (total vs distinct tokens) — the
+    repetition / diversity signal quality filters threshold on (a doc whose
+    distinct count collapses relative to its length is boilerplate or
+    degenerate repetition). Pure map-side; thresholding is the caller's
+    one-line filter so the exact counts stay SQL-checkable."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids, ntok, ndis = [], [], []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = T.tokenize(txt)
+            ids.append(did)
+            ntok.append(len(toks))
+            ndis.append(len(set(toks)))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "n_distinct_tokens": pa.array(ndis, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=8192)

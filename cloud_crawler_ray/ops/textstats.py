@@ -183,6 +183,48 @@ def vocab_topk(ds: rd.Dataset, k: int = 50, n_shards: int = 64) -> pd.DataFrame:
     return tops[["token", "cnt"]].reset_index(drop=True)
 
 
+def doc_frequency_topk(
+    ds: rd.Dataset, k: int = 50, n_shards: int = 64
+) -> pd.DataFrame:
+    """Top-k tokens by DOCUMENT frequency (how many docs contain the token,
+    not how often it occurs) — the df side of tf-idf and the stopword-
+    discovery pass of corpus analysis. Same bounded shape as vocab_topk;
+    the per-batch partial is exact because a document is one row, so
+    per-(doc, token) distinctness never spans blocks."""
+    from .dedup import _add_shard
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(batch["text"])
+        # one (doc, token) pair per doc — the explode index is the source row
+        pairs = pd.DataFrame({"row": toks.index, "token": toks.values})
+        vc = pairs.drop_duplicates()["token"].value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str), "partial": vc.values})
+
+    partials = ds.map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    ).map_batches(lambda t: _add_shard(t, "token", n_shards), batch_format="pyarrow")
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("token", as_index=False)["partial"].sum()
+        tot = tot.sort_values(
+            ["partial", "token"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return tot.rename(columns={"partial": "df"})
+
+    tops = (
+        partials.groupby("shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if tops.empty:
+        return pd.DataFrame({"token": pd.Series(dtype=str), "df": pd.Series(dtype="int64")})
+    tops = tops.sort_values(
+        ["df", "token"], ascending=[False, True], kind="stable"
+    ).head(k)
+    tops["df"] = tops["df"].astype("int64")
+    return tops[["token", "df"]].reset_index(drop=True)
+
+
 def token_count_quantiles(
     ds: rd.Dataset, qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 ) -> pd.DataFrame:

@@ -902,6 +902,53 @@ def q_hll_distinct(sf_dir: str):
     return hll_distinct_tokens(_docs(sf_dir))
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: drop every non-eval doc sharing an
+    8-token n-gram with the eval holdout (doc_id % 50 == 0); eval gram
+    hashes broadcast once, corpus filtered map-side (ops/curation.py)."""
+    from ..ops.curation import decontaminate
+
+    return decontaminate(_docs(sf_dir), n=8, eval_mod=50)
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Exact dedup keeping the highest-quality duplicate (most tokens,
+    ties to lowest doc_id) — representative selection (ops/curation.py)."""
+    from ..ops.curation import dedup_keep_best
+
+    return dedup_keep_best(_docs(sf_dir))
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language quota sample: 20 smallest-hash doc_ids
+    per lang (ops/curation.py)."""
+    from ..ops.curation import stratified_sample
+
+    return stratified_sample(
+        rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+        ),
+        group="lang",
+        k=20,
+    )
+
+
+def q_repetition_stats(sf_dir: str):
+    """Per-doc type-token counts (total vs distinct tokens) — the
+    repetition/diversity quality signal, map-side (ops/curation.py)."""
+    from ..ops.curation import repetition_stats
+
+    return repetition_stats(_docs(sf_dir))
+
+
+def q_doc_frequency(sf_dir: str):
+    """Top-50 tokens by document frequency (the df of tf-idf), sharded
+    bounded top-k (ops/textstats.py)."""
+    from ..ops.textstats import doc_frequency_topk
+
+    return doc_frequency_topk(_docs(sf_dir), k=50)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -946,6 +993,11 @@ QUERIES = {
     "vocab_size": q_vocab_size,
     "hll_distinct": q_hll_distinct,
     "consistent_sample": q_consistent_sample,
+    "decontaminate": q_decontaminate,
+    "dedup_keep_best": q_dedup_keep_best,
+    "stratified_sample": q_stratified_sample,
+    "repetition_stats": q_repetition_stats,
+    "doc_frequency": q_doc_frequency,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -1190,6 +1242,47 @@ ORACLE_SQL = {
     "vocab_size": f"""
         SELECT count(DISTINCT token)::BIGINT AS n_distinct_tokens
         FROM (SELECT unnest({_TOKENS}) AS token FROM documents)
+    """,
+    "decontaminate": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest([array_to_string(toks[i:i+7], ' ')
+                         for i in range(1, greatest(len(toks)-7, 0)+1)]) AS g
+          FROM toks),
+        eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+        SELECT doc_id FROM documents d
+        WHERE doc_id % 50 <> 0
+          AND NOT EXISTS (SELECT 1 FROM grams JOIN eg USING (g)
+                          WHERE grams.doc_id = d.doc_id)
+    """,
+    "dedup_keep_best": f"""
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            ORDER BY len({_TOKENS}) DESC, doc_id) AS rn
+          FROM documents) WHERE rn = 1
+    """,
+    "stratified_sample": """
+        SELECT lang, doc_id FROM (
+          SELECT lang, doc_id, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296,
+                     doc_id) AS rn
+          FROM documents) WHERE rn <= 20
+    """,
+    "repetition_stats": f"""
+        SELECT doc_id,
+               len({_TOKENS})::BIGINT AS n_tokens,
+               len(list_distinct({_TOKENS}))::BIGINT AS n_distinct_tokens
+        FROM documents
+    """,
+    "doc_frequency": f"""
+        SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+        FROM (SELECT doc_id, unnest({_TOKENS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY df DESC, token
+        LIMIT 50
     """,
     "token_quantiles": f"""
         WITH tc AS (SELECT len({_TOKENS})::BIGINT AS n_tokens FROM documents)

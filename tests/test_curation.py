@@ -1,0 +1,110 @@
+"""Semantics tests for ops/curation.py + doc_frequency with planted cases
+(the synthetic documents table has no exact duplicates, so the SQL-parity
+check alone never exercises group-collapse behavior)."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from cloud_crawler_ray.ops.curation import (
+    decontaminate,
+    dedup_keep_best,
+    repetition_stats,
+    stratified_sample,
+)
+from cloud_crawler_ray.ops.textstats import doc_frequency_topk
+
+
+def docs_ds(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_decontaminate_drops_overlapping_docs(ray_session):
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota"
+    rows = [
+        (0, eval_text),  # eval doc (0 % 50 == 0): always excluded
+        (1, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+        (2, "completely different words with no overlap at all here okay"),
+        (3, "short doc"),  # < 8 tokens: no grams, survives
+    ]
+    out = decontaminate(docs_ds(rows), n=8, eval_mod=50).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 3]
+
+
+def test_decontaminate_no_eval_docs(ray_session):
+    rows = [(1, "a b c d e f g h i"), (2, "j k l m n o p q r")]
+    out = decontaminate(docs_ds(rows), n=8, eval_mod=50).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_dedup_keep_best_prefers_longest_then_lowest_id(ray_session):
+    rows = [
+        (1, "same   text here"),  # normalizes equal to doc 2/3
+        (2, "same text here"),
+        (3, "SAME TEXT HERE"),
+        (4, "another doc entirely with many many more tokens than the rest"),
+        (5, "unique short"),
+    ]
+    out = dedup_keep_best(docs_ds(rows)).to_pandas()
+    # 1/2/3 are one group, equal token counts -> lowest doc_id wins
+    assert sorted(out["doc_id"]) == [1, 4, 5]
+
+    rows2 = [
+        (7, "x y"),
+        (8, "x y"),
+        (9, "longer x y"),  # different fp — not a dup of 7/8
+    ]
+    out2 = dedup_keep_best(docs_ds(rows2)).to_pandas()
+    assert sorted(out2["doc_id"]) == [7, 9]
+
+
+def test_stratified_sample_quota_and_determinism(ray_session):
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(100)), pa.int64()),
+            "lang": pa.array(["en" if i % 2 else "de" for i in range(100)]),
+        }
+    )
+    a = stratified_sample(rd.from_arrow(t), group="lang", k=5).to_pandas()
+    b = stratified_sample(rd.from_arrow(t), group="lang", k=5).to_pandas()
+    assert a.groupby("lang").size().to_dict() == {"de": 5, "en": 5}
+    pd.testing.assert_frame_equal(
+        a.sort_values(["lang", "doc_id"]).reset_index(drop=True),
+        b.sort_values(["lang", "doc_id"]).reset_index(drop=True),
+    )
+    # membership is hash-of-key: a subset of the input picks the same rows
+    # that survive from the full run restricted to that subset's groups
+    small = stratified_sample(
+        rd.from_arrow(t.slice(0, 50)), group="lang", k=5
+    ).to_pandas()
+    assert set(small.columns) == {"lang", "doc_id"}
+
+
+def test_repetition_stats_counts(ray_session):
+    rows = [(1, "a a a b"), (2, "w x y z"), (3, "")]
+    out = (
+        repetition_stats(docs_ds(rows)).to_pandas().set_index("doc_id")
+    )
+    assert out.loc[1, "n_tokens"] == 4 and out.loc[1, "n_distinct_tokens"] == 2
+    assert out.loc[2, "n_tokens"] == 4 and out.loc[2, "n_distinct_tokens"] == 4
+    assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "n_distinct_tokens"] == 0
+
+
+def test_doc_frequency_counts_docs_not_occurrences(ray_session):
+    rows = [
+        (1, "spam spam spam spam eggs"),
+        (2, "spam eggs"),
+        (3, "eggs"),
+    ]
+    out = doc_frequency_topk(docs_ds(rows), k=10)
+    got = dict(zip(out["token"], out["df"]))
+    assert got == {"eggs": 3, "spam": 2}
+    # eggs (df 3) must rank above spam (df 2) despite spam's higher tf
+    assert list(out["token"]) == ["eggs", "spam"]

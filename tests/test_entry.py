@@ -91,6 +91,11 @@ def test_oracle_keys_subset(entrymod):
         "token_quantiles",
         "vocab_size",
         "consistent_sample",
+        "decontaminate",
+        "dedup_keep_best",
+        "stratified_sample",
+        "repetition_stats",
+        "doc_frequency",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
