@@ -89,11 +89,16 @@ def decontaminate(
     return ds.map_batches(keep_clean, batch_format="pyarrow", batch_size=4096)
 
 
-def dedup_keep_best(ds: rd.Dataset) -> rd.Dataset:
+def dedup_keep_best(
+    ds: rd.Dataset, payload: tuple[str, ...] = ()
+) -> rd.Dataset:
     """Exact dedup keeping the highest-quality member per duplicate group
     (most tokens, ties to the lowest doc_id) instead of the first id — the
     representative-selection variant used when duplicate pages differ in
-    completeness. Same hash-partition shape as exact_dedup."""
+    completeness. Same hash-partition shape as exact_dedup. ``payload``
+    columns of the winning row ride along (e.g. text for a downstream
+    decontamination pass)."""
+    out_cols = ["doc_id", *payload]
 
     def add_keys(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
@@ -109,7 +114,7 @@ def dedup_keep_best(ds: rd.Dataset) -> rd.Dataset:
             ["fp", "n_tokens", "doc_id"], ascending=[True, False, True],
             kind="stable",
         )
-        return g.drop_duplicates("fp", keep="first")[["doc_id"]]
+        return g.drop_duplicates("fp", keep="first")[out_cols]
 
     keyed = ds.map_batches(add_keys, batch_format="pyarrow", batch_size=8192)
     sharded = keyed.map_batches(lambda t: _add_shard(t, "fp"), batch_format="pyarrow")
@@ -144,6 +149,107 @@ def stratified_sample(
     parts = ds.map_batches(partial, batch_format="pyarrow")
     sharded = parts.map_batches(lambda t: _add_shard(t, group), batch_format="pyarrow")
     return sharded.groupby("shard").map_groups(final, batch_format="pandas")
+
+
+def fuzzy_keep_best(
+    docs: rd.Dataset, pairs: pa.Table, driver_pair_cap: int = 1_000_000
+) -> rd.Dataset:
+    """(doc_id, group_rep, keep) like dedup_groups, but the representative
+    of each near-duplicate component is its highest-quality member (most
+    tokens, ties to lowest doc_id) instead of the smallest id — "keep the
+    best copy" fuzzy dedup.
+
+    Only docs that appear in the confirmed pair graph need a quality
+    score: they are semi-joined out of the corpus map-side (broadcast id
+    set), so the collected (id, n_tokens) table is bounded by the pair
+    graph, never the corpus — the same bound dedup_groups already accepts
+    for its component labels."""
+    from .dedup import _components_driver, _components_label_prop
+
+    if pairs.num_rows <= driver_pair_cap:
+        labels = _components_driver(pairs)
+    else:
+        labels = _components_label_prop(pairs)
+    in_graph = np.unique(
+        np.concatenate(
+            [
+                pairs.column("a").to_numpy(zero_copy_only=False),
+                pairs.column("b").to_numpy(zero_copy_only=False),
+            ]
+        )
+    ) if pairs.num_rows else np.empty(0, dtype=np.int64)
+    ids_ref = ray.put(in_graph)
+
+    def graph_quality(t: pa.Table) -> pa.Table:
+        member_ids = ray.get(ids_ref)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(member_ids, ids)
+        pos[pos == len(member_ids)] = 0
+        mask = (member_ids[pos] == ids) if len(member_ids) else np.zeros(len(ids), bool)
+        t = t.filter(pa.array(mask))
+        ntok = [T.token_count(x) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(ntok, pa.int64()),
+            }
+        )
+
+    q = docs.map_batches(graph_quality, batch_format="pyarrow").to_pandas()
+    if q.empty:  # no pairs -> every doc is its own representative
+        winners: dict = {}
+    else:
+        # best member per component: max tokens, ties to lowest id
+        q["rep"] = q["doc_id"].map(lambda d: labels.get(d, d))
+        q = q.sort_values(
+            ["rep", "n_tokens", "doc_id"], ascending=[True, False, True]
+        )
+        w = q.drop_duplicates("rep")
+        winners = dict(zip(w["rep"], w["doc_id"]))
+    best = {d: winners.get(r, r) for d, r in labels.items()}
+    best_ref = ray.put(best)
+
+    def attach(t: pa.Table) -> pa.Table:
+        lab = ray.get(best_ref)
+        ids = t.column("doc_id").to_pylist()
+        reps = [lab.get(d, d) for d in ids]
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "group_rep": pa.array(reps),
+                "keep": pa.array([r == d for r, d in zip(reps, ids)], pa.bool_()),
+            }
+        )
+
+    return docs.select_columns(["doc_id"]).map_batches(attach, batch_format="pyarrow")
+
+
+def curate_corpus(
+    ds: rd.Dataset,
+    min_tokens: int = 10,
+    n: int = 8,
+    eval_mod: int = 50,
+    train_pct: int = 90,
+) -> rd.Dataset:
+    """The composed end-to-end curation pipeline a pretraining corpus runs
+    through: length gate → exact keep-best dedup → benchmark
+    decontamination → deterministic train/test split. Every stage streams;
+    the only driver-held state is the eval-set gram hashes (small by
+    definition). Output: (doc_id, split) for the surviving docs."""
+    from .sampling import train_test_split
+
+    def length_gate(t: pa.Table) -> pa.Table:
+        ntok = np.fromiter(
+            (T.token_count(x) for x in t.column("text").to_pylist()),
+            dtype=np.int64,
+            count=len(t),
+        )
+        return t.filter(pa.array(ntok >= min_tokens)).select(["doc_id", "text"])
+
+    gated = ds.map_batches(length_gate, batch_format="pyarrow", batch_size=8192)
+    deduped = dedup_keep_best(gated, payload=("text",))
+    clean = decontaminate(deduped, n=n, eval_mod=eval_mod)
+    return train_test_split(clean, key="doc_id", train_pct=train_pct)
 
 
 def repetition_stats(ds: rd.Dataset) -> rd.Dataset:

@@ -941,6 +941,28 @@ def q_repetition_stats(sf_dir: str):
     return repetition_stats(_docs(sf_dir))
 
 
+def q_minhash_keep_best(sf_dir: str):
+    """Fuzzy dedup with quality-ranked representatives: minhash-LSH
+    confirmed pairs → connected components → per-component winner by token
+    count (ops/curation.py fuzzy_keep_best). No SQL oracle (LSH candidate
+    generation); planted-dup semantics pytest-pinned."""
+    from ..ops.curation import fuzzy_keep_best
+    from ..ops.dedup import minhash_lsh_pairs
+
+    docs = _docs(sf_dir)
+    pairs, _stats = minhash_lsh_pairs(docs, threshold=0.6)
+    return fuzzy_keep_best(docs, pairs)
+
+
+def q_curate_corpus(sf_dir: str):
+    """The composed curation flagship: length gate -> exact keep-best dedup
+    -> benchmark decontamination -> train/test split (ops/curation.py
+    curate_corpus). SQL-checked end-to-end as one nested query."""
+    from ..ops.curation import curate_corpus
+
+    return curate_corpus(_docs(sf_dir))
+
+
 def q_doc_frequency(sf_dir: str):
     """Top-50 tokens by document frequency (the df of tf-idf), sharded
     bounded top-k (ops/textstats.py)."""
@@ -998,6 +1020,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "repetition_stats": q_repetition_stats,
     "doc_frequency": q_doc_frequency,
+    "minhash_keep_best": q_minhash_keep_best,
+    "curate_corpus": q_curate_corpus,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -1276,6 +1300,32 @@ ORACLE_SQL = {
                len({_TOKENS})::BIGINT AS n_tokens,
                len(list_distinct({_TOKENS}))::BIGINT AS n_distinct_tokens
         FROM documents
+    """,
+    "curate_corpus": f"""
+        WITH toks AS (SELECT doc_id, text, {_TOKENS} AS toks FROM documents),
+        gated AS (SELECT * FROM toks WHERE len(toks) >= 10),
+        deduped AS (
+          SELECT doc_id, toks FROM (
+            SELECT doc_id, toks, row_number() OVER (
+              PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+              ORDER BY len(toks) DESC, doc_id) AS rn
+            FROM gated) WHERE rn = 1),
+        grams AS (
+          SELECT doc_id,
+                 unnest([array_to_string(toks[i:i+7], ' ')
+                         for i in range(1, greatest(len(toks)-7, 0)+1)]) AS g
+          FROM deduped),
+        eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        clean AS (
+          SELECT d.doc_id FROM deduped d
+          WHERE d.doc_id % 50 <> 0
+            AND NOT EXISTS (SELECT 1 FROM grams JOIN eg USING (g)
+                            WHERE grams.doc_id = d.doc_id))
+        SELECT doc_id,
+               CASE WHEN CAST(doc_id AS HUGEINT) * 2654435761
+                         % 4294967296 % 100 < 90
+                    THEN 'train' ELSE 'test' END AS split
+        FROM clean
     """,
     "doc_frequency": f"""
         SELECT token, count(DISTINCT doc_id)::BIGINT AS df

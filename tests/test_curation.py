@@ -97,6 +97,62 @@ def test_repetition_stats_counts(ray_session):
     assert out.loc[3, "n_tokens"] == 0 and out.loc[3, "n_distinct_tokens"] == 0
 
 
+def test_fuzzy_keep_best_picks_highest_quality_member(ray_session):
+    from cloud_crawler_ray.ops.curation import fuzzy_keep_best
+
+    rows = [
+        (1, "a b"),
+        (2, "a b c d e f"),  # same component as 1 and 3, most tokens -> rep
+        (3, "a b c"),
+        (9, "solo doc"),
+    ]
+    pairs = pa.table({"a": pa.array([1, 2], pa.int64()), "b": pa.array([2, 3], pa.int64())})
+    out = fuzzy_keep_best(docs_ds(rows), pairs).to_pandas().set_index("doc_id")
+    assert out.loc[1, "group_rep"] == 2 and not out.loc[1, "keep"]
+    assert out.loc[2, "group_rep"] == 2 and out.loc[2, "keep"]
+    assert out.loc[3, "group_rep"] == 2 and not out.loc[3, "keep"]
+    assert out.loc[9, "group_rep"] == 9 and out.loc[9, "keep"]
+
+
+def test_fuzzy_keep_best_tie_breaks_lowest_id(ray_session):
+    from cloud_crawler_ray.ops.curation import fuzzy_keep_best
+
+    rows = [(4, "x y z"), (5, "p q r")]  # equal token counts
+    pairs = pa.table({"a": pa.array([4], pa.int64()), "b": pa.array([5], pa.int64())})
+    out = fuzzy_keep_best(docs_ds(rows), pairs).to_pandas().set_index("doc_id")
+    assert out.loc[4, "keep"] and not out.loc[5, "keep"]
+    assert set(out["group_rep"]) == {4}
+
+
+def test_fuzzy_keep_best_empty_pairs(ray_session):
+    from cloud_crawler_ray.ops.curation import fuzzy_keep_best
+
+    rows = [(1, "a"), (2, "b")]
+    pairs = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    out = fuzzy_keep_best(docs_ds(rows), pairs).to_pandas()
+    assert out["keep"].all()
+
+
+def test_curate_corpus_stages_compose(ray_session):
+    from cloud_crawler_ray.ops.curation import curate_corpus
+
+    long = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, "too short"),  # fails the length gate
+        (2, long),  # dup group with 3; same tokens -> lowest id kept
+        (3, long.upper()),
+        # eval holdout (50 % 50 == 0): excluded from output
+        (50, "zeta yota kappa lambda mu nu xi omicron pi rho"),
+        # shares the 8-gram "zeta...omicron" with the eval doc -> dropped
+        (7, "prefix zeta yota kappa lambda mu nu xi omicron suffix end pad"),
+        (8, "ape bee cat dog elk fox gnu hen ibis jay koi lark"),
+    ]
+    out = curate_corpus(docs_ds(rows)).to_pandas()
+    assert sorted(out["doc_id"]) == [2, 8]
+    assert set(out.columns) == {"doc_id", "split"}
+    assert set(out["split"]) <= {"train", "test"}
+
+
 def test_doc_frequency_counts_docs_not_occurrences(ray_session):
     rows = [
         (1, "spam spam spam spam eggs"),

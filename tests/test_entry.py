@@ -96,6 +96,7 @@ def test_oracle_keys_subset(entrymod):
         "stratified_sample",
         "repetition_stats",
         "doc_frequency",
+        "curate_corpus",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
@@ -112,7 +113,7 @@ def test_sql_checked_query(entrymod, con, name):
     "name",
     ["lang_id", "minhash_dedup", "simhash_pairs", "knn_ivf",
      "crawl_documents", "crawl_pages", "crawl_order", "media_features",
-     "hll_distinct"],
+     "hll_distinct", "minhash_keep_best"],
 )
 def test_rows_only_query(entrymod, name):
     df = to_df(entrymod.queries()[name](SF_SMALL))
