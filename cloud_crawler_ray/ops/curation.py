@@ -252,6 +252,79 @@ def curate_corpus(
     return train_test_split(clean, key="doc_id", train_pct=train_pct)
 
 
+@ray.remote(num_cpus=0.25)
+def _block_token_sum(block: pa.Table) -> int:
+    s = pa.compute.sum(block.column("n_tokens")).as_py()
+    return int(s or 0)
+
+
+@ray.remote(num_cpus=0.5)
+def _stamp_pack(block: pa.Table, start: int, seq_tokens: int) -> pa.Table:
+    n = block.column("n_tokens").to_numpy(zero_copy_only=False)
+    off = start + np.concatenate([[0], np.cumsum(n[:-1])]) if len(n) else np.empty(0, np.int64)
+    off = off.astype(np.int64)
+    return (
+        block.select(["doc_id", "n_tokens"])
+        .append_column("tok_offset", pa.array(off))
+        .append_column("seq_id", pa.array(off // seq_tokens))
+    )
+
+
+def pack_sequences(ds: rd.Dataset, seq_tokens: int = 1024) -> rd.Dataset:
+    """Assign every document its token offset and training-sequence id in a
+    deterministic shuffled order (multiplicative doc_id hash, ties by id) —
+    the packing step that turns a curated corpus into fixed-token-budget
+    pretraining sequences.
+
+    Distributed prefix sum in the zip_with_index shape: sort by the hash
+    order, per-block token sums (one int per block crosses the cluster),
+    driver prefix-sums O(#blocks) ints, a small Ray task per block stamps
+    exclusive offsets. seq_id = tok_offset // seq_tokens, so a sequence may
+    span a doc boundary mid-block and the assignment is identical however
+    the corpus was partitioned."""
+
+    def keys(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_KNUTH)) % np.uint64(_M32)
+        ntok = np.fromiter(
+            (T.token_count(x) for x in t.column("text").to_pylist()),
+            dtype=np.int64,
+            count=len(t),
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(ntok),
+                "h": pa.array(h.astype(np.int64)),
+            }
+        )
+
+    keyed = ds.map_batches(keys, batch_format="pyarrow", batch_size=8192)
+    ordered = keyed.sort(["h", "doc_id"]).materialize()
+    refs = []
+    for bundle in ordered.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows == 0:
+                continue  # empty sort partitions carry no schema
+            refs.append(ref)
+    sums = ray.get([_block_token_sum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]) if sums else []
+    new_refs = [
+        _stamp_pack.remote(r, int(o), seq_tokens) for r, o in zip(refs, offsets)
+    ]
+    if not new_refs:  # empty corpus: keep the output schema stable
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "tok_offset": pa.array([], pa.int64()),
+                "seq_id": pa.array([], pa.int64()),
+            }
+        )
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(new_refs)
+
+
 def repetition_stats(ds: rd.Dataset) -> rd.Dataset:
     """Per-document type-token counts (total vs distinct tokens) — the
     repetition / diversity signal quality filters threshold on (a doc whose

@@ -963,6 +963,15 @@ def q_curate_corpus(sf_dir: str):
     return curate_corpus(_docs(sf_dir))
 
 
+def q_pack_sequences(sf_dir: str):
+    """Token-budget sequence packing: deterministic shuffled order ->
+    distributed prefix sum of token counts -> per-doc (tok_offset, seq_id)
+    at 1024 tokens/sequence (ops/curation.py pack_sequences)."""
+    from ..ops.curation import pack_sequences
+
+    return pack_sequences(_docs(sf_dir), seq_tokens=1024)
+
+
 def q_doc_frequency(sf_dir: str):
     """Top-50 tokens by document frequency (the df of tf-idf), sharded
     bounded top-k (ops/textstats.py)."""
@@ -1022,6 +1031,7 @@ QUERIES = {
     "doc_frequency": q_doc_frequency,
     "minhash_keep_best": q_minhash_keep_best,
     "curate_corpus": q_curate_corpus,
+    "pack_sequences": q_pack_sequences,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -1326,6 +1336,22 @@ ORACLE_SQL = {
                          % 4294967296 % 100 < 90
                     THEN 'train' ELSE 'test' END AS split
         FROM clean
+    """,
+    "pack_sequences": f"""
+        WITH t AS (
+          SELECT doc_id, len({_TOKENS})::BIGINT AS n_tokens,
+                 CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 AS h
+          FROM documents),
+        s AS (
+          SELECT doc_id, n_tokens,
+                 coalesce(sum(n_tokens) OVER (
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                   AS tok_offset
+          FROM t)
+        SELECT doc_id, n_tokens, tok_offset,
+               (tok_offset // 1024)::BIGINT AS seq_id
+        FROM s
     """,
     "doc_frequency": f"""
         SELECT token, count(DISTINCT doc_id)::BIGINT AS df

@@ -153,6 +153,39 @@ def test_curate_corpus_stages_compose(ray_session):
     assert set(out["split"]) <= {"train", "test"}
 
 
+def test_pack_sequences_prefix_sum_and_partition_invariance(ray_session):
+    from cloud_crawler_ray.ops.curation import pack_sequences
+
+    rows = [(i, " ".join(["tok"] * (3 + i % 7))) for i in range(200)]
+    out = pack_sequences(docs_ds(rows), seq_tokens=16).to_pandas()
+    assert len(out) == 200
+    # offsets are an exclusive prefix sum: sorted by offset, each row's
+    # offset equals the previous row's offset + its token count
+    out = out.sort_values("tok_offset").reset_index(drop=True)
+    assert out.loc[0, "tok_offset"] == 0
+    expect = out["tok_offset"] + out["n_tokens"]
+    assert (out["tok_offset"].iloc[1:].to_numpy() == expect.iloc[:-1].to_numpy()).all()
+    assert (out["seq_id"] == out["tok_offset"] // 16).all()
+
+    # identical assignment from a differently-partitioned input
+    re_blocked = docs_ds(rows).repartition(7)
+    out2 = (
+        pack_sequences(re_blocked, seq_tokens=16)
+        .to_pandas()
+        .sort_values("tok_offset")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_pack_sequences_empty(ray_session):
+    from cloud_crawler_ray.ops.curation import pack_sequences
+
+    out = pack_sequences(docs_ds([]), seq_tokens=16)
+    assert out.count() == 0
+    assert out.schema().names == ["doc_id", "n_tokens", "tok_offset", "seq_id"]
+
+
 def test_doc_frequency_counts_docs_not_occurrences(ray_session):
     rows = [
         (1, "spam spam spam spam eggs"),

@@ -97,6 +97,7 @@ def test_oracle_keys_subset(entrymod):
         "repetition_stats",
         "doc_frequency",
         "curate_corpus",
+        "pack_sequences",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
