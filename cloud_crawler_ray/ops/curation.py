@@ -44,11 +44,16 @@ def _doc_gram_hashes(text: str, n: int) -> np.ndarray:
 
 
 def decontaminate(
-    ds: rd.Dataset, n: int = 8, eval_mod: int = 50
+    ds: rd.Dataset, n: int = 8, eval_mod: int = 50,
+    eval_docs: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Drop every non-eval document sharing at least one token ``n``-gram
-    with the eval holdout (doc_id % eval_mod == 0) — the standard
-    train-set decontamination step before pretraining.
+    with the eval holdout — the standard train-set decontamination step
+    before pretraining. The holdout is ``eval_docs`` when given (the
+    realistic case: benchmarks live in their own table), else the rows of
+    ``ds`` with doc_id % eval_mod == 0 (the SQL-checkable in-corpus form;
+    note this derivation scans ``ds`` twice — pass eval_docs or a
+    materialized input when the upstream chain is expensive).
 
     The eval side is a benchmark suite: small by definition (10^2-10^5
     docs even when the corpus is 100 TB), so its distinct gram hashes are
@@ -56,26 +61,30 @@ def decontaminate(
     a map-side filter doing one vectorized searchsorted per document.
     Docs shorter than n tokens carry no grams and always survive."""
     def eval_grams(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(ids % eval_mod == 0))
+        if eval_docs is None:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % eval_mod == 0))
         out: list[np.ndarray] = [np.empty(0, dtype=np.uint64)]
         for txt in t.column("text").to_pylist():
             out.append(_doc_gram_hashes(txt, n))
         g = np.unique(np.concatenate(out))
         return pa.table({"g": pa.array(g.astype(np.int64), pa.int64())})
 
-    eval_ds = ds.map_batches(eval_grams, batch_format="pyarrow")
+    eval_src = ds if eval_docs is None else eval_docs
+    eval_ds = eval_src.map_batches(eval_grams, batch_format="pyarrow")
     parts = [b["g"].to_numpy().astype(np.uint64)
              for b in eval_ds.iter_batches(batch_format="pandas")]
     grams = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
     grams_ref = ray.put(grams)
+
+    exclude_by_mod = eval_docs is None
 
     def keep_clean(t: pa.Table) -> pa.Table:
         ref = ray.get(grams_ref)
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         keep = np.ones(len(t), dtype=bool)
         for i, (did, txt) in enumerate(zip(ids, t.column("text").to_pylist())):
-            if did % eval_mod == 0:
+            if exclude_by_mod and did % eval_mod == 0:
                 keep[i] = False
                 continue
             gh = _doc_gram_hashes(txt, n)
@@ -247,7 +256,10 @@ def curate_corpus(
         return t.filter(pa.array(ntok >= min_tokens)).select(["doc_id", "text"])
 
     gated = ds.map_batches(length_gate, batch_format="pyarrow", batch_size=8192)
-    deduped = dedup_keep_best(gated, payload=("text",))
+    # materialized: decontaminate consumes its input twice (eval-gram pass +
+    # filter pass) and Datasets are lazy — without this the gate+dedup chain
+    # would re-execute end-to-end for the second pass
+    deduped = dedup_keep_best(gated, payload=("text",)).materialize()
     clean = decontaminate(deduped, n=n, eval_mod=eval_mod)
     return train_test_split(clean, key="doc_id", train_pct=train_pct)
 

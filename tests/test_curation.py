@@ -38,6 +38,19 @@ def test_decontaminate_drops_overlapping_docs(ray_session):
     assert sorted(out["doc_id"]) == [2, 3]
 
 
+def test_decontaminate_with_separate_eval_table(ray_session):
+    """eval_docs given: the modulo rule is off — corpus docs are dropped
+    only for gram overlap with the external eval table."""
+    ev = docs_ds([(100, "alpha beta gamma delta epsilon zeta eta theta")])
+    rows = [
+        (0, "unrelated text entirely void of any overlap whatsoever"),
+        (1, "x alpha beta gamma delta epsilon zeta eta theta y"),
+    ]
+    out = decontaminate(docs_ds(rows), n=8, eval_mod=50, eval_docs=ev).to_pandas()
+    # doc 0 survives even though 0 % 50 == 0 (no in-corpus holdout rule)
+    assert sorted(out["doc_id"]) == [0]
+
+
 def test_decontaminate_no_eval_docs(ray_session):
     rows = [(1, "a b c d e f g h i"), (2, "j k l m n o p q r")]
     out = decontaminate(docs_ds(rows), n=8, eval_mod=50).to_pandas()
