@@ -98,6 +98,81 @@ def decontaminate(
     return ds.map_batches(keep_clean, batch_format="pyarrow", batch_size=4096)
 
 
+def contamination_report(
+    ds: rd.Dataset, n: int = 8, eval_mod: int = 50,
+    eval_docs: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Distinct (doc_id, eval_doc_id) pairs where a non-eval document
+    shares at least one token n-gram with that eval document — the audit
+    companion to decontaminate (what got dropped, and which benchmark
+    caused it). Same broadcast shape: the (gram hash → eval doc) table is
+    eval-sized; the corpus pass is map-side searchsorted range lookups."""
+
+    def eval_pairs(t: pa.Table) -> pa.Table:
+        if eval_docs is None:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(ids % eval_mod == 0))
+        gs, es = [np.empty(0, np.uint64)], [np.empty(0, np.int64)]
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            gh = np.unique(_doc_gram_hashes(txt, n))
+            gs.append(gh)
+            es.append(np.full(len(gh), did, dtype=np.int64))
+        return pa.table(
+            {
+                "g": pa.array(np.concatenate(gs).astype(np.int64), pa.int64()),
+                "eval_doc_id": pa.array(np.concatenate(es), pa.int64()),
+            }
+        )
+
+    eval_src = ds if eval_docs is None else eval_docs
+    parts = [
+        b for b in eval_src.map_batches(eval_pairs, batch_format="pyarrow")
+        .iter_batches(batch_format="pandas")
+    ]
+    if parts:
+        ev = pd.concat(parts, ignore_index=True).drop_duplicates()
+        order = np.argsort(ev["g"].to_numpy().astype(np.uint64), kind="stable")
+        g_sorted = ev["g"].to_numpy().astype(np.uint64)[order]
+        e_sorted = ev["eval_doc_id"].to_numpy()[order]
+    else:
+        g_sorted = np.empty(0, np.uint64)
+        e_sorted = np.empty(0, np.int64)
+    ref = ray.put((g_sorted, e_sorted))
+    exclude_by_mod = eval_docs is None
+
+    def report(t: pa.Table) -> pa.Table:
+        gs, es = ray.get(ref)
+        out_doc, out_eval = [], []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            if exclude_by_mod and did % eval_mod == 0:
+                continue
+            gh = np.unique(_doc_gram_hashes(txt, n))
+            if not len(gh) or not len(gs):
+                continue
+            lo = np.searchsorted(gs, gh, side="left")
+            hi = np.searchsorted(gs, gh, side="right")
+            hits = hi > lo
+            if not hits.any():
+                continue
+            evs = np.unique(
+                np.concatenate([es[a:b] for a, b in zip(lo[hits], hi[hits])])
+            )
+            out_doc.extend([did] * len(evs))
+            out_eval.extend(evs.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "eval_doc_id": pa.array(out_eval, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(report, batch_format="pyarrow", batch_size=4096)
+
+
 def dedup_keep_best(
     ds: rd.Dataset, payload: tuple[str, ...] = ()
 ) -> rd.Dataset:

@@ -41,6 +41,63 @@ def tumbling_counts(
     return out.rename(columns={"partial": "cnt"})
 
 
+def tumbling_distinct(
+    ds: rd.Dataset,
+    window_s: int = 3600,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+) -> pd.DataFrame:
+    """COUNT(DISTINCT id) per (key, tumbling window) — the streaming
+    unique-visitors aggregate. Distinctness cannot pre-aggregate to counts,
+    so blocks emit distinct (key, window, id) triples (already a big
+    reduction on repetitive streams), the triples hash-shard by (key,
+    window) so a group never spans shards, and each shard emits one count
+    row per group — driver sees key x window rows only. The mergeable-
+    sketch alternative for unbounded ids is ops/sketches.py's HLL."""
+    from .dedup import _add_shard
+
+    def partial(t: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(t.column(ts_col), pa.int64()), 1_000_000)
+        win = pc.multiply(pc.divide(epoch, window_s), window_s)
+        tt = pa.table(
+            {key_col: t.column(key_col), "window_start": win, id_col: t.column(id_col)}
+        )
+        g = tt.group_by([key_col, "window_start", id_col]).aggregate([])
+        # shard on the composite group so one shard sees all of a group's ids
+        comp = pc.binary_join_element_wise(
+            pc.cast(g.column(key_col), pa.string()),
+            pc.cast(g.column("window_start"), pa.string()),
+            "|",
+        )
+        return _add_shard(g.append_column("comp", comp), "comp")
+
+    def shard_counts(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.drop_duplicates([key_col, "window_start", id_col])
+            .groupby([key_col, "window_start"], as_index=False)[id_col]
+            .count()
+        )
+        return out.rename(columns={id_col: "n_distinct"})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=str),
+                "window_start": pd.Series(dtype="int64"),
+                "n_distinct": pd.Series(dtype="int64"),
+            }
+        )
+    out["n_distinct"] = out["n_distinct"].astype("int64")
+    return out.reset_index(drop=True)
+
+
 def tumbling_sum(
     ds: rd.Dataset,
     window_s: int = 3600,

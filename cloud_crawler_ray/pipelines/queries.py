@@ -220,6 +220,20 @@ def q_windowed_count(sf_dir: str):
     return tumbling_counts(ev, window_s=3600)
 
 
+def q_tumbling_distinct(sf_dir: str):
+    """Distinct users per (event_type, 1h tumbling window) — the streaming
+    unique-visitors aggregate. Blocks pre-reduce to distinct (key, window,
+    user) triples, triples hash-shard by composite group key, each shard
+    emits one count row per group (ops/windows.py)."""
+    from ..ops.windows import tumbling_distinct
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "user_id"],
+    )
+    return tumbling_distinct(ev, window_s=3600)
+
+
 def q_hopping_count(sf_dir: str):
     """Hopping (sliding) windowed counts — 1h windows every 15min."""
     from ..ops.windows import hopping_counts
@@ -911,6 +925,15 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_docs(sf_dir), n=8, eval_mod=50)
 
 
+def q_contamination_report(sf_dir: str):
+    """Contamination audit: distinct (doc_id, eval_doc_id) pairs where a
+    non-eval doc shares an 8-token gram with that eval doc — the companion
+    report to decontaminate, same broadcast shape (ops/curation.py)."""
+    from ..ops.curation import contamination_report
+
+    return contamination_report(_docs(sf_dir), n=8, eval_mod=50)
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Exact dedup keeping the highest-quality duplicate (most tokens,
     ties to lowest doc_id) — representative selection (ops/curation.py)."""
@@ -994,6 +1017,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "windowed_count": q_windowed_count,
+    "tumbling_distinct": q_tumbling_distinct,
     "hopping_count": q_hopping_count,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -1025,6 +1049,7 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "consistent_sample": q_consistent_sample,
     "decontaminate": q_decontaminate,
+    "contamination_report": q_contamination_report,
     "dedup_keep_best": q_dedup_keep_best,
     "stratified_sample": q_stratified_sample,
     "repetition_stats": q_repetition_stats,
@@ -1118,6 +1143,12 @@ ORACLE_SQL = {
         SELECT event_type,
                ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
                count(*)::BIGINT AS cnt
+        FROM events GROUP BY 1, 2
+    """,
+    "tumbling_distinct": """
+        SELECT event_type,
+               ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
+               count(DISTINCT user_id)::BIGINT AS n_distinct
         FROM events GROUP BY 1, 2
     """,
     "hopping_count": """
@@ -1289,6 +1320,19 @@ ORACLE_SQL = {
         WHERE doc_id % 50 <> 0
           AND NOT EXISTS (SELECT 1 FROM grams JOIN eg USING (g)
                           WHERE grams.doc_id = d.doc_id)
+    """,
+    "contamination_report": f"""
+        WITH toks AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 unnest([array_to_string(toks[i:i+7], ' ')
+                         for i in range(1, greatest(len(toks)-7, 0)+1)]) AS g
+          FROM toks),
+        eg AS (SELECT DISTINCT doc_id AS eval_doc_id, g
+               FROM grams WHERE doc_id % 50 = 0)
+        SELECT DISTINCT grams.doc_id AS doc_id, eg.eval_doc_id
+        FROM grams JOIN eg USING (g)
+        WHERE grams.doc_id % 50 <> 0
     """,
     "dedup_keep_best": f"""
         SELECT doc_id FROM (

@@ -7,6 +7,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from cloud_crawler_ray.ops.curation import (
+    contamination_report,
     decontaminate,
     dedup_keep_best,
     repetition_stats,
@@ -55,6 +56,36 @@ def test_decontaminate_no_eval_docs(ray_session):
     rows = [(1, "a b c d e f g h i"), (2, "j k l m n o p q r")]
     out = decontaminate(docs_ds(rows), n=8, eval_mod=50).to_pandas()
     assert sorted(out["doc_id"]) == [1, 2]
+
+
+def test_contamination_report_names_the_eval_doc(ray_session):
+    ev0 = "alpha beta gamma delta epsilon zeta eta theta iota"
+    ev50 = "one two three four five six seven eight nine"
+    rows = [
+        (0, ev0),  # eval docs (doc_id % 50 == 0) never appear on the left
+        (50, ev50),
+        (1, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+        (2, "zz one two three four five six seven eight nine yy"),
+        (3, "completely different words with no overlap at all here okay"),
+        (4, ev0 + " " + ev50),  # hits BOTH eval docs -> two report rows
+    ]
+    out = contamination_report(docs_ds(rows), n=8, eval_mod=50).to_pandas()
+    got = sorted(map(tuple, out[["doc_id", "eval_doc_id"]].values.tolist()))
+    assert got == [(1, 0), (2, 50), (4, 0), (4, 50)]
+
+
+def test_contamination_report_external_eval_table(ray_session):
+    """eval_docs given: the modulo rule is off — doc 0 is reportable."""
+    ev = docs_ds([(7, "alpha beta gamma delta epsilon zeta eta theta")])
+    rows = [
+        (0, "x alpha beta gamma delta epsilon zeta eta theta y"),
+        (1, "nothing shared with the benchmark suite in this document text"),
+    ]
+    out = contamination_report(
+        docs_ds(rows), n=8, eval_mod=50, eval_docs=ev
+    ).to_pandas()
+    got = sorted(map(tuple, out[["doc_id", "eval_doc_id"]].values.tolist()))
+    assert got == [(0, 7)]
 
 
 def test_dedup_keep_best_prefers_longest_then_lowest_id(ray_session):

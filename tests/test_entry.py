@@ -98,6 +98,8 @@ def test_oracle_keys_subset(entrymod):
         "doc_frequency",
         "curate_corpus",
         "pack_sequences",
+        "tumbling_distinct",
+        "contamination_report",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):

@@ -542,6 +542,29 @@ def test_multimodal_plumbing(ray_session, tmp_path):
     )
 
 
+def test_tumbling_distinct_matches_duckdb(con, ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.windows import tumbling_distinct
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type", "user_id"])
+    got = (
+        tumbling_distinct(ev, window_s=3600)
+        .sort_values(["event_type", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = con.execute(
+        """
+        SELECT event_type, ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
+               count(DISTINCT user_id)::BIGINT AS n_distinct
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).df()
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["window_start"].tolist() == exp["window_start"].tolist()
+    assert got["n_distinct"].tolist() == exp["n_distinct"].tolist()
+
+
 def test_tumbling_sum_close_to_duckdb(con, ray_session):
     import numpy as np
     import ray.data as rd
