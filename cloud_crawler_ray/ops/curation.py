@@ -173,6 +173,28 @@ def contamination_report(
     return ds.map_batches(report, batch_format="pyarrow", batch_size=4096)
 
 
+def quality_gate(ds: rd.Dataset, q: float = 0.10) -> rd.Dataset:
+    """Drop the bottom-``q`` tail of documents by token count — the
+    data-driven length gate (vs curate_corpus's fixed min_tokens). The
+    threshold is the exact PERCENTILE_DISC quantile from the bounded
+    histogram pass (ops/textstats.py token_count_quantiles), carried to the
+    filter as one scalar; the filter itself is map-side. Two passes over
+    ``ds`` are inherent to threshold-from-data filters — pass a
+    materialized Dataset when the upstream chain is expensive. Rows AT the
+    threshold survive (>=, the PERCENTILE_DISC convention)."""
+    import pyarrow.compute as pc
+
+    from .textstats import token_count_quantiles, token_counts
+
+    qt = token_count_quantiles(ds, qs=(q,))
+    thr = int(qt["n_tokens_q"].iloc[0]) if len(qt) else 0
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n_tokens"), thr))
+
+    return token_counts(ds).map_batches(keep, batch_format="pyarrow")
+
+
 def dedup_keep_best(
     ds: rd.Dataset, payload: tuple[str, ...] = ()
 ) -> rd.Dataset:

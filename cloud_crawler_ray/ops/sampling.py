@@ -43,6 +43,43 @@ def train_test_split(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def mix_weighted(
+    ds: rd.Dataset,
+    rates: dict[str, float],
+    group: str = "lang",
+    key: str = "doc_id",
+    default: float = 0.0,
+    keep_cols: tuple[str, ...] = (),
+) -> rd.Dataset:
+    """Deterministic weighted corpus mixing: keep each row with its source
+    group's sampling rate (rates[group value] in [0, 1], else ``default``) —
+    the mixture-reweighting step of assembling a training corpus from
+    heterogeneous sources. Membership is the same pure hash function of the
+    key as train_test_split, so re-runs, resume, and per-source reruns all
+    agree, and a row kept at rate r stays kept at any rate >= r (nested
+    samples). Map-side only — no shuffle; to mix SEPARATE tables, call this
+    per table and union the results.
+
+    Rate -> threshold quantization is int(r * 2^32) (truncation); oracle
+    SQL must embed the identical integer thresholds."""
+    thresholds = {g: min(_M32, int(r * _M32)) for g, r in rates.items()}
+    default_thr = min(_M32, int(default * _M32))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(_KNUTH)) % np.uint64(_M32)
+        thr = (
+            pd.Series(t.column(group).to_pylist())
+            .map(thresholds)
+            .fillna(default_thr)
+            .to_numpy()
+            .astype(np.uint64)
+        )
+        return t.filter(pa.array(h < thr)).select([key, group, *keep_cols])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def consistent_sample(
     ds: rd.Dataset, key: str = "doc_id", k: int = 100, n_shards: int = 64
 ) -> "pd.DataFrame":

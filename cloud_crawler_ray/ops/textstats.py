@@ -225,6 +225,70 @@ def doc_frequency_topk(
     return tops[["token", "df"]].reset_index(drop=True)
 
 
+def tfidf_top_terms(
+    ds: rd.Dataset, k: int = 5, scale: int = 1_000_000, n_shards: int = 64
+) -> rd.Dataset:
+    """Per-document top-k distinguishing terms by tf-idf shape: score =
+    (tf * scale) // df, the integer-exact tf-over-df surrogate (monotone in
+    tf x 1/df; chosen over log-idf so the SQL oracle is float-free and the
+    ranking hash-matches bit-for-bit). Ties break token-ascending; (doc,
+    token) is unique so the order is total.
+
+    Distributed shape — two shuffles, both inherent to the op:
+    1. map-side (doc_id, token, tf) triples (a document is one row, so
+       per-doc counts never span blocks);
+    2. hash-shard by TOKEN: every row of a token meets in one shard, so the
+       shard computes df as a local group size and scores rows in place —
+       no separate df table, no join, no second pass over the corpus;
+    3. hash-shard by DOC: per-doc top-k, output bounded by docs x k."""
+    from .dedup import _add_shard
+
+    def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(batch["text"])
+        if toks.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype="int64"),
+                    "token": pd.Series(dtype=str),
+                    "tf": pd.Series(dtype="int64"),
+                }
+            )
+        pairs = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].loc[toks.index].to_numpy(),
+                "token": toks.to_numpy(),
+            }
+        )
+        g = pairs.groupby(["doc_id", "token"], as_index=False).size()
+        return g.rename(columns={"size": "tf"})
+
+    tf = ds.map_batches(tf_partial, batch_format="pandas", batch_size=4096).map_batches(
+        lambda t: _add_shard(t, "token", n_shards), batch_format="pyarrow"
+    )
+
+    def shard_score(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("token")["doc_id"].transform("size").to_numpy().astype(np.int64)
+        out = g[["doc_id", "token", "tf"]].copy()
+        out["score"] = (out["tf"].to_numpy().astype(np.int64) * scale) // df
+        return out
+
+    scored = (
+        tf.groupby("shard")
+        .map_groups(shard_score, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "doc_id", n_shards), batch_format="pyarrow")
+    )
+
+    def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["doc_id", "score", "token"], ascending=[True, False, True], kind="stable"
+        )
+        return g.groupby("doc_id", as_index=False).head(k)[
+            ["doc_id", "token", "tf", "score"]
+        ]
+
+    return scored.groupby("shard").map_groups(doc_topk, batch_format="pandas")
+
+
 def token_count_quantiles(
     ds: rd.Dataset, qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
 ) -> pd.DataFrame:

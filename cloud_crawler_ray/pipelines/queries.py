@@ -995,6 +995,42 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), seq_tokens=1024)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top-5 distinguishing terms by the integer-exact tf-over-df
+    score (ops/textstats.py tfidf_top_terms): token-sharded in-place df +
+    scoring, doc-sharded top-k."""
+    from ..ops.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir), k=5)
+
+
+# mixture rates for the weighted-mix query; thresholds are int(r * 2^32)
+# (truncation) in BOTH the engine and the generated oracle SQL below.
+_MIX_RATES = {"en": 0.5, "zh": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def q_mix_weighted(sf_dir: str):
+    """Deterministic weighted corpus mixing: keep en at 50%, zh at 25%,
+    everything else at 10% — hash-of-key membership, map-side only
+    (ops/sampling.py mix_weighted)."""
+    from ..ops.sampling import mix_weighted
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return mix_weighted(docs, rates=_MIX_RATES, group="lang", default=_MIX_DEFAULT)
+
+
+def q_quality_gate(sf_dir: str):
+    """Data-driven length gate: drop the bottom-decile docs by token count;
+    exact PERCENTILE_DISC threshold broadcast as one scalar, map-side
+    filter (ops/curation.py quality_gate)."""
+    from ..ops.curation import quality_gate
+
+    return quality_gate(_docs(sf_dir), q=0.10)
+
+
 def q_doc_frequency(sf_dir: str):
     """Top-50 tokens by document frequency (the df of tf-idf), sharded
     bounded top-k (ops/textstats.py)."""
@@ -1054,6 +1090,9 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "repetition_stats": q_repetition_stats,
     "doc_frequency": q_doc_frequency,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "mix_weighted": q_mix_weighted,
+    "quality_gate": q_quality_gate,
     "minhash_keep_best": q_minhash_keep_best,
     "curate_corpus": q_curate_corpus,
     "pack_sequences": q_pack_sequences,
@@ -1396,6 +1435,33 @@ ORACLE_SQL = {
         SELECT doc_id, n_tokens, tok_offset,
                (tok_offset // 1024)::BIGINT AS seq_id
         FROM s
+    """,
+    "tfidf_top_terms": f"""
+        WITH pairs AS (
+          SELECT doc_id, unnest({_TOKENS}) AS token FROM documents),
+        tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+               FROM pairs GROUP BY 1, 2),
+        df AS (SELECT token, count(DISTINCT doc_id)::BIGINT AS df
+               FROM pairs GROUP BY 1)
+        SELECT doc_id, token, tf, score FROM (
+          SELECT tf.doc_id, tf.token, tf.tf,
+                 (tf.tf * 1000000) // df.df AS score,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY (tf.tf * 1000000) // df.df DESC,
+                                             tf.token) AS rn
+          FROM tf JOIN df USING (token)) WHERE rn <= 5
+    """,
+    "mix_weighted": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296 <
+              (CASE lang {' '.join(f"WHEN '{g}' THEN {int(r * 2**32)}" for g, r in _MIX_RATES.items())}
+                    ELSE {int(_MIX_DEFAULT * 2**32)} END)
+    """,
+    "quality_gate": f"""
+        WITH tc AS (SELECT doc_id, len({_TOKENS})::BIGINT AS n_tokens
+                    FROM documents)
+        SELECT doc_id, n_tokens FROM tc
+        WHERE n_tokens >= (SELECT quantile_disc(n_tokens, 0.10) FROM tc)
     """,
     "doc_frequency": f"""
         SELECT token, count(DISTINCT doc_id)::BIGINT AS df

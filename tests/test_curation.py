@@ -58,6 +58,17 @@ def test_decontaminate_no_eval_docs(ray_session):
     assert sorted(out["doc_id"]) == [1, 2]
 
 
+def test_quality_gate_drops_below_percentile_threshold(ray_session):
+    from cloud_crawler_ray.ops.curation import quality_gate
+
+    # doc i has i tokens, i = 1..10; q=0.5 -> PERCENTILE_DISC rank
+    # ceil(0.5*10)=5 -> threshold 5 -> docs with >= 5 tokens survive
+    rows = [(i, " ".join(["w"] * i)) for i in range(1, 11)]
+    out = quality_gate(docs_ds(rows), q=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == [5, 6, 7, 8, 9, 10]
+    assert sorted(out["n_tokens"]) == [5, 6, 7, 8, 9, 10]
+
+
 def test_contamination_report_names_the_eval_doc(ray_session):
     ev0 = "alpha beta gamma delta epsilon zeta eta theta iota"
     ev50 = "one two three four five six seven eight nine"

@@ -100,6 +100,9 @@ def test_oracle_keys_subset(entrymod):
         "pack_sequences",
         "tumbling_distinct",
         "contamination_report",
+        "tfidf_top_terms",
+        "mix_weighted",
+        "quality_gate",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):

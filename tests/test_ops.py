@@ -542,6 +542,40 @@ def test_multimodal_plumbing(ray_session, tmp_path):
     )
 
 
+def test_tfidf_top_terms_planted(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.textstats import tfidf_top_terms
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["the the the cat", "the dog", "the cat fish"], pa.string()
+                ),
+            }
+        )
+    )
+    out = (
+        tfidf_top_terms(docs, k=2)
+        .to_pandas()
+        .sort_values(["doc_id", "score", "token"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    # df: the=3, cat=2, dog=1, fish=1; score = tf*1e6 // df
+    got = list(map(tuple, out[["doc_id", "token", "tf", "score"]].values.tolist()))
+    assert got == [
+        (1, "the", 3, 1_000_000),
+        (1, "cat", 1, 500_000),
+        (2, "dog", 1, 1_000_000),
+        (2, "the", 1, 333_333),
+        (3, "fish", 1, 1_000_000),
+        (3, "cat", 1, 500_000),
+    ]
+
+
 def test_tumbling_distinct_matches_duckdb(con, ray_session):
     import ray.data as rd
 

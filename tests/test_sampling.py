@@ -23,6 +23,41 @@ def test_train_test_split_deterministic_and_proportional(ray_session):
     assert 0.88 < frac < 0.92
 
 
+def test_mix_weighted_rates_nested_and_deterministic(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.sampling import mix_weighted
+
+    n = 30_000
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": np.where(np.arange(n) % 2 == 0, "en", "zh"),
+        }
+    )
+    ds = rd.from_pandas(df)
+    out = mix_weighted(ds, rates={"en": 0.5, "zh": 0.25}, default=0.0).to_pandas()
+    # independent recomputation of the membership rule
+    h = (df["doc_id"].to_numpy().astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+        2**32
+    )
+    thr = np.where(df["lang"] == "en", int(0.5 * 2**32), int(0.25 * 2**32)).astype(
+        np.uint64
+    )
+    exp = df.loc[h < thr, "doc_id"].tolist()
+    assert sorted(out["doc_id"].tolist()) == exp
+    # realized rates near nominal
+    en_rate = (out["lang"] == "en").sum() / (n / 2)
+    zh_rate = (out["lang"] == "zh").sum() / (n / 2)
+    assert 0.47 < en_rate < 0.53 and 0.22 < zh_rate < 0.28
+    # nested samples: a row kept at rate .25 is kept at rate .5
+    half = mix_weighted(ds, rates={"en": 0.25, "zh": 0.125}, default=0.0).to_pandas()
+    assert set(half["doc_id"]) <= set(out["doc_id"])
+    # unknown group takes the default rate (0.0 -> dropped entirely)
+    other = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3], "lang": ["xx"] * 3}))
+    assert mix_weighted(other, rates={"en": 0.5}, default=0.0).count() == 0
+
+
 def test_consistent_sample_stable_under_growth(ray_session):
     import ray.data as rd
 
