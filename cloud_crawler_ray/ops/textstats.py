@@ -324,6 +324,52 @@ def token_count_quantiles(
     return pd.DataFrame(out, columns=["q", "n_tokens_q"])
 
 
+def token_count_quantiles_by(
+    ds: rd.Dataset, group: str = "lang", qs: tuple[float, ...] = (0.5, 0.9)
+) -> pd.DataFrame:
+    """Per-group exact PERCENTILE_DISC token-count quantiles — the
+    length-distribution summary per language/source, for per-group gating
+    and packing decisions. Same bounded-histogram shape as
+    token_count_quantiles, keyed: blocks collapse to (group, n_tokens,
+    count) partials, the driver combines a table bounded by n_groups x
+    distinct lengths (document lengths share values), and each group's
+    quantile reads off its cumulative histogram at rank ceil(q*n)."""
+    import math
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].str.lower().str.split(r"\s+", regex=True)
+        n = toks.map(lambda ts: sum(1 for t in ts if t))
+        g = (
+            pd.DataFrame({group: batch[group], "n_tokens": n})
+            .groupby([group, "n_tokens"], as_index=False)
+            .size()
+        )
+        return g.rename(columns={"size": "partial"})
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=4096).to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                group: pd.Series(dtype=str),
+                "q": pd.Series(dtype=float),
+                "n_tokens_q": pd.Series(dtype="int64"),
+            }
+        )
+    rows = []
+    for gval, sub in parts.groupby(group):
+        hist = sub.groupby("n_tokens")["partial"].sum().sort_index()
+        n = int(hist.sum())
+        cum = hist.cumsum().to_numpy()
+        values = hist.index.to_numpy()
+        for q in qs:
+            rank = max(1, math.ceil(q * n))  # same float math as the oracle
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            rows.append((gval, float(q), int(values[min(idx, len(values) - 1)])))
+    out = pd.DataFrame(rows, columns=[group, "q", "n_tokens_q"])
+    out["n_tokens_q"] = out["n_tokens_q"].astype("int64")
+    return out
+
+
 def vocab_size(ds: rd.Dataset, n_shards: int = 64) -> pd.DataFrame:
     """Exact distinct-token count — per-block distinct partials, tokens
     hash-sharded so each distinct token is counted in exactly one shard,

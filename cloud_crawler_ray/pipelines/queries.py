@@ -900,6 +900,17 @@ def q_consistent_sample(sf_dir: str):
     )
 
 
+def q_lang_token_quantiles(sf_dir: str):
+    """Per-language exact PERCENTILE_DISC token-count quantiles (p50/p90)
+    off keyed bounded histograms (ops/textstats.py)."""
+    from ..ops.textstats import token_count_quantiles_by
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text", "lang"]
+    )
+    return token_count_quantiles_by(docs, group="lang", qs=(0.5, 0.9))
+
+
 def q_vocab_size(sf_dir: str):
     """Exact distinct-token count (sharded distinct partials)."""
     from ..ops.textstats import vocab_size
@@ -1082,6 +1093,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "token_quantiles": q_token_quantiles,
     "vocab_size": q_vocab_size,
+    "lang_token_quantiles": q_lang_token_quantiles,
     "hll_distinct": q_hll_distinct,
     "consistent_sample": q_consistent_sample,
     "decontaminate": q_decontaminate,
@@ -1469,6 +1481,16 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY df DESC, token
         LIMIT 50
+    """,
+    "lang_token_quantiles": f"""
+        WITH tc AS (SELECT lang, len({_TOKENS})::BIGINT AS n_tokens
+                    FROM documents)
+        SELECT lang, CAST(0.50 AS DOUBLE) AS q,
+               quantile_disc(n_tokens, 0.50)::BIGINT AS n_tokens_q
+        FROM tc GROUP BY lang
+        UNION ALL
+        SELECT lang, 0.90, quantile_disc(n_tokens, 0.90)::BIGINT
+        FROM tc GROUP BY lang
     """,
     "token_quantiles": f"""
         WITH tc AS (SELECT len({_TOKENS})::BIGINT AS n_tokens FROM documents)

@@ -103,6 +103,7 @@ def test_oracle_keys_subset(entrymod):
         "tfidf_top_terms",
         "mix_weighted",
         "quality_gate",
+        "lang_token_quantiles",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):

@@ -542,6 +542,30 @@ def test_multimodal_plumbing(ray_session, tmp_path):
     )
 
 
+def test_token_count_quantiles_by_group_rank_convention(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.textstats import token_count_quantiles_by
+
+    # lang a: counts [1,2,3,4] -> p50 rank ceil(2)=2 -> 2, p90 rank ceil(3.6)=4 -> 4
+    # lang b: single doc of 10 tokens -> both quantiles 10
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "text": pa.array(
+                    ["w", "w w", "w w w", "w w w w", " ".join(["w"] * 10)],
+                    pa.string(),
+                ),
+                "lang": pa.array(["a", "a", "a", "a", "b"], pa.string()),
+            }
+        )
+    )
+    out = token_count_quantiles_by(docs, group="lang", qs=(0.5, 0.9))
+    got = sorted(map(tuple, out[["lang", "q", "n_tokens_q"]].values.tolist()))
+    assert got == [("a", 0.5, 2), ("a", 0.9, 4), ("b", 0.5, 10), ("b", 0.9, 10)]
+
+
 def test_tfidf_top_terms_planted(ray_session):
     import pyarrow as pa
     import ray.data as rd
