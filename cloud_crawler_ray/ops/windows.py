@@ -98,6 +98,52 @@ def tumbling_distinct(
     return out.reset_index(drop=True)
 
 
+def rolling_max(
+    ds: rd.Dataset,
+    window: int = 5,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> rd.Dataset:
+    """Per-key rolling maximum over the last ``window`` events (row-count
+    window ordered by (ts, id), not a time window) — the ordered-per-key-
+    state window class (peak-over-recent-activity features). Max involves
+    no arithmetic, so float results are bit-exact against the SQL window
+    function regardless of evaluation order.
+
+    Shape: keys hash-shard (every event of a key lands in one shard,
+    politeness/session-window partitioning assumption), each shard sorts
+    its slice once and runs pandas' C rolling-max per key via transform
+    (preserves row order). Output is one row per input event — map-side
+    bounded; the only shuffle is the key partitioning."""
+    from .dedup import _add_shard
+
+    def prep(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                id_col: t.column(id_col),
+                key_col: t.column(key_col),
+                "ts_us": pc.cast(t.column(ts_col), pa.int64()),
+                val_col: t.column(val_col),
+            }
+        )
+        return _add_shard(tt, key_col)
+
+    def shard_roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "ts_us", id_col], kind="stable").copy()
+        g["rolling_max"] = g.groupby(key_col)[val_col].transform(
+            lambda s: s.rolling(window, min_periods=1).max()
+        )
+        return g[[id_col, key_col, "rolling_max"]]
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_roll, batch_format="pandas")
+    )
+
+
 def tumbling_sum(
     ds: rd.Dataset,
     window_s: int = 3600,

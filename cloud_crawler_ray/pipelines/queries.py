@@ -234,6 +234,20 @@ def q_tumbling_distinct(sf_dir: str):
     return tumbling_distinct(ev, window_s=3600)
 
 
+def q_rolling_max(sf_dir: str):
+    """Per-user rolling max of the last 5 event values ordered by (ts,
+    event_id) — the ordered-per-key-state window class (ops/windows.py
+    rolling_max). Max is arithmetic-free, so the DOUBLE column hash-matches
+    the SQL window function exactly."""
+    from ..ops.windows import rolling_max
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return rolling_max(ev, window=5)
+
+
 def q_hopping_count(sf_dir: str):
     """Hopping (sliding) windowed counts — 1h windows every 15min."""
     from ..ops.windows import hopping_counts
@@ -1065,6 +1079,7 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "windowed_count": q_windowed_count,
     "tumbling_distinct": q_tumbling_distinct,
+    "rolling_max": q_rolling_max,
     "hopping_count": q_hopping_count,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
@@ -1201,6 +1216,13 @@ ORACLE_SQL = {
                ((epoch_us(ts) // 1000000) // 3600) * 3600 AS window_start,
                count(DISTINCT user_id)::BIGINT AS n_distinct
         FROM events GROUP BY 1, 2
+    """,
+    "rolling_max": """
+        SELECT event_id, user_id,
+               max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                 AS rolling_max
+        FROM events
     """,
     "hopping_count": """
         SELECT event_type,

@@ -104,6 +104,7 @@ def test_oracle_keys_subset(entrymod):
         "mix_weighted",
         "quality_gate",
         "lang_token_quantiles",
+        "rolling_max",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):

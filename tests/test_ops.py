@@ -600,6 +600,31 @@ def test_tfidf_top_terms_planted(ray_session):
     ]
 
 
+def test_rolling_max_per_key_window_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.windows import rolling_max
+
+    vals = [3.0, 1.0, 2.0, 5.0, 0.0, 4.0]
+    t = pa.table(
+        {
+            "event_id": pa.array(list(range(6)) + [6], pa.int64()),
+            "user_id": pa.array([1] * 6 + [2], pa.int64()),
+            "ts": pa.array(
+                [1_000_000 * i for i in range(6)] + [0], pa.timestamp("us")
+            ),
+            "value": pa.array(vals + [7.0], pa.float64()),
+        }
+    )
+    out = (
+        rolling_max(rd.from_arrow(t).repartition(3), window=3)
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert out["rolling_max"].tolist() == [3.0, 3.0, 3.0, 5.0, 5.0, 5.0, 7.0]
+
+
 def test_tumbling_distinct_matches_duckdb(con, ray_session):
     import ray.data as rd
 
