@@ -114,9 +114,9 @@ def rolling_max(
 
     Shape: keys hash-shard (every event of a key lands in one shard,
     politeness/session-window partitioning assumption), each shard sorts
-    its slice once and runs pandas' C rolling-max per key via transform
-    (preserves row order). Output is one row per input event — map-side
-    bounded; the only shuffle is the key partitioning."""
+    its slice once and computes the window as O(window) vectorized
+    shifted-max passes with key-boundary masking. Output is one row per
+    input event; the only shuffle is the key partitioning."""
     from .dedup import _add_shard
 
     def prep(t: pa.Table) -> pa.Table:
@@ -131,10 +131,21 @@ def rolling_max(
         return _add_shard(tt, key_col)
 
     def shard_roll(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized shifted-max with key-boundary masking: O(window) numpy
+        # passes over the sorted shard, no per-key Python (a shard can hold
+        # millions of keys). Assumes non-null values (numpy max would
+        # propagate NaN where SQL max skips NULL).
         g = g.sort_values([key_col, "ts_us", id_col], kind="stable").copy()
-        g["rolling_max"] = g.groupby(key_col)[val_col].transform(
-            lambda s: s.rolling(window, min_periods=1).max()
-        )
+        keys = g[key_col].to_numpy()
+        vals = g[val_col].to_numpy()
+        out = vals.copy()
+        for s in range(1, min(window, len(vals))):
+            shifted = np.concatenate([vals[:s], vals[:-s]])  # head is masked
+            same = np.concatenate(
+                [np.zeros(s, dtype=bool), keys[s:] == keys[:-s]]
+            )
+            np.maximum(out, shifted, out=out, where=same)
+        g["rolling_max"] = out
         return g[[id_col, key_col, "rolling_max"]]
 
     return (
