@@ -216,6 +216,57 @@ def sample_frames(
     )
 
 
+def span_kind_stats(docs: rd.Dataset) -> "pd.DataFrame":
+    """Span-composition profile of the interleaved (doc_id, spans) table:
+    per span kind, total spans and number of documents containing the kind
+    — the payload-mix summary that sizes downstream media stages. Fully
+    vectorized: list_flatten / list_parent_indices + native Arrow group_by
+    per block, driver combine bounded by the handful of kinds."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def part(t: pa.Table) -> pa.Table:
+        spans = t.column("spans").combine_chunks()
+        kinds = pc.struct_field(pc.list_flatten(spans), "kind")
+        rows = pc.list_parent_indices(spans)
+        n_spans = (
+            pa.table({"kind": kinds})
+            .group_by("kind")
+            .aggregate([([], "count_all")])
+            .to_pandas()
+            .rename(columns={"count_all": "n_spans"})
+        )
+        n_docs = (
+            pa.table({"row": rows, "kind": kinds})
+            .group_by(["row", "kind"])
+            .aggregate([])
+            .group_by("kind")
+            .aggregate([([], "count_all")])
+            .to_pandas()
+            .rename(columns={"count_all": "n_docs"})
+        )
+        return pa.Table.from_pandas(
+            n_spans.merge(n_docs, on="kind"), preserve_index=False
+        )
+
+    parts = docs.map_batches(part, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                "kind": pd.Series(dtype=str),
+                "n_spans": pd.Series(dtype="int64"),
+                "n_docs": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        parts.groupby("kind", as_index=False)[["n_spans", "n_docs"]]
+        .sum()
+        .sort_values("kind")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_spans": "int64", "n_docs": "int64"})
+
+
 def media_table_from_documents(docs: rd.Dataset) -> rd.Dataset:
     """Explode the interleaved-span documents table into a media table with
     synthesized payloads (the fetch-media stage stand-in)."""

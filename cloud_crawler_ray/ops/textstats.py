@@ -240,7 +240,11 @@ def tfidf_top_terms(
     2. hash-shard by TOKEN: every row of a token meets in one shard, so the
        shard computes df as a local group size and scores rows in place —
        no separate df table, no join, no second pass over the corpus;
-    3. hash-shard by DOC: per-doc top-k, output bounded by docs x k."""
+    3. hash-shard by DOC: per-doc top-k, output bounded by docs x k.
+    The alternative (broadcast a precomputed df table and stay fully
+    map-side) is rejected deliberately: at corpus scale the vocabulary is
+    itself huge (10^8-10^9 tokens at 100 TB), too big to ship to every
+    worker, while shuffling the tf triples is bounded and spillable."""
     from .dedup import _add_shard
 
     def tf_partial(batch: pd.DataFrame) -> pd.DataFrame:

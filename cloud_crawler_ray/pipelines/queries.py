@@ -430,6 +430,15 @@ def q_crawl_order(sf_dir: str):
     return crawl_handle_for(sf_dir).crawl_order()
 
 
+def q_span_stats(sf_dir: str):
+    """Per-kind span counts + containing-doc counts over the flagship
+    interleaved output (ops/multimodal.py span_kind_stats). No SQL oracle
+    (crawl-derived input); parity pytest recomputes row-by-row."""
+    from ..ops.multimodal import span_kind_stats
+
+    return span_kind_stats(crawl_handle_for(sf_dir).documents())
+
+
 def q_api_doc_store(sf_dir: str):
     """BatchApiJob analog (batch_api_job.rb:33-104): url-list fetch of JSON
     endpoints → (doc_id, doc) store, normalized compact JSON."""
@@ -1091,6 +1100,7 @@ QUERIES = {
     "crawl_documents": q_crawl_documents,
     "crawl_pages": q_crawl_pages,
     "crawl_order": q_crawl_order,
+    "span_stats": q_span_stats,
     "hook_counters": q_hook_counters,
     "api_doc_store": q_api_doc_store,
     "media_features": q_media_features,

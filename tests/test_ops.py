@@ -600,6 +600,24 @@ def test_tfidf_top_terms_planted(ray_session):
     ]
 
 
+def test_span_kind_stats_counts(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.multimodal import span_kind_stats
+
+    def sp(kind, i):
+        return {"kind": kind, "text": f"t{i}", "media_ref": "", "offset": i}
+
+    rows = [
+        {"doc_id": "a", "spans": [sp("text", 0), sp("image", 1), sp("text", 2)]},
+        {"doc_id": "b", "spans": [sp("image", 0), sp("image", 1)]},
+        {"doc_id": "c", "spans": [sp("video", 0)]},
+    ]
+    out = span_kind_stats(rd.from_items(rows).repartition(2))
+    got = {r["kind"]: (r["n_spans"], r["n_docs"]) for _, r in out.iterrows()}
+    assert got == {"text": (2, 1), "image": (3, 2), "video": (1, 1)}
+
+
 def test_rolling_max_per_key_window_semantics(ray_session):
     import pyarrow as pa
     import ray.data as rd
