@@ -312,20 +312,13 @@ def fuzzy_keep_best(
         )
         w = q.drop_duplicates("rep")
         winners = dict(zip(w["rep"], w["doc_id"]))
+    from .dedup import _attach_labels, _label_lookup_ref
+
     best = {d: winners.get(r, r) for d, r in labels.items()}
-    best_ref = ray.put(best)
+    best_ref, as_arrays = _label_lookup_ref(best)
 
     def attach(t: pa.Table) -> pa.Table:
-        lab = ray.get(best_ref)
-        ids = t.column("doc_id").to_pylist()
-        reps = [lab.get(d, d) for d in ids]
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "group_rep": pa.array(reps),
-                "keep": pa.array([r == d for r, d in zip(reps, ids)], pa.bool_()),
-            }
-        )
+        return _attach_labels(t, ray.get(best_ref), as_arrays)
 
     return docs.select_columns(["doc_id"]).map_batches(attach, batch_format="pyarrow")
 

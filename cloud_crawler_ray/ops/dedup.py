@@ -537,21 +537,57 @@ def dedup_groups(
         labels = _components_driver(pairs)
     else:
         labels = _components_label_prop(pairs)
-    ref = ray.put(labels)
+    ref, as_arrays = _label_lookup_ref(labels)
 
     def attach(t: pa.Table) -> pa.Table:
-        lab = ray.get(ref)
-        ids = t.column("doc_id").to_pylist()
-        reps = [lab.get(d, d) for d in ids]
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "group_rep": pa.array(reps),
-                "keep": pa.array([r == d for r, d in zip(reps, ids)], pa.bool_()),
-            }
-        )
+        return _attach_labels(t, ray.get(ref), as_arrays)
 
     return docs.map_batches(attach, batch_format="pyarrow")
+
+
+def _label_lookup_ref(labels: dict):
+    """Broadcast a node→representative map for map-side attach. Integer ids
+    (the common case) ship as SORTED numpy (keys, reps) arrays — memcpy-cheap
+    for every worker to read from the object store (vs re-deserializing a
+    Python dict per worker) and binary-searchable without per-row Python.
+    Non-integer ids fall back to the dict, acceptable for small graphs."""
+    if all(isinstance(k, (int, np.integer)) for k in labels):
+        keys = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
+        vals = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
+        order = np.argsort(keys)
+        return ray.put((keys[order], vals[order])), True
+    return ray.put(labels), False
+
+
+def _attach_labels(t: pa.Table, payload, as_arrays: bool, col: str = "doc_id") -> pa.Table:
+    """(col, group_rep, keep) for one block; unlabeled ids represent
+    themselves. Vectorized searchsorted on the array path."""
+    if as_arrays:
+        keys, vals = payload
+        ids = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = ids.copy()
+        if len(keys):
+            pos = np.searchsorted(keys, ids)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == ids
+            reps[hit] = vals[pos[hit]]
+        return pa.table(
+            {
+                col: t.column(col),
+                "group_rep": pa.array(reps),
+                "keep": pa.array(reps == ids),
+            }
+        )
+    lab = payload
+    ids = t.column(col).to_pylist()
+    reps = [lab.get(d, d) for d in ids]
+    return pa.table(
+        {
+            col: t.column(col),
+            "group_rep": pa.array(reps),
+            "keep": pa.array([r == d for r, d in zip(reps, ids)], pa.bool_()),
+        }
+    )
 
 
 def _components_driver(pairs: pa.Table) -> dict:
