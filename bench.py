@@ -6,11 +6,17 @@ synthetic web sized for $GRAFT_SF_DIR, reported as seconds (value) and
 URLs/sec; plus per-query timings for the full operator registry.
 
     python bench.py               # one JSON line on stdout
-    python bench.py --scaling     # headline at num_cpus=8 vs 32 in fresh
-                                  # processes → scaling efficiency JSON line
+    python bench.py --scaling     # single-wave curl headline at N vs 4N
+                                  # CPUs in fresh processes → efficiency
+                                  # JSON line (defaults 7 vs 28: all 32
+                                  # would starve the driver/raylet; see
+                                  # BASELINE.md for the 6v24 series)
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default
-32), BENCH_HEADLINE_ONLY=1 to skip the query suite (used by --scaling).
+32), BENCH_HEADLINE_ONLY=1 to skip the query suite (used by --scaling),
+CCRAY_SCALING_LO/HI (scaling CPU levels, HI defaults to 4*LO),
+CCRAY_SCALING_REPS (interleaved reps per level, default 2; per-level
+MINIMUM is the headline statistic on this steal-prone VM).
 """
 
 from __future__ import annotations

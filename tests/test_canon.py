@@ -114,3 +114,27 @@ def test_userinfo_urls():
     assert canon.strip_userinfo(u) == "http://www.example.com/secret"
     assert canon.strip_userinfo("http://x.com/a@b") == "http://x.com/a@b"  # @ in path kept
     assert canon.host_of("http://x.com:8080/a") == "x.com"
+
+
+def test_canonical_url_idempotent_and_fastpath_consistent_property():
+    """Property: canonical_url is idempotent (a canonicalized URL re-enters
+    the frontier unchanged — the seen-set contract), and the vectorized
+    canonical_urls agrees with the scalar path on every generated input."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    host = st.from_regex(r"[a-zA-Z0-9][a-zA-Z0-9.\-]{0,20}", fullmatch=True)
+    path = st.from_regex(r"(/[a-zA-Z0-9._~ %\-]{0,12}){0,4}/?", fullmatch=True)
+    query = st.one_of(st.just(""), st.from_regex(r"\?[a-zA-Z0-9=&]{0,12}", fullmatch=True))
+    anchor = st.one_of(st.just(""), st.from_regex(r"#[a-zA-Z0-9_\-]{0,8}", fullmatch=True))
+    scheme = st.sampled_from(["http://", "https://", "HTTP://"])
+    urls = st.builds(lambda s, h, p, q, a: s + h + p + q + a, scheme, host, path, query, anchor)
+
+    @settings(max_examples=300, deadline=None)
+    @given(urls)
+    def check(u):
+        one = canon.canonical_url(u)
+        assert canon.canonical_url(one) == one, (u, one)
+        assert canon.canonical_urls([u]) == [one]
+
+    check()
