@@ -56,3 +56,20 @@ def test_count_listings_example(ray_session):
     listings = main("/tmp/ccray_t_listings")
     assert listings and all(k.startswith("listing:") for k in listings)
     assert all("/p2" in k for k in listings)
+
+
+def test_cli_main_synthetic_and_resume(ray_session, tmp_path):
+    """python -m cloud_crawler_ray (bin/start_batch_crawl.rb analog): crawl
+    a synthetic web via the CLI surface, then re-run with the same --out —
+    the checkpoint markers make the second run a pure resume (same totals,
+    nothing re-fetched)."""
+    from cloud_crawler_ray.__main__ import main
+
+    out = str(tmp_path / "cli_crawl")
+    args = ["--out", out, "--synthetic-pages", "120", "--depth-limit", "3"]
+    res = main(args)
+    assert res["documents"] > 0 and res["jobs"] > 0
+    assert isinstance(res["counters"], dict)  # no hooks registered via CLI
+    res2 = main(args)
+    assert res2["jobs"] == res["jobs"]
+    assert res2["documents"] == res["documents"]
