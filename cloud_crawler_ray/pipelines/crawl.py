@@ -510,9 +510,46 @@ def _passthrough_part_writer(dirpath: str, project=None):
     return write
 
 
+def _spill_split_writer(spill_dir: str, cutoff: int):
+    """map_batches stage fusing the job_limit spill into the wave plan: rows
+    with seq >= cutoff are written to *spill_dir* (sans seq — re-assigned
+    when they re-enter a wave plan, landing on the same value because
+    spilled rows sort before any newer children) and the sub-cutoff head is
+    passed on. One pass over the stamped blocks instead of a separate
+    tail-write execution. Part naming and retry-idempotence as in
+    _passthrough_part_writer (min seq is globally unique per wave)."""
+    import pyarrow.parquet as pq
+
+    def split(t: pa.Table) -> pa.Table:
+        tail = t.filter(pc.greater_equal(t.column("seq"), cutoff))
+        if tail.num_rows:
+            os.makedirs(spill_dir, exist_ok=True)
+            lo = pc.min(tail.column("seq")).as_py()
+            pq.write_table(
+                tail.drop_columns(["seq"]),
+                os.path.join(spill_dir, f"part-{lo:012d}.parquet"),
+            )
+        return t.filter(pc.less(t.column("seq"), cutoff))
+
+    return split
+
+
 def _seen_projection(t: pa.Table) -> pa.Table:
-    """Raw fetch block → the columns the seen-commit needs."""
-    return t.filter(pc.field("fetched")).select(["canonical_url"])
+    """Raw fetch block → the wave's seen delta, self-contained: the job
+    canonicals (every attempted URL is marked, fetched or not — bloom
+    mark-at-commit semantics) plus the fetched hops' canonicals (redirect
+    targets). Deriving BOTH from the raw block means the seen-commit needs
+    no second branch over the slotted frontier, which lets the whole wave
+    body (slots → frontier write → fetch → raw write → seen commit) run as
+    ONE Ray execution. ``canonical_url(job_url)`` equals the frontier's
+    ``canonical_url`` by construction (_seeds_frontier / explode_children
+    both compute it with the same function over the same string)."""
+    from ..canon import canonical_urls
+
+    fetched = t.filter(pc.field("fetched")).column("canonical_url").to_pylist()
+    jobs = canonical_urls(list(dict.fromkeys(t.column("job_url").to_pylist())))
+    vals = list(dict.fromkeys(fetched + jobs))
+    return pa.table({"canonical_url": pa.array(vals, pa.string())})
 
 
 def _crawl_inner(
@@ -697,21 +734,12 @@ def _crawl_inner(
             if n_jobs == 0:
                 break
             if spec.job_limit is not None and n_jobs > spec.job_limit:
-                # cap the wave at job_limit; spill the sorted remainder
-                # (sans seq — it is re-assigned when the row re-enters a
-                # wave plan, landing on the same value because spilled rows
-                # sort before any newer children). zip_with_index returned
-                # materialized blocks, so the two filters don't recompute
-                # the plan chain.
+                # cap the wave at job_limit; the split writer spills the
+                # sorted remainder and forwards the head in one pass, fused
+                # into the wave execution (no separate tail-write execution)
                 spilled = True
-                cutoff = next_seq + spec.job_limit
-
-                def _tail(t: pa.Table, c=cutoff) -> pa.Table:
-                    return t.filter(pc.greater_equal(t.column("seq"), c)).drop_columns(["seq"])
-
-                f.map_batches(_tail, batch_format="pyarrow").write_parquet(spill_dir)
                 f = f.map_batches(
-                    lambda t, c=cutoff: t.filter(pc.less(t.column("seq"), c)),
+                    _spill_split_writer(spill_dir, next_seq + spec.job_limit),
                     batch_format="pyarrow",
                 )
                 n_jobs = spec.job_limit
@@ -724,20 +752,20 @@ def _crawl_inner(
                 ).append_column("wave", pa.array([w] * t.num_rows, pa.int32())),
                 batch_format="pyarrow",
             )
-            # materialize the slotted frontier ONCE, writing the durable
-            # frontier parts inside the same execution (passthrough writer —
-            # no separate write_parquet execution); the fetch input and the
-            # seen-commit projection below reuse the object-store blocks
+            # durable frontier parts are written passthrough inside the wave
+            # execution; the seen delta is derived from the raw fetch blocks
+            # alone (_seen_projection), so NOTHING else consumes this chain —
+            # the whole wave body (slots → frontier write → fetch → raw write
+            # → seen commit) is ONE Ray execution after the plan sort
             f = f.map_batches(
                 _passthrough_part_writer(fdir), batch_format="pyarrow", batch_size=None
-            ).materialize()
+            )
             # split the slotted frontier so the fetch pool gets even blocks —
             # the groupby upstream can leave a hot shard as one huge block,
             # which would serialize fetch into a single task
             fetch_in = f.repartition(
                 max(1, min(math.ceil(n_jobs / fetch_batch_size), ncpus * 2))
             )
-            _prof(f"w{wave} slots_write")
 
         # pre-batch hook: batch is planned (post dedup/seen), fetch not begun
         fire_hook(
@@ -781,11 +809,13 @@ def _crawl_inner(
             if not local and spec.follow_links:
                 # fuse the raw write with the seen-commit: the fetch stage
                 # writes its durable raw parts in-task (passthrough writer)
-                # and forwards only the fetched canonical_urls; union with
-                # the wave's job urls → per-batch local distinct → idempotent
-                # shard mark → seen parquet. ONE Ray execution where there
-                # used to be two (raw write_parquet + a full re-read of
-                # raw_dir for the seen delta).
+                # and forwards the wave's seen delta — job canonicals plus
+                # fetched canonicals, both derivable from the raw block
+                # (_seen_projection) — then per-batch local distinct →
+                # idempotent shard mark → seen parquet. With the slotted
+                # frontier feeding fetch lazily, this single consumption
+                # executes the ENTIRE wave body (slots → frontier parts →
+                # fetch → raw parts → seen commit) as one Ray execution.
                 raw_meta = raw.map_batches(
                     _passthrough_part_writer(raw_dir, project=_seen_projection),
                     batch_format="pyarrow",
@@ -798,7 +828,7 @@ def _crawl_inner(
                     adder(out)  # fused seen-shard commit (idempotent adds)
                     return out
 
-                f.select_columns(["canonical_url"]).union(raw_meta).map_batches(
+                raw_meta.map_batches(
                     distinct_and_mark, batch_format="pyarrow"
                 ).write_parquet(seen_dir)
             else:
