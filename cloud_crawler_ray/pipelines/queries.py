@@ -1073,6 +1073,320 @@ def q_doc_frequency(sf_dir: str):
     return doc_frequency_topk(_docs(sf_dir), k=50)
 
 
+def q_large_orders(sf_dir: str):
+    """TPC-H Q18-style large-volume orders: orders whose total line quantity
+    exceeds 200, with customer and order header attached, top-100 by
+    (o_totalprice desc, o_orderkey). Per-order quantity sums are per-block
+    int64 partials (l_quantity is integral, so the sum is exact and
+    order-insensitive) combined shard-locally; the having-filter keeps only
+    the tail of the quantity distribution, so everything after it is
+    bounded by the having selectivity × limit, and the order/customer
+    attaches ride keyed_attach's size gate (broadcast small, shuffle big)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards, keyed_attach
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "o_orderkey": t.column("l_orderkey"),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+            }
+        )
+        return tt.group_by("o_orderkey").aggregate([("qty", "sum")])
+
+    n_sh = cluster_shards()
+
+    def shard_having(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("o_orderkey", as_index=False)["qty_sum"].sum()
+        return out[out["qty_sum"] > 200]
+
+    big = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "o_orderkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_having, batch_format="pandas")
+        .materialize()  # counted by both attach gates below
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    # right side is the full orders table — right_count (a metadata-only
+    # parquet count) lets keyed_attach broadcast under the cap and fall to
+    # the sharded merge above it; left stays the tiny having survivors
+    big = keyed_attach(
+        big,
+        orders,
+        "o_orderkey",
+        ["o_custkey", "o_orderdate", "o_totalprice"],
+        right_count=orders.count(),
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    def _rename(t: pa.Table) -> pa.Table:  # by name, not position
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "sum_qty": t.column("qty_sum"),
+                "c_custkey": t.column("o_custkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_totalprice": t.column("o_totalprice"),
+            }
+        )
+
+    big = big.map_batches(_rename, batch_format="pyarrow")
+    big = keyed_attach(big, cust, "c_custkey", ["c_name"], right_count=cust.count())
+    out = big.to_pandas()
+    out = out.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+    ).head(100)
+    out["sum_qty"] = out["sum_qty"].astype(np.int64)
+    return out[
+        ["c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+    ].reset_index(drop=True)
+
+
+def q_regional_revenue(sf_dir: str):
+    """TPC-H Q5-style local-supplier volume: 1996 revenue per ASIA nation
+    where the supplier sits in the customer's nation. The two tiny dims
+    (nation⋈region → 25 rows, and the key-equality constant) live driver
+    side; the customer-nation attach and supplier-nation attach onto the
+    lineitem stream are size-gated keyed_attach joins; revenue is the exact
+    int64 1e-4-unit kernel summed per nation as per-block partials with a
+    ≤25-row driver combine."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..ops.dedup import keyed_attach
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia_key = region.filter(pc.equal(region.column("r_name"), "ASIA")).column(
+        "r_regionkey"
+    )[0].as_py()
+    nat = nation.filter(pc.equal(nation.column("n_regionkey"), asia_key))
+    asia_keys = pa.array(nat.column("n_nationkey").to_pylist(), pa.int32())
+    key_to_name = dict(
+        zip(nat.column("n_nationkey").to_pylist(), nat.column("n_name").to_pylist())
+    )
+
+    # orders in the window, with the customer's nation attached and pruned
+    # to ASIA — the probe side for the lineitem attach below
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= datetime.datetime(1996, 1, 1))
+            & (pc.field("o_orderdate") < datetime.datetime(1997, 1, 1))
+        ),
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey"]), batch_format="pyarrow"
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    orders_n = (
+        keyed_attach(orders, cust, "c_custkey", ["c_nationkey"], right_count=cust.count())
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t.column("c_nationkey"), value_set=asia_keys))
+            .select(["o_orderkey", "c_nationkey"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]), batch_format="pyarrow"
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+        ),
+        batch_format="pyarrow",
+    )
+    li = keyed_attach(
+        li, orders_n, "o_orderkey", ["c_nationkey"], right_count=orders_n.count()
+    )
+    li = li.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("c_nationkey"))),
+        batch_format="pyarrow",
+    )
+    li = keyed_attach(li, supp, "l_suppkey", ["s_nationkey"], right_count=supp.count())
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.equal(
+                pc.cast(t.column("c_nationkey"), pa.int32()),
+                pc.cast(t.column("s_nationkey"), pa.int32()),
+            )
+        )
+        tt = pa.table(
+            {
+                "n_nationkey": pc.cast(t.column("c_nationkey"), pa.int32()),
+                "rev": _rev_e4(t, "l_extendedprice", "l_discount", complement=True),
+            }
+        )
+        return tt.group_by("n_nationkey").aggregate([("rev", "sum")])
+
+    parts = li.map_batches(rev_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("n_nationkey", as_index=False)["rev_sum"].sum()
+    agg["n_name"] = agg["n_nationkey"].map(key_to_name)
+    agg["revenue_e4"] = agg["rev_sum"].astype(np.int64)
+    agg = agg.sort_values(
+        ["revenue_e4", "n_name"], ascending=[False, True], kind="stable"
+    )
+    return agg[["n_name", "revenue_e4"]].reset_index(drop=True)
+
+
+def q_returned_revenue(sf_dir: str):
+    """TPC-H Q10-style returned-item report: top-20 customers by revenue of
+    'R'-flagged lines against 1997Q1 orders. The quarter's orders broadcast
+    onto the returnflag-pruned lineitem scan (both filters pushed into the
+    reads); per-customer revenue is per-block exact-int64 partials → shard
+    combine → per-shard top-20 → driver head(20); the 20 survivors' customer
+    and nation rows are fetched with an is_in-filtered read (never a full
+    dimension collect)."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..ops.dedup import _add_shard, cluster_shards, keyed_attach
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pc.field("o_orderdate") >= datetime.datetime(1997, 1, 1))
+            & (pc.field("o_orderdate") < datetime.datetime(1997, 4, 1))
+        ),
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
+    ).materialize()
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_returnflag") == "R",
+    )
+    li = keyed_attach(
+        li, orders, "l_orderkey", ["o_custkey"], right_count=orders.count()
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("o_custkey")))
+        tt = pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "rev": _rev_e4(t, "l_extendedprice", "l_discount", complement=True),
+            }
+        )
+        return tt.group_by("c_custkey").aggregate([("rev", "sum")])
+
+    n_sh = cluster_shards()
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("c_custkey", as_index=False)["rev_sum"].sum()
+        return out.sort_values(
+            ["rev_sum", "c_custkey"], ascending=[False, True], kind="stable"
+        ).head(20)
+
+    tops = (
+        li.map_batches(rev_partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "c_custkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    tops = tops.sort_values(
+        ["rev_sum", "c_custkey"], ascending=[False, True], kind="stable"
+    ).head(20)
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+        filters=pc.field("c_custkey").isin(tops["c_custkey"].tolist()),
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    out = tops.merge(cust.to_pandas(), on="c_custkey")
+    out = out.merge(
+        nation.to_pandas(), left_on="c_nationkey", right_on="n_nationkey"
+    )
+    out["revenue_e4"] = out["rev_sum"].astype(np.int64)
+    out = out.sort_values(
+        ["revenue_e4", "c_custkey"], ascending=[False, True], kind="stable"
+    )
+    return out[["c_custkey", "c_name", "n_name", "revenue_e4"]].reset_index(drop=True)
+
+
+def q_order_gaps(sf_dir: str):
+    """Per-customer order-cadence stats — the LAG-window class: gaps in days
+    between a customer's consecutive orders (ordered by date then key).
+    One hash(custkey) shuffle; each shard sorts locally and computes gaps
+    with a shifted-array pass masked at customer boundaries (no per-customer
+    Python), then aggregates count/sum/max per customer. All int64 (dates
+    are midnight-aligned), so the result hash-matches SQL's LAG/date_diff
+    bit-for-bit."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+    n_sh = cluster_shards()
+
+    def shard_gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "o_orderdate", "o_orderkey"], kind="stable"
+        )
+        days = (g["o_orderdate"].astype("int64") // 86_400_000_000).to_numpy()
+        cust = g["o_custkey"].to_numpy()
+        gap = days[1:] - days[:-1]
+        same = cust[1:] == cust[:-1]
+        gdf = pd.DataFrame({"c_custkey": cust[1:][same], "gap": gap[same]})
+        agg = gdf.groupby("c_custkey").agg(
+            total_gap_days=("gap", "sum"), max_gap_days=("gap", "max")
+        )
+        counts = pd.Series(cust).value_counts().rename("n_orders")
+        out = counts.to_frame().join(agg, how="left").fillna(0).reset_index(
+            names="c_custkey"
+        )
+        for c in ("n_orders", "total_gap_days", "max_gap_days"):
+            out[c] = out[c].astype(np.int64)
+        return out[["c_custkey", "n_orders", "total_gap_days", "max_gap_days"]]
+
+    out = (
+        orders.map_batches(
+            lambda t: _add_shard(t, "o_custkey", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(shard_gaps, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -1114,6 +1428,10 @@ QUERIES = {
     "shipping_priority": q_shipping_priority,
     "order_priority": q_order_priority,
     "promo_revenue": q_promo_revenue,
+    "large_orders": q_large_orders,
+    "regional_revenue": q_regional_revenue,
+    "returned_revenue": q_returned_revenue,
+    "order_gaps": q_order_gaps,
     "train_test_split": q_train_test_split,
     "vocab_topk": q_vocab_topk,
     "token_quantiles": q_token_quantiles,
@@ -1367,6 +1685,72 @@ ORACLE_SQL = {
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= TIMESTAMP '1997-03-01'
             AND l_shipdate <  TIMESTAMP '1997-04-01')
+    """,
+    "large_orders": """
+        SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM (
+          SELECT l_orderkey AS o_orderkey,
+                 sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+          FROM lineitem
+          GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 200)
+        JOIN orders USING (o_orderkey)
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    "regional_revenue": """
+        SELECT n_name, sum(rev)::BIGINT AS revenue_e4
+        FROM (
+          SELECT n_name,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+          FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND c_nationkey = s_nationkey
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate <  TIMESTAMP '1997-01-01')
+        GROUP BY n_name
+        ORDER BY revenue_e4 DESC, n_name
+    """,
+    "returned_revenue": """
+        SELECT c_custkey, c_name, n_name, revenue_e4
+        FROM (
+          SELECT o_custkey AS c_custkey, sum(rev)::BIGINT AS revenue_e4
+          FROM (
+            SELECT o_custkey,
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-04-01')
+          GROUP BY o_custkey)
+        JOIN customer USING (c_custkey)
+        JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY revenue_e4 DESC, c_custkey
+        LIMIT 20
+    """,
+    "order_gaps": """
+        SELECT o_custkey AS c_custkey,
+               count(*)::BIGINT AS n_orders,
+               COALESCE(sum(gap), 0)::BIGINT AS total_gap_days,
+               COALESCE(max(gap), 0)::BIGINT AS max_gap_days
+        FROM (
+          SELECT o_custkey,
+                 date_diff('day',
+                           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate, o_orderkey),
+                           o_orderdate) AS gap
+          FROM orders)
+        GROUP BY o_custkey
+        ORDER BY c_custkey
     """,
     "train_test_split": """
         SELECT doc_id,

@@ -105,6 +105,10 @@ def test_oracle_keys_subset(entrymod):
         "quality_gate",
         "lang_token_quantiles",
         "rolling_max",
+        "large_orders",
+        "regional_revenue",
+        "returned_revenue",
+        "order_gaps",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
