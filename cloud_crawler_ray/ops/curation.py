@@ -365,8 +365,10 @@ def _stamp_pack(block: pa.Table, start: int, seq_tokens: int) -> pa.Table:
     n = block.column("n_tokens").to_numpy(zero_copy_only=False)
     off = start + np.concatenate([[0], np.cumsum(n[:-1])]) if len(n) else np.empty(0, np.int64)
     off = off.astype(np.int64)
+    if "h" in block.column_names:  # the sort key — internal only
+        block = block.drop_columns(["h"])
     return (
-        block.select(["doc_id", "n_tokens"])
+        block
         .append_column("tok_offset", pa.array(off))
         .append_column("seq_id", pa.array(off // seq_tokens))
     )

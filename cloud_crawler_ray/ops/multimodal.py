@@ -299,3 +299,153 @@ def extract_media_features(media: rd.Dataset, concurrency: int = 2) -> rd.Datase
         batch_size=256,  # binary payloads: small batches
         concurrency=concurrency,
     )
+
+
+_MEDIA_KINDS = ("image", "video")
+
+
+def media_captions(docs: rd.Dataset) -> rd.Dataset:
+    """Caption-candidate mining over the interleaved (doc_id, spans) table:
+    for every media span, the text of the nearest PRECEDING text span in the
+    same document (the adjacent-paragraph heuristic used to build image-text
+    pairs at web scale; "" when nothing precedes). Pure map-side and fully
+    vectorized: flatten the span lists, forward-fill the index of the last
+    text span (maximum.accumulate over a masked arange) with a reset at
+    document boundaries, then gather. Output (doc_id, media_ref, kind,
+    offset, caption) — one row per media span, streaming-safe at any corpus
+    size because nothing crosses blocks."""
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("media_ref", pa.string()),
+            ("kind", pa.string()),
+            ("offset", pa.int32()),
+            ("caption", pa.string()),
+        ]
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        n = len(flat)
+        if n == 0:
+            return out_schema.empty_table()
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kind = pc.struct_field(flat, "kind")
+        text = pc.struct_field(flat, "text")
+        is_text = pc.equal(kind, "text").to_numpy(zero_copy_only=False)
+        is_media = pc.is_in(
+            kind, value_set=pa.array(_MEDIA_KINDS, pa.string())
+        ).to_numpy(zero_copy_only=False)
+        idx = np.where(is_text, np.arange(n, dtype=np.int64), -1)
+        ff = np.maximum.accumulate(idx)
+        newrun = np.empty(n, dtype=bool)
+        newrun[0] = True
+        newrun[1:] = parent[1:] != parent[:-1]
+        starts = np.flatnonzero(newrun)
+        start_per_el = starts[np.cumsum(newrun) - 1]
+        valid = ff >= start_per_el
+        sel = np.flatnonzero(is_media)
+        cap_idx = ff[sel]
+        cap_ok = valid[sel]
+        captions = pc.take(text, pa.array(np.where(cap_ok, cap_idx, 0)))
+        captions = pc.if_else(pa.array(cap_ok), captions, pa.scalar("", pa.string()))
+        sel_arr = pa.array(sel)
+        return pa.table(
+            {
+                "doc_id": pc.take(t.column("doc_id"), pa.array(parent[sel])),
+                "media_ref": pc.take(pc.struct_field(flat, "media_ref"), sel_arr),
+                "kind": pc.take(kind, sel_arr),
+                "offset": pc.take(pc.struct_field(flat, "offset"), sel_arr),
+                "caption": captions,
+            },
+            schema=out_schema,
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=2048)
+
+
+def interleave_pack(docs: rd.Dataset, seq_tokens: int = 1024) -> rd.Dataset:
+    """Token-budget packing of interleaved documents into fixed-size
+    training sequences — the interleaved analog of curation.pack_sequences.
+    A document's token cost = whitespace tokens over its non-media span
+    texts (text runs, anchors, json docs) + exactly ONE placeholder token
+    per media span (the <|media:kind|> convention). Docs are ordered by a
+    deterministic shuffle (SipHash of the string doc_id, ties by doc_id),
+    then the distributed prefix sum stamps each doc's token offset and
+    seq_id = offset // seq_tokens: per-block sums cross the cluster as one
+    int each, the driver holds O(#blocks) ints, a small Ray task per block
+    stamps — identical output however the corpus was partitioned.
+    Output (doc_id, n_tokens, n_media, tok_offset, seq_id)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions import text as T
+    from .curation import _block_token_sum, _stamp_pack
+
+    def keys(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        nrows = t.num_rows
+        ntok = np.zeros(nrows, dtype=np.int64)
+        nmedia = np.zeros(nrows, dtype=np.int64)
+        if len(flat):
+            kind = pc.struct_field(flat, "kind")
+            is_media = pc.is_in(
+                kind, value_set=pa.array(_MEDIA_KINDS, pa.string())
+            ).to_numpy(zero_copy_only=False)
+            texts = pc.struct_field(flat, "text").to_pylist()
+            costs = np.fromiter(
+                (
+                    1 if m else T.token_count(x or "")
+                    for m, x in zip(is_media, texts)
+                ),
+                dtype=np.int64,
+                count=len(flat),
+            )
+            np.add.at(ntok, parent, costs)
+            np.add.at(nmedia, parent, is_media.astype(np.int64))
+        ids = np.asarray(t.column("doc_id").to_pylist(), dtype=object)
+        h = pd.util.hash_array(ids).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": pa.array(ntok),
+                "n_media": pa.array(nmedia),
+                "h": pa.array(h),
+            }
+        )
+
+    keyed = docs.map_batches(keys, batch_format="pyarrow", batch_size=4096)
+    ordered = keyed.sort(["h", "doc_id"]).materialize()
+    refs = []
+    for bundle in ordered.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows == 0:
+                continue  # empty sort partitions carry no schema
+            refs.append(ref)
+    sums = ray.get([_block_token_sum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]) if sums else []
+    new_refs = [
+        _stamp_pack.remote(r, int(o), seq_tokens) for r, o in zip(refs, offsets)
+    ]
+    if not new_refs:  # empty corpus: stable output schema
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_media": pa.array([], pa.int64()),
+                "tok_offset": pa.array([], pa.int64()),
+                "seq_id": pa.array([], pa.int64()),
+            }
+        )
+        return rd.from_arrow(empty)
+    return rd.from_arrow_refs(new_refs)

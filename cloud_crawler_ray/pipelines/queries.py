@@ -439,6 +439,24 @@ def q_span_stats(sf_dir: str):
     return span_kind_stats(crawl_handle_for(sf_dir).documents())
 
 
+def q_media_captions(sf_dir: str):
+    """Caption-candidate mining over the flagship interleaved output: one
+    row per media span with the nearest preceding text span's text. No SQL
+    oracle (crawl-derived input); planted-layout pytest pins the semantics."""
+    from ..ops.multimodal import media_captions
+
+    return media_captions(crawl_handle_for(sf_dir).documents())
+
+
+def q_interleave_pack(sf_dir: str):
+    """Fixed-token-budget packing of the interleaved documents (text tokens
+    + one placeholder per media span) into training sequences. No SQL oracle
+    (crawl-derived input); partition-invariance + budget pytests pin it."""
+    from ..ops.multimodal import interleave_pack
+
+    return interleave_pack(crawl_handle_for(sf_dir).documents(), seq_tokens=512)
+
+
 def q_api_doc_store(sf_dir: str):
     """BatchApiJob analog (batch_api_job.rb:33-104): url-list fetch of JSON
     endpoints → (doc_id, doc) store, normalized compact JSON."""
@@ -1415,6 +1433,8 @@ QUERIES = {
     "crawl_pages": q_crawl_pages,
     "crawl_order": q_crawl_order,
     "span_stats": q_span_stats,
+    "media_captions": q_media_captions,
+    "interleave_pack": q_interleave_pack,
     "hook_counters": q_hook_counters,
     "api_doc_store": q_api_doc_store,
     "media_features": q_media_features,

@@ -683,3 +683,87 @@ def test_tumbling_sum_close_to_duckdb(con, ray_session):
     ).df()
     assert got["cnt"].tolist() == exp["cnt"].tolist()
     assert np.allclose(got["vsum"].to_numpy(), exp["vsum"].to_numpy())
+
+
+def _span(kind, text="", ref="", off=0):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+def test_media_captions_nearest_preceding_text(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.multimodal import media_captions
+
+    rows = [
+        {
+            "doc_id": "a",
+            "spans": [
+                _span("text", "hello world", off=0),
+                _span("image", "", "m1", 1),
+                _span("link", "anchor noise", "", 2),  # links are not captions
+                _span("text", "cap two", off=3),
+                _span("video", "", "m2", 4),
+                _span("image", "", "m3", 5),
+            ],
+        },
+        # media-first doc: no preceding text in the SAME doc → "" (a
+        # preceding doc's text must never leak across the boundary)
+        {"doc_id": "b", "spans": [_span("image", "", "m4", 0)]},
+        {"doc_id": "c", "spans": [_span("text", "only text", off=0)]},
+    ]
+    out = media_captions(rd.from_items(rows).repartition(2)).to_pandas()
+    got = {
+        r["media_ref"]: (r["doc_id"], r["kind"], r["caption"])
+        for _, r in out.iterrows()
+    }
+    assert got == {
+        "m1": ("a", "image", "hello world"),
+        "m2": ("a", "video", "cap two"),
+        "m3": ("a", "image", "cap two"),
+        "m4": ("b", "image", ""),
+    }
+    assert len(out) == 4  # one row per media span, none for text/link docs
+
+
+def test_interleave_pack_costs_and_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.multimodal import interleave_pack
+
+    rows = [
+        {
+            "doc_id": f"d{i}",
+            "spans": [
+                _span("text", "one two three", off=0),      # 3 tokens
+                _span("image", "", f"m{i}", 1),              # 1 placeholder
+                _span("link", "click here", "", 2),          # 2 tokens (non-media text)
+                _span("video", "", f"v{i}", 3),              # 1 placeholder
+            ],
+        }
+        for i in range(40)
+    ] + [{"doc_id": "empty", "spans": []}]
+    ds = rd.from_items(rows)
+    out1 = interleave_pack(ds.repartition(1), seq_tokens=16).to_pandas()
+    out5 = interleave_pack(ds.repartition(5), seq_tokens=16).to_pandas()
+
+    # per-doc costs: 3 + 1 + 2 + 1 = 7 tokens, 2 media; empty doc = 0
+    by_id = out1.set_index("doc_id")
+    assert (by_id.loc[[f"d{i}" for i in range(40)], "n_tokens"] == 7).all()
+    assert (by_id.loc[[f"d{i}" for i in range(40)], "n_media"] == 2).all()
+    assert by_id.loc["empty", "n_tokens"] == 0
+
+    # deterministic + partition-invariant
+    k = ["doc_id", "n_tokens", "n_media", "tok_offset", "seq_id"]
+    a = out1[k].sort_values("doc_id").reset_index(drop=True)
+    b = out5[k].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    # offsets form an exact prefix sum in offset order; seq_id = off // 16
+    o = out1.sort_values("tok_offset").reset_index(drop=True)
+    import numpy as np
+
+    offs = o["tok_offset"].to_numpy()
+    toks = o["n_tokens"].to_numpy()
+    assert offs[0] == 0
+    assert (offs[1:] == (offs[:-1] + toks[:-1])).all()
+    assert (o["seq_id"].to_numpy() == offs // 16).all()
