@@ -439,6 +439,19 @@ def q_span_stats(sf_dir: str):
     return span_kind_stats(crawl_handle_for(sf_dir).documents())
 
 
+def q_lm_score(sf_dir: str):
+    """Corpus-trained bigram-LM quality score per document (the CCNet-style
+    perplexity filter). No SQL oracle (two-level exact top-k + float logs);
+    pytest pins exact tiny-corpus counts, partition invariance, and the
+    natural-vs-gibberish ordering."""
+    from ..ops.lm import lm_quality_score
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).materialize()  # consumed twice: train + score
+    return lm_quality_score(docs, vocab_cap=20_000, bigram_cap=100_000)
+
+
 def q_media_captions(sf_dir: str):
     """Caption-candidate mining over the flagship interleaved output: one
     row per media span with the nearest preceding text span's text. No SQL
@@ -1435,6 +1448,7 @@ QUERIES = {
     "span_stats": q_span_stats,
     "media_captions": q_media_captions,
     "interleave_pack": q_interleave_pack,
+    "lm_score": q_lm_score,
     "hook_counters": q_hook_counters,
     "api_doc_store": q_api_doc_store,
     "media_features": q_media_features,

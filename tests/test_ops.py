@@ -767,3 +767,53 @@ def test_interleave_pack_costs_and_partition_invariance(ray_session):
     assert offs[0] == 0
     assert (offs[1:] == (offs[:-1] + toks[:-1])).all()
     assert (o["seq_id"].to_numpy() == offs // 16).all()
+
+
+def test_bigram_lm_exact_counts(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.lm import train_bigram_lm
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a b a"},
+            {"doc_id": 2, "text": "b a"},
+        ]
+    ).repartition(2)
+    lm = train_bigram_lm(docs, vocab_cap=10, bigram_cap=10)
+    assert lm.n_tokens == 5
+    assert lm.vocab.tolist() == ["a", "b"]
+    assert lm.uni_counts.tolist() == [3, 2]
+    # bigrams: (a,b)x1 from doc1; (b,a)x2 (one per doc)
+    got = {}
+    for k, c in zip(lm.bi_keys.tolist(), lm.bi_counts.tolist()):
+        got[(lm.vocab[k >> 32], lm.vocab[k & 0xFFFFFFFF])] = c
+    assert got == {("a", "b"): 1, ("b", "a"): 2}
+
+
+def test_lm_score_partition_invariant_and_orders_quality(ray_session):
+    import ray
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.lm import score_documents, train_bigram_lm
+
+    natural = "the cat sat on the mat and the dog sat on the rug"
+    rows = [{"doc_id": i, "text": natural} for i in range(30)]
+    rows.append({"doc_id": 100, "text": "zq xv qqj wkz vvb plx"})  # gibberish
+    rows.append({"doc_id": 101, "text": ""})  # empty
+    ds1 = rd.from_items(rows).repartition(1)
+    ds4 = rd.from_items(rows).repartition(4)
+
+    lm1 = train_bigram_lm(ds1, vocab_cap=100, bigram_cap=100)
+    lm4 = train_bigram_lm(ds4, vocab_cap=100, bigram_cap=100)
+    assert lm1.vocab.tolist() == lm4.vocab.tolist()
+    assert lm1.uni_counts.tolist() == lm4.uni_counts.tolist()
+    assert lm1.bi_keys.tolist() == lm4.bi_keys.tolist()
+
+    s1 = score_documents(ds1, ray.put(lm1)).to_pandas().set_index("doc_id")
+    s4 = score_documents(ds4, ray.put(lm4)).to_pandas().set_index("doc_id")
+    assert s1.sort_index()["lm_logprob"].tolist() == s4.sort_index()["lm_logprob"].tolist()
+
+    assert s1.loc[0, "lm_logprob"] > s1.loc[100, "lm_logprob"]  # natural ≫ gibberish
+    assert s1.loc[101, "lm_logprob"] == 0.0 and s1.loc[101, "n_tokens"] == 0
