@@ -155,6 +155,35 @@ class CrawlHandle:
         )
         return ds.sort("seq")
 
+    def wave_metrics(self) -> "pd.DataFrame":
+        """Per-wave telemetry from the committed lineage markers (jobs, raw
+        rows, fetched/failed, spill flag) — one small JSON read per wave,
+        never touching the data files. The monitoring surface of the
+        checkpoint protocol: a resumed or watched crawl reads progress here."""
+        import pandas as pd
+
+        rows = []
+        for m in _committed_waves(self.out_dir):
+            met = m.get("metrics", {})
+            rows.append(
+                {
+                    "wave": m["wave"],
+                    "n_jobs": m["n_jobs"],
+                    "total_jobs": m["total_jobs"],
+                    "n_raw_rows": met.get("n_raw_rows", -1),
+                    "n_fetched": met.get("n_fetched", -1),
+                    "n_failed": met.get("n_failed", -1),
+                    "spilled": bool(met.get("spilled", False)),
+                }
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "wave", "n_jobs", "total_jobs", "n_raw_rows",
+                "n_fetched", "n_failed", "spilled",
+            ],
+        )
+
     def counters(self) -> dict[str, int]:
         """Hook counter aggregation — explode the per-page increment lists and
         groupby-sum (the m_cache.incr analog, partial+final combine), merged
@@ -911,6 +940,19 @@ def _crawl_inner(
              "total_jobs": total_jobs, "counters": dict(hook_counters)},
             hook_counters,
         )
+        # per-wave metrics (the lineage-marker telemetry a resumed or
+        # monitored crawl reads without touching the data): raw row count
+        # from parquet FOOTERS (no data read) + fetched count from a single
+        # bool column — bounded cost at any wave size
+        raw_parts = sorted(glob.glob(os.path.join(raw_dir, "*.parquet")))
+        n_raw_rows = sum(pq.read_metadata(f).num_rows for f in raw_parts)
+        n_fetched = 0
+        for f in raw_parts:
+            # ParquetFile.read, not read_table: the wave=N dir name would be
+            # hive-parsed into a dictionary column clashing with the in-file
+            # int32 "wave"
+            fcol = pq.ParquetFile(f).read(columns=["fetched"]).column("fetched")
+            n_fetched += int(pc.sum(pc.cast(fcol, pa.int64())).as_py() or 0)
         write_json(
             os.path.join(out_dir, "lineage", f"wave={wave:05d}.json"),
             {
@@ -918,6 +960,12 @@ def _crawl_inner(
                 "n_jobs": n_jobs,
                 "next_seq": next_seq,
                 "total_jobs": total_jobs,
+                "metrics": {
+                    "n_raw_rows": n_raw_rows,
+                    "n_fetched": n_fetched,
+                    "n_failed": n_raw_rows - n_fetched,
+                    "spilled": bool(spilled),
+                },
                 "hook_counters": dict(hook_counters),
                 "cookies": dict(cookie_hdrs),
                 "clocks": {h: int(t) for h, t in updates.items()}

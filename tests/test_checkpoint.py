@@ -104,3 +104,32 @@ def test_resume_distributed_path(ray_session, tmp_path):
     resumed = crawl(web, seeds, spec, out, resume=True, small_wave_threshold=0)
     res = crawl_oracle(web, seeds, spec)
     assert_parity(res, resumed)
+
+
+def test_wave_metrics_in_lineage_markers(ray_session, tmp_path):
+    """Each committed wave's marker carries (n_raw_rows, n_fetched, n_failed,
+    spilled); totals reconcile with the page store, and a pure resume leaves
+    the committed metrics untouched."""
+    import pyarrow.compute as pc
+
+    from cloud_crawler_ray.pipelines.crawl import crawl
+    from cloud_crawler_ray.spec import CrawlSpec
+    from cloud_crawler_ray.synthweb import make_skewed_web
+
+    web, seeds = make_skewed_web(200, n_hosts=5, seed=3)
+    out = str(tmp_path / "metrics_crawl")
+    h = crawl(web, seeds, CrawlSpec(depth_limit=4, job_limit=40), out)
+    m = h.wave_metrics()
+    assert len(m) == h.waves
+    assert (m["n_raw_rows"] >= 0).all() and (m["n_fetched"] >= 0).all()
+    assert (m["n_failed"] == m["n_raw_rows"] - m["n_fetched"]).all()
+    assert m["spilled"].any()  # job_limit=40 forces spills on this web
+    pages = h.pages().to_pandas()
+    assert int(m["n_raw_rows"].sum()) == len(pages)
+    assert int(m["n_fetched"].sum()) == int(pages["fetched"].sum())
+    assert m["total_jobs"].iloc[-1] == h.n_jobs
+
+    # pure resume: committed metrics identical
+    h2 = crawl(web, seeds, CrawlSpec(depth_limit=4, job_limit=40), out, resume=True)
+    m2 = h2.wave_metrics()
+    assert m2[m.columns].iloc[: len(m)].equals(m)
