@@ -85,22 +85,31 @@ def _count_partial(t: pa.Table) -> pa.Table:
     )
 
 
+# sentinel "prev" for the per-shard token-total row (tokenize() lowercases
+# and splits on whitespace, so no real gram can start with \x01)
+_TOTAL_SENTINEL = "\x01total"
+
+
 def _shard_topk(g, k_uni: int, k_bi: int):
     """Per-shard exact totals (all rows of a (prev, cur) key hash to one
     shard) then local top-k per gram class, ties by token string so the
-    global merge is deterministic."""
-    import pandas as pd  # noqa: F401
+    global merge is deterministic. A sentinel row carries the shard's FULL
+    unigram token total so the corpus denominator stays exact even when the
+    vocab cap truncates the unigram list."""
+    import pandas as _pd
 
     tot = g.groupby(["prev", "cur"], as_index=False)["cnt"].sum()
-    uni = tot[tot["prev"] == ""].sort_values(
+    uni_all = tot[tot["prev"] == ""]
+    uni = uni_all.sort_values(
         ["cnt", "cur"], ascending=[False, True], kind="stable"
     ).head(k_uni)
     bi = tot[tot["prev"] != ""].sort_values(
         ["cnt", "prev", "cur"], ascending=[False, True, True], kind="stable"
     ).head(k_bi)
-    import pandas as _pd
-
-    return _pd.concat([uni, bi], ignore_index=True)
+    sent = _pd.DataFrame(
+        {"prev": [_TOTAL_SENTINEL], "cur": [""], "cnt": [int(uni_all["cnt"].sum())]}
+    )
+    return _pd.concat([uni, bi, sent], ignore_index=True)
 
 
 def train_bigram_lm(
@@ -142,10 +151,11 @@ def train_bigram_lm(
         )
         .to_pandas()
     )
+    n_tokens = int(parts[parts["prev"] == _TOTAL_SENTINEL]["cnt"].sum())
+    parts = parts[parts["prev"] != _TOTAL_SENTINEL]
     uni = parts[parts["prev"] == ""].sort_values(
         ["cnt", "cur"], ascending=[False, True], kind="stable"
     ).head(vocab_cap)
-    n_tokens = int(parts[parts["prev"] == ""]["cnt"].sum())
     order = np.argsort(uni["cur"].to_numpy(dtype=object), kind="stable")
     vocab = uni["cur"].to_numpy(dtype=object)[order]
     uni_counts = uni["cnt"].to_numpy(dtype=np.int64)[order]

@@ -817,3 +817,17 @@ def test_lm_score_partition_invariant_and_orders_quality(ray_session):
 
     assert s1.loc[0, "lm_logprob"] > s1.loc[100, "lm_logprob"]  # natural ≫ gibberish
     assert s1.loc[101, "lm_logprob"] == 0.0 and s1.loc[101, "n_tokens"] == 0
+
+
+def test_bigram_lm_total_exact_under_vocab_cap(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.lm import train_bigram_lm
+
+    docs = rd.from_items(
+        [{"doc_id": 1, "text": "a a a b b c d e"}]  # 8 tokens, 5 distinct
+    )
+    lm = train_bigram_lm(docs, vocab_cap=2, bigram_cap=2)
+    assert lm.n_tokens == 8  # full corpus total survives the cap
+    assert lm.vocab.tolist() == ["a", "b"]  # top-2 by count, ties by token
+    assert lm.uni_counts.tolist() == [3, 2]
