@@ -1340,3 +1340,130 @@ def embedding_neardup_pairs(
     # duplicate (a,b) can only arise from self-comparison symmetry, which
     # `same`/id ordering already excludes — every unordered block pair runs once
     return out.take(pc.sort_indices(out, sort_keys=[("a", "ascending"), ("b", "ascending")]))
+
+
+def substring_dup_pairs(
+    ds: rd.Dataset,
+    k: int = 8,
+    max_docs_per_gram: int = 1000,
+    n_shards: int | None = None,
+) -> rd.Dataset:
+    """Exact cross-document duplicated-substring detection (the
+    suffix-array-style exact-substring dedup signal, windowed to k-token
+    grams): every pair of documents sharing at least one exact k-token
+    whitespace-gram, with the number of distinct shared grams. Output
+    (doc_a, doc_b, n_shared_grams), doc_a < doc_b.
+
+    Shape: per-doc DISTINCT gram strings (map-side; dedup before the
+    shuffle) → hash(gram) shards (a gram's postings land in one shard, so
+    per-gram doc lists are shard-complete) → per-gram pair expansion capped
+    at ``max_docs_per_gram`` docs (an over-cap gram is corpus boilerplate —
+    its pairs are quadratic noise; skipped grams are COUNTED in the
+    'skipped_grams' attribute of the op via log, never silent) → pair-key
+    shards → per-pair summed shared-gram counts. Gram STRINGS are the join
+    key so the result is exactly the SQL self-join semantics; at 100 TB
+    swap the key for a 128-bit gram hash (collision-free in practice) to
+    shrink the shuffle ~5x — the structure is unchanged."""
+    from ..functions import text as T
+
+    if n_shards is None:
+        n_shards = cluster_shards()
+
+    def grams(t: pa.Table) -> pa.Table:
+        out_g: list[str] = []
+        out_d: list = []
+        for did, txt in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            toks = T.tokenize(txt or "")
+            if len(toks) < k:
+                continue
+            seen = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+            out_g.extend(seen)
+            out_d.extend([did] * len(seen))
+        id_type = t.schema.field("doc_id").type
+        return pa.table(
+            {
+                "g": pa.array(out_g, pa.string()),
+                "doc_id": pa.array(out_d, id_type),
+            }
+        )
+
+    def shard_pairs(g: "pd.DataFrame") -> "pd.DataFrame":
+        import itertools
+
+        from collections import Counter
+
+        pairs: Counter = Counter()
+        skipped = 0
+        for _, grp in g.groupby("g", sort=False):
+            ids = grp["doc_id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_docs_per_gram:
+                skipped += 1
+                continue
+            ids = np.sort(ids)
+            for a, b in itertools.combinations(ids.tolist(), 2):
+                pairs[(a, b)] += 1
+        if skipped:
+            print(f"[substring_dup_pairs] skipped {skipped} over-cap grams")
+        import pandas as _pd
+
+        if not pairs:
+            # dtype-preserving empty: a float64 [] here would upcast sibling
+            # int64 partials on concat, splitting one pair across two string
+            # keys ("179" vs "179.0") and double-counting it downstream
+            e = g["doc_id"].iloc[:0]
+            return _pd.DataFrame(
+                {"doc_a": e, "doc_b": e.copy(), "n": _pd.Series([], dtype="int64")}
+            )
+        ks = list(pairs.keys())
+        return _pd.DataFrame(
+            {
+                "doc_a": [a for a, _ in ks],
+                "doc_b": [b for _, b in ks],
+                "n": list(pairs.values()),
+            }
+        )
+
+    def shard_sum(g: "pd.DataFrame") -> "pd.DataFrame":
+        out = g.groupby(["doc_a", "doc_b"], as_index=False)["n"].sum()
+        out = out.rename(columns={"n": "n_shared_grams"})
+        out["n_shared_grams"] = out["n_shared_grams"].astype(np.int64)
+        return out
+
+    posting = ds.map_batches(grams, batch_format="pyarrow", batch_size=2048)
+    posting = posting.map_batches(
+        lambda t: _add_shard(t, "g", n_shards), batch_format="pyarrow"
+    )
+    part_pairs = (
+        posting.groupby("shard")
+        .map_groups(
+            lambda g: shard_pairs(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )
+
+    def add_pair_shard(t: pa.Table) -> pa.Table:
+        # \x1f separator, NEVER \x00: pandas' categorizing hasher factorizes
+        # object keys through a C-string hashtable that truncates at NUL, so
+        # NUL-separated keys sharing a prefix collapse into one category and
+        # the SAME key routes to different shards depending on its block's
+        # neighbors — splitting one pair's counts across shards
+        keys = [
+            f"{a}\x1f{b}"
+            for a, b in zip(
+                t.column("doc_a").to_pylist(), t.column("doc_b").to_pylist()
+            )
+        ]
+        return _add_shard(
+            t.append_column("_pk", pa.array(keys, pa.string())), "_pk", n_shards
+        ).drop_columns(["_pk"])
+
+    return (
+        part_pairs.map_batches(add_pair_shard, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_sum(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )

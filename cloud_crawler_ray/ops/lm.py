@@ -121,9 +121,13 @@ def train_bigram_lm(
     n_sh = cluster_shards()
 
     def add_shard(t: pa.Table) -> pa.Table:
-        # shard by the full gram key so totals are shard-complete
+        # shard by the full gram key so totals are shard-complete. Separator
+        # is a SPACE (tokens are whitespace-split, so it cannot appear inside
+        # one) — never \x00: pandas' categorizing hasher truncates object
+        # keys at NUL, which made identical keys route to different shards
+        # depending on block context (see substring_dup_pairs)
         keys = [
-            f"{p}\x00{c}"
+            f"{p} {c}"
             for p, c in zip(t.column("prev").to_pylist(), t.column("cur").to_pylist())
         ]
         return _add_shard(

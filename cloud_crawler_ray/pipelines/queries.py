@@ -439,6 +439,20 @@ def q_span_stats(sf_dir: str):
     return span_kind_stats(crawl_handle_for(sf_dir).documents())
 
 
+def q_substring_dups(sf_dir: str):
+    """Exact cross-document k-token-gram duplicate pairs (the windowed
+    exact-substring dedup signal), SQL-checked against the DuckDB gram
+    self-join. Gram strings are the join key here for oracle-exactness;
+    the docstring of the op records the at-scale hash swap."""
+    from ..ops.dedup import substring_dup_pairs
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = substring_dup_pairs(docs, k=8).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 def q_lm_score(sf_dir: str):
     """Corpus-trained bigram-LM quality score per document (the CCNet-style
     perplexity filter). No SQL oracle (two-level exact top-k + float logs);
@@ -1449,6 +1463,7 @@ QUERIES = {
     "media_captions": q_media_captions,
     "interleave_pack": q_interleave_pack,
     "lm_score": q_lm_score,
+    "substring_dups": q_substring_dups,
     "hook_counters": q_hook_counters,
     "api_doc_store": q_api_doc_store,
     "media_features": q_media_features,
@@ -1719,6 +1734,22 @@ ORACLE_SQL = {
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= TIMESTAMP '1997-03-01'
             AND l_shipdate <  TIMESTAMP '1997-04-01')
+    """,
+    "substring_dups": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKENS} AS tk FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id, g FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(tk) - 8 + 1),
+                          i -> array_to_string(tk[i:i+8-1], ' '))) AS g
+            FROM toks WHERE len(tk) >= 8)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*)::BIGINT AS n_shared_grams
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        ORDER BY doc_a, doc_b
     """,
     "large_orders": """
         SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty

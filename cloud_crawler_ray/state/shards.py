@@ -28,7 +28,15 @@ from .filters import BloomFilter
 def shards_of(keys: list[str], n_shards: int) -> np.ndarray:
     """Vectorized shard routing (pandas' SipHash — deterministic across
     processes, ~30x faster than a per-key Python crc32 loop). Routing only
-    needs within-run consistency; results never depend on the partition."""
+    needs within-run consistency; results never depend on the partition.
+
+    CAUTION: keys must not contain NUL (\\x00). pandas' categorizing hasher
+    factorizes object keys through a C-string hashtable that truncates at
+    NUL, so NUL-keys sharing a prefix collapse into one category and the
+    SAME key can route to different shards depending on its neighbors in
+    the array — i.e. routing becomes block-content-dependent. Composite
+    keys should join with a non-NUL separator (\\x1f, or a char the parts
+    cannot contain)."""
     if not keys:
         return np.empty(0, dtype=np.int64)
     arr = np.asarray(keys, dtype=object)

@@ -109,6 +109,7 @@ def test_oracle_keys_subset(entrymod):
         "regional_revenue",
         "returned_revenue",
         "order_gaps",
+        "substring_dups",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):

@@ -800,6 +800,14 @@ def test_lm_score_partition_invariant_and_orders_quality(ray_session):
 
     natural = "the cat sat on the mat and the dog sat on the rug"
     rows = [{"doc_id": i, "text": natural} for i in range(30)]
+    # varied docs sharing bigram PREFIXES across blocks — catches
+    # context-dependent gram-shard routing (the NUL-separator regression):
+    # identical grams must total in ONE shard whatever the partitioning
+    words = ["the", "cat", "dog", "mat", "rug", "sat", "on", "and"]
+    rows += [
+        {"doc_id": 200 + i, "text": " ".join(words[(i + j) % 8] for j in range(12))}
+        for i in range(16)
+    ]
     rows.append({"doc_id": 100, "text": "zq xv qqj wkz vvb plx"})  # gibberish
     rows.append({"doc_id": 101, "text": ""})  # empty
     ds1 = rd.from_items(rows).repartition(1)
@@ -831,3 +839,28 @@ def test_bigram_lm_total_exact_under_vocab_cap(ray_session):
     assert lm.n_tokens == 8  # full corpus total survives the cap
     assert lm.vocab.tolist() == ["a", "b"]  # top-2 by count, ties by token
     assert lm.uni_counts.tolist() == [3, 2]
+
+
+def test_substring_dup_pairs_planted_and_cap(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import substring_dup_pairs
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7"  # planted over-cap boilerplate gram
+    rows = [
+        {"doc_id": 1, "text": f"{shared} tail one"},
+        {"doc_id": 2, "text": f"head two {shared}"},
+        {"doc_id": 3, "text": "nothing in common with the others at all xyz"},
+    ] + [{"doc_id": 100 + i, "text": boiler} for i in range(6)]
+    ds = rd.from_items(rows).repartition(3)
+
+    out = substring_dup_pairs(ds, k=8, max_docs_per_gram=5).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.n_shared_grams for r in out.itertuples()}
+    # docs 1,2 share exactly the one planted 8-gram; the 6-doc boilerplate
+    # gram is over the cap of 5 → its 15 pairs are skipped, not emitted
+    assert got == {(1, 2): 1}
+
+    # under a loose cap the boilerplate pairs appear
+    out2 = substring_dup_pairs(ds, k=8, max_docs_per_gram=100).to_pandas()
+    assert len(out2) == 1 + 15
