@@ -73,3 +73,15 @@ def test_cli_main_synthetic_and_resume(ray_session, tmp_path):
     res2 = main(args)
     assert res2["jobs"] == res["jobs"]
     assert res2["documents"] == res["documents"]
+
+
+def test_prepare_training_data_example(ray_session):
+    from examples.prepare_training_data import main
+
+    res = main("/tmp/ccray_t_prepdata")
+    assert res["documents"] > 0
+    assert 0 < res["curated"] <= res["documents"]
+    assert 0 < res["train"] <= res["curated"]
+    assert res["scored"] == res["documents"]
+    assert res["captions"] > 0
+    assert res["sequences"] > 0
