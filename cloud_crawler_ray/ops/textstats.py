@@ -400,3 +400,49 @@ def vocab_size(ds: rd.Dataset, n_shards: int = 64) -> pd.DataFrame:
     )
     n = np.int64(tot["partial"].sum()) if not tot.empty else np.int64(0)
     return pd.DataFrame({"n_distinct_tokens": [n]})
+
+
+def value_quantiles_by(
+    ds: rd.Dataset,
+    key: str,
+    col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    n_shards: int | None = None,
+) -> pd.DataFrame:
+    """Exact per-key PERCENTILE_DISC quantiles over a CONTINUOUS column —
+    the order-statistic class the bounded-histogram token quantiles can't
+    serve (doubles rarely repeat, so the histogram degenerates to the data).
+    One hash(key) shuffle: every key's values land in one shard, each shard
+    sorts per key and reads the value at rank ceil(q*n) (the SQL
+    PERCENTILE_DISC convention). The selected value is an EXISTING element
+    (no interpolation arithmetic), so the doubles hash-match SQL
+    bit-for-bit. Driver receives n_keys × len(qs) rows."""
+    import math
+
+    from .dedup import _add_shard, cluster_shards
+
+    if n_shards is None:
+        n_shards = cluster_shards()
+
+    def shard_q(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kval, sub in g.groupby(key, sort=False):
+            vals = np.sort(sub[col].to_numpy())
+            n = len(vals)
+            for q in qs:
+                rank = max(1, math.ceil(q * n))  # 1-based, oracle float math
+                rows.append((kval, float(q), vals[rank - 1]))
+        return pd.DataFrame(rows, columns=[key, "q", f"{col}_q"])
+
+    out = (
+        ds.map_batches(
+            lambda t: _add_shard(t.select([key, col]), key, n_shards),
+            batch_format="pyarrow",
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_q(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return out.sort_values([key, "q"]).reset_index(drop=True)

@@ -439,6 +439,19 @@ def q_span_stats(sf_dir: str):
     return span_kind_stats(crawl_handle_for(sf_dir).documents())
 
 
+def q_value_quantiles(sf_dir: str):
+    """Per-event-type exact PERCENTILE_DISC quantiles of the continuous
+    value column (ops/textstats.py value_quantiles_by) — the order-statistic
+    selection class over doubles; the picked value is an existing element so
+    it hash-matches SQL bit-for-bit."""
+    from ..ops.textstats import value_quantiles_by
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return value_quantiles_by(ev, key="event_type", col="value", qs=(0.5, 0.9, 0.99))
+
+
 def q_substring_dups(sf_dir: str):
     """Exact cross-document k-token-gram duplicate pairs (the windowed
     exact-substring dedup signal), SQL-checked against the DuckDB gram
@@ -1464,6 +1477,7 @@ QUERIES = {
     "interleave_pack": q_interleave_pack,
     "lm_score": q_lm_score,
     "substring_dups": q_substring_dups,
+    "value_quantiles": q_value_quantiles,
     "hook_counters": q_hook_counters,
     "api_doc_store": q_api_doc_store,
     "media_features": q_media_features,
@@ -1734,6 +1748,18 @@ ORACLE_SQL = {
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= TIMESTAMP '1997-03-01'
             AND l_shipdate <  TIMESTAMP '1997-04-01')
+    """,
+    "value_quantiles": """
+        SELECT event_type, q, value_q FROM (
+          SELECT event_type, 0.5 AS q,
+                 quantile_disc(value, 0.5) AS value_q FROM events GROUP BY event_type
+          UNION ALL
+          SELECT event_type, 0.9,
+                 quantile_disc(value, 0.9) FROM events GROUP BY event_type
+          UNION ALL
+          SELECT event_type, 0.99,
+                 quantile_disc(value, 0.99) FROM events GROUP BY event_type)
+        ORDER BY event_type, q
     """,
     "substring_dups": f"""
         WITH toks AS (

@@ -110,6 +110,7 @@ def test_oracle_keys_subset(entrymod):
         "returned_revenue",
         "order_gaps",
         "substring_dups",
+        "value_quantiles",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
