@@ -439,6 +439,79 @@ def q_span_stats(sf_dir: str):
     return span_kind_stats(crawl_handle_for(sf_dir).documents())
 
 
+def q_idle_customers(sf_dir: str):
+    """TPC-H Q22-style anti-join: above-average-balance customers with no
+    order since 2000 (lapsed high-value accounts). The scalar subquery
+    (positive-balance average) is per-block int64-cent partials → two
+    driver scalars, and the comparison is cross-multiplied
+    (cents·n > sum_cents) so no division ever happens — the float avg can't
+    drift from the oracle. The NOT EXISTS is a size-gated anti-join:
+    distinct recent-order custkeys attach onto the filtered customers
+    (broadcast under the cap), survivors are the null rows."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards, keyed_attach
+
+    cutoff = datetime.datetime(2000, 1, 1)
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    ).materialize()  # consumed twice: scalar partials + the filtered scan
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t.column("c_acctbal"), 0.0))
+        cents = pc.cast(pc.round(pc.multiply(pos.column("c_acctbal"), 100.0)), pa.int64())
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+                "n": pa.array([pos.num_rows], pa.int64()),
+            }
+        )
+
+    parts = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()
+    s, n = int(parts["s"].sum()), int(parts["n"].sum())
+
+    def rich(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("c_acctbal"), 100.0)), pa.int64())
+        return t.filter(pc.greater(pc.multiply(cents, pa.scalar(n, pa.int64())), s))
+
+    rich_cust = cust.map_batches(rich, batch_format="pyarrow")
+
+    n_sh = cluster_shards()
+    def distinct_keys(t: pa.Table) -> pa.Table:
+        # block-local distinct (combiner before the shuffle) + the flag col
+        d = t.rename_columns(["c_custkey"]).group_by("c_custkey").aggregate([])
+        return d.append_column("has_order", pa.array([True] * d.num_rows, pa.bool_()))
+
+    order_keys = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey"],
+            filter=pc.field("o_orderdate") >= cutoff,
+        )
+        .map_batches(distinct_keys, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "c_custkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"]).drop_duplicates("c_custkey"),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    joined = keyed_attach(
+        rich_cust, order_keys, "c_custkey", ["has_order"],
+        right_count=order_keys.count(),
+    )
+    out = joined.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("has_order"))).select(
+            ["c_custkey", "c_acctbal"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def q_value_quantiles(sf_dir: str):
     """Per-event-type exact PERCENTILE_DISC quantiles of the continuous
     value column (ops/textstats.py value_quantiles_by) — the order-statistic
@@ -1478,6 +1551,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "substring_dups": q_substring_dups,
     "value_quantiles": q_value_quantiles,
+    "idle_customers": q_idle_customers,
     "hook_counters": q_hook_counters,
     "api_doc_store": q_api_doc_store,
     "media_features": q_media_features,
@@ -1748,6 +1822,19 @@ ORACLE_SQL = {
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= TIMESTAMP '1997-03-01'
             AND l_shipdate <  TIMESTAMP '1997-04-01')
+    """,
+    "idle_customers": """
+        WITH stats AS (
+          SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                 count(*)::BIGINT AS n
+          FROM customer WHERE c_acctbal > 0)
+        SELECT c_custkey, c_acctbal
+        FROM customer, stats
+        WHERE CAST(round(c_acctbal * 100) AS BIGINT) * stats.n > stats.s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-01-01')
+        ORDER BY c_custkey
     """,
     "value_quantiles": """
         SELECT event_type, q, value_q FROM (

@@ -111,6 +111,7 @@ def test_oracle_keys_subset(entrymod):
         "order_gaps",
         "substring_dups",
         "value_quantiles",
+        "idle_customers",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
