@@ -439,6 +439,49 @@ def q_span_stats(sf_dir: str):
     return span_kind_stats(crawl_handle_for(sf_dir).documents())
 
 
+def q_event_transitions(sf_dir: str):
+    """Per-user event-type transition counts (the Markov/funnel matrix):
+    count (prev_type → type) over each user's events ordered by (ts,
+    event_id). Same ordered-per-key machinery as q_order_gaps — one
+    hash(user) shuffle, per-shard sort + shifted-array comparison masked at
+    user boundaries — then a tiny (#types² bounded) per-shard combine."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    n_sh = cluster_shards()
+
+    def shard_trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        users = g["user_id"].to_numpy()
+        types = g["event_type"].to_numpy()
+        same = users[1:] == users[:-1]
+        tdf = pd.DataFrame(
+            {"prev_type": types[:-1][same], "event_type": types[1:][same]}
+        )
+        out = tdf.groupby(["prev_type", "event_type"], as_index=False).size()
+        out = out.rename(columns={"size": "n_transitions"})
+        out["n_transitions"] = out["n_transitions"].astype(np.int64)
+        return out
+
+    parts = (
+        ev.map_batches(lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_trans(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out = parts.groupby(["prev_type", "event_type"], as_index=False)[
+        "n_transitions"
+    ].sum()
+    return out.sort_values(["prev_type", "event_type"]).reset_index(drop=True)
+
+
 def q_idle_customers(sf_dir: str):
     """TPC-H Q22-style anti-join: above-average-balance customers with no
     order since 2000 (lapsed high-value accounts). The scalar subquery
@@ -1552,6 +1595,7 @@ QUERIES = {
     "substring_dups": q_substring_dups,
     "value_quantiles": q_value_quantiles,
     "idle_customers": q_idle_customers,
+    "event_transitions": q_event_transitions,
     "hook_counters": q_hook_counters,
     "api_doc_store": q_api_doc_store,
     "media_features": q_media_features,
@@ -1822,6 +1866,17 @@ ORACLE_SQL = {
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= TIMESTAMP '1997-03-01'
             AND l_shipdate <  TIMESTAMP '1997-04-01')
+    """,
+    "event_transitions": """
+        SELECT prev_type, event_type, count(*)::BIGINT AS n_transitions
+        FROM (
+          SELECT lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type,
+                 event_type
+          FROM events)
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+        ORDER BY prev_type, event_type
     """,
     "idle_customers": """
         WITH stats AS (

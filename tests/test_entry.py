@@ -112,6 +112,7 @@ def test_oracle_keys_subset(entrymod):
         "substring_dups",
         "value_quantiles",
         "idle_customers",
+        "event_transitions",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
