@@ -953,6 +953,7 @@ def _crawl_inner(
             # int32 "wave"
             fcol = pq.ParquetFile(f).read(columns=["fetched"]).column("fetched")
             n_fetched += int(pc.sum(pc.cast(fcol, pa.int64())).as_py() or 0)
+        _prof(f"w{wave} wave_metrics")
         write_json(
             os.path.join(out_dir, "lineage", f"wave={wave:05d}.json"),
             {

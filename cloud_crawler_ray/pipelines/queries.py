@@ -439,6 +439,32 @@ def q_span_stats(sf_dir: str):
     return span_kind_stats(crawl_handle_for(sf_dir).documents())
 
 
+def q_source_reputation(sf_dir: str):
+    """Host/source-level reputation report — the per-host gate a web corpus
+    applies before any per-doc filtering (RefinedWeb-style URL/host
+    filtering): per source, doc count + exact total chars + the kept flag
+    (mean length > 300, cross-multiplied so no division). Per-block int64
+    partials → driver combine bounded by the source cardinality."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "n_chars"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([("n_chars", "sum"), ("n_chars", "count")])
+        return g.rename_columns(["source", "chars", "docs"])
+
+    parts = docs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("source", as_index=False)[["chars", "docs"]].sum()
+    agg["n_docs"] = agg["docs"].astype(np.int64)
+    agg["total_chars"] = agg["chars"].astype(np.int64)
+    agg["kept"] = agg["total_chars"] > 300 * agg["n_docs"]
+    out = agg[["source", "n_docs", "total_chars", "kept"]]
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def q_event_transitions(sf_dir: str):
     """Per-user event-type transition counts (the Markov/funnel matrix):
     count (prev_type → type) over each user's events ordered by (ts,
@@ -1596,6 +1622,7 @@ QUERIES = {
     "value_quantiles": q_value_quantiles,
     "idle_customers": q_idle_customers,
     "event_transitions": q_event_transitions,
+    "source_reputation": q_source_reputation,
     "hook_counters": q_hook_counters,
     "api_doc_store": q_api_doc_store,
     "media_features": q_media_features,
@@ -1866,6 +1893,15 @@ ORACLE_SQL = {
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= TIMESTAMP '1997-03-01'
             AND l_shipdate <  TIMESTAMP '1997-04-01')
+    """,
+    "source_reputation": """
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars,
+               sum(n_chars)::BIGINT > 300 * count(*)::BIGINT AS kept
+        FROM documents
+        GROUP BY source
+        ORDER BY source
     """,
     "event_transitions": """
         SELECT prev_type, event_type, count(*)::BIGINT AS n_transitions

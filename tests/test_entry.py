@@ -113,6 +113,7 @@ def test_oracle_keys_subset(entrymod):
         "value_quantiles",
         "idle_customers",
         "event_transitions",
+        "source_reputation",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
