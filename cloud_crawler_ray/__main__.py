@@ -81,7 +81,7 @@ def main(argv: list[str] | None = None) -> dict:
             with open(args.seeds[1:]) as f:
                 seeds = [ln.strip() for ln in f if ln.strip()]
         else:
-            seeds = [s for s in args.seeds.split(",") if s]
+            seeds = [s.strip() for s in args.seeds.split(",") if s.strip()]
     else:
         seeds = default_seeds
     if not seeds:

@@ -374,6 +374,32 @@ def _stamp_pack(block: pa.Table, start: int, seq_tokens: int) -> pa.Table:
     )
 
 
+def prefix_stamp(
+    ordered: rd.Dataset, seq_tokens: int, empty_schema: pa.Schema
+) -> rd.Dataset:
+    """Shared distributed-prefix-sum scaffolding for the packing ops: given
+    a MATERIALIZED Dataset in final order carrying an ``n_tokens`` column,
+    stamp each row's exclusive token offset and seq_id. Per-block sums cross
+    the cluster as one int each, the driver prefix-sums O(#blocks) ints, a
+    small Ray task per block stamps (dropping the internal ``h`` sort key).
+    Empty sort partitions carry no schema and are skipped; an empty corpus
+    returns *empty_schema*."""
+    refs = []
+    for bundle in ordered.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows == 0:
+                continue  # empty sort partitions carry no schema
+            refs.append(ref)
+    sums = ray.get([_block_token_sum.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]) if sums else []
+    new_refs = [
+        _stamp_pack.remote(r, int(o), seq_tokens) for r, o in zip(refs, offsets)
+    ]
+    if not new_refs:
+        return rd.from_arrow(empty_schema.empty_table())
+    return rd.from_arrow_refs(new_refs)
+
+
 def pack_sequences(ds: rd.Dataset, seq_tokens: int = 1024) -> rd.Dataset:
     """Assign every document its token offset and training-sequence id in a
     deterministic shuffled order (multiplicative doc_id hash, ties by id) —
@@ -405,28 +431,15 @@ def pack_sequences(ds: rd.Dataset, seq_tokens: int = 1024) -> rd.Dataset:
 
     keyed = ds.map_batches(keys, batch_format="pyarrow", batch_size=8192)
     ordered = keyed.sort(["h", "doc_id"]).materialize()
-    refs = []
-    for bundle in ordered.iter_internal_ref_bundles():
-        for ref, meta in zip(bundle.block_refs, bundle.metadata):
-            if meta.num_rows == 0:
-                continue  # empty sort partitions carry no schema
-            refs.append(ref)
-    sums = ray.get([_block_token_sum.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]) if sums else []
-    new_refs = [
-        _stamp_pack.remote(r, int(o), seq_tokens) for r, o in zip(refs, offsets)
-    ]
-    if not new_refs:  # empty corpus: keep the output schema stable
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "n_tokens": pa.array([], pa.int64()),
-                "tok_offset": pa.array([], pa.int64()),
-                "seq_id": pa.array([], pa.int64()),
-            }
-        )
-        return rd.from_arrow(empty)
-    return rd.from_arrow_refs(new_refs)
+    empty_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("tok_offset", pa.int64()),
+            ("seq_id", pa.int64()),
+        ]
+    )
+    return prefix_stamp(ordered, seq_tokens, empty_schema)
 
 
 def repetition_stats(ds: rd.Dataset) -> rd.Dataset:

@@ -1375,7 +1375,15 @@ def substring_dup_pairs(
         for did, txt in zip(
             t.column("doc_id").to_pylist(), t.column("text").to_pylist()
         ):
-            toks = T.tokenize(txt or "")
+            txt = txt or ""
+            if "\x00" in txt:
+                # NUL inside a token would hit pandas' C-string hash
+                # truncation in BOTH the shard router and the per-shard
+                # groupby (context-dependent routing / gram merging) —
+                # scrub to U+FFFD, the same policy as the engine's UTF-8
+                # scrub for crawled text
+                txt = txt.replace("\x00", "�")
+            toks = T.tokenize(txt)
             if len(toks) < k:
                 continue
             seen = {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
@@ -1397,13 +1405,14 @@ def substring_dup_pairs(
         pairs: Counter = Counter()
         skipped = 0
         for _, grp in g.groupby("g", sort=False):
-            ids = grp["doc_id"].to_numpy()
+            # unique: duplicate doc_id rows (unioned sources, re-added docs)
+            # must not produce (a, a) self-pairs or double-counted pairs
+            ids = np.unique(grp["doc_id"].to_numpy())
             if len(ids) < 2:
                 continue
             if len(ids) > max_docs_per_gram:
                 skipped += 1
                 continue
-            ids = np.sort(ids)
             for a, b in itertools.combinations(ids.tolist(), 2):
                 pairs[(a, b)] += 1
         if skipped:

@@ -69,7 +69,13 @@ def _count_partial(t: pa.Table) -> pa.Table:
     prevs: list[str] = []
     curs: list[str] = []
     for txt in t.column("text").to_pylist():
-        toks = T.tokenize(txt or "")
+        txt = txt or ""
+        if "\x00" in txt:
+            # NUL inside a token would hit pandas' C-string hash truncation
+            # in the gram-shard router — scrub to U+FFFD (the engine's
+            # UTF-8-scrub policy for crawled text)
+            txt = txt.replace("\x00", "�")
+        toks = T.tokenize(txt)
         prevs.extend([""] * len(toks))
         curs.extend(toks)
         prevs.extend(toks[:-1])
@@ -85,8 +91,11 @@ def _count_partial(t: pa.Table) -> pa.Table:
     )
 
 
-# sentinel "prev" for the per-shard token-total row (tokenize() lowercases
-# and splits on whitespace, so no real gram can start with \x01)
+# sentinel key for the per-shard token-total row: (prev=_TOTAL_SENTINEL,
+# cur=""). A real token COULD equal the sentinel string (tokenize only
+# splits on whitespace), but a real bigram row always has a non-empty cur
+# and a real unigram row has prev="" — so the (sentinel, "") KEY is
+# unreachable by data and extraction filters on both columns.
 _TOTAL_SENTINEL = "\x01total"
 
 
@@ -155,8 +164,9 @@ def train_bigram_lm(
         )
         .to_pandas()
     )
-    n_tokens = int(parts[parts["prev"] == _TOTAL_SENTINEL]["cnt"].sum())
-    parts = parts[parts["prev"] != _TOTAL_SENTINEL]
+    is_sentinel = (parts["prev"] == _TOTAL_SENTINEL) & (parts["cur"] == "")
+    n_tokens = int(parts[is_sentinel]["cnt"].sum())
+    parts = parts[~is_sentinel]
     uni = parts[parts["prev"] == ""].sort_values(
         ["cnt", "cur"], ascending=[False, True], kind="stable"
     ).head(vocab_cap)
@@ -206,6 +216,11 @@ def score_documents(ds: rd.Dataset, lm_ref) -> rd.Dataset:
                 scores.append(0.0)
                 continue
             tid = lm.token_ids(toks)
+            if v == 0:
+                # degenerate model (empty training corpus): everything is
+                # UNK with add-one mass — uniform, no array indexing
+                scores.append(float(np.log(1.0 / (lm.n_tokens + 1.0))))
+                continue
             # unigram log P for the first token; bigram for the rest
             u0 = lm.uni_counts[tid[0]] if tid[0] < v else 0
             lp = np.log((u0 + 1.0) / (lm.n_tokens + v + 1.0))

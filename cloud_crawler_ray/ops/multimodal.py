@@ -383,10 +383,9 @@ def interleave_pack(docs: rd.Dataset, seq_tokens: int = 1024) -> rd.Dataset:
     Output (doc_id, n_tokens, n_media, tok_offset, seq_id)."""
     import pandas as pd
     import pyarrow.compute as pc
-    import ray
 
     from ..functions import text as T
-    from .curation import _block_token_sum, _stamp_pack
+    from .curation import prefix_stamp
 
     def keys(t: pa.Table) -> pa.Table:
         spans = t.column("spans")
@@ -426,26 +425,13 @@ def interleave_pack(docs: rd.Dataset, seq_tokens: int = 1024) -> rd.Dataset:
 
     keyed = docs.map_batches(keys, batch_format="pyarrow", batch_size=4096)
     ordered = keyed.sort(["h", "doc_id"]).materialize()
-    refs = []
-    for bundle in ordered.iter_internal_ref_bundles():
-        for ref, meta in zip(bundle.block_refs, bundle.metadata):
-            if meta.num_rows == 0:
-                continue  # empty sort partitions carry no schema
-            refs.append(ref)
-    sums = ray.get([_block_token_sum.remote(r) for r in refs])
-    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]]) if sums else []
-    new_refs = [
-        _stamp_pack.remote(r, int(o), seq_tokens) for r, o in zip(refs, offsets)
-    ]
-    if not new_refs:  # empty corpus: stable output schema
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.string()),
-                "n_tokens": pa.array([], pa.int64()),
-                "n_media": pa.array([], pa.int64()),
-                "tok_offset": pa.array([], pa.int64()),
-                "seq_id": pa.array([], pa.int64()),
-            }
-        )
-        return rd.from_arrow(empty)
-    return rd.from_arrow_refs(new_refs)
+    empty_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("n_media", pa.int64()),
+            ("tok_offset", pa.int64()),
+            ("seq_id", pa.int64()),
+        ]
+    )
+    return prefix_stamp(ordered, seq_tokens, empty_schema)

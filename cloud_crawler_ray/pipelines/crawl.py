@@ -944,14 +944,14 @@ def _crawl_inner(
         # monitored crawl reads without touching the data): raw row count
         # from parquet FOOTERS (no data read) + fetched count from a single
         # bool column — bounded cost at any wave size
-        raw_parts = sorted(glob.glob(os.path.join(raw_dir, "*.parquet")))
-        n_raw_rows = sum(pq.read_metadata(f).num_rows for f in raw_parts)
-        n_fetched = 0
-        for f in raw_parts:
-            # ParquetFile.read, not read_table: the wave=N dir name would be
-            # hive-parsed into a dictionary column clashing with the in-file
-            # int32 "wave"
-            fcol = pq.ParquetFile(f).read(columns=["fetched"]).column("fetched")
+        n_raw_rows, n_fetched = 0, 0
+        for part_file in sorted(glob.glob(os.path.join(raw_dir, "*.parquet"))):
+            # one ParquetFile handle per part (footer + the bool column);
+            # NOT read_table: the wave=N dir name would be hive-parsed into
+            # a dictionary column clashing with the in-file int32 "wave"
+            pf = pq.ParquetFile(part_file)
+            n_raw_rows += pf.metadata.num_rows
+            fcol = pf.read(columns=["fetched"]).column("fetched")
             n_fetched += int(pc.sum(pc.cast(fcol, pa.int64())).as_py() or 0)
         _prof(f"w{wave} wave_metrics")
         write_json(

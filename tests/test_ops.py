@@ -864,3 +864,43 @@ def test_substring_dup_pairs_planted_and_cap(ray_session):
     # under a loose cap the boilerplate pairs appear
     out2 = substring_dup_pairs(ds, k=8, max_docs_per_gram=100).to_pandas()
     assert len(out2) == 1 + 15
+
+
+def test_substring_dup_pairs_nul_tokens_and_duplicate_ids(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import substring_dup_pairs
+
+    # tokens carrying raw NUL bytes (binary junk in crawled text): identical
+    # grams must still pair deterministically (NULs scrubbed before the
+    # pandas hash router, which truncates C-strings at NUL)
+    nul_txt = "alpha\x00beta gamma delta epsilon zeta eta theta iota"
+    rows = [
+        {"doc_id": 1, "text": nul_txt},
+        {"doc_id": 2, "text": nul_txt + " extra"},
+        # duplicate doc_id rows must not create (a, a) self-pairs or
+        # double-counted pairs
+        {"doc_id": 3, "text": "one two three four five six seven eight"},
+        {"doc_id": 3, "text": "one two three four five six seven eight"},
+        {"doc_id": 4, "text": "one two three four five six seven eight"},
+    ]
+    out = substring_dup_pairs(rd.from_items(rows).repartition(3), k=8).to_pandas()
+    got = {(r.doc_a, r.doc_b): r.n_shared_grams for r in out.itertuples()}
+    assert (1, 2) in got and got[(1, 2)] >= 1
+    assert got.get((3, 4)) == 1
+    assert all(a < b for a, b in got)  # no self-pairs
+
+
+def test_lm_sentinel_token_does_not_corrupt_totals(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.lm import train_bigram_lm
+
+    # a REAL token equal to the sentinel string must not leak into the
+    # corpus token total (the sentinel key is (prev=sentinel, cur=""))
+    docs = rd.from_items(
+        [{"doc_id": 1, "text": "\x01total foo \x01total foo"}]
+    )
+    lm = train_bigram_lm(docs, vocab_cap=10, bigram_cap=10)
+    assert lm.n_tokens == 4
+    assert sorted(lm.vocab.tolist()) == ["\x01total", "foo"]
