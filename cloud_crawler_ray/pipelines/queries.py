@@ -439,6 +439,57 @@ def q_span_stats(sf_dir: str):
     return span_kind_stats(crawl_handle_for(sf_dir).documents())
 
 
+def q_value_percent_rank(sf_dir: str):
+    """Per-event percent_rank of value within its event type — the global
+    rank-window class: one hash(type) shuffle, per-shard per-type sort by
+    (value, event_id) (unique order key → ranks are row numbers, no tie
+    handling), pr = (rank-1)/(n-1) as a single int64→float64 division — the
+    identical IEEE op the SQL window performs, so doubles hash-match."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    n_sh = cluster_shards()
+
+    def shard_pr(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, sub in g.groupby("event_type", sort=False):
+            sub = sub.sort_values(["value", "event_id"], kind="stable")
+            n = len(sub)
+            rn = np.arange(n, dtype=np.int64)
+            pr = rn / (n - 1) if n > 1 else np.zeros(n)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "event_id": sub["event_id"].to_numpy(),
+                        "event_type": sub["event_type"].to_numpy(),
+                        "pr": pr.astype(np.float64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            {"event_id": pd.Series(dtype="int64"),
+             "event_type": pd.Series(dtype=str),
+             "pr": pd.Series(dtype="float64")}
+        )
+
+    out = (
+        ev.map_batches(
+            lambda t: _add_shard(t, "event_type", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_pr(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_source_reputation(sf_dir: str):
     """Host/source-level reputation report — the per-host gate a web corpus
     applies before any per-doc filtering (RefinedWeb-style URL/host
@@ -1623,6 +1674,7 @@ QUERIES = {
     "idle_customers": q_idle_customers,
     "event_transitions": q_event_transitions,
     "source_reputation": q_source_reputation,
+    "value_percent_rank": q_value_percent_rank,
     "hook_counters": q_hook_counters,
     "api_doc_store": q_api_doc_store,
     "media_features": q_media_features,
@@ -1893,6 +1945,13 @@ ORACLE_SQL = {
           FROM lineitem JOIN part ON l_partkey = p_partkey
           WHERE l_shipdate >= TIMESTAMP '1997-03-01'
             AND l_shipdate <  TIMESTAMP '1997-04-01')
+    """,
+    "value_percent_rank": """
+        SELECT event_id, event_type,
+               percent_rank() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS pr
+        FROM events
+        ORDER BY event_id
     """,
     "source_reputation": """
         SELECT source,

@@ -114,6 +114,7 @@ def test_oracle_keys_subset(entrymod):
         "idle_customers",
         "event_transitions",
         "source_reputation",
+        "value_percent_rank",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
