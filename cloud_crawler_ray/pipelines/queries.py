@@ -1638,6 +1638,433 @@ def q_order_gaps(sf_dir: str):
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
+def q_custdist(sf_dir: str):
+    """TPC-H Q13-style customer order-count distribution (how many
+    customers placed exactly k orders, zero included). No join: the
+    customer keys (marker 0) and the orders' custkeys (marker 1) stream
+    through one union; per-block partial group_by sums collapse each block
+    to its distinct custkeys, one hash(custkey) shuffle finalizes the
+    per-customer counts, and each shard emits its own tiny histogram —
+    the driver combines histograms bounded by max-orders-per-customer,
+    never per-customer rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )
+
+    def _marked(t: pa.Table, key: str, mark: int) -> pa.Table:
+        tt = pa.table(
+            {
+                "c_custkey": pc.cast(t.column(key), pa.int64()),
+                "one": pa.array(np.full(len(t), mark, np.int64)),
+            }
+        )
+        return tt.group_by("c_custkey").aggregate([("one", "sum")])
+
+    both = cust.map_batches(
+        lambda t: _marked(t, "c_custkey", 0), batch_format="pyarrow"
+    ).union(
+        orders.map_batches(
+            lambda t: _marked(t, "o_custkey", 1), batch_format="pyarrow"
+        )
+    )
+    n_sh = cluster_shards()
+
+    def shard_hist(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("c_custkey")["one_sum"].sum()
+        vc = per.value_counts()
+        return pd.DataFrame(
+            {
+                "c_count": vc.index.to_numpy().astype(np.int64),
+                "custdist": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    hist = (
+        both.map_batches(
+            lambda t: _add_shard(t, "c_custkey", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_hist(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out = hist.groupby("c_count", as_index=False)["custdist"].sum()
+    out["custdist"] = out["custdist"].astype(np.int64)
+    return out.sort_values(
+        ["custdist", "c_count"], ascending=[False, False], kind="stable"
+    ).reset_index(drop=True)
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17-style small-quantity-order revenue for one brand: lines
+    whose quantity is below 20% of their part's average quantity. Two
+    passes over the brand-pruned lineitem scan (partkey isin pushed into
+    the read): pass 1 builds per-part (count, quantity-total) via per-block
+    partials + hash-shard combine; the per-part stats broadcast as sorted
+    numpy arrays (one ray.put, searchsorted lookup per batch — no shuffle
+    join for a stats side bounded by #parts-of-brand); pass 2 applies the
+    exact integer gate 5*qty*cnt < total (quantities are integral, so this
+    is bit-identical to SQL's qty < 0.2*avg) and sums price cents."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey"],
+        filters=pc.field("p_brand") == "Brand#23",
+    )
+    keys = pa.array(sorted(part.column("p_partkey").to_pylist()), pa.int64())
+
+    def li_scan(cols):
+        return rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=cols,
+            filter=pc.field("l_partkey").isin(keys),
+        )
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                "cnt": pa.array(np.ones(len(t), np.int64)),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+            }
+        )
+        return tt.group_by("l_partkey").aggregate([("cnt", "sum"), ("qty", "sum")])
+
+    n_sh = cluster_shards()
+    stats = (
+        li_scan(["l_partkey", "l_quantity"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _add_shard(t, "l_partkey", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"])
+            .groupby("l_partkey", as_index=False)
+            .sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .sort_values("l_partkey")
+    )
+    ref = ray.put(
+        (
+            stats["l_partkey"].to_numpy().astype(np.int64),
+            stats["cnt_sum"].to_numpy().astype(np.int64),
+            stats["qty_sum"].to_numpy().astype(np.int64),
+        )
+    )
+
+    def gate_partial(t: pa.Table) -> pa.Table:
+        pk, cnt, tot = ray.get(ref)
+        part_k = pc.cast(t.column("l_partkey"), pa.int64()).to_numpy()
+        idx = np.searchsorted(pk, part_k)
+        qty = pc.cast(t.column("l_quantity"), pa.int64()).to_numpy()
+        mask = 5 * qty * cnt[idx] < tot[idx]
+        cents = (
+            pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64())
+            .to_numpy()
+        )
+        return pa.table(
+            {
+                "n": pa.array([int(mask.sum())], pa.int64()),
+                "rev": pa.array([int(cents[mask].sum())], pa.int64()),
+            }
+        )
+
+    parts = (
+        li_scan(["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(gate_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_lines": [np.int64(parts["n"].sum())],
+            "revenue_e2": [np.int64(parts["rev"].sum())],
+        }
+    )
+
+
+def q_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19-style disjunctive-predicate revenue: three OR'd
+    (brand, size-range, quantity-range) branches over lineitem⋈part. The
+    two part attributes ride a size-gated keyed_attach onto the lineitem
+    stream; the disjunction is one vectorized Arrow mask per block and the
+    exact-int64 revenue collapses to one row per block before the driver
+    add."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import keyed_attach
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"],
+    ).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand", "p_size"]),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    li = keyed_attach(
+        li, part, "l_partkey", ["p_brand", "p_size"], right_count=part.count()
+    )
+    branches = [
+        ("Brand#12", 1, 5, 1.0, 11.0),
+        ("Brand#23", 1, 10, 10.0, 20.0),
+        ("Brand#15", 1, 15, 20.0, 30.0),
+    ]
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        brand = t.column("p_brand")
+        size = pc.cast(t.column("p_size"), pa.int32())
+        qty = t.column("l_quantity")
+        mask = None
+        for b, s_lo, s_hi, q_lo, q_hi in branches:
+            m = pc.and_(
+                pc.and_(pc.equal(brand, b), pc.greater_equal(size, s_lo)),
+                pc.and_(
+                    pc.less_equal(size, s_hi),
+                    pc.and_(
+                        pc.greater_equal(qty, q_lo), pc.less_equal(qty, q_hi)
+                    ),
+                ),
+            )
+            mask = m if mask is None else pc.or_(mask, m)
+        t = t.filter(pc.fill_null(mask, False))
+        rev = pc.sum(_rev_e4(t, "l_extendedprice", "l_discount", complement=True))
+        return pa.table(
+            {
+                "n": pa.array([len(t)], pa.int64()),
+                "rev": pa.array([rev.as_py() or 0], pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(rev_partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_lines": [np.int64(parts["n"].sum())],
+            "revenue_e4": [np.int64(parts["rev"].sum())],
+        }
+    )
+
+
+def q_trade_volume(sf_dir: str):
+    """TPC-H Q7-style cross-nation trade volume: 1996-1997 revenue between
+    every (supplier-nation, customer-nation) pair by ship year, cross-nation
+    lines only. Customer nation reaches lineitem through orders via two
+    size-gated keyed_attach joins (the Q5 pattern); supplier nation attaches
+    the same way; the (25×25×2)-bounded group keys collapse to per-block
+    partials with a tiny driver combine, then nation names map on at the
+    end (25-row dim stays driver-side)."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import keyed_attach
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    key_to_name = dict(
+        zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist())
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "c_custkey"]), batch_format="pyarrow"
+    )
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    orders_n = keyed_attach(
+        orders, cust, "c_custkey", ["c_nationkey"], right_count=cust.count()
+    ).map_batches(lambda t: t.select(["o_orderkey", "c_nationkey"]),
+                  batch_format="pyarrow").materialize()
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]), batch_format="pyarrow"
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount",
+        ],
+        filter=(
+            (pc.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+            & (pc.field("l_shipdate") < datetime.datetime(1998, 1, 1))
+        ),
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        ),
+        batch_format="pyarrow",
+    )
+    li = keyed_attach(
+        li, orders_n, "o_orderkey", ["c_nationkey"], right_count=orders_n.count()
+    )
+    li = keyed_attach(li, supp, "l_suppkey", ["s_nationkey"], right_count=supp.count())
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        cn = pc.cast(t.column("c_nationkey"), pa.int32())
+        sn = pc.cast(t.column("s_nationkey"), pa.int32())
+        t = t.set_column(t.schema.get_field_index("c_nationkey"), "c_nationkey", cn)
+        t = t.set_column(t.schema.get_field_index("s_nationkey"), "s_nationkey", sn)
+        t = t.filter(pc.not_equal(cn, sn))
+        tt = pa.table(
+            {
+                "s_nationkey": t.column("s_nationkey"),
+                "c_nationkey": t.column("c_nationkey"),
+                "l_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+                "rev": _rev_e4(t, "l_extendedprice", "l_discount", complement=True),
+            }
+        )
+        return tt.group_by(["s_nationkey", "c_nationkey", "l_year"]).aggregate(
+            [("rev", "sum")]
+        )
+
+    parts = li.map_batches(rev_partial, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(
+        ["s_nationkey", "c_nationkey", "l_year"], as_index=False
+    )["rev_sum"].sum()
+    agg["supp_nation"] = agg["s_nationkey"].map(key_to_name)
+    agg["cust_nation"] = agg["c_nationkey"].map(key_to_name)
+    agg["revenue_e4"] = agg["rev_sum"].astype(np.int64)
+    agg = agg.sort_values(["supp_nation", "cust_nation", "l_year"], kind="stable")
+    return agg[["supp_nation", "cust_nation", "l_year", "revenue_e4"]].reset_index(
+        drop=True
+    )
+
+
+def q_running_total(sf_dir: str):
+    """Per-user running total of event value — the cumulative-window class
+    (SUM OVER PARTITION BY … ORDER BY …). One hash(user) shuffle; each
+    shard sorts locally by (user, ts, event_id) and runs a single grouped
+    cumsum over integer cents (values carry 2 decimals, so cents are exact
+    and the running sums hash-match SQL bit-for-bit regardless of block
+    order)."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    n_sh = cluster_shards()
+
+    def shard_cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        g = g.assign(cents=cents)
+        cum = g.groupby("user_id", sort=False)["cents"].cumsum()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "cum_cents": cum.to_numpy().astype(np.int64),
+            }
+        )
+
+    out = (
+        ev.map_batches(
+            lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_cumsum(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_props_key_counts(sf_dir: str):
+    """JSON-payload field extraction + aggregate: pull the integer `k`
+    field out of the events' JSON props column with one vectorized regex
+    per block (no per-row json.loads) and count occurrences per value.
+    Per-block value_counts partials → tiny driver combine (k is
+    bounded-cardinality)."""
+    import numpy as np
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"]
+            .str.extract(r'"k":\s*(-?\d+)', expand=False)
+            .astype("int64")
+        )
+        vc = k.value_counts()
+        return pd.DataFrame(
+            {
+                "k": vc.index.to_numpy().astype(np.int64),
+                "cnt": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("k", as_index=False)["cnt"].sum()
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out.sort_values("k").reset_index(drop=True)
+
+
+def q_brand_top_parts(sf_dir: str):
+    """Dense-rank top-k per key: the three highest distinct retail prices
+    per brand, ties kept (dense_rank ≤ 3). One hash(brand) shuffle; each
+    shard runs pandas' vectorized groupby-rank(method='dense') over its
+    brands and emits only the survivors — output bounded by brands × ties,
+    never the full part table."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_brand", "p_partkey", "p_retailprice"],
+    )
+    n_sh = cluster_shards()
+
+    def shard_rank(g: pd.DataFrame) -> pd.DataFrame:
+        rnk = (
+            g.groupby("p_brand", sort=False)["p_retailprice"]
+            .rank(method="dense", ascending=False)
+            .astype(np.int64)
+        )
+        g = g.assign(rnk=rnk)
+        return g[g["rnk"] <= 3][["p_brand", "p_partkey", "p_retailprice", "rnk"]]
+
+    out = (
+        part.map_batches(
+            lambda t: _add_shard(t, "p_brand", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_rank(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["p_brand", "rnk", "p_partkey"]).reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -1711,6 +2138,13 @@ QUERIES = {
     "minhash_keep_best": q_minhash_keep_best,
     "curate_corpus": q_curate_corpus,
     "pack_sequences": q_pack_sequences,
+    "custdist": q_custdist,
+    "small_qty_revenue": q_small_qty_revenue,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "trade_volume": q_trade_volume,
+    "running_total": q_running_total,
+    "props_key_counts": q_props_key_counts,
+    "brand_top_parts": q_brand_top_parts,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -2235,6 +2669,75 @@ ORACLE_SQL = {
         UNION ALL
         SELECT lang, 0.90, quantile_disc(n_tokens, 0.90)::BIGINT
         FROM tc GROUP BY lang
+    """,
+    "custdist": """
+        SELECT c_count, count(*)::BIGINT AS custdist FROM (
+          SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey)
+        GROUP BY c_count
+    """,
+    "small_qty_revenue": """
+        WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        st AS (SELECT l_partkey, count(*)::BIGINT AS cnt,
+                      sum(CAST(l_quantity AS BIGINT)) AS total
+               FROM lineitem JOIN pk ON l_partkey = p_partkey
+               GROUP BY l_partkey)
+        SELECT count(*)::BIGINT AS n_lines,
+               coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)), 0)::BIGINT
+                 AS revenue_e2
+        FROM lineitem JOIN st USING (l_partkey)
+        WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < total
+    """,
+    "disjunctive_revenue": """
+        SELECT count(*)::BIGINT AS n_lines,
+               coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT))),
+                        0)::BIGINT AS revenue_e4
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "trade_volume": """
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               year(l_shipdate)::BIGINT AS l_year,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+                 AS revenue_e4
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE c_nationkey <> s_nationkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+    """,
+    "running_total": """
+        SELECT event_id, user_id,
+               sum(CAST(round(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)::BIGINT
+                 AS cum_cents
+        FROM events
+        ORDER BY event_id
+    """,
+    "props_key_counts": """
+        SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+               count(*)::BIGINT AS cnt
+        FROM events GROUP BY k
+    """,
+    "brand_top_parts": """
+        SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 dense_rank() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC)::BIGINT AS rnk
+          FROM part) WHERE rnk <= 3
     """,
     "token_quantiles": f"""
         WITH tc AS (SELECT len({_TOKENS})::BIGINT AS n_tokens FROM documents)

@@ -115,6 +115,13 @@ def test_oracle_keys_subset(entrymod):
         "event_transitions",
         "source_reputation",
         "value_percent_rank",
+        "custdist",
+        "small_qty_revenue",
+        "disjunctive_revenue",
+        "trade_volume",
+        "running_total",
+        "props_key_counts",
+        "brand_top_parts",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
