@@ -2065,6 +2065,335 @@ def q_brand_top_parts(sf_dir: str):
     return out.sort_values(["p_brand", "rnk", "p_partkey"]).reset_index(drop=True)
 
 
+def q_top_supplier(sf_dir: str):
+    """TPC-H Q15-style top supplier: the supplier(s) with the maximum
+    1996Q1 revenue, ties kept (the scalar-subquery-on-an-aggregate class).
+    Date filter pushed into the scan; per-supplier exact-int64 revenue via
+    per-block partials → hash-shard combine (each supplier lands whole in
+    one shard) → per-shard max + candidates → driver picks the global max;
+    only the winners' supplier rows are read back (is_in-filtered)."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+            & (pc.field("l_shipdate") < datetime.datetime(1996, 4, 1))
+        ),
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "rev": _rev_e4(t, "l_extendedprice", "l_discount", complement=True),
+            }
+        )
+        return tt.group_by("s_suppkey").aggregate([("rev", "sum")])
+
+    n_sh = cluster_shards()
+
+    def shard_max(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("s_suppkey", as_index=False)["rev_sum"].sum()
+        return per[per["rev_sum"] == per["rev_sum"].max()]
+
+    cand = (
+        li.map_batches(rev_partial, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _add_shard(t, "s_suppkey", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_max(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    best = cand["rev_sum"].max()
+    win = cand[cand["rev_sum"] == best].copy()
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+        filters=pc.field("s_suppkey").isin(win["s_suppkey"].tolist()),
+    ).to_pandas()
+    out = win.merge(supp, on="s_suppkey")
+    out["total_revenue_e4"] = out["rev_sum"].astype(np.int64)
+    return out[["s_suppkey", "s_name", "total_revenue_e4"]].sort_values(
+        "s_suppkey"
+    ).reset_index(drop=True)
+
+
+def q_late_sole_suppliers(sf_dir: str):
+    """TPC-H Q21-style waiting-supplier report: suppliers who were the ONLY
+    late supplier (shipped >60 days after the order date) on a
+    multi-supplier order, counted per supplier, top 10. Orders' dates ride
+    a size-gated keyed_attach onto lineitem; blocks pre-dedup to distinct
+    (order, supplier, late) triples before the one hash(orderkey) shuffle;
+    each shard resolves its orders with vectorized pandas (supplier counts,
+    late counts, the sole late supplier) and emits per-supplier partial
+    counts — the driver combines counts bounded by #suppliers."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards, keyed_attach
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    li = keyed_attach(
+        li, orders, "l_orderkey", ["o_orderdate"], right_count=orders.count()
+    )
+
+    def triples(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t.column("l_shipdate"), pa.int64())
+        odate = pc.cast(t.column("o_orderdate"), pa.int64())
+        late = pc.greater(ship, pc.add(odate, 60 * 86_400_000_000))
+        tt = pa.table(
+            {
+                "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "late": pc.cast(late, pa.int8()),
+            }
+        )
+        return tt.group_by(["l_orderkey", "l_suppkey", "late"]).aggregate([])
+
+    n_sh = cluster_shards()
+
+    def shard_resolve(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["l_orderkey", "l_suppkey"])
+        n_supp = d.groupby("l_orderkey").size()
+        lt = g[g["late"] == 1].drop_duplicates(["l_orderkey", "l_suppkey"])
+        per_late = lt.groupby("l_orderkey")["l_suppkey"]
+        n_late = per_late.size()
+        late_supp = per_late.max()
+        ok = n_late.index[(n_late == 1) & (n_supp.reindex(n_late.index) >= 2)]
+        vc = late_supp.loc[ok].value_counts()
+        return pd.DataFrame(
+            {
+                "s_suppkey": vc.index.to_numpy().astype(np.int64),
+                "numwait": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    parts = (
+        li.map_batches(triples, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _add_shard(t, "l_orderkey", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_resolve(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out = parts.groupby("s_suppkey", as_index=False)["numwait"].sum()
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return (
+        out.sort_values(["numwait", "s_suppkey"], ascending=[False, True], kind="stable")
+        .head(10)
+        .reset_index(drop=True)
+    )
+
+
+def q_priority_mix(sf_dir: str):
+    """TPC-H Q12-style priority mix: per lineitem returnflag, how many
+    lines belong to critical-priority (URGENT/HIGH) orders vs the rest.
+    Order priority rides a size-gated keyed_attach onto the lineitem scan;
+    per-block CASE partials collapse to #flags rows before a tiny driver
+    combine."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import keyed_attach
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_returnflag"]
+    )
+    li = keyed_attach(
+        li, orders, "l_orderkey", ["o_orderpriority"], right_count=orders.count()
+    )
+
+    def mix_partial(t: pa.Table) -> pa.Table:
+        pri = t.column("o_orderpriority")
+        high = pc.cast(
+            pc.or_(pc.equal(pri, "1-URGENT"), pc.equal(pri, "2-HIGH")), pa.int64()
+        )
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "high_line_count": high,
+                "low_line_count": pc.subtract(pa.scalar(1, pa.int64()), high),
+            }
+        )
+        return tt.group_by("l_returnflag").aggregate(
+            [("high_line_count", "sum"), ("low_line_count", "sum")]
+        )
+
+    parts = li.map_batches(mix_partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("l_returnflag", as_index=False).sum()
+    out = out.rename(
+        columns={
+            "high_line_count_sum": "high_line_count",
+            "low_line_count_sum": "low_line_count",
+        }
+    )
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def q_market_share(sf_dir: str):
+    """TPC-H Q8-style market share, kept exact: per ship year, NATION_3
+    suppliers' revenue (numerator) and all-supplier revenue (denominator)
+    as two int64 sums — no float division crosses the wire, callers divide.
+    Same chained size-gated keyed_attach routing as trade_volume; the group
+    key is just the year so partials collapse to a handful of rows."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import keyed_attach
+
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]), batch_format="pyarrow"
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    target_key = nation.filter(
+        pc.equal(nation.column("n_name"), "NATION_3")
+    ).column("n_nationkey")[0].as_py()
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        filter=(
+            (pc.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+            & (pc.field("l_shipdate") < datetime.datetime(1998, 1, 1))
+        ),
+    )
+    li = keyed_attach(li, supp, "l_suppkey", ["s_nationkey"], right_count=supp.count())
+
+    def share_partial(t: pa.Table) -> pa.Table:
+        rev = _rev_e4(t, "l_extendedprice", "l_discount", complement=True)
+        is_target = pc.cast(
+            pc.equal(pc.cast(t.column("s_nationkey"), pa.int32()), target_key),
+            pa.int64(),
+        )
+        tt = pa.table(
+            {
+                "l_year": pc.cast(pc.year(t.column("l_shipdate")), pa.int64()),
+                "nation_rev_e4": pc.multiply(rev, is_target),
+                "total_rev_e4": rev,
+            }
+        )
+        return tt.group_by("l_year").aggregate(
+            [("nation_rev_e4", "sum"), ("total_rev_e4", "sum")]
+        )
+
+    parts = li.map_batches(share_partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("l_year", as_index=False).sum()
+    out = out.rename(
+        columns={
+            "nation_rev_e4_sum": "nation_rev_e4",
+            "total_rev_e4_sum": "total_rev_e4",
+        }
+    )
+    for c in ("nation_rev_e4", "total_rev_e4"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("l_year").reset_index(drop=True)
+
+
+def q_doc_deciles(sf_dir: str):
+    """Global NTILE: assign every document to a size decile over the whole
+    corpus ordering (n_chars, doc_id). The one all-to-all this class needs
+    is the range-partitioned sort; ranks come from the metadata-only
+    prefix-sum stamp (zip_with_index — O(#blocks) driver ints, no block
+    reads) and the NTILE bucket formula is one vectorized arithmetic pass
+    per block using the total row count the stamp already knows."""
+    import numpy as np
+
+    from ..stages.indexing import zip_with_index
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    ranked, n = zip_with_index(
+        docs, ["n_chars", "doc_id"], col="rank", with_count=True
+    )
+    k = 10
+    base, rem = divmod(n, k)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        r = t.column("rank").to_numpy()
+        cut = rem * (base + 1)
+        dec = np.where(r < cut, r // (base + 1), rem + (r - cut) // max(base, 1))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "decile": pa.array((dec + 1).astype(np.int64)),
+            }
+        )
+
+    out = ranked.map_batches(bucket, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_per_key_sample(sf_dir: str):
+    """Deterministic per-key sample: 5 documents per language, chosen by
+    multiplicative-hash order (the keyed reservoir-sampling surface, made
+    reproducible and partition-invariant). One hash(lang) shuffle; each
+    shard sorts its languages by (hash, doc_id) and keeps the first 5 per
+    key with one vectorized cumcount — no per-key Python."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    n_sh = cluster_shards()
+
+    def shard_sample(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        g = g.assign(h=h.astype(np.int64))
+        g = g.sort_values(["lang", "h", "doc_id"], kind="stable")
+        keep = g.groupby("lang", sort=False).cumcount() < 5
+        return g[keep][["doc_id", "lang"]]
+
+    out = (
+        docs.map_batches(lambda t: _add_shard(t, "lang", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_sample(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -2145,6 +2474,12 @@ QUERIES = {
     "running_total": q_running_total,
     "props_key_counts": q_props_key_counts,
     "brand_top_parts": q_brand_top_parts,
+    "top_supplier": q_top_supplier,
+    "late_sole_suppliers": q_late_sole_suppliers,
+    "priority_mix": q_priority_mix,
+    "market_share": q_market_share,
+    "doc_deciles": q_doc_deciles,
+    "per_key_sample": q_per_key_sample,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -2738,6 +3073,79 @@ ORACLE_SQL = {
                  dense_rank() OVER (PARTITION BY p_brand
                                     ORDER BY p_retailprice DESC)::BIGINT AS rnk
           FROM part) WHERE rnk <= 3
+    """,
+    "top_supplier": """
+        WITH revenue AS (
+          SELECT l_suppkey AS s_suppkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+                   AS total_revenue_e4
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue_e4
+        FROM revenue JOIN supplier USING (s_suppkey)
+        WHERE total_revenue_e4 = (SELECT max(total_revenue_e4) FROM revenue)
+        ORDER BY s_suppkey
+    """,
+    "late_sole_suppliers": """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey,
+                 CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        agg AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+                 max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+          FROM li GROUP BY l_orderkey)
+        SELECT late_supp AS s_suppkey, count(*)::BIGINT AS numwait
+        FROM agg WHERE n_supp >= 2 AND n_late = 1
+        GROUP BY late_supp
+        ORDER BY numwait DESC, s_suppkey
+        LIMIT 10
+    """,
+    "priority_mix": """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "market_share": """
+        SELECT year(l_shipdate)::BIGINT AS l_year,
+               sum(CASE WHEN n_name = 'NATION_3' THEN rev ELSE 0 END)::BIGINT
+                 AS nation_rev_e4,
+               sum(rev)::BIGINT AS total_rev_e4
+        FROM (
+          SELECT l_shipdate, s_nationkey,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01')
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "doc_deciles": """
+        SELECT doc_id,
+               ntile(10) OVER (ORDER BY n_chars, doc_id)::BIGINT AS decile
+        FROM documents ORDER BY doc_id
+    """,
+    "per_key_sample": """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296,
+                            doc_id) AS rn
+          FROM documents) WHERE rn <= 5
+        ORDER BY lang, doc_id
     """,
     "token_quantiles": f"""
         WITH tc AS (SELECT len({_TOKENS})::BIGINT AS n_tokens FROM documents)

@@ -122,6 +122,12 @@ def test_oracle_keys_subset(entrymod):
         "running_total",
         "props_key_counts",
         "brand_top_parts",
+        "top_supplier",
+        "late_sole_suppliers",
+        "priority_mix",
+        "market_share",
+        "doc_deciles",
+        "per_key_sample",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
