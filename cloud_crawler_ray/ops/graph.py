@@ -1,0 +1,355 @@
+"""Link-graph analytics over crawl output: edge extraction and PageRank.
+
+The reference crawler stops at extraction (its analogs — word_count.rb,
+count_listings.rb — are per-page folds); ranking the crawled link graph is a
+target-side addition, the canonical "iterative distributed op over crawl
+output" a web corpus pipeline needs (rank-weighted sampling, seed scoring,
+spam demotion).
+
+Scale design
+------------
+* Edges come straight off the raw fetch table's admitted ``child_urls``
+  (src = page canonical_url, dst = canonicalized child), flattened and
+  block-deduped map-side, then exactly deduped with one hash(src,dst)
+  shuffle — never collected on the driver.
+* Node ids are assigned once with the metadata-only prefix-sum stamp
+  (sorted distinct nodes → zip_with_index), and both edge endpoints convert
+  to int ids via size-gated keyed_attach joins. All iterations then run on
+  the int-id edge table (strings cross the wire exactly once).
+* Each power iteration is: per-edge contribution (rank[src]/outdeg[src])
+  → per-block partial sums by dst → combine. Below ``dense_cap`` nodes the
+  rank vector broadcasts as ONE float64 numpy array per iteration
+  (ray.put; memcpy-cheap) and the combine is a driver-side sparse add —
+  O(N) driver floats, fine up to ~50M nodes. Above the cap the ranks stay
+  a Dataset and each iteration is a keyed_attach join + hash-shard combine
+  (the 10^10-node path; ~3 executions/iteration). Tests force this path
+  with dense_cap=0.
+* Dangling mass (pages with no admitted out-links) redistributes uniformly
+  each iteration, so ranks always sum to 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..canon import canonical_urls
+from .dedup import _add_shard, cluster_shards, keyed_attach
+
+__all__ = ["link_edges", "pagerank"]
+
+
+def link_edges(raw: rd.Dataset) -> rd.Dataset:
+    """Distinct (src, dst) canonical-URL edges from a raw fetch table
+    (columns canonical_url, child_urls, fetched). Map-side flatten +
+    block dedup, then one hash shuffle for exact global dedup."""
+    import pyarrow.compute as pc
+
+    def flatten(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("fetched"))
+        kids = t.column("child_urls")
+        flat = pc.list_flatten(kids)
+        parents = pc.list_parent_indices(kids)
+        src = pc.take(t.column("canonical_url"), parents)
+        dst = pa.array(canonical_urls(flat.to_pylist()), pa.string())
+        tt = pa.table({"src": src, "dst": dst})
+        return tt.group_by(["src", "dst"]).aggregate([])  # block dedup
+
+    n_sh = cluster_shards()
+    edges = raw.map_batches(flatten, batch_format="pyarrow")
+
+    def shard_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["src", "dst"])[["src", "dst"]]
+
+    return (
+        edges.map_batches(
+            lambda t: _add_shard(
+                pa.table(
+                    {
+                        "key": pc.binary_join_element_wise(
+                            t.column("src"), t.column("dst"), "\x1f"
+                        ),
+                        "src": t.column("src"),
+                        "dst": t.column("dst"),
+                    }
+                ),
+                "key",
+                n_sh,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_dedup(g.drop(columns=["shard", "key"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def _rebase(mds: rd.MaterializedDataset) -> rd.Dataset:
+    """Re-root a materialized Dataset on its raw Arrow block refs, severing
+    plan lineage. Without this, every iteration's materialize() keeps the
+    whole chain of prior iterations alive (stats/plan recursion), and
+    per-iteration planning cost grows linearly — measured 1.2s → 6.1s per
+    iteration over 4 PageRank rounds before this fix. The ObjectRefs keep
+    the blocks alive; empty blocks are dropped (no schema)."""
+    refs = []
+    for b in mds.iter_internal_ref_bundles():
+        for r, m in zip(b.block_refs, b.metadata):
+            if m.num_rows:
+                refs.append(r)
+    return rd.from_arrow_refs(refs) if refs else mds
+
+
+def _node_ids(edges: rd.Dataset) -> tuple[rd.Dataset, int]:
+    """Distinct nodes (src ∪ dst) with deterministic dense int ids
+    (sorted-URL order via the metadata-only prefix stamp)."""
+    from ..stages.indexing import zip_with_index
+
+    n_sh = cluster_shards()
+    nodes = edges.map_batches(
+        lambda t: pa.table({"node": t.column("src")}), batch_format="pyarrow"
+    ).union(
+        edges.map_batches(
+            lambda t: pa.table({"node": t.column("dst")}), batch_format="pyarrow"
+        )
+    )
+    nodes = (
+        nodes.map_batches(
+            lambda t: _add_shard(
+                t.group_by("node").aggregate([]), "node", n_sh
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"]).drop_duplicates("node"),
+            batch_format="pandas",
+        )
+        # back to Arrow blocks: the metadata-only stamp appends to pa.Tables
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    return zip_with_index(nodes, ["node"], col="nid", with_count=True)
+
+
+def pagerank(
+    edges: rd.Dataset,
+    n_iter: int = 8,
+    d: float = 0.85,
+    dense_cap: int = 1_000_000,
+    join_broadcast_cap: int = 500_000,
+) -> rd.Dataset:
+    """PageRank over a (src, dst) edge Dataset; returns (node, rank).
+
+    Fixed ``n_iter`` power iterations with uniform dangling-mass
+    redistribution (ranks sum to 1 every iteration). See module docstring
+    for the two execution paths; ``dense_cap=0`` forces the at-scale
+    Dataset-join path (used by tests)."""
+    nodemap, n = _node_ids(edges)
+    if n == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "rank": pa.array([], pa.float64())})
+        )
+    nodemap = nodemap.materialize()
+
+    src_map = nodemap.map_batches(
+        lambda t: t.rename_columns(["src", "src_id"]), batch_format="pyarrow"
+    )
+    dst_map = nodemap.map_batches(
+        lambda t: t.rename_columns(["dst", "dst_id"]), batch_format="pyarrow"
+    )
+    e = keyed_attach(
+        edges, src_map, "src", ["src_id"], right_count=n,
+        broadcast_cap=max(join_broadcast_cap, 1),
+    )
+    e = keyed_attach(
+        e, dst_map, "dst", ["dst_id"], right_count=n,
+        broadcast_cap=max(join_broadcast_cap, 1),
+    )
+    e = _rebase(
+        e.map_batches(
+            lambda t: t.select(["src_id", "dst_id"]), batch_format="pyarrow"
+        ).materialize()
+    )
+
+    # out-degree per node id: per-block partials + driver/sparse combine
+    def deg_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {"src_id": t.column("src_id"), "c": pa.array(np.ones(len(t), np.int64))}
+        )
+        return tt.group_by("src_id").aggregate([("c", "sum")])
+
+    if n <= dense_cap:
+        degp = e.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+        deg = np.zeros(n, np.int64)
+        if len(degp):
+            dsum = degp.groupby("src_id")["c_sum"].sum()
+            deg[dsum.index.to_numpy()] = dsum.to_numpy()
+        rank = np.full(n, 1.0 / n)
+        base = (1.0 - d) / n
+        safe_deg = np.where(deg > 0, deg, 1)
+        for _ in range(n_iter):
+            dangling = float(rank[deg == 0].sum())
+            ref = ray.put((rank / safe_deg).astype(np.float64))
+
+            def contrib(t: pa.Table, ref=ref) -> pa.Table:
+                arr = ray.get(ref)
+                mass = arr[t.column("src_id").to_numpy()]
+                df = (
+                    pd.DataFrame(
+                        {"dst_id": t.column("dst_id").to_numpy(), "m": mass}
+                    )
+                    .groupby("dst_id", as_index=False)["m"]
+                    .sum()
+                )
+                return pa.table(
+                    {
+                        "dst_id": pa.array(df["dst_id"].to_numpy(), pa.int64()),
+                        "m": pa.array(df["m"].to_numpy(), pa.float64()),
+                    }
+                )
+
+            parts = e.map_batches(contrib, batch_format="pyarrow").to_pandas()
+            new = np.full(n, base + d * dangling / n)
+            if len(parts):
+                s = parts.groupby("dst_id")["m"].sum()
+                new[s.index.to_numpy()] += d * s.to_numpy()
+            rank = new
+        ranks_tbl = pa.table(
+            {"nid": pa.array(np.arange(n, dtype=np.int64)), "rank": pa.array(rank)}
+        )
+        out = keyed_attach(
+            nodemap, rd.from_arrow(ranks_tbl), "nid", ["rank"], right_count=n,
+            broadcast_cap=max(join_broadcast_cap, 1),
+        )
+        return out.map_batches(
+            lambda t: t.select(["node", "rank"]), batch_format="pyarrow"
+        )
+
+    # ---- at-scale path: ranks stay a Dataset, one join per iteration ----
+    n_sh = cluster_shards()
+
+    def shard_sum(col_key: str, col_val: str, out_val: str):
+        def _f(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby(col_key, as_index=False)[col_val].sum()
+            return out.rename(columns={col_val: out_val})
+
+        return _f
+
+    degs = (
+        e.map_batches(deg_partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "src_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_sum("src_id", "c_sum", "deg")(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+        .map_batches(lambda t: t.rename_columns(["nid", "deg"]), batch_format="pyarrow")
+    )
+    # full node vector with degree (0 for dangling)
+    ranks = keyed_attach(nodemap, degs, "nid", ["deg"], right_count=n, broadcast_cap=0)
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        deg = pc.fill_null(t.column("deg"), 0)
+        return pa.table(
+            {
+                "nid": t.column("nid"),
+                "deg": pc.cast(deg, pa.int64()),
+                "rank": pa.array(np.full(t.num_rows, 1.0 / n)),
+            }
+        )
+
+    ranks = _rebase(ranks.map_batches(init_rank, batch_format="pyarrow").materialize())
+    base = (1.0 - d) / n
+    for _ in range(n_iter):
+        import pyarrow.compute as pc
+
+        # dangling mass: one tiny scalar per block → driver add
+        dparts = ranks.map_batches(
+            lambda t: pa.table(
+                {
+                    "s": pa.array(
+                        [
+                            pc.sum(
+                                pc.if_else(
+                                    pc.equal(t.column("deg"), 0),
+                                    t.column("rank"),
+                                    pa.scalar(0.0),
+                                )
+                            ).as_py()
+                            or 0.0
+                        ],
+                        pa.float64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        dangling = float(dparts["s"].sum())
+        mass = ranks.map_batches(
+            lambda t: pa.table(
+                {
+                    "src_id": t.column("nid"),
+                    "m": pc.divide(
+                        t.column("rank"),
+                        pc.cast(
+                            pc.if_else(
+                                pc.greater(t.column("deg"), 0), t.column("deg"), 1
+                            ),
+                            pa.float64(),
+                        ),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        contribs = keyed_attach(e, mass, "src_id", ["m"], right_count=n, broadcast_cap=0)
+        sums = (
+            contribs.map_batches(
+                lambda t: pa.table(
+                    {"dst_id": t.column("dst_id"), "m": t.column("m")}
+                ).group_by("dst_id").aggregate([("m", "sum")]),
+                batch_format="pyarrow",
+            )
+            .map_batches(lambda t: _add_shard(t, "dst_id", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: shard_sum("dst_id", "m_sum", "s")(g.drop(columns=["shard"])),
+                batch_format="pandas",
+            )
+            .map_batches(lambda t: t.rename_columns(["nid", "s"]), batch_format="pyarrow")
+        )
+        joined = keyed_attach(
+            ranks.map_batches(
+                lambda t: t.select(["nid", "deg"]), batch_format="pyarrow"
+            ),
+            sums,
+            "nid",
+            ["s"],
+            right_count=n,
+            broadcast_cap=0,
+        )
+        add = base + d * dangling / n
+
+        def step(t: pa.Table, add=add) -> pa.Table:
+            s = pc.fill_null(t.column("s"), 0.0)
+            return pa.table(
+                {
+                    "nid": t.column("nid"),
+                    "deg": t.column("deg"),
+                    "rank": pc.add(pc.multiply(s, d), add),
+                }
+            )
+
+        ranks = _rebase(joined.map_batches(step, batch_format="pyarrow").materialize())
+    out = keyed_attach(
+        nodemap, ranks, "nid", ["rank"], right_count=n, broadcast_cap=0
+    )
+    return out.map_batches(
+        lambda t: t.select(["node", "rank"]), batch_format="pyarrow"
+    )

@@ -117,6 +117,22 @@ class CrawlHandle:
             )
         return read_table(os.path.join(self.out_dir, "raw"), columns=META_COLS)
 
+    def link_edges(self) -> rd.Dataset:
+        """Distinct (src, dst) canonical-URL edges of the crawled link graph
+        (admitted child links of fetched pages) — the PageRank/graph-ops
+        input (ops/graph.py)."""
+        from ..ops.graph import link_edges
+
+        if not self._raw_files():
+            return self._empty(
+                pa.schema([("src", pa.string()), ("dst", pa.string())])
+            )
+        raw = read_table(
+            os.path.join(self.out_dir, "raw"),
+            columns=["canonical_url", "child_urls", "fetched"],
+        )
+        return link_edges(raw)
+
     def doc_store(self) -> rd.Dataset:
         """JSON doc-store sink (BatchApiJob → RedisDocStore analog,
         batch_api_job.rb:33-104, redis_doc_store.rb:35-138): one

@@ -439,6 +439,26 @@ def q_span_stats(sf_dir: str):
     return span_kind_stats(crawl_handle_for(sf_dir).documents())
 
 
+def q_pagerank(sf_dir: str):
+    """PageRank over the flagship crawl's link graph (ops/graph.py): top-20
+    pages by rank. No SQL oracle (iterative float algorithm over
+    crawl-derived input); correctness pinned by tests/test_graph.py against
+    a dense numpy power iteration on both execution paths."""
+    from ..ops.graph import pagerank
+
+    edges = crawl_handle_for(sf_dir).link_edges()
+    ranks = pagerank(edges, n_iter=8)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["rank", "node"], ascending=[False, True], kind="stable"
+        ).head(20)
+
+    # per-block top-20 partials → driver head(20): never O(nodes) driver-side
+    parts = ranks.map_batches(topk, batch_format="pandas").to_pandas()
+    return topk(parts).reset_index(drop=True)
+
+
 def q_value_percent_rank(sf_dir: str):
     """Per-event percent_rank of value within its event type — the global
     rank-window class: one hash(type) shuffle, per-shard per-type sort by
@@ -2480,6 +2500,7 @@ QUERIES = {
     "market_share": q_market_share,
     "doc_deciles": q_doc_deciles,
     "per_key_sample": q_per_key_sample,
+    "pagerank": q_pagerank,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"

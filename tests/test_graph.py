@@ -1,0 +1,100 @@
+"""PageRank / link-graph ops: both execution paths pinned against a dense
+numpy power iteration with identical dangling handling, plus edge
+extraction from a raw fetch table."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from cloud_crawler_ray.ops.graph import link_edges, pagerank
+
+# src -> dst; node 3 dangling, node 2 the hub
+EDGES = [(0, 1), (0, 2), (1, 2), (2, 0), (2, 3), (4, 0), (5, 1)]
+N = 6
+
+
+def _names():
+    return {i: f"http://h.example.com/n{i}" for i in range(N)}
+
+
+def _edges_ds(repart: int = 3) -> rd.Dataset:
+    names = _names()
+    tbl = pa.table(
+        {
+            "src": [names[a] for a, b in EDGES],
+            "dst": [names[b] for a, b in EDGES],
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    return ds.repartition(repart) if repart > 1 else ds
+
+
+def _ref_pagerank(n_iter: int, d: float = 0.85) -> np.ndarray:
+    deg = np.zeros(N)
+    for a, _ in EDGES:
+        deg[a] += 1
+    r = np.full(N, 1 / N)
+    for _ in range(n_iter):
+        dangling = r[deg == 0].sum()
+        new = np.full(N, (1 - d) / N + d * dangling / N)
+        for a, b in EDGES:
+            new[b] += d * r[a] / deg[a]
+        r = new
+    return r
+
+
+def _got_vector(ds: rd.Dataset) -> np.ndarray:
+    names = _names()
+    got = ds.to_pandas()
+    m = dict(zip(got["node"], got["rank"]))
+    assert len(m) == N
+    return np.array([m[names[i]] for i in range(N)])
+
+
+@pytest.mark.parametrize("repart", [1, 3])
+def test_pagerank_dense_matches_numpy(ray_session, repart):
+    g = _got_vector(pagerank(_edges_ds(repart), n_iter=8))
+    exp = _ref_pagerank(8)
+    assert np.allclose(g, exp, atol=1e-12)
+    assert abs(g.sum() - 1.0) < 1e-9  # dangling mass redistributed
+
+
+def test_pagerank_join_path_matches_numpy(ray_session):
+    # dense_cap=0 forces the at-scale Dataset-join path (ranks never
+    # assemble on the driver); fewer iterations to bound test time
+    g = _got_vector(pagerank(_edges_ds(), n_iter=3, dense_cap=0))
+    exp = _ref_pagerank(3)
+    assert np.allclose(g, exp, atol=1e-12)
+    assert abs(g.sum() - 1.0) < 1e-9
+
+
+def test_link_edges_dedup_and_canonicalize(ray_session):
+    raw = pa.table(
+        {
+            "canonical_url": [
+                "http://a.example.com/",
+                "http://a.example.com/",  # duplicate fetch row (two waves)
+                "http://b.example.com/",
+            ],
+            "child_urls": [
+                ["http://a.example.com/x", "HTTPS://A.example.com/x"],
+                ["http://a.example.com/x"],
+                ["http://a.example.com/x#frag"],
+            ],
+            "fetched": [True, True, False],  # unfetched page emits no edges
+        }
+    )
+    edges = link_edges(rd.from_arrow(raw)).to_pandas()
+    pairs = set(zip(edges["src"], edges["dst"]))
+    # both children of a canonicalize to the same dst; dedup keeps one edge;
+    # the unfetched b row contributes nothing
+    assert pairs == {("http://a.example.com/", "http://a.example.com/x")}
+
+
+def test_pagerank_empty(ray_session):
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    )
+    assert pagerank(empty, n_iter=2).count() == 0
