@@ -2414,6 +2414,283 @@ def q_per_key_sample(sf_dir: str):
     return out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
 
 
+def q_winsorized_stats(sf_dir: str):
+    """Winsorized aggregate: clamp event values at the exact p10/p90
+    order statistics (PERCENTILE_DISC — a real element, no interpolation)
+    and report the clamped total plus how many rows were clipped each side.
+    Two passes: the threshold pass reuses the per-shard exact-quantile
+    selection (sort + rank pick inside hash shards), then one map pass
+    clamps integer cents and emits per-block partials — all int64, so the
+    result hash-matches SQL bit-for-bit."""
+    import numpy as np
+
+    from ..ops.textstats import value_quantiles_by
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["value"]
+    ).map_batches(
+        lambda t: t.append_column("k", pa.array(["all"] * t.num_rows)),
+        batch_format="pyarrow",
+    )
+    qdf = value_quantiles_by(ev, key="k", col="value", qs=(0.10, 0.90))
+    lo = float(qdf[qdf["q"] == 0.10]["value_q"].iloc[0])
+    hi = float(qdf[qdf["q"] == 0.90]["value_q"].iloc[0])
+    lo_c = int(np.round(lo * 100))
+    hi_c = int(np.round(hi * 100))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64())
+        arr = cents.to_numpy()
+        clipped = np.clip(arr, lo_c, hi_c)
+        return pa.table(
+            {
+                "total_cents": pa.array([int(clipped.sum())], pa.int64()),
+                "n_low": pa.array([int((arr < lo_c).sum())], pa.int64()),
+                "n_high": pa.array([int((arr > hi_c).sum())], pa.int64()),
+            }
+        )
+
+    ev2 = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+    parts = ev2.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {
+            "total_cents": [np.int64(parts["total_cents"].sum())],
+            "n_low": [np.int64(parts["n_low"].sum())],
+            "n_high": [np.int64(parts["n_high"].sum())],
+        }
+    )
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width histogram of event values (bin width 50): per-bin row
+    count and exact cent total. Pure per-block partials (bin key is
+    bounded) + tiny driver combine — the no-shuffle aggregate shape."""
+    import numpy as np
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.round(pc.multiply(t.column("value"), 100.0)), pa.int64()
+        ).to_numpy()
+        bins = np.floor_divide(cents, 5000)
+        df = (
+            pd.DataFrame({"bin": bins, "cnt": 1, "cents": cents})
+            .groupby("bin", as_index=False)
+            .sum()
+        )
+        return pa.table(
+            {
+                "bin": pa.array(df["bin"].to_numpy(), pa.int64()),
+                "cnt": pa.array(df["cnt"].to_numpy(), pa.int64()),
+                "cents": pa.array(df["cents"].to_numpy(), pa.int64()),
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("bin", as_index=False).sum()
+    for c in ("cnt", "cents"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("bin").reset_index(drop=True)
+
+
+def q_order_top_line(sf_dir: str):
+    """Per-key argmax: each order's highest-revenue line (ties → lowest
+    linenumber) — the argmax-join class. One hash(orderkey) shuffle; each
+    shard sorts (orderkey, -rev, linenumber) vectorized and keeps the first
+    row per key with a boundary mask — no per-order Python."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"],
+    )
+
+    def with_rev(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                "l_linenumber": pc.cast(t.column("l_linenumber"), pa.int32()),
+                "revenue_e4": _rev_e4(
+                    t, "l_extendedprice", "l_discount", complement=True
+                ),
+            }
+        )
+
+    n_sh = cluster_shards()
+
+    def shard_argmax(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["l_orderkey", "revenue_e4", "l_linenumber"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        keys = g["l_orderkey"].to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        if len(g):
+            first[0] = True
+            first[1:] = keys[1:] != keys[:-1]
+        return g[first]
+
+    out = (
+        li.map_batches(with_rev, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _add_shard(t, "l_orderkey", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_argmax(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out["l_linenumber"] = out["l_linenumber"].astype("int32")
+    return out.sort_values("l_orderkey").reset_index(drop=True)
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style document quality gate, kept integer-exact: per doc the
+    token count, total token characters, alphabetic-token count, and a kept
+    flag = token count in [5, 1000] AND mean word length in [2, 12] — the
+    mean compared by cross-multiplication (2·n ≤ chars ≤ 12·n), so no float
+    division exists on either side. Pure map-side (one pass, no shuffle)."""
+    import numpy as np
+    import re
+
+    docs = _docs(sf_dir)
+    alpha = re.compile(r"[a-z]+\Z")
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.lower().str.split()
+        n_tokens = toks.str.len().fillna(0).astype(np.int64)
+        total_chars = toks.map(
+            lambda ts: sum(len(t) for t in ts) if ts else 0
+        ).astype(np.int64)
+        n_alpha = toks.map(
+            lambda ts: sum(1 for t in ts if alpha.match(t)) if ts else 0
+        ).astype(np.int64)
+        kept = (
+            (n_tokens >= 5)
+            & (n_tokens <= 1000)
+            & (total_chars >= 2 * n_tokens)
+            & (total_chars <= 12 * n_tokens)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": n_tokens.to_numpy(),
+                "total_chars": total_chars.to_numpy(),
+                "n_alpha": n_alpha.to_numpy(),
+                "kept": kept.to_numpy(),
+            }
+        )
+
+    out = docs.map_batches(stats, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_revenue_moments(sf_dir: str):
+    """Distributed sufficient statistics (the regression/correlation
+    feeder): n, Σprice, Σdisc, Σprice·disc and Σprice² over lineitem, all
+    exact int64. The square accumulates in whole currency units
+    ((cents//100)² ≈ 1e10/row — Σ fits int64 to ~1e8 rows; cents² would
+    overflow at sf0.1 already). At 100 TB the squares would move to a
+    two-cell hi/lo accumulator; the partial+combine shape is unchanged.
+    One partial row per block; the driver adds five ints."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        price_c = pc.cast(
+            pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64()
+        ).to_numpy()
+        disc_c = pc.cast(
+            pc.round(pc.multiply(t.column("l_discount"), 100.0)), pa.int64()
+        ).to_numpy()
+        price_u = price_c // 100
+        return pa.table(
+            {
+                "n": pa.array([len(price_c)], pa.int64()),
+                "sum_price_c": pa.array([int(price_c.sum())], pa.int64()),
+                "sum_disc_c": pa.array([int(disc_c.sum())], pa.int64()),
+                "sum_price_disc": pa.array([int((price_c * disc_c).sum())], pa.int64()),
+                "sum_price_u_sq": pa.array([int((price_u * price_u).sum())], pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame(
+        {c: [np.int64(parts[c].sum())] for c in
+         ("n", "sum_price_c", "sum_disc_c", "sum_price_disc", "sum_price_u_sq")}
+    )
+
+
+def q_pricing_rollup(sf_dir: str):
+    """ROLLUP aggregate: revenue and row counts at three granularities —
+    (returnflag, linestatus), (returnflag, ALL), (ALL, ALL) — with 'ALL'
+    sentinels instead of SQL's NULL markers. Computed once at the finest
+    level (per-block partials, bounded combine); the coarser levels derive
+    from the finest ON THE DRIVER (≤ flags×statuses rows), never re-reading
+    the data — the rollup-as-post-aggregation shape."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "revenue_e4": _rev_e4(
+                    t, "l_extendedprice", "l_discount", complement=True
+                ),
+                "n_lines": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tt.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("revenue_e4", "sum"), ("n_lines", "sum")]
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    fine = parts.groupby(
+        ["l_returnflag", "l_linestatus"], as_index=False
+    )[["revenue_e4_sum", "n_lines_sum"]].sum()
+    fine = fine.rename(
+        columns={"revenue_e4_sum": "revenue_e4", "n_lines_sum": "n_lines"}
+    )
+    mid = fine.groupby("l_returnflag", as_index=False)[["revenue_e4", "n_lines"]].sum()
+    mid["l_linestatus"] = "ALL"
+    top = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "revenue_e4": [fine["revenue_e4"].sum()],
+            "n_lines": [fine["n_lines"].sum()],
+        }
+    )
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    for c in ("revenue_e4", "n_lines"):
+        out[c] = out[c].astype(np.int64)
+    return out[["l_returnflag", "l_linestatus", "revenue_e4", "n_lines"]].sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -2501,6 +2778,12 @@ QUERIES = {
     "doc_deciles": q_doc_deciles,
     "per_key_sample": q_per_key_sample,
     "pagerank": q_pagerank,
+    "winsorized_stats": q_winsorized_stats,
+    "value_histogram": q_value_histogram,
+    "order_top_line": q_order_top_line,
+    "gopher_rules": q_gopher_rules,
+    "revenue_moments": q_revenue_moments,
+    "pricing_rollup": q_pricing_rollup,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -3167,6 +3450,78 @@ ORACLE_SQL = {
                             doc_id) AS rn
           FROM documents) WHERE rn <= 5
         ORDER BY lang, doc_id
+    """,
+    "winsorized_stats": """
+        WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        th AS (SELECT quantile_disc(cents, 0.10) AS lo,
+                      quantile_disc(cents, 0.90) AS hi FROM c)
+        SELECT sum(CASE WHEN cents < lo THEN lo
+                        WHEN cents > hi THEN hi ELSE cents END)::BIGINT
+                 AS total_cents,
+               sum(CASE WHEN cents < lo THEN 1 ELSE 0 END)::BIGINT AS n_low,
+               sum(CASE WHEN cents > hi THEN 1 ELSE 0 END)::BIGINT AS n_high
+        FROM c, th
+    """,
+    "value_histogram": """
+        SELECT CAST(round(value * 100) AS BIGINT) // 5000 AS bin,
+               count(*)::BIGINT AS cnt,
+               sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS cents
+        FROM events GROUP BY bin ORDER BY bin
+    """,
+    "order_top_line": """
+        SELECT l_orderkey, l_linenumber, revenue_e4 FROM (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                   AS revenue_e4,
+                 row_number() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                              DESC,
+                            l_linenumber) AS rn
+          FROM lineitem) WHERE rn = 1
+        ORDER BY l_orderkey
+    """,
+    "gopher_rules": f"""
+        SELECT doc_id, n_tokens, total_chars, n_alpha,
+               (n_tokens >= 5 AND n_tokens <= 1000
+                AND total_chars >= 2 * n_tokens
+                AND total_chars <= 12 * n_tokens) AS kept
+        FROM (
+          SELECT doc_id,
+                 len(toks)::BIGINT AS n_tokens,
+                 coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::BIGINT
+                   AS total_chars,
+                 len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+')))::BIGINT
+                   AS n_alpha
+          FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents))
+        ORDER BY doc_id
+    """,
+    "revenue_moments": """
+        SELECT count(*)::BIGINT AS n,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+                 AS sum_price_c,
+               sum(CAST(round(l_discount * 100) AS BIGINT))::BIGINT
+                 AS sum_disc_c,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_discount * 100) AS BIGINT))::BIGINT
+                 AS sum_price_disc,
+               sum((CAST(round(l_extendedprice * 100) AS BIGINT) // 100)
+                   * (CAST(round(l_extendedprice * 100) AS BIGINT) // 100))::BIGINT
+                 AS sum_price_u_sq
+        FROM lineitem
+    """,
+    "pricing_rollup": """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+                 AS revenue_e4,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY 1, 2
     """,
     "token_quantiles": f"""
         WITH tc AS (SELECT len({_TOKENS})::BIGINT AS n_tokens FROM documents)

@@ -128,6 +128,12 @@ def test_oracle_keys_subset(entrymod):
         "market_share",
         "doc_deciles",
         "per_key_sample",
+        "winsorized_stats",
+        "value_histogram",
+        "order_top_line",
+        "gopher_rules",
+        "revenue_moments",
+        "pricing_rollup",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
