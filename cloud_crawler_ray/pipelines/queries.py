@@ -2691,6 +2691,55 @@ def q_pricing_rollup(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Continual-ingestion dedup: admit incoming documents whose normalized
+    fingerprint is new — not in the existing corpus (deterministic 70%
+    hash-split stands in for it) and first among the incoming batch itself.
+    One hash(fp) shuffle co-locates each fingerprint's old and new rows in
+    one shard; the shard drops news that collide with olds and keeps the
+    lowest-doc_id new per fp. The existing side never leaves its shards —
+    at 100 TB the 'old' fingerprints are the persisted seen-set partitions,
+    exactly the crawl engine's sharded-state pattern applied to content."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+    from ..ops.textstats import fingerprints
+
+    split = int(0.7 * 2**32)
+    fps = fingerprints(_docs(sf_dir)).select_columns(["doc_id", "fp"])
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "fp": df["fp"].to_numpy(),
+                "is_old": (h < split),
+            }
+        )
+
+    n_sh = cluster_shards()
+
+    def shard_admit(g: pd.DataFrame) -> pd.DataFrame:
+        old_fps = set(g.loc[g["is_old"], "fp"])
+        new = g[~g["is_old"]].sort_values("doc_id", kind="stable")
+        new = new[~new["fp"].isin(old_fps)]
+        new = new.drop_duplicates("fp", keep="first")
+        return new[["doc_id"]]
+
+    out = (
+        fps.map_batches(mark, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "fp", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_admit(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -2784,6 +2833,7 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "revenue_moments": q_revenue_moments,
     "pricing_rollup": q_pricing_rollup,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -3511,6 +3561,22 @@ ORACLE_SQL = {
                    * (CAST(round(l_extendedprice * 100) AS BIGINT) // 100))::BIGINT
                  AS sum_price_u_sq
         FROM lineitem
+    """,
+    "incremental_dedup": f"""
+        WITH f AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+                 CAST(doc_id AS HUGEINT) * 2654435761 % 4294967296
+                   < {int(0.7 * 2**32)} AS is_old
+          FROM documents),
+        old AS (SELECT DISTINCT fp FROM f WHERE is_old),
+        new AS (SELECT doc_id, fp FROM f WHERE NOT is_old)
+        SELECT doc_id FROM (
+          SELECT doc_id, fp,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM new) n
+        WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM old WHERE old.fp = n.fp)
+        ORDER BY doc_id
     """,
     "pricing_rollup": """
         SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

@@ -134,6 +134,7 @@ def test_oracle_keys_subset(entrymod):
         "gopher_rules",
         "revenue_moments",
         "pricing_rollup",
+        "incremental_dedup",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):

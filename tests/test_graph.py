@@ -54,17 +54,27 @@ def _got_vector(ds: rd.Dataset) -> np.ndarray:
 
 
 @pytest.mark.parametrize("repart", [1, 3])
-def test_pagerank_dense_matches_numpy(ray_session, repart):
+def test_pagerank_driver_path_matches_numpy(ray_session, repart):
+    # default size gates → the collect-once driver path at this size
     g = _got_vector(pagerank(_edges_ds(repart), n_iter=8))
     exp = _ref_pagerank(8)
     assert np.allclose(g, exp, atol=1e-12)
     assert abs(g.sum() - 1.0) < 1e-9  # dangling mass redistributed
 
 
+def test_pagerank_dense_broadcast_path_matches_numpy(ray_session):
+    # driver_cap=0 forces the per-iteration rank-broadcast path
+    g = _got_vector(pagerank(_edges_ds(), n_iter=8, driver_cap=0))
+    exp = _ref_pagerank(8)
+    assert np.allclose(g, exp, atol=1e-12)
+    assert abs(g.sum() - 1.0) < 1e-9
+
+
 def test_pagerank_join_path_matches_numpy(ray_session):
-    # dense_cap=0 forces the at-scale Dataset-join path (ranks never
-    # assemble on the driver); fewer iterations to bound test time
-    g = _got_vector(pagerank(_edges_ds(), n_iter=3, dense_cap=0))
+    # dense_cap=0 + driver_cap=0 force the at-scale Dataset-join path
+    # (ranks never assemble on the driver); fewer iterations to bound
+    # test time
+    g = _got_vector(pagerank(_edges_ds(), n_iter=3, dense_cap=0, driver_cap=0))
     exp = _ref_pagerank(3)
     assert np.allclose(g, exp, atol=1e-12)
     assert abs(g.sum() - 1.0) < 1e-9
