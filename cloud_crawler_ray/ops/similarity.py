@@ -143,3 +143,99 @@ def knn_ivf(
     out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
     pdf = out.to_pandas().sort_values(["query_id", "rank"])
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def kmeans(
+    emb: rd.Dataset,
+    k: int = 8,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, rd.Dataset]:
+    """Distributed Lloyd's k-means over the full embedding Dataset (the
+    corpus-clustering op a mixture-balancing pipeline needs; the driver-side
+    sample variant above, ``kmeans_fit``, serves only knn_ivf's coarse
+    quantizer). Returns (centers [k×dim], assignments Dataset (id, cluster)).
+
+    Shape: seeding draws a deterministic hash-min sample (≤4096 rows, one
+    pass — the knn_ivf coarse-quantizer pattern) and runs greedy
+    farthest-point selection on it driver-side (first seed = min-hash row,
+    then repeatedly the sample point maximizing min-distance to the chosen
+    seeds, ties to the lowest id — no RNG state, and unlike raw hash-min it
+    cannot drop two seeds into one dense blob). Each Lloyd iteration
+    broadcasts the k×dim center matrix once (ray.put) and every block emits
+    k partial rows (count, vector sum per cluster) from one argmin +
+    np.add.at pass — no shuffle anywhere, driver combines k×#blocks rows
+    and holds O(k·dim) floats. Empty clusters keep their previous center.
+    Assignment pass reuses the final centers map-side."""
+    emb = emb.materialize()
+    sample_cap = max(k, 4096)
+
+    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        take = np.argsort(h, kind="stable")[:sample_cap]
+        return pd.DataFrame(
+            {
+                "h": h[take].astype(np.int64),
+                id_col: df[id_col].to_numpy()[take],
+                vec_col: df[vec_col].to_numpy()[take],
+            }
+        )
+
+    samp = emb.map_batches(seed_partial, batch_format="pandas").to_pandas()
+    samp = samp.sort_values(["h", id_col], kind="stable").head(sample_cap)
+    S = np.stack(samp[vec_col].to_numpy()).astype(np.float64)
+    k_eff = min(k, len(S))
+    chosen = [0]  # min-hash row (samp is hash-sorted)
+    mind = ((S - S[0]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        nxt = int(np.argmax(mind))  # ties → lowest position = lowest (h, id)
+        chosen.append(nxt)
+        mind = np.minimum(mind, ((S - S[nxt]) ** 2).sum(axis=1))
+    centers = S[chosen].copy()
+
+    def part_sums(df: pd.DataFrame, ref) -> pd.DataFrame:
+        cent = ray.get(ref)
+        M = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        # argmin ||x-c||² = argmax x·c − ||c||²/2 — one matmul per block
+        scores = M @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        assign = np.argmax(scores, axis=1)
+        sums = np.zeros((k_eff, M.shape[1]))
+        np.add.at(sums, assign, M)
+        counts = np.bincount(assign, minlength=k_eff).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "cluster": np.arange(k_eff, dtype=np.int64),
+                "n": counts,
+                "vsum": list(sums),
+            }
+        )
+
+    for _ in range(n_iter):
+        ref = ray.put(centers)
+        parts = emb.map_batches(
+            lambda df, ref=ref: part_sums(df, ref), batch_format="pandas"
+        ).to_pandas()
+        counts = np.zeros(k_eff, np.int64)
+        sums = np.zeros_like(centers)
+        for c, grp in parts.groupby("cluster"):
+            counts[c] = grp["n"].sum()
+            sums[c] = np.add.reduce(np.stack(grp["vsum"].to_numpy()), axis=0)
+        nonempty = counts > 0
+        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    final_ref = ray.put(centers)
+
+    def assign_block(df: pd.DataFrame) -> pd.DataFrame:
+        cent = ray.get(final_ref)
+        M = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        scores = M @ cent.T - 0.5 * (cent * cent).sum(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "cluster": np.argmax(scores, axis=1).astype(np.int64),
+            }
+        )
+
+    return centers, emb.map_batches(assign_block, batch_format="pandas")

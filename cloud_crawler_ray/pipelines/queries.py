@@ -459,6 +459,32 @@ def q_pagerank(sf_dir: str):
     return topk(parts).reset_index(drop=True)
 
 
+def q_embedding_clusters(sf_dir: str):
+    """Corpus clustering: distributed Lloyd's k-means over the embeddings
+    table (k=10, deterministic hash-min seeding), reported as per-cluster
+    sizes. No SQL oracle (iterative float algorithm); pinned by planted-blob
+    purity + partition-invariance pytests (tests/test_ops.py)."""
+    import numpy as np
+
+    from ..ops.similarity import kmeans
+
+    _, assign = kmeans(_emb(sf_dir), k=10, n_iter=10)
+
+    def sizes(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["cluster"].value_counts()
+        return pd.DataFrame(
+            {
+                "cluster": vc.index.to_numpy().astype(np.int64),
+                "n_vecs": vc.to_numpy().astype(np.int64),
+            }
+        )
+
+    parts = assign.map_batches(sizes, batch_format="pandas").to_pandas()
+    out = parts.groupby("cluster", as_index=False)["n_vecs"].sum()
+    out["n_vecs"] = out["n_vecs"].astype(np.int64)
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 def q_value_percent_rank(sf_dir: str):
     """Per-event percent_rank of value within its event type — the global
     rank-window class: one hash(type) shuffle, per-shard per-type sort by
@@ -2834,6 +2860,7 @@ QUERIES = {
     "revenue_moments": q_revenue_moments,
     "pricing_rollup": q_pricing_rollup,
     "incremental_dedup": q_incremental_dedup,
+    "embedding_clusters": q_embedding_clusters,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"

@@ -904,3 +904,65 @@ def test_lm_sentinel_token_does_not_corrupt_totals(ray_session):
     lm = train_bigram_lm(docs, vocab_cap=10, bigram_cap=10)
     assert lm.n_tokens == 4
     assert sorted(lm.vocab.tolist()) == ["\x01total", "foo"]
+
+
+def _blob_ds(n_per=40, dim=8, repart=3, seed=11):
+    import ray.data as rd
+
+    rng = np.random.default_rng(seed)
+    centers = np.array(
+        [[10.0] * dim, [-10.0] * dim, [10.0] * (dim // 2) + [-10.0] * (dim - dim // 2)]
+    )
+    rows = []
+    truth = {}
+    vid = 0
+    for c in range(3):
+        for _ in range(n_per):
+            v = centers[c] + rng.normal(0, 0.5, dim)
+            rows.append({"vec_id": vid, "embedding": v.astype(np.float32)})
+            truth[vid] = c
+            vid += 1
+    return rd.from_items(rows).repartition(repart), truth
+
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    from cloud_crawler_ray.ops.similarity import kmeans
+
+    ds, truth = _blob_ds()
+    centers, assign = kmeans(ds, k=3, n_iter=10)
+    df = assign.to_pandas()
+    # perfect purity: each predicted cluster maps to exactly one true blob
+    df["truth"] = df["vec_id"].map(truth)
+    purity = df.groupby("cluster")["truth"].nunique()
+    assert (purity == 1).all()
+    assert df["cluster"].nunique() == 3
+    # centers sit on the blob means (within the 0.5-sigma noise envelope)
+    assert centers.shape == (3, 8)
+
+
+def test_kmeans_partition_invariant(ray_session):
+    from cloud_crawler_ray.ops.similarity import kmeans
+
+    a, _ = _blob_ds(repart=1)
+    b, _ = _blob_ds(repart=5)
+    _, ass_a = kmeans(a, k=3, n_iter=5)
+    _, ass_b = kmeans(b, k=3, n_iter=5)
+    da = ass_a.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    db = ass_b.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    # well-separated blobs: identical assignments under any partitioning
+    assert da["cluster"].tolist() == db["cluster"].tolist()
+
+
+def test_kmeans_more_clusters_than_points(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.similarity import kmeans
+
+    rows = [
+        {"vec_id": i, "embedding": np.array([float(i % 2)] * 4, np.float32)}
+        for i in range(4)
+    ]
+    centers, assign = kmeans(rd.from_items(rows), k=6, n_iter=3)
+    df = assign.to_pandas()
+    assert len(df) == 4
+    assert len(centers) == 4  # seeding capped at the row count
