@@ -97,3 +97,72 @@ def hll_distinct_tokens(ds: rd.Dataset, p: int = 12) -> pd.DataFrame:
     return pd.DataFrame(
         {"estimate": [hll_estimate(reg)], "registers": [m], "p": [p]}
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan, "An improved data stream
+# summary: the count-min sketch and its applications", J. Algorithms 2005).
+# The at-scale heavy-hitter shape: each block collapses to a fixed d×w int64
+# grid, grids merge by elementwise ADD (associative + commutative), point
+# queries take the min over d rows and only ever OVER-estimate, by at most
+# εN with ε=e/w at confidence 1−(1/e)^d. The driver holds d·w ints no matter
+# the corpus size; exact sharded top-k (vocab_topk) is the oracle twin.
+# ---------------------------------------------------------------------------
+
+_CMS_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5)
+
+
+def _cms_hash(values: np.ndarray, seed: int, w: int) -> np.ndarray:
+    """Row of column indices for one seed: pandas' vectorized siphash with a
+    per-row odd multiplier (Knuth-style) — deterministic across workers."""
+    h = pd.util.hash_array(np.asarray(values, dtype=object))
+    return ((h * np.uint64(seed | 1)) >> np.uint64(32)).astype(np.int64) % w
+
+
+def cms_partial(values: np.ndarray, d: int = 4, w: int = 2048) -> np.ndarray:
+    """d×w count grid for one batch of values."""
+    grid = np.zeros((d, w), dtype=np.int64)
+    if len(values) == 0:
+        return grid
+    for r in range(d):
+        idx = _cms_hash(values, _CMS_SEEDS[r], w)
+        np.add.at(grid[r], idx, 1)
+    return grid
+
+
+def cms_query(grid: np.ndarray, values: np.ndarray) -> np.ndarray:
+    """Point-estimate counts (min over rows) — never under the true count."""
+    d, w = grid.shape
+    est = np.full(len(values), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(d):
+        idx = _cms_hash(values, _CMS_SEEDS[r], w)
+        est = np.minimum(est, grid[r][idx])
+    return est
+
+
+def cms_token_counts(ds: rd.Dataset, d: int = 4, w: int = 2048) -> np.ndarray:
+    """Merged Count-Min grid over a documents Dataset's tokens. One grid row
+    per block → bounded combine (grids ADD) → driver merges a handful of
+    d·w·8-byte rows, never one per input block."""
+    from .textstats import tokenize
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        grid = cms_partial(tokenize(batch["text"]).to_numpy(), d, w)
+        return pd.DataFrame({"grid": [grid.tobytes()]})
+
+    def combine(batch: pd.DataFrame) -> pd.DataFrame:
+        total = np.zeros((d, w), dtype=np.int64)
+        for b in batch["grid"]:
+            total += np.frombuffer(b, dtype=np.int64).reshape(d, w)
+        return pd.DataFrame({"grid": [total.tobytes()]})
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .repartition(8)
+        .map_batches(combine, batch_format="pandas", batch_size=1 << 30)
+        .to_pandas()
+    )
+    total = np.zeros((d, w), dtype=np.int64)
+    for b in parts["grid"]:
+        total += np.frombuffer(b, dtype=np.int64).reshape(d, w)
+    return total

@@ -485,6 +485,26 @@ def q_embedding_clusters(sf_dir: str):
     return out.sort_values("cluster").reset_index(drop=True)
 
 
+def q_cms_heavy_hitters(sf_dir: str):
+    """Heavy hitters via a mergeable Count-Min sketch: the exact top-20
+    tokens (sharded totals) annotated with the CMS point estimate — at
+    100 TB the sketch replaces the exact pass entirely (driver holds d·w
+    ints). No SQL oracle (sketch estimates aren't SQL-expressible);
+    overestimate-only + ε-bound + merge-equals-whole pinned in
+    tests/test_sketches.py."""
+    import numpy as np
+
+    from ..ops.sketches import cms_query, cms_token_counts
+    from ..ops.textstats import vocab_topk
+
+    docs = _docs(sf_dir)
+    top = vocab_topk(docs, k=20).reset_index(drop=True)
+    grid = cms_token_counts(docs)
+    est = cms_query(grid, top["token"].to_numpy())
+    top["cms_count"] = est.astype(np.int64)
+    return top
+
+
 def q_value_percent_rank(sf_dir: str):
     """Per-event percent_rank of value within its event type — the global
     rank-window class: one hash(type) shuffle, per-shard per-type sort by
@@ -2861,6 +2881,7 @@ QUERIES = {
     "pricing_rollup": q_pricing_rollup,
     "incremental_dedup": q_incremental_dedup,
     "embedding_clusters": q_embedding_clusters,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"

@@ -86,3 +86,38 @@ def test_token_ops_empty_corpus(ray_session):
     assert len(vocab_topk(empty)) == 0
     assert len(token_count_quantiles(empty)) == 0
     assert len(consistent_sample(empty, k=10)) == 0
+
+
+def test_cms_overestimates_and_bounds(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.sketches import cms_query, cms_token_counts
+
+    # corpus with known exact counts: token_i appears i*10 times
+    rows = []
+    for i in range(1, 21):
+        for r in range(i * 10):
+            rows.append({"doc_id": i * 1000 + r, "text": f"tok{i}"})
+    ds = rd.from_items(rows).repartition(5)
+    grid = cms_token_counts(ds, d=4, w=2048)
+    toks = np.array([f"tok{i}" for i in range(1, 21)], dtype=object)
+    est = cms_query(grid, toks)
+    exact = np.array([i * 10 for i in range(1, 21)])
+    n_total = exact.sum()
+    assert (est >= exact).all()  # CMS never under-counts
+    # ε = e/w bound at 1-(1/e)^d confidence; generous at this size
+    assert (est - exact <= max(1, int(np.e / 2048 * n_total)) * 4).all()
+    assert grid.sum() == n_total * 4  # every token lands once per row
+
+
+def test_cms_merge_equals_whole(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.sketches import cms_partial, cms_token_counts
+
+    rows_a = [{"doc_id": i, "text": "alpha beta"} for i in range(30)]
+    rows_b = [{"doc_id": 100 + i, "text": "beta gamma"} for i in range(40)]
+    g_a = cms_token_counts(rd.from_items(rows_a), d=4, w=256)
+    g_b = cms_token_counts(rd.from_items(rows_b), d=4, w=256)
+    g_all = cms_token_counts(rd.from_items(rows_a + rows_b), d=4, w=256)
+    assert (g_a + g_b == g_all).all()  # grids merge by elementwise add
