@@ -166,3 +166,77 @@ def cms_token_counts(ds: rd.Dataset, d: int = 4, w: int = 2048) -> np.ndarray:
     for b in parts["grid"]:
         total += np.frombuffer(b, dtype=np.int64).reshape(d, w)
     return total
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch: a deterministic uniform row sample — keep the m
+# rows with the smallest id-hash (hash priorities are uniform, so the
+# surviving rows are a uniform sample; hashing the ROW ID, not the value,
+# keeps duplicate values fairly represented). Bottom-k is EXACTLY mergeable
+# (bottom-k of a union = bottom-k of the concatenated bottom-k's), so
+# re-execution or any partitioning yields the identical sketch. Quantile
+# estimates read the sample's order statistics; rank error is O(1/sqrt(m)).
+# The exact order-statistic ops (value_quantiles_by, token_quantiles) are
+# the oracle twins; this is the one-pass 100-TB path with a fixed-size
+# driver footprint.
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch_partial(
+    ids: np.ndarray, values: np.ndarray, m: int
+) -> pd.DataFrame:
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+    take = np.argsort(h, kind="stable")[:m]
+    n = np.zeros(len(take), np.int64)
+    if len(n):
+        n[0] = len(values)  # block row count rides once, in the first row
+    return pd.DataFrame(
+        {
+            "h": h[take].astype(np.int64),
+            "v": values[take].astype(np.float64),
+            "n": n,
+        }
+    )
+
+
+def quantile_sketch_merge(parts: pd.DataFrame, m: int) -> tuple[pd.DataFrame, int]:
+    """(bottom-m sample, total row count) from stacked partials."""
+    total = int(parts["n"].sum())
+    samp = parts.sort_values(["h", "v"], kind="stable").head(m)
+    return samp[["h", "v"]], total
+
+
+def quantile_sketch_estimate(sample: pd.DataFrame, qs: tuple[float, ...]) -> list[float]:
+    """PERCENTILE_DISC over the sample: rank ceil(q*n), 1-based."""
+    import math
+
+    v = np.sort(sample["v"].to_numpy())
+    out = []
+    for q in qs:
+        r = max(1, math.ceil(q * len(v)))
+        out.append(float(v[r - 1]))
+    return out
+
+
+def quantile_sketch(
+    ds: rd.Dataset,
+    id_col: str,
+    value_col: str,
+    m: int = 4096,
+    qs: tuple[float, ...] = (0.1, 0.5, 0.9),
+) -> pd.DataFrame:
+    """One-pass approximate quantiles: per-block bottom-m partials (the
+    block's row count rides in the first sample row) → driver merge of
+    #blocks × m rows → order-statistic read. Returns (q, value_est, n)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return quantile_sketch_partial(
+            df[id_col].to_numpy(), df[value_col].to_numpy(), m
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"q": list(qs), "value_est": np.nan, "n": 0})
+    samp, total = quantile_sketch_merge(parts, m)
+    est = quantile_sketch_estimate(samp, qs)
+    return pd.DataFrame({"q": list(qs), "value_est": est, "n": total})

@@ -505,6 +505,22 @@ def q_cms_heavy_hitters(sf_dir: str):
     return top
 
 
+def q_value_quantile_sketch(sf_dir: str):
+    """One-pass approximate quantiles of event value via the mergeable
+    bottom-k sketch (ops/sketches.py) — the fixed-driver-footprint 100-TB
+    path whose exact twin is `value_quantiles`. No SQL oracle (sampling
+    estimate); accuracy and exact mergeability pinned in
+    tests/test_sketches.py."""
+    from ..ops.sketches import quantile_sketch
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    return quantile_sketch(
+        ev, "event_id", "value", m=4096, qs=(0.1, 0.25, 0.5, 0.75, 0.9)
+    )
+
+
 def q_value_percent_rank(sf_dir: str):
     """Per-event percent_rank of value within its event type — the global
     rank-window class: one hash(type) shuffle, per-shard per-type sort by
@@ -2882,6 +2898,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "embedding_clusters": q_embedding_clusters,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "value_quantile_sketch": q_value_quantile_sketch,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"

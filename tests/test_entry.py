@@ -153,7 +153,7 @@ def test_sql_checked_query(entrymod, con, name):
      "crawl_documents", "crawl_pages", "crawl_order", "media_features",
      "hll_distinct", "minhash_keep_best", "span_stats",
      "media_captions", "interleave_pack", "lm_score", "pagerank",
-     "embedding_clusters", "cms_heavy_hitters"],
+     "embedding_clusters", "cms_heavy_hitters", "value_quantile_sketch"],
 )
 def test_rows_only_query(entrymod, name):
     df = to_df(entrymod.queries()[name](SF_SMALL))

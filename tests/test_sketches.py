@@ -121,3 +121,41 @@ def test_cms_merge_equals_whole(ray_session):
     g_b = cms_token_counts(rd.from_items(rows_b), d=4, w=256)
     g_all = cms_token_counts(rd.from_items(rows_a + rows_b), d=4, w=256)
     assert (g_a + g_b == g_all).all()  # grids merge by elementwise add
+
+
+def test_quantile_sketch_accuracy_and_invariance(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.sketches import quantile_sketch
+
+    # 50k rows, skewed values (quadratic) — exact quantiles known
+    n = 50_000
+    vals = (np.arange(n, dtype=np.float64) ** 2) / n
+    rows = [{"event_id": i, "value": float(vals[i])} for i in range(n)]
+    for repart in (4, 17):
+        ds = rd.from_items(rows).repartition(repart)
+        out = quantile_sketch(ds, "event_id", "value", m=4096, qs=(0.1, 0.5, 0.9))
+        assert int(out["n"].iloc[0]) == n
+        for q, est in zip(out["q"], out["value_est"]):
+            # rank error ~ O(1/sqrt(m)); allow 3/sqrt(m) of rank drift
+            exact_rank = q * n
+            est_rank = np.searchsorted(np.sort(vals), est)
+            assert abs(est_rank - exact_rank) <= 3 / np.sqrt(4096) * n, (q, est)
+
+
+def test_quantile_sketch_merge_is_exact_bottom_k(ray_session):
+    from cloud_crawler_ray.ops.sketches import (
+        quantile_sketch_merge,
+        quantile_sketch_partial,
+    )
+
+    ids = np.arange(10_000)
+    vals = np.linspace(0, 1, 10_000)
+    whole = quantile_sketch_partial(ids, vals, 512)
+    a = quantile_sketch_partial(ids[:6000], vals[:6000], 512)
+    b = quantile_sketch_partial(ids[6000:], vals[6000:], 512)
+    merged, total = quantile_sketch_merge(pd.concat([a, b]), 512)
+    assert total == 10_000
+    # bottom-k mergeability: merged sample == whole-input sample
+    assert merged["h"].tolist() == whole["h"].tolist()[:512]
+    assert merged["v"].tolist() == whole["v"].tolist()[:512]
