@@ -2802,6 +2802,147 @@ def q_incremental_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_rolling_sum(sf_dir: str):
+    """Per-user 3-row moving sum (ROWS BETWEEN 2 PRECEDING AND CURRENT) —
+    the bounded-frame window class: hash(user) shuffle, per-shard sort by
+    (user, ts, event_id), then the frame sum from two shifted adds masked
+    at key boundaries (no per-key Python). Integer cents, so every running
+    value hash-matches SQL bit-for-bit."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    n_sh = cluster_shards()
+
+    def shard_roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        users = g["user_id"].to_numpy()
+        out = cents.copy()
+        prev = np.zeros_like(cents)
+        prev[1:] = np.where(users[1:] == users[:-1], cents[:-1], 0)
+        out += prev
+        prev2 = np.zeros_like(cents)
+        prev2[2:] = np.where(users[2:] == users[:-2], cents[:-2], 0)
+        out += prev2
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": users,
+                "w3_cents": out,
+            }
+        )
+
+    out = (
+        ev.map_batches(
+            lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_roll(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_repeat_customers(sf_dir: str):
+    """Set intersection (INTERSECT): customers who ordered in both 1996 and
+    1997. Two filter-pushed scans collapse to distinct (custkey, year-tag)
+    pairs per block; one hash(custkey) shuffle and each shard keeps keys
+    holding both tags — set ops as tagged-union + sharded membership, never
+    a driver-side set."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    def year_keys(y: int, tag: int) -> rd.Dataset:
+        return rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"),
+            columns=["o_custkey"],
+            filter=(
+                (pc.field("o_orderdate") >= datetime.datetime(y, 1, 1))
+                & (pc.field("o_orderdate") < datetime.datetime(y + 1, 1, 1))
+            ),
+        ).map_batches(
+            lambda t, tag=tag: pa.table(
+                {
+                    "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                    "tag": pa.array(np.full(t.num_rows, tag, np.int8)),
+                }
+            ).group_by(["c_custkey", "tag"]).aggregate([]),
+            batch_format="pyarrow",
+        )
+
+    both = year_keys(1996, 0).union(year_keys(1997, 1))
+    n_sh = cluster_shards()
+
+    def shard_intersect(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["c_custkey", "tag"])
+        per = d.groupby("c_custkey")["tag"].nunique()
+        keys = per.index[per == 2].to_numpy().astype(np.int64)
+        return pd.DataFrame({"c_custkey": keys})
+
+    out = (
+        both.map_batches(
+            lambda t: _add_shard(t, "c_custkey", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_intersect(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_monthly_orders(sf_dir: str):
+    """Calendar bucketing: order count + exact cent totals per (year,
+    month) — the date_trunc aggregate class (calendar months aren't
+    fixed-width, so this is extraction, not division). Per-block partials
+    over the bounded (year, month) key, tiny driver combine."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "y": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+                "m": pc.cast(pc.month(t.column("o_orderdate")), pa.int64()),
+                "n_orders": pa.array(np.ones(t.num_rows, np.int64)),
+                "total_cents": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+        return tt.group_by(["y", "m"]).aggregate(
+            [("n_orders", "sum"), ("total_cents", "sum")]
+        )
+
+    parts = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["y", "m"], as_index=False).sum()
+    out = out.rename(
+        columns={"n_orders_sum": "n_orders", "total_cents_sum": "total_cents"}
+    )
+    for c in ("n_orders", "total_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["y", "m"]).reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -2899,6 +3040,9 @@ QUERIES = {
     "embedding_clusters": q_embedding_clusters,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "value_quantile_sketch": q_value_quantile_sketch,
+    "rolling_sum": q_rolling_sum,
+    "repeat_customers": q_repeat_customers,
+    "monthly_orders": q_monthly_orders,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -3642,6 +3786,31 @@ ORACLE_SQL = {
           FROM new) n
         WHERE rn = 1 AND NOT EXISTS (SELECT 1 FROM old WHERE old.fp = n.fp)
         ORDER BY doc_id
+    """,
+    "rolling_sum": """
+        SELECT event_id, user_id,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT AS w3_cents
+        FROM events ORDER BY event_id
+    """,
+    "repeat_customers": """
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        ORDER BY 1
+    """,
+    "monthly_orders": """
+        SELECT year(o_orderdate)::BIGINT AS y,
+               month(o_orderdate)::BIGINT AS m,
+               count(*)::BIGINT AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                 AS total_cents
+        FROM orders GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "pricing_rollup": """
         SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,

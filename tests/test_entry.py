@@ -135,6 +135,9 @@ def test_oracle_keys_subset(entrymod):
         "revenue_moments",
         "pricing_rollup",
         "incremental_dedup",
+        "rolling_sum",
+        "repeat_customers",
+        "monthly_orders",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
