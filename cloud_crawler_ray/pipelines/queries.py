@@ -521,6 +521,53 @@ def q_value_quantile_sketch(sf_dir: str):
     )
 
 
+def q_crawl_host_stats(sf_dir: str):
+    """Per-host crawl telemetry over the flagship crawl's pages table:
+    pages, failures, exact virtual-clock fetch-time totals — the
+    operational dashboard surface (which hosts are slow/failing). Bounded
+    per-block partials over the host key, tiny driver combine. No SQL
+    oracle (crawl-derived input); pages-table semantics are oracle-pinned
+    by the engine parity tests."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..canon import host_of
+
+    pages = crawl_handle_for(sf_dir).pages()
+
+    def partial(t: pa.Table) -> pa.Table:
+        hosts = pa.array(
+            [host_of(u) for u in t.column("canonical_url").to_pylist()],
+            pa.string(),
+        )
+        tt = pa.table(
+            {
+                "host": hosts,
+                "n_pages": pa.array(np.ones(t.num_rows, np.int64)),
+                "n_failed": pc.cast(
+                    pc.invert(t.column("fetched")), pa.int64()
+                ),
+                "fetch_ms": pc.cast(t.column("fetch_time_ms"), pa.int64()),
+            }
+        )
+        return tt.group_by("host").aggregate(
+            [("n_pages", "sum"), ("n_failed", "sum"), ("fetch_ms", "sum")]
+        )
+
+    parts = pages.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("host", as_index=False).sum()
+    out = out.rename(
+        columns={
+            "n_pages_sum": "n_pages",
+            "n_failed_sum": "n_failed",
+            "fetch_ms_sum": "fetch_ms",
+        }
+    )
+    for c in ("n_pages", "n_failed", "fetch_ms"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("host").reset_index(drop=True)
+
+
 def q_value_percent_rank(sf_dir: str):
     """Per-event percent_rank of value within its event type — the global
     rank-window class: one hash(type) shuffle, per-shard per-type sort by
@@ -3043,6 +3090,7 @@ QUERIES = {
     "rolling_sum": q_rolling_sum,
     "repeat_customers": q_repeat_customers,
     "monthly_orders": q_monthly_orders,
+    "crawl_host_stats": q_crawl_host_stats,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"

@@ -156,7 +156,8 @@ def test_sql_checked_query(entrymod, con, name):
      "crawl_documents", "crawl_pages", "crawl_order", "media_features",
      "hll_distinct", "minhash_keep_best", "span_stats",
      "media_captions", "interleave_pack", "lm_score", "pagerank",
-     "embedding_clusters", "cms_heavy_hitters", "value_quantile_sketch"],
+     "embedding_clusters", "cms_heavy_hitters", "value_quantile_sketch",
+     "crawl_host_stats"],
 )
 def test_rows_only_query(entrymod, name):
     df = to_df(entrymod.queries()[name](SF_SMALL))
