@@ -37,6 +37,14 @@ def tumbling_counts(
         return g.rename_columns([key_col, "window_start", "partial"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if partials.empty:  # zero-block input: typed empty result
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=object),
+                "window_start": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+            }
+        )
     out = partials.groupby([key_col, "window_start"], as_index=False)["partial"].sum()
     return out.rename(columns={"partial": "cnt"})
 
@@ -177,6 +185,15 @@ def tumbling_sum(
         return g.rename_columns([key_col, "window_start", "psum", "pcnt"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=object),
+                "window_start": pd.Series(dtype="int64"),
+                "vsum": pd.Series(dtype="float64"),
+                "cnt": pd.Series(dtype="int64"),
+            }
+        )
     out = partials.groupby([key_col, "window_start"], as_index=False).agg(
         vsum=("psum", "sum"), cnt=("pcnt", "sum")
     )
@@ -211,6 +228,14 @@ def hopping_counts(
         return g.rename_columns([key_col, "window_start", "partial"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            {
+                key_col: pd.Series(dtype=object),
+                "window_start": pd.Series(dtype="int64"),
+                "cnt": pd.Series(dtype="int64"),
+            }
+        )
     out = partials.groupby([key_col, "window_start"], as_index=False)["partial"].sum()
     return out.rename(columns={"partial": "cnt"})
 

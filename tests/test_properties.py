@@ -1,0 +1,172 @@
+"""Property-based tests (hypothesis): the distributed ops against
+pure-python/pandas references on randomly generated inputs. These
+complement the DuckDB-oracle parity tests — the oracle fixes ONE dataset
+per scale factor; these search the input space (duplicate keys, ties,
+empty groups, single-row streams, boundary timestamps)."""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import ray.data as rd
+
+SLOW = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# event streams: few users, timestamps inside a few hours, duplicate
+# timestamps allowed (tie-handling is the interesting part)
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),       # user/type id
+        st.integers(min_value=0, max_value=12_000),  # seconds offset
+        st.integers(min_value=-500, max_value=500),  # value (scaled cents)
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+def _events_ds(rows):
+    base = 1_600_000_000_000_000  # epoch µs
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+            "event_type": pa.array([f"t{u}" for u, _, _ in rows], pa.string()),
+            "ts": pa.array(
+                [base + s * 1_000_000 for _, s, _ in rows], pa.timestamp("us")
+            ),
+            "value": pa.array([c / 100.0 for _, _, c in rows], pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    return ds.repartition(3) if len(rows) > 3 else ds
+
+
+@settings(**SLOW)
+@given(events_strategy)
+def test_tumbling_counts_matches_reference(ray_session, rows):
+    from cloud_crawler_ray.ops.windows import tumbling_counts
+
+    got = tumbling_counts(_events_ds(rows), window_s=600)
+    ref = collections.Counter()
+    base_s = 1_600_000_000
+    for u, s, _ in rows:
+        w = ((base_s + s) // 600) * 600
+        ref[(f"t{u}", w)] += 1
+    got_map = {
+        (r.event_type, int(r.window_start)): int(r.cnt)
+        for r in got.itertuples()
+    }
+    assert got_map == dict(ref)
+
+
+@settings(**SLOW)
+@given(events_strategy)
+def test_session_windows_matches_reference(ray_session, rows):
+    from cloud_crawler_ray.ops.windows import session_windows
+
+    gap = 900
+    got = session_windows(_events_ds(rows), gap_s=gap).to_pandas()
+    # reference: per user, sort ts, split where gap > gap_s
+    ref = []
+    byu = collections.defaultdict(list)
+    base = 1_600_000_000
+    for u, s, _ in rows:
+        byu[u].append(base + s)
+    for u, ts in byu.items():
+        ts.sort()
+        start = prev = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - prev > gap:
+                ref.append((u, start, prev, n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        ref.append((u, start, prev, n))
+    got_set = {
+        (int(r.user_id), int(r.session_start), int(r.session_end), int(r.n_events))
+        for r in got.itertuples()
+    }
+    assert got_set == set(ref)
+
+
+texts_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=12), min_size=0, max_size=40
+)
+
+
+@settings(**SLOW)
+@given(texts_strategy)
+def test_exact_dedup_keeps_lowest_id_per_fingerprint(ray_session, texts):
+    from cloud_crawler_ray.functions import text as T
+    from cloud_crawler_ray.ops.dedup import exact_dedup
+
+    items = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    if not items:
+        return
+    ds = rd.from_items(items).repartition(3)
+    got = sorted(exact_dedup(ds).to_pandas()["doc_id"].tolist())
+    first = {}
+    for i, t in enumerate(texts):
+        fp = T.fingerprint(t)
+        first.setdefault(fp, i)
+    assert got == sorted(first.values())
+
+
+@settings(**SLOW)
+@given(events_strategy)
+def test_rolling_and_running_windows_match_pandas(ray_session, rows):
+    """The inline window queries (rolling_sum, running_total) against
+    pandas' own window machinery, through a real parquet round-trip."""
+    import pathlib
+    import pyarrow.parquet as pq
+
+    from cloud_crawler_ray.pipelines.queries import q_rolling_sum, q_running_total
+
+    if not rows:
+        return
+    d = pathlib.Path("/tmp/ccray_hyp_sf")
+    d.mkdir(exist_ok=True)
+    base = 1_600_000_000_000_000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "user_id": np.array([u for u, _, _ in rows], dtype=np.int64),
+            "ts": pd.to_datetime(
+                [base + s * 1_000_000 for _, s, _ in rows], unit="us"
+            ),
+            "value": np.array([c / 100.0 for _, _, c in rows]),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(df), str(d / "events.parquet"))
+
+    ref = df.copy()
+    ref["cents"] = np.round(ref["value"].to_numpy() * 100).astype(np.int64)
+    ref = ref.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    ref["cum"] = ref.groupby("user_id")["cents"].cumsum()
+    ref["w3"] = (
+        ref.groupby("user_id")["cents"]
+        .rolling(3, min_periods=1)
+        .sum()
+        .reset_index(level=0, drop=True)
+        .astype(np.int64)
+    )
+    ref = ref.sort_values("event_id")
+
+    got_run = q_running_total(str(d))
+    assert got_run["cum_cents"].tolist() == ref["cum"].tolist()
+    got_roll = q_rolling_sum(str(d))
+    assert got_roll["w3_cents"].tolist() == ref["w3"].tolist()
