@@ -98,6 +98,16 @@ def keyed_attach(
     union-with-tag → shard by crc(key) → per-shard pandas merge. Neither
     path materializes the corpus on the driver. Tests force the join path
     via broadcast_cap=0."""
+    if left.schema() is None:  # fully empty left: nothing to attach to
+        return left
+    if right.schema() is None:  # fully empty right: left-join semantics —
+        # every left row keeps, payload all-null (types unknowable)
+        def _all_null(t: pa.Table) -> pa.Table:
+            for c in payload_cols:
+                t = t.append_column(c, pa.nulls(t.num_rows, pa.null()))
+            return t
+
+        return left.map_batches(_all_null, batch_format="pyarrow")
     if right_count is not None and right_count <= broadcast_cap:
         return _broadcast_attach(left, right, key, payload_cols)
     if n_shards is None:

@@ -41,7 +41,19 @@ def range_join_count(
     search sweep per key inside each shard (no per-key cross product — the
     count is searchsorted(hi) - searchsorted(lo) on the key's sorted right
     points). Output: (out_id, n_events)."""
-    ls = dict(zip(left.schema().names, left.schema().types))
+    _ls, _rs = left.schema(), right.schema()
+    if _ls is None:  # a fully empty Dataset reports schema None — the
+        # inner-join result is empty and left types are unknowable
+        return rd.from_arrow(
+            pa.schema([(out_id, pa.null()), ("n_events", pa.int64())]).empty_table()
+        )
+    ls = dict(zip(_ls.names, _ls.types))
+    if _rs is None:
+        return rd.from_arrow(
+            pa.schema(
+                [(out_id, ls[out_id]), ("n_events", pa.int64())]
+            ).empty_table()
+        )
 
     def tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
@@ -138,7 +150,17 @@ def asof_join(
     # harmonize schemas for the union: each side gets the other's columns
     # as typed nulls
     ls, rs = left.schema(), right.schema()
+    if ls is None:  # fully empty left: inner result empty, left types unknowable
+        return rd.from_arrow(pa.schema([]).empty_table())
     lt = dict(zip(ls.names, ls.types))
+    if rs is None:  # fully empty right: typed empty result (asof col takes
+        # the left ts type; payload types unknowable → null)
+        out_schema = pa.schema(
+            [(c, lt[c]) for c in lcols]
+            + [(f"asof_{right_ts}", lt[left_ts])]
+            + [(c, pa.null()) for c in right_payload]
+        )
+        return rd.from_arrow(out_schema.empty_table())
     rt = dict(zip(rs.names, rs.types))
     lonly = [c for c in ls.names if c not in rt]
     ronly = [c for c in rs.names if c not in lt]

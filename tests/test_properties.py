@@ -170,3 +170,116 @@ def test_rolling_and_running_windows_match_pandas(ray_session, rows):
     assert got_run["cum_cents"].tolist() == ref["cum"].tolist()
     got_roll = q_rolling_sum(str(d))
     assert got_roll["w3_cents"].tolist() == ref["w3"].tolist()
+
+
+joined_strategy = st.tuples(
+    # left: (key, ts, id) — duplicate (key, ts) pairs likely
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    # right: (key, ts, payload)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=-99, max_value=99),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+)
+
+
+@settings(**SLOW)
+@given(joined_strategy)
+def test_asof_join_matches_pandas_merge_asof(ray_session, data):
+    from cloud_crawler_ray.ops.joins import asof_join
+
+    lrows, rrows = data
+    # unique right (key, ts): merge_asof picks the LAST among equal ts;
+    # dedup keeps semantics comparable without modeling tie order
+    seen = {}
+    for k, t, p in rrows:
+        seen[(k, t)] = p
+    rrows = [(k, t, p) for (k, t), p in seen.items()]
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "key": pa.array([k for k, _ in lrows], pa.int64()),
+                "lts": pa.array([t for _, t in lrows], pa.int64()),
+                "lid": pa.array(range(len(lrows)), pa.int64()),
+            }
+        )
+    ).repartition(3)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "key": pa.array([k for k, _, _ in rrows], pa.int64()),
+                "rts": pa.array([t for _, t, _ in rrows], pa.int64()),
+                "payload": pa.array([p for _, _, p in rrows], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    raw = asof_join(left, right, "key", "lts", "rts", ["payload"]).to_pandas()
+
+    # reference: per left row, the right row with max rts <= lts (same key)
+    ref = []
+    for i, (k, t) in enumerate(lrows):
+        cand = [(rt, p) for rk, rt, p in rrows if rk == k and rt <= t]
+        if cand:
+            rt, p = max(cand)
+            ref.append((i, rt, p))
+    if not ref:
+        assert len(raw) == 0
+        return
+    got = raw.sort_values("lid").reset_index(drop=True)
+    assert got["lid"].tolist() == [i for i, _, _ in ref]
+    assert got["asof_rts"].tolist() == [rt for _, rt, _ in ref]
+    assert got["payload"].tolist() == [p for _, _, p in ref]
+
+
+@settings(**SLOW)
+@given(joined_strategy, st.sampled_from([0, 500_000]))
+def test_keyed_attach_matches_pandas_merge(ray_session, data, cap):
+    """Both keyed_attach paths (broadcast cap 500k → broadcast; cap 0 →
+    sharded shuffle join) against a pandas left merge. Right side unique
+    per key (the op's contract)."""
+    from cloud_crawler_ray.ops.dedup import keyed_attach
+
+    lrows, rrows = data
+    rmap = {}
+    for k, _, p in rrows:
+        rmap.setdefault(k, p)
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "key": pa.array([k for k, _ in lrows], pa.int64()),
+                "lid": pa.array(range(len(lrows)), pa.int64()),
+            }
+        )
+    ).repartition(3)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "key": pa.array(list(rmap), pa.int64()),
+                "payload": pa.array(list(rmap.values()), pa.int64()),
+            }
+        )
+    )
+    got = (
+        keyed_attach(left, right, "key", ["payload"],
+                     right_count=len(rmap), broadcast_cap=cap)
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = [rmap.get(k) for k, _ in lrows]
+    got_payload = [None if pd.isna(v) else int(v) for v in got["payload"]]
+    assert got["lid"].tolist() == list(range(len(lrows)))
+    assert got_payload == exp
