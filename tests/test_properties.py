@@ -283,3 +283,68 @@ def test_keyed_attach_matches_pandas_merge(ray_session, data, cap):
     got_payload = [None if pd.isna(v) else int(v) for v in got["payload"]]
     assert got["lid"].tolist() == list(range(len(lrows)))
     assert got_payload == exp
+
+
+@settings(**SLOW)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=-50, max_value=50), st.integers(min_value=0, max_value=9)),
+        min_size=1, max_size=50,
+    )
+)
+def test_zip_with_index_matches_argsort(ray_session, rows):
+    """The global-sequence primitive behind seq_assign and the wave planner:
+    stamped ranks must equal the stable argsort of the sort keys, under any
+    partitioning (ties broken by the secondary key, which we make unique)."""
+    from cloud_crawler_ray.stages.indexing import zip_with_index
+
+    tbl = pa.table(
+        {
+            "k": pa.array([k for k, _ in rows], pa.int64()),
+            "uid": pa.array(range(len(rows)), pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    out, n = zip_with_index(ds, ["k", "uid"], col="seq", with_count=True)
+    got = out.to_pandas().sort_values("uid").reset_index(drop=True)
+    assert n == len(rows)
+    order = sorted(range(len(rows)), key=lambda i: (rows[i][0], i))
+    exp_seq = [0] * len(rows)
+    for rank, i in enumerate(order):
+        exp_seq[i] = rank
+    assert got["seq"].tolist() == exp_seq
+
+
+@settings(**SLOW)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=64),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_value_quantiles_by_is_exact_order_statistic(ray_session, rows):
+    """PERCENTILE_DISC per key on arbitrary doubles: the selected value must
+    be EXACTLY the rank-ceil(q*n) element of the key's sorted values."""
+    import math
+
+    from cloud_crawler_ray.ops.textstats import value_quantiles_by
+
+    tbl = pa.table(
+        {
+            "key": pa.array([k for k, _ in rows], pa.int64()),
+            "v": pa.array([v for _, v in rows], pa.float64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(3)
+    got = value_quantiles_by(ds, key="key", col="v", qs=(0.25, 0.5, 0.9))
+    byk = collections.defaultdict(list)
+    for k, v in rows:
+        byk[k].append(v)
+    for r in got.itertuples():
+        vals = sorted(byk[r.key])
+        rank = max(1, math.ceil(r.q * len(vals)))
+        assert r.v_q == vals[rank - 1], (r.key, r.q)
