@@ -85,3 +85,12 @@ def test_prepare_training_data_example(ray_session):
     assert res["scored"] == res["documents"]
     assert res["captions"] > 0
     assert res["sequences"] > 0
+
+
+def test_rank_hosts_example(ray_session):
+    from examples.rank_hosts import main
+
+    df = main("/tmp/ccray_test_rankhosts")
+    assert len(df) >= 2  # multiple hosts ranked
+    assert abs(df["total_rank"].sum() - 1.0) < 1e-6  # ranks are a distribution
+    assert (df["total_rank"].to_numpy()[:-1] >= df["total_rank"].to_numpy()[1:]).all()
