@@ -2990,6 +2990,55 @@ def q_monthly_orders(sf_dir: str):
     return out.sort_values(["y", "m"]).reset_index(drop=True)
 
 
+def q_user_type_pivot(sf_dir: str):
+    """PIVOT: per-user event counts spread into one column per event type
+    (fixed, known column set — the wide-feature-table shape a trainer
+    consumes). Per-block (user, type) partials → one hash(user) shuffle →
+    per-shard vectorized unstack; output one row per user."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "event_type": t.column("event_type"),
+                "c": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tt.group_by(["user_id", "event_type"]).aggregate([("c", "sum")])
+
+    n_sh = cluster_shards()
+
+    def shard_pivot(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "event_type"])["c_sum"].sum().unstack(
+            fill_value=0
+        )
+        out = pd.DataFrame({"user_id": agg.index.to_numpy().astype(np.int64)})
+        for ty in types:
+            col = agg[ty] if ty in agg.columns else 0
+            out[f"n_{ty}"] = np.asarray(col, dtype=np.int64) if ty in agg.columns else np.zeros(len(agg), np.int64)
+        return out
+
+    out = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_pivot(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -3091,6 +3140,7 @@ QUERIES = {
     "repeat_customers": q_repeat_customers,
     "monthly_orders": q_monthly_orders,
     "crawl_host_stats": q_crawl_host_stats,
+    "user_type_pivot": q_user_type_pivot,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -3851,6 +3901,15 @@ ORACLE_SQL = {
         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
         ORDER BY 1
+    """,
+    "user_type_pivot": """
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT AS n_click,
+               sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT AS n_view,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+               sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+               sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END)::BIGINT AS n_error
+        FROM events GROUP BY user_id ORDER BY user_id
     """,
     "monthly_orders": """
         SELECT year(o_orderdate)::BIGINT AS y,

@@ -138,6 +138,7 @@ def test_oracle_keys_subset(entrymod):
         "rolling_sum",
         "repeat_customers",
         "monthly_orders",
+        "user_type_pivot",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
