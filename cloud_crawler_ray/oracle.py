@@ -303,6 +303,7 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
     committed_hdrs: dict[str, str] = {}
     delay_ms = int(spec.delay * 1000)
     clocks: dict[str, int] = {}
+    sched: dict[str, int] = {}  # per-host scheduled counts (crawl budget)
     next_seq = 0
 
     from .pipelines.crawl import fire_hook
@@ -340,6 +341,20 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
             admitted.sort(
                 key=lambda j: (-int(spec.priority_fn(j)), j["parent_seq"], j["ordinal"])
             )
+        # per-host crawl budget (max_pages_per_host): keep each host's first
+        # remaining-budget jobs in processing order; drops are not
+        # seen-marked and not spilled. Counts increment only for jobs RUN
+        # (post job_limit), so a spilled job re-competes next wave — the
+        # engine's commit-time add_sched semantics exactly.
+        if spec.max_pages_per_host is not None:
+            kept: list[dict] = []
+            taken: dict[str, int] = {}
+            for j in admitted:
+                h = host_of(j["url"])
+                if sched.get(h, 0) + taken.get(h, 0) < spec.max_pages_per_host:
+                    taken[h] = taken.get(h, 0) + 1
+                    kept.append(j)
+            admitted = kept
         if spec.job_limit is not None:
             jobs, rest = admitted[: spec.job_limit], admitted[spec.job_limit :]
         else:
@@ -371,6 +386,7 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
             )
             total_latency = sum(p.clock_ms for p in chain)
             clocks[host] = t + total_latency
+            sched[host] = sched.get(host, 0) + 1
             res.fetch_log.append((host, t, j["url"]))
             wave_marks.add(canonical_url(j["url"]))
 

@@ -364,6 +364,19 @@ def _plan_wave_local(
         sort_keys = [("parent_seq", "ascending"), ("ordinal", "ascending")]
     order = pc.sort_indices(cand, sort_keys=sort_keys)
     cand = cand.take(order)
+    # per-host crawl budget: keep each host's first remaining-budget rows in
+    # processing order; dropped rows are neither spilled nor seen-marked
+    if spec.max_pages_per_host is not None and cand.num_rows:
+        from ..stages.politeness import budget_filter_block
+
+        uniq_hosts = list(dict.fromkeys(cand.column("host").to_pylist()))
+        cand = budget_filter_block(
+            cand, state.get_sched(uniq_hosts), spec.max_pages_per_host
+        )
+        if cand.num_rows == 0:
+            return cand.drop_columns(
+                ["prio"] if "prio" in cand.column_names else []
+            ), spill
     # job_limit throttle: cap the wave, spill the (post-dedup, still-sorted)
     # remainder for the next wave's pool (batch_job.rb:229-241)
     if spec.job_limit is not None and cand.num_rows > spec.job_limit:
@@ -387,6 +400,13 @@ def _plan_wave_local(
     cand = slot_block(cand, clocks, chain_idx, delay_ms)
     cand = cand.append_column("wave", pa.array([wave] * n, pa.int32()))
     return cand, spill
+
+
+def _merge_sched(prev: dict, delta: dict) -> dict:
+    out = {h: int(n) for h, n in prev.items()}
+    for h, n in delta.items():
+        out[h] = out.get(h, 0) + int(n)
+    return out
 
 
 def _committed_waves(out_dir: str) -> list[dict]:
@@ -663,6 +683,9 @@ def _crawl_inner(
                 AddSeen(state.shards), batch_format="pyarrow", batch_size=4096
             ).count()
         state.advance_clocks({h: int(t) for h, t in last["clocks"].items()})
+        sched_prev = last.get("sched", {})
+        if sched_prev:
+            state.add_sched({h: int(n) for h, n in sched_prev.items()})
     if resume:
         # drop any partial (uncommitted) wave outputs before recompute —
         # unconditionally: a crash before the FIRST lineage marker still
@@ -773,6 +796,14 @@ def _crawl_inner(
                 sort_cols = ["neg_prio", "parent_seq", "ordinal"]
             else:
                 sort_cols = ["parent_seq", "ordinal"]
+            if spec.max_pages_per_host is not None:
+                # per-host budget gate BEFORE seq assignment (survivors get
+                # dense seqs); all of a host's rows meet in one shard
+                from ..stages.politeness import enforce_host_budget
+
+                f = enforce_host_budget(
+                    f, state, spec.max_pages_per_host, sort_cols
+                )
             f, n_jobs = zip_with_index(
                 f, sort_cols, col="seq", base=next_seq, with_count=True
             )
@@ -896,10 +927,12 @@ def _crawl_inner(
                 )
                 state.add(delta)
             updates: dict[str, int] = {}
+            sched_updates: dict[str, int] = {}
             for h, e in zip(
                 fm_tbl.column("host").to_pylist(), fm_tbl.column("job_end_ms").to_pylist()
             ):
                 updates[h] = max(updates.get(h, 0), int(e))
+                sched_updates[h] = sched_updates.get(h, 0) + 1
         else:
             # the seen delta (if any) was committed inside the fetch execution
             # above; only the clock advance remains — two small columns of the
@@ -914,8 +947,15 @@ def _crawl_inner(
                 }
             )
             updates = {h: int(v) for h, v in edf.groupby("host")["end"].max().items()}
+            sched_updates = {
+                h: int(v) for h, v in edf.groupby("host")["end"].size().items()
+            }
         _prof(f"w{wave} seen_commit")
         state.advance_clocks(updates)
+        if spec.max_pages_per_host is not None:
+            # commit the wave's per-host scheduled counts (mark-after-commit,
+            # like the clocks — an uncommitted wave replans identically)
+            state.add_sched(sched_updates)
         next_seq += n_jobs
         total_jobs += n_jobs
         # commit the wave's Set-Cookie responses in deterministic
@@ -991,6 +1031,12 @@ def _crawl_inner(
                     for h, t in (committed[-1]["clocks"].items() if committed else [])
                     if h not in updates
                 },
+                # cumulative per-host scheduled counts (additive, unlike the
+                # max-merged clocks) — the budget restore source on resume
+                "sched": _merge_sched(
+                    committed[-1].get("sched", {}) if committed else {},
+                    sched_updates if spec.max_pages_per_host is not None else {},
+                ),
             },
         )
         committed.append(read_json(os.path.join(out_dir, "lineage", f"wave={wave:05d}.json")))

@@ -50,6 +50,16 @@ class CrawlSpec:
     # preserves the uncapped per-URL seq order because candidate priority
     # (parent_seq, ordinal) is monotone across waves).
     job_limit: int | None = None
+    # Per-host crawl budget (target-side addition; no reference analog —
+    # qless had per-queue throttles, not per-host caps): at most this many
+    # pages are ever SCHEDULED per host across the whole crawl. Enforced at
+    # wave-plan time after dedup/seen admission, in processing order
+    # (priority-first when priority_fn is set), so the budget keeps each
+    # host's top-priority jobs. Dropped candidates are not seen-marked and
+    # not spilled (a later rediscovery re-competes against the same budget).
+    # Counts commit with the wave (mark-after-commit, like the clocks), so
+    # resume never over- or under-schedules a host.
+    max_pages_per_host: int | None = None
     # Optional frontier priority (the north-rule "priority queue" surface):
     # a callable over the candidate row dict {url, referer, depth,
     # parent_seq, ordinal} returning an int; each wave's admitted jobs are

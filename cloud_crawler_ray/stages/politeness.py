@@ -144,6 +144,71 @@ def slot_block(
     return tbl
 
 
+def budget_filter_block(
+    tbl: pa.Table, sched: dict[str, int], budget: int
+) -> pa.Table:
+    """Vectorized per-host budget gate over one table whose rows are already
+    in processing order: keep row i of host h iff sched[h] + (h's rows so
+    far in this table) < budget. Shared by the driver-side planner and the
+    distributed shard filter below so budget semantics cannot drift."""
+    import pandas as pd
+
+    hosts = tbl.column("host").to_pylist()
+    hs = pd.Series(hosts)
+    within = hs.groupby(hs, sort=False).cumcount().to_numpy()
+    base = hs.map(lambda h: sched.get(h, 0)).to_numpy(dtype=np.int64)
+    return tbl.filter(pa.array(base + within < budget))
+
+
+class ShardBudgetFilter:
+    """map_groups callable for groupby(host-hash shard): every row of a host
+    lands in one shard, so the per-host cumcount is exact. One batched
+    scheduled-count RPC per shard per wave (ShardedState.get_sched), never
+    one per host — the assign_slots pattern applied to the budget gate."""
+
+    def __init__(self, state, budget: int, sort_cols: list[str]):
+        self.state = state
+        self.budget = budget
+        self.sort_cols = sort_cols
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_bshard"])
+        order = pa.compute.sort_indices(
+            group, sort_keys=[(c, "ascending") for c in self.sort_cols]
+        )
+        group = group.take(order)
+        uniq_hosts = list(dict.fromkeys(group.column("host").to_pylist()))
+        sched = self.state.get_sched(uniq_hosts)
+        return budget_filter_block(group, sched, self.budget)
+
+
+def enforce_host_budget(
+    ds: rd.Dataset, state, budget: int, sort_cols: list[str],
+    n_shards: int | None = None,
+) -> rd.Dataset:
+    """Distributed per-host budget gate (max_pages_per_host): hash-shard by
+    host, per-shard sort in processing order + vectorized cumcount against
+    the committed scheduled counts. Runs between the seen filter and seq
+    assignment so the surviving wave gets dense sequence numbers."""
+    from ..state.shards import shards_of
+    from .frontier_ops import _cluster_shards
+
+    if n_shards is None:
+        n_shards = _cluster_shards(_SLOT_SHARDS)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = shards_of(t.column("host").to_pylist(), n_shards)
+        return t.append_column("_bshard", pa.array(sh, pa.int64()))
+
+    filt = ShardBudgetFilter(state, budget, sort_cols)
+
+    def apply(group: pa.Table) -> pa.Table:
+        return filt(group)
+
+    ds = ds.map_batches(add_shard, batch_format="pyarrow")
+    return ds.groupby("_bshard").map_groups(apply, batch_format="pyarrow")
+
+
 # Host-hash shard floor for the slot-assignment shuffle: fine at any host
 # cardinality (the per-group map_groups overhead is paid per shard, not per
 # host — batch_job.rb:178-183's per-host serialization is preserved because

@@ -71,6 +71,9 @@ class StateShard:
         self.seen: set[str] = set()
         self.bloom = BloomFilter(n_bits=bloom_bits)
         self.clocks: dict[str, int] = {}
+        # per-host scheduled-page counts (max_pages_per_host budget); same
+        # partitioning and commit discipline as the clocks
+        self.sched: dict[str, int] = {}
 
     # ---- membership (the Redis bloom analog) ----
     def check(self, keys: list[str]) -> list[bool]:
@@ -110,10 +113,23 @@ class StateShard:
     def get_clocks(self, hosts: list[str]) -> dict[str, int]:
         return {h: self.clocks.get(h, 0) for h in hosts}
 
+    # ---- per-host crawl budget (scheduled-page counts) ----
+    def add_sched(self, updates: dict[str, int]) -> None:
+        for host, n in updates.items():
+            self.sched[host] = self.sched.get(host, 0) + int(n)
+
+    def get_sched(self, hosts: list[str]) -> dict[str, int]:
+        return {h: self.sched.get(h, 0) for h in hosts}
+
     # ---- checkpoint ----
     def snapshot(self) -> bytes:
         return pickle.dumps(
-            {"shard_id": self.shard_id, "seen": self.seen, "clocks": self.clocks},
+            {
+                "shard_id": self.shard_id,
+                "seen": self.seen,
+                "clocks": self.clocks,
+                "sched": self.sched,
+            },
             protocol=pickle.HIGHEST_PROTOCOL,
         )
 
@@ -121,6 +137,7 @@ class StateShard:
         state = pickle.loads(blob)
         self.seen = state["seen"]
         self.clocks = state["clocks"]
+        self.sched = state.get("sched", {})
         self.bloom = BloomFilter(n_bits=self.bloom.n_bits)
         self.bloom.add_many(list(self.seen))
 
@@ -177,6 +194,25 @@ class ShardedState:
             per_shard.setdefault(shard_of(host, self.n_shards), {})[host] = t
         ray.get(
             [self.shards[sid].advance_clocks.remote(u) for sid, u in per_shard.items()]
+        )
+
+    def get_sched(self, hosts: list[str]) -> dict[str, int]:
+        out: dict[str, int] = {}
+        groups = self._group(hosts)
+        futs = [
+            self.shards[sid].get_sched.remote([hosts[i] for i in idxs])
+            for sid, idxs in groups.items()
+        ]
+        for d in ray.get(futs):
+            out.update(d)
+        return out
+
+    def add_sched(self, updates: dict[str, int]) -> None:
+        per_shard: dict[int, dict[str, int]] = {}
+        for host, n in updates.items():
+            per_shard.setdefault(shard_of(host, self.n_shards), {})[host] = n
+        ray.get(
+            [self.shards[sid].add_sched.remote(u) for sid, u in per_shard.items()]
         )
 
     def seen_count(self) -> int:

@@ -1,0 +1,85 @@
+"""max_pages_per_host crawl budget: at most N pages ever scheduled per host,
+enforced at plan time in processing order, committed with the wave (resume
+never over- or under-schedules a host). Target-side addition — the
+reference's qless throttles are per-queue, not per-host; semantics are
+pinned against the sequential oracle on both planners."""
+
+import collections
+
+from cloud_crawler_ray.oracle import crawl_oracle
+from cloud_crawler_ray.pipelines.crawl import crawl
+from cloud_crawler_ray.spec import CrawlSpec
+
+from cloud_crawler_ray.synthweb import make_skewed_web
+
+from tests import webs
+from tests.test_crawl_engine import assert_parity, run_both
+
+
+def _host_counts(handle) -> dict[str, int]:
+    from cloud_crawler_ray.canon import host_of
+
+    out: collections.Counter = collections.Counter()
+    for r in handle.crawl_order().take_all():
+        out[host_of(r["url"])] += 1
+    return dict(out)
+
+
+def test_host_budget_parity_local_planner(ray_session, tmp_path):
+    web, seeds = make_skewed_web(120, n_hosts=4, seed=7)
+    spec = CrawlSpec(max_pages_per_host=5, delay=0.05)
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)
+    counts = _host_counts(handle)
+    assert counts and max(counts.values()) <= 5
+    # the budget binds: the hot host has far more than 5 reachable pages
+    free = crawl(web, seeds, CrawlSpec(delay=0.05), str(tmp_path / "free"))
+    assert max(_host_counts(free).values()) > 5
+
+
+def test_host_budget_parity_distributed_planner(ray_session, tmp_path):
+    web, seeds = make_skewed_web(120, n_hosts=4, seed=7)
+    spec = CrawlSpec(max_pages_per_host=4, delay=0.05)
+    res = crawl_oracle(web, seeds, spec)
+    handle = crawl(
+        web, seeds, spec, str(tmp_path / "out"), small_wave_threshold=0
+    )
+    assert_parity(res, handle)
+    assert max(_host_counts(handle).values()) <= 4
+
+
+def test_host_budget_with_job_limit_parity(ray_session, tmp_path):
+    # the two throttles compose: budget filters per host, job_limit caps the
+    # wave and spills; spilled jobs re-compete without consuming budget
+    web, seeds = webs.branching_web(branch=3, depth=3)
+    spec = CrawlSpec(max_pages_per_host=9, job_limit=4, delay=0.05)
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)
+    assert max(_host_counts(handle).values()) <= 9
+
+
+def test_host_budget_resume_exact(ray_session, tmp_path):
+    """A crawl killed mid-run resumes to the byte-identical capped result —
+    scheduled counts restore from the lineage marker."""
+    web, seeds = make_skewed_web(120, n_hosts=4, seed=7)
+    spec = CrawlSpec(max_pages_per_host=5, delay=0.05)
+    whole = crawl(web, seeds, spec, str(tmp_path / "whole"))
+
+    part = crawl(web, seeds, spec, str(tmp_path / "resumed"), max_waves=2)
+    assert part.waves == 2
+    resumed = crawl(web, seeds, spec, str(tmp_path / "resumed"), resume=True)
+
+    def order(h):
+        return [
+            (r["wave"], r["seq"], r["url"]) for r in h.crawl_order().take_all()
+        ]
+
+    assert order(resumed) == order(whole)
+    assert webs.seen_set(resumed) == webs.seen_set(whole)
+    assert _host_counts(resumed) == _host_counts(whole)
+
+
+def test_host_budget_none_is_uncapped(ray_session, tmp_path):
+    web, seeds = webs.branching_web(branch=2, depth=2)
+    res, handle = run_both(web, seeds, CrawlSpec(), tmp_path)
+    assert_parity(res, handle)
