@@ -304,6 +304,19 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
     delay_ms = int(spec.delay * 1000)
     clocks: dict[str, int] = {}
     sched: dict[str, int] = {}  # per-host scheduled counts (crawl budget)
+    host_delay_cache: dict[str, int] = {}  # robots Crawl-delay overrides
+
+    def _delay_for(host: str) -> int:
+        if not spec.obey_crawl_delay:
+            return delay_ms
+        if host not in host_delay_cache:
+            from .stages.politeness import effective_delay_ms
+
+            host_delay_cache[host] = effective_delay_ms(
+                net.robots_for(host), spec.user_agent, delay_ms
+            )
+        return host_delay_cache[host]
+
     next_seq = 0
 
     from .pipelines.crawl import fire_hook
@@ -375,7 +388,7 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
             next_seq += 1
             res.crawl_order.append((wave, seq, j["url"]))
             host = host_of(j["url"])
-            t = clocks.get(host, 0) + delay_ms
+            t = clocks.get(host, 0) + _delay_for(host)
             ua = agent_for(spec.user_agent, spec.ua_seed, seq)
             req_cookies = request_cookie_header(
                 spec.cookies, committed_hdrs.get(host, ""), spec.accept_cookies

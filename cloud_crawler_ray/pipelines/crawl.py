@@ -315,6 +315,7 @@ def _seeds_frontier(seeds: list[str]) -> pa.Table:
 def _plan_wave_local(
     cand: pa.Table, state, chain_idx: dict, delay_ms: int,
     base_seq: int, wave: int, spec,
+    host_delays: dict[str, int] | None = None,
 ) -> tuple[pa.Table, pa.Table]:
     """Driver-side wave planning for small waves (≤ small_wave_threshold).
 
@@ -397,7 +398,7 @@ def _plan_wave_local(
     clocks = state.get_clocks(uniq_hosts)
     # vectorized per-host serial slots (rows already in seq order) — the
     # same kernel the distributed ShardSlotAssigner runs per host-shard
-    cand = slot_block(cand, clocks, chain_idx, delay_ms)
+    cand = slot_block(cand, clocks, chain_idx, delay_ms, host_delays)
     cand = cand.append_column("wave", pa.array([wave] * n, pa.int32()))
     return cand, spill
 
@@ -656,6 +657,18 @@ def _crawl_inner(
         chain_idx = web
     chain_idx_ref = ray.put(chain_idx)
     delay_ms = int(spec.delay * 1000)
+    # robots Crawl-delay compliance: per-host delay overrides (bounded by
+    # hosts-with-robots), built once and broadcast like the latency index.
+    # The procedural web carries no robots rows → no overrides.
+    host_delays: dict[str, int] | None = None
+    host_delays_ref = None
+    if spec.obey_crawl_delay and isinstance(web, pa.Table):
+        from ..stages.politeness import build_host_delays
+
+        host_delays = build_host_delays(web, spec)
+        host_delays_ref = ray.put(host_delays) if host_delays else None
+        if not host_delays:
+            host_delays = None
     crawl_id = uuid.uuid4().hex
     ncpus = int(ray.cluster_resources().get("CPU", 4))
 
@@ -760,7 +773,8 @@ def _crawl_inner(
                 break
             _prof("pre")
             fm_tbl, spill_tbl = _plan_wave_local(
-                fr_tbl, state, chain_idx, delay_ms, next_seq, wave, spec
+                fr_tbl, state, chain_idx, delay_ms, next_seq, wave, spec,
+                host_delays=host_delays,
             )
             _prof(f"w{wave} plan_local n={fm_tbl.num_rows}")
             n_jobs = fm_tbl.num_rows
@@ -820,7 +834,10 @@ def _crawl_inner(
                 )
                 n_jobs = spec.job_limit
             _prof(f"w{wave} plan_sort n={n_jobs}")
-            f = assign_slots(f, state, chain_idx_ref, delay_ms)
+            f = assign_slots(
+                f, state, chain_idx_ref, delay_ms,
+                host_delays_ref=host_delays_ref,
+            )
             w = wave
             f = f.map_batches(
                 lambda t, w=w: (

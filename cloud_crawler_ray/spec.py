@@ -60,6 +60,12 @@ class CrawlSpec:
     # Counts commit with the wave (mark-after-commit, like the clocks), so
     # resume never over- or under-schedules a host.
     max_pages_per_host: int | None = None
+    # robots Crawl-delay compliance (target-side addition; the reference
+    # obeys robots allow/deny only): when True, each host's politeness
+    # delay is max(spec.delay, its robots.txt Crawl-delay for user_agent).
+    # Independent of obey_robots_txt; robots fetch costs no clock time
+    # (matching the admission-side robots model).
+    obey_crawl_delay: bool = False
     # Optional frontier priority (the north-rule "priority queue" surface):
     # a callable over the candidate row dict {url, referer, depth,
     # parent_seq, ordinal} returning an int; each wave's admitted jobs are

@@ -115,8 +115,49 @@ def build_chain_latency_index(web: pa.Table, redirect_limit: int = 5) -> ChainLa
     return ChainLatencyIndex(web, redirect_limit)
 
 
+def effective_delay_ms(rp, user_agent: str, default_ms: int) -> int:
+    """Per-host politeness delay under robots Crawl-delay compliance:
+    max(configured delay, the host's Crawl-delay for this user agent).
+    Shared by the engine's host-delay index and the oracle so the clock
+    model cannot drift. Robots fetch itself costs no clock time (matching
+    the admission-side robots handling, dsl_core.rb:237-241)."""
+    try:
+        cd = rp.crawl_delay(user_agent)
+    except Exception:
+        cd = None
+    if cd is None:
+        return default_ms
+    return max(default_ms, int(float(cd) * 1000))
+
+
+def build_host_delays(web: pa.Table, spec) -> dict[str, int]:
+    """host → effective delay_ms overrides from the web table's robots rows
+    (bounded by hosts-with-robots; broadcast once like ChainLatencyIndex).
+    Only hosts whose robots.txt carries a Crawl-delay appear."""
+    import urllib.robotparser
+
+    from ..canon import host_of
+
+    default_ms = int(spec.delay * 1000)
+    out: dict[str, int] = {}
+    urls = web.column("url").to_pylist()
+    statuses = web.column("status").to_numpy(zero_copy_only=False)
+    bodies = web.column("body")
+    for i, u in enumerate(urls):
+        if not u.endswith("/robots.txt") or int(statuses[i]) != 200:
+            continue
+        rp = urllib.robotparser.RobotFileParser()
+        body = bodies[i].as_py() or b""
+        rp.parse(body.decode("utf-8", "ignore").splitlines())
+        eff = effective_delay_ms(rp, spec.user_agent, default_ms)
+        if eff != default_ms:
+            out[host_of(u)] = eff
+    return out
+
+
 def slot_block(
-    tbl: pa.Table, clocks: dict[str, int], chain_idx, delay_ms: int
+    tbl: pa.Table, clocks: dict[str, int], chain_idx, delay_ms: int,
+    host_delays: dict[str, int] | None = None,
 ) -> pa.Table:
     """Vectorized multi-host slot assignment over one table whose rows are
     already in seq order. Per host (pandas groupby over the whole block, no
@@ -137,7 +178,11 @@ def slot_block(
     within = hs.groupby(hs, sort=False).cumcount().to_numpy()
     cum_lat = pd.Series(lat).groupby(hs, sort=False).cumsum().to_numpy() - lat
     clock0 = hs.map(lambda h: clocks.get(h, 0)).to_numpy(dtype=np.int64)
-    t = clock0 + delay_ms * (within + 1) + cum_lat
+    if host_delays:
+        dly = hs.map(lambda h: host_delays.get(h, delay_ms)).to_numpy(dtype=np.int64)
+    else:
+        dly = delay_ms
+    t = clock0 + dly * (within + 1) + cum_lat
     ends = t + lat
     tbl = tbl.append_column("fetch_time_ms", pa.array(t.astype(np.int64)))
     tbl = tbl.append_column("job_end_ms", pa.array(ends.astype(np.int64)))
@@ -223,25 +268,35 @@ class ShardSlotAssigner:
     RPC per shard per wave (ShardedState.get_clocks fans it out per state
     shard), never one per host."""
 
-    def __init__(self, state, chain_idx_ref, delay_ms: int):
+    def __init__(self, state, chain_idx_ref, delay_ms: int, host_delays_ref=None):
         self.state = state
         self.chain_idx_ref = chain_idx_ref
         self.delay_ms = delay_ms
+        self.host_delays_ref = host_delays_ref
         self._chain_idx = None
+        self._host_delays = None
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if self._chain_idx is None:
             self._chain_idx = ray.get(self.chain_idx_ref)
+            self._host_delays = (
+                ray.get(self.host_delays_ref)
+                if self.host_delays_ref is not None
+                else None
+            )
         group = group.drop_columns(["_hshard"])
         order = pa.compute.sort_indices(group, sort_keys=[("seq", "ascending")])
         group = group.take(order)
         uniq_hosts = list(dict.fromkeys(group.column("host").to_pylist()))
         clocks = self.state.get_clocks(uniq_hosts)
-        return slot_block(group, clocks, self._chain_idx, self.delay_ms)
+        return slot_block(
+            group, clocks, self._chain_idx, self.delay_ms, self._host_delays
+        )
 
 
 def assign_slots(
-    ds: rd.Dataset, state, chain_idx_ref, delay_ms: int, n_shards: int | None = None
+    ds: rd.Dataset, state, chain_idx_ref, delay_ms: int, n_shards: int | None = None,
+    host_delays_ref=None,
 ) -> rd.Dataset:
     from ..state.shards import shards_of
     from .frontier_ops import _cluster_shards
@@ -253,7 +308,7 @@ def assign_slots(
         sh = shards_of(t.column("host").to_pylist(), n_shards)
         return t.append_column("_hshard", pa.array(sh, pa.int64()))
 
-    assigner = ShardSlotAssigner(state, chain_idx_ref, delay_ms)
+    assigner = ShardSlotAssigner(state, chain_idx_ref, delay_ms, host_delays_ref)
 
     def assign(group: pa.Table) -> pa.Table:  # map_groups wants a plain fn
         return assigner(group)

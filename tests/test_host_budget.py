@@ -83,3 +83,59 @@ def test_host_budget_none_is_uncapped(ray_session, tmp_path):
     web, seeds = webs.branching_web(branch=2, depth=2)
     res, handle = run_both(web, seeds, CrawlSpec(), tmp_path)
     assert_parity(res, handle)
+
+
+def _crawl_delay_web():
+    from tests.webs import FakePage, page_url, web_table
+
+    pages = []
+    for host in ("slow.example.com", "fast.example.com"):
+        for i in range(4):
+            pages.append(
+                FakePage(
+                    name=f"p{i}",
+                    host=host,
+                    links=[f"p{i+1}"] if i < 3 else [],
+                    latency_ms=10,
+                )
+            )
+    robots = {"slow.example.com": "User-agent: *\nCrawl-delay: 2\n"}
+    return (
+        web_table(pages, robots=robots),
+        [page_url("p0", "slow.example.com"), page_url("p0", "fast.example.com")],
+    )
+
+
+def test_crawl_delay_parity_local_planner(ray_session, tmp_path):
+    web, seeds = _crawl_delay_web()
+    spec = CrawlSpec(delay=0.1, obey_crawl_delay=True)
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)
+    # the slow host's consecutive fetches are >= 2000 ms apart, the fast
+    # host's only >= 100 ms
+    times = collections.defaultdict(list)
+    from cloud_crawler_ray.canon import host_of
+
+    for r in handle.pages().take_all():
+        times[host_of(r["url"])].append(r["fetch_time_ms"])
+    slow = sorted(times["slow.example.com"])
+    fast = sorted(times["fast.example.com"])
+    assert all(b - a >= 2000 for a, b in zip(slow, slow[1:]))
+    assert fast[1] - fast[0] < 2000
+
+
+def test_crawl_delay_parity_distributed_planner(ray_session, tmp_path):
+    web, seeds = _crawl_delay_web()
+    spec = CrawlSpec(delay=0.1, obey_crawl_delay=True)
+    res = crawl_oracle(web, seeds, spec)
+    handle = crawl(
+        web, seeds, spec, str(tmp_path / "out"), small_wave_threshold=0
+    )
+    assert_parity(res, handle)
+
+
+def test_crawl_delay_off_by_default(ray_session, tmp_path):
+    web, seeds = _crawl_delay_web()
+    spec = CrawlSpec(delay=0.1)  # compliance off: robots delay ignored
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)
