@@ -291,9 +291,33 @@ def _page_dict(p: FetchedPage, ex, seq: int, wave: int, t_ms: int, ua: str) -> d
     }
 
 
+_SITEMAP_LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
+
+
+def expand_seeds_with_sitemaps(net, seeds: list[str]) -> list[str]:
+    """Sitemap seeding (target-side addition; no reference analog): for each
+    unique seed host in seed order, fetch http://host/sitemap.xml and append
+    its <loc> URLs after the user seeds in document order. Duplicates are
+    left to the planner's wave-0 dedup (first-(parent_seq, ordinal) wins, so
+    user seeds always claim their URL). Shared verbatim by the engine and
+    the oracle — driver-side, bounded by seed hosts × sitemap entries."""
+    from .canon import host_of
+
+    out = list(seeds)
+    for host in dict.fromkeys(host_of(u) for u in seeds):
+        row = net.lookup(f"http://{host}/sitemap.xml")
+        if row is None or row["status"] != 200:
+            continue
+        body = (row["body"] or b"").decode("utf-8", "ignore")
+        out.extend(m.strip() for m in _SITEMAP_LOC_RE.findall(body) if m.strip())
+    return out
+
+
 def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
     net = SyntheticNet(web) if isinstance(web, pa.Table) else web
     adm = LinkAdmission(spec, net)
+    if spec.use_sitemaps and isinstance(web, pa.Table):
+        seeds = expand_seeds_with_sitemaps(net, seeds)
     res = OracleResult()
     from .functions.agents import agent_for
     from .stages.cookies import merge_committed_header, request_cookie_header

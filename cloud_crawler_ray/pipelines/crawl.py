@@ -719,6 +719,12 @@ def _crawl_inner(
             # huge url-list curl) — must carry the FRONTIER columns
             fr_tbl, fr_ds = _collect_if_small(seeds, small_wave_threshold)
         else:
+            if spec.use_sitemaps and isinstance(web, pa.Table):
+                # sitemap seeding: the same driver-side expansion the
+                # oracle runs (shared helper — semantics cannot drift)
+                from ..oracle import expand_seeds_with_sitemaps
+
+                seeds = expand_seeds_with_sitemaps(SyntheticNet(web), seeds)
             fr_tbl = _seeds_frontier(seeds)
             if fr_tbl.num_rows > small_wave_threshold:
                 fr_ds, fr_tbl = rd.from_arrow(fr_tbl), None

@@ -66,6 +66,12 @@ class CrawlSpec:
     # Independent of obey_robots_txt; robots fetch costs no clock time
     # (matching the admission-side robots model).
     obey_crawl_delay: bool = False
+    # Sitemap seeding (target-side addition): when True, each unique seed
+    # host's /sitemap.xml <loc> URLs append to the seed list after the user
+    # seeds, in document order (wave-0 dedup keeps the first claimant).
+    # Applies to list seeds against a materialized web table; Dataset seed
+    # frontiers (huge curl lists) skip expansion.
+    use_sitemaps: bool = False
     # Optional frontier priority (the north-rule "priority queue" surface):
     # a callable over the candidate row dict {url, referer, depth,
     # parent_seq, ordinal} returning an int; each wave's admitted jobs are

@@ -94,8 +94,13 @@ def render_body(page: FakePage) -> bytes:
     return "\n".join(parts).encode("utf-8")
 
 
-def web_table(pages: list[FakePage], robots: dict[str, str] | None = None) -> pa.Table:
-    """Materialize pages (+ per-host robots.txt bodies) as a WEB_SCHEMA table.
+def web_table(
+    pages: list[FakePage],
+    robots: dict[str, str] | None = None,
+    sitemaps: dict[str, str] | None = None,
+) -> pa.Table:
+    """Materialize pages (+ per-host robots.txt / sitemap.xml bodies) as a
+    WEB_SCHEMA table.
 
     Redirect targets must be registered as their own pages (the FakePage
     helper auto-registers them; callers here list them explicitly)."""
@@ -129,17 +134,21 @@ def web_table(pages: list[FakePage], robots: dict[str, str] | None = None) -> pa
         rows["set_cookie"].append(p.set_cookie or "")
         rows["fail_times"].append(p.fail_times)
         rows["require_cookie"].append(p.require_cookie or "")
-    for host, body in (robots or {}).items():
-        rows["url"].append(f"http://{host}/robots.txt")
-        rows["status"].append(200)
-        rows["content_type"].append("text/plain")
-        rows["body"].append(body.encode())
-        rows["redirect_to"].append("")
-        rows["latency_ms"].append(5)
-        rows["auth"].append("")
-        rows["set_cookie"].append("")
-        rows["fail_times"].append(0)
-        rows["require_cookie"].append("")
+    for path, ctype, d in (
+        ("robots.txt", "text/plain", robots),
+        ("sitemap.xml", "application/xml", sitemaps),
+    ):
+        for host, body in (d or {}).items():
+            rows["url"].append(f"http://{host}/{path}")
+            rows["status"].append(200)
+            rows["content_type"].append(ctype)
+            rows["body"].append(body.encode())
+            rows["redirect_to"].append("")
+            rows["latency_ms"].append(5)
+            rows["auth"].append("")
+            rows["set_cookie"].append("")
+            rows["fail_times"].append(0)
+            rows["require_cookie"].append("")
     return pa.table(rows, schema=WEB_SCHEMA)
 
 

@@ -139,3 +139,54 @@ def test_crawl_delay_off_by_default(ray_session, tmp_path):
     spec = CrawlSpec(delay=0.1)  # compliance off: robots delay ignored
     res, handle = run_both(web, seeds, spec, tmp_path)
     assert_parity(res, handle)
+
+
+def _sitemap_web():
+    from tests.webs import FakePage, page_url, web_table
+
+    host = "s.example.com"
+    pages = [
+        FakePage(name="p0", host=host, links=["p1"]),
+        FakePage(name="p1", host=host, links=[]),
+        # orphans: reachable only through the sitemap
+        FakePage(name="orphan1", host=host, links=[]),
+        FakePage(name="orphan2", host=host, links=[]),
+    ]
+    sm = (
+        '<?xml version="1.0"?><urlset>'
+        f"<url><loc>{page_url('orphan1', host)}</loc></url>"
+        f"<url><loc> {page_url('orphan2', host)} </loc></url>"
+        f"<url><loc>{page_url('p0', host)}</loc></url>"  # dup of the seed
+        "</urlset>"
+    )
+    return web_table(pages, sitemaps={host: sm}), [page_url("p0", host)]
+
+
+def test_sitemap_seeding_parity_and_dedup(ray_session, tmp_path):
+    web, seeds = _sitemap_web()
+    spec = CrawlSpec(use_sitemaps=True, delay=0.05)
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)
+    urls = {r["url"] for r in handle.crawl_order().take_all()}
+    assert any("orphan1" in u for u in urls)
+    assert any("orphan2" in u for u in urls)
+    # the duplicated seed is fetched once (wave-0 dedup keeps the user seed)
+    assert sum(1 for u in urls if u.endswith("/p0")) == 1
+
+
+def test_sitemap_seeding_distributed_planner(ray_session, tmp_path):
+    web, seeds = _sitemap_web()
+    spec = CrawlSpec(use_sitemaps=True, delay=0.05)
+    res = crawl_oracle(web, seeds, spec)
+    handle = crawl(
+        web, seeds, spec, str(tmp_path / "out"), small_wave_threshold=0
+    )
+    assert_parity(res, handle)
+
+
+def test_sitemaps_off_by_default(ray_session, tmp_path):
+    web, seeds = _sitemap_web()
+    res, handle = run_both(web, seeds, CrawlSpec(delay=0.05), tmp_path)
+    assert_parity(res, handle)
+    urls = {r["url"] for r in handle.crawl_order().take_all()}
+    assert not any("orphan" in u for u in urls)
