@@ -43,6 +43,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-waves", type=int, default=None)
     p.add_argument("--user-agent", default="cloud-crawler-ray/0.1")
     p.add_argument("--obey-robots-txt", action="store_true")
+    p.add_argument(
+        "--obey-crawl-delay", action="store_true",
+        help="per-host delay = max(--delay, robots Crawl-delay)",
+    )
+    p.add_argument(
+        "--max-pages-per-host", type=int, default=None,
+        help="per-host crawl budget (scheduled pages, whole crawl)",
+    )
+    p.add_argument(
+        "--use-sitemaps", action="store_true",
+        help="extend seeds with each seed host's sitemap.xml URLs",
+    )
     p.add_argument("--skip-query-strings", action="store_true")
     p.add_argument(
         "--outside-domain", action="store_true", help="follow links off the seed domains"
@@ -93,6 +105,9 @@ def main(argv: list[str] | None = None) -> dict:
         job_limit=args.job_limit,
         user_agent=args.user_agent,
         obey_robots_txt=args.obey_robots_txt,
+        obey_crawl_delay=args.obey_crawl_delay,
+        max_pages_per_host=args.max_pages_per_host,
+        use_sitemaps=args.use_sitemaps,
         skip_query_strings=args.skip_query_strings,
         outside_domain=args.outside_domain,
         inside_domain=not args.outside_domain,
