@@ -3039,6 +3039,119 @@ def q_user_type_pivot(sf_dir: str):
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_customer_order_years(sf_dir: str):
+    """LIST/array_agg class: per customer, the sorted distinct order years
+    as one comma-joined string (string form so the value hash-compares to
+    SQL's array_to_string — list-valued columns don't sort in the driver's
+    comparator). Block-level distinct (custkey, year) pairs shrink the one
+    hash(custkey) shuffle; each shard emits one row per customer."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate"]
+    )
+
+    def pairs(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "y": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+            }
+        )
+        return tt.group_by(["c_custkey", "y"]).aggregate([])
+
+    n_sh = cluster_shards()
+
+    def shard_agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["c_custkey", "y"]).sort_values(
+            ["c_custkey", "y"], kind="stable"
+        )
+        joined = g.groupby("c_custkey", sort=False)["y"].agg(
+            lambda ys: ",".join(str(v) for v in ys)
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": joined.index.to_numpy().astype(np.int64),
+                "order_years": joined.to_numpy(),
+            }
+        )
+
+    out = (
+        orders.map_batches(pairs, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _add_shard(t, "c_custkey", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_agg(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_range_window_sum(sf_dir: str):
+    """Value-range window frame (RANGE BETWEEN interval PRECEDING): per
+    event, the cent total of the same user's events in the trailing
+    10-minute window — peers (equal timestamps) included on both ends,
+    exactly SQL's RANGE-frame semantics. One hash(user) shuffle; each shard
+    sorts (user, ts) and answers every row from a per-user prefix-sum +
+    two searchsorted calls (no per-row Python, per-user loop only)."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    n_sh = cluster_shards()
+    win_us = 600 * 1_000_000
+
+    def shard_range(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cents = np.round(g["value"].to_numpy() * 100.0).astype(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        users = g["user_id"].to_numpy()
+        out = np.empty(len(g), np.int64)
+        start = 0
+        n = len(g)
+        while start < n:
+            stop = start
+            u = users[start]
+            while stop < n and users[stop] == u:
+                stop += 1
+            seg_ts = ts[start:stop]
+            seg_c = cents[start:stop]
+            csum = np.concatenate([[0], np.cumsum(seg_c)])
+            lo = np.searchsorted(seg_ts, seg_ts - win_us, side="left")
+            hi = np.searchsorted(seg_ts, seg_ts, side="right")
+            out[start:stop] = csum[hi] - csum[lo]
+            start = stop
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": users,
+                "w10m_cents": out,
+            }
+        )
+
+    out = (
+        ev.map_batches(
+            lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_range(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -3141,6 +3254,8 @@ QUERIES = {
     "monthly_orders": q_monthly_orders,
     "crawl_host_stats": q_crawl_host_stats,
     "user_type_pivot": q_user_type_pivot,
+    "customer_order_years": q_customer_order_years,
+    "range_window_sum": q_range_window_sum,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -3901,6 +4016,21 @@ ORACLE_SQL = {
         WHERE o_orderdate >= TIMESTAMP '1997-01-01'
           AND o_orderdate <  TIMESTAMP '1998-01-01'
         ORDER BY 1
+    """,
+    "customer_order_years": """
+        SELECT o_custkey AS c_custkey,
+               array_to_string(
+                 list_sort(list(DISTINCT year(o_orderdate)::BIGINT)), ','
+               ) AS order_years
+        FROM orders GROUP BY o_custkey ORDER BY 1
+    """,
+    "range_window_sum": """
+        SELECT event_id, user_id,
+               sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW
+               )::BIGINT AS w10m_cents
+        FROM events ORDER BY event_id
     """,
     "user_type_pivot": """
         SELECT user_id,

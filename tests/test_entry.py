@@ -139,6 +139,8 @@ def test_oracle_keys_subset(entrymod):
         "repeat_customers",
         "monthly_orders",
         "user_type_pivot",
+        "customer_order_years",
+        "range_window_sum",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
