@@ -39,7 +39,7 @@ import ray.data as rd
 from ..canon import canonical_urls
 from .dedup import _add_shard, cluster_shards, keyed_attach
 
-__all__ = ["link_edges", "pagerank"]
+__all__ = ["link_edges", "pagerank", "hits", "connected_components"]
 
 
 def link_edges(raw: rd.Dataset) -> rd.Dataset:
@@ -391,4 +391,179 @@ def pagerank(
     )
     return out.map_batches(
         lambda t: t.select(["node", "rank"]), batch_format="pyarrow"
+    )
+
+
+def connected_components(edges: rd.Dataset, driver_pair_cap: int = 1_000_000) -> rd.Dataset:
+    """Weakly connected components of the (src, dst) link graph: (node,
+    component) where the component label is the lexicographically smallest
+    member URL. Reuses the dedup family's size-gated machinery: union-find
+    on the driver under ``driver_pair_cap`` edges, distributed hash-min
+    label propagation above it (ops/dedup.py — per-round sharded min-label
+    joins, loud non-convergence warning). Either way the RESULT (node →
+    label) returns as a driver-built table — this wrapper's contract is
+    analysis scale (O(nodes) driver memory); at 10^10 nodes the label table
+    stays the sharded Dataset inside the label-prop rounds and a caller
+    would consume it there instead of collecting."""
+    from .dedup import _components_driver, _components_label_prop
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.string()), "component": pa.array([], pa.string())}
+            )
+        )
+    pairs_ds = edges.map_batches(
+        lambda t: pa.table({"a": t.column("src"), "b": t.column("dst")}),
+        batch_format="pyarrow",
+    )
+    if n_edges <= driver_pair_cap:
+        pairs = pa.concat_tables(
+            [pa.table(b) for b in pairs_ds.iter_batches(batch_format="pyarrow")]
+        )
+        labels = _components_driver(pairs)
+    else:
+        pairs = pa.concat_tables(
+            [pa.table(b) for b in pairs_ds.iter_batches(batch_format="pyarrow")]
+        )
+        labels = _components_label_prop(pairs)
+    nodes = sorted(labels)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.string()),
+                "component": pa.array([labels[n] for n in nodes], pa.string()),
+            }
+        )
+    )
+
+
+def hits(
+    edges: rd.Dataset,
+    n_iter: int = 16,
+    driver_cap: int = 2_000_000,
+) -> rd.Dataset:
+    """HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    hyperlinked environment", JACM 1999) over a (src, dst) edge Dataset;
+    returns (node, hub, authority), both scores L2-normalized per
+    iteration. Same hybrid gates as pagerank: under ``driver_cap`` edges
+    the int-id edge list crosses the wire once and iterations are numpy;
+    above it, each iteration broadcasts the two score vectors (ray.put)
+    and every block emits sparse partial sums — no shuffle (the rank
+    vectors at 10^10 nodes would move to the pagerank join path; HITS is
+    typically run on a focused subgraph, so the broadcast path is the
+    documented scale route)."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "hub": pa.array([], pa.float64()),
+                    "authority": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def _iterate(src: np.ndarray, dst: np.ndarray, n: int):
+        hub = np.full(n, 1.0)
+        auth = np.full(n, 1.0)
+        for _ in range(n_iter):
+            new_auth = np.zeros(n)
+            np.add.at(new_auth, dst, hub[src])
+            na = np.linalg.norm(new_auth)
+            auth = new_auth / na if na > 0 else new_auth
+            new_hub = np.zeros(n)
+            np.add.at(new_hub, src, auth[dst])
+            nh = np.linalg.norm(new_hub)
+            hub = new_hub / nh if nh > 0 else new_hub
+        return hub, auth
+
+    if n_edges <= driver_cap:
+        ed = edges.to_pandas()
+        nodes, inv = np.unique(
+            np.concatenate([ed["src"].to_numpy(), ed["dst"].to_numpy()]),
+            return_inverse=True,
+        )
+        src = inv[: len(ed)]
+        dst = inv[len(ed):]
+        hub, auth = _iterate(src, dst, len(nodes))
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.string()),
+                    "hub": pa.array(hub),
+                    "authority": pa.array(auth),
+                }
+            )
+        )
+
+    # broadcast path: distributed node ids + per-iteration score broadcast
+    nodemap, n = _node_ids(edges)
+    nodemap = nodemap.materialize()
+    src_map = nodemap.map_batches(
+        lambda t: t.rename_columns(["src", "src_id"]), batch_format="pyarrow"
+    )
+    dst_map = nodemap.map_batches(
+        lambda t: t.rename_columns(["dst", "dst_id"]), batch_format="pyarrow"
+    )
+    e = keyed_attach(edges, src_map, "src", ["src_id"], right_count=n)
+    e = keyed_attach(e, dst_map, "dst", ["dst_id"], right_count=n)
+    e = _rebase(
+        e.map_batches(
+            lambda t: t.select(["src_id", "dst_id"]), batch_format="pyarrow"
+        ).materialize()
+    )
+    hub = np.full(n, 1.0)
+    auth = np.full(n, 1.0)
+    for _ in range(n_iter):
+        for direction in ("auth", "hub"):
+            vec = hub if direction == "auth" else auth
+            in_col, out_col = (
+                ("src_id", "dst_id") if direction == "auth" else ("dst_id", "src_id")
+            )
+            ref = ray.put(vec)
+
+            def contrib(t: pa.Table, ref=ref, in_col=in_col, out_col=out_col) -> pa.Table:
+                arr = ray.get(ref)
+                mass = arr[t.column(in_col).to_numpy()]
+                df = (
+                    pd.DataFrame({"k": t.column(out_col).to_numpy(), "m": mass})
+                    .groupby("k", as_index=False)["m"]
+                    .sum()
+                )
+                return pa.table(
+                    {
+                        "k": pa.array(df["k"].to_numpy(), pa.int64()),
+                        "m": pa.array(df["m"].to_numpy(), pa.float64()),
+                    }
+                )
+
+            parts = e.map_batches(contrib, batch_format="pyarrow").to_pandas()
+            new = np.zeros(n)
+            if len(parts):
+                s = parts.groupby("k")["m"].sum()
+                new[s.index.to_numpy()] = s.to_numpy()
+            nrm = np.linalg.norm(new)
+            if nrm > 0:
+                new = new / nrm
+            if direction == "auth":
+                auth = new
+            else:
+                hub = new
+    scores = pa.table(
+        {
+            "nid": pa.array(np.arange(n, dtype=np.int64)),
+            "hub": pa.array(hub),
+            "authority": pa.array(auth),
+        }
+    )
+    out = keyed_attach(
+        nodemap, rd.from_arrow(scores), "nid", ["hub", "authority"], right_count=n
+    )
+    return out.map_batches(
+        lambda t: t.select(["node", "hub", "authority"]), batch_format="pyarrow"
     )

@@ -568,6 +568,25 @@ def q_crawl_host_stats(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def q_link_hits(sf_dir: str):
+    """HITS hubs & authorities over the flagship crawl's link graph: top-10
+    authorities with their hub scores. No SQL oracle (iterative float
+    algorithm); pinned against a numpy reference on both execution paths in
+    tests/test_graph.py."""
+    from ..ops.graph import hits
+
+    edges = crawl_handle_for(sf_dir).link_edges()
+    scores = hits(edges, n_iter=16)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["authority", "node"], ascending=[False, True], kind="stable"
+        ).head(10)
+
+    parts = scores.map_batches(topk, batch_format="pandas").to_pandas()
+    return topk(parts).reset_index(drop=True)
+
+
 def q_value_percent_rank(sf_dir: str):
     """Per-event percent_rank of value within its event type — the global
     rank-window class: one hash(type) shuffle, per-shard per-type sort by
@@ -3256,6 +3275,7 @@ QUERIES = {
     "user_type_pivot": q_user_type_pivot,
     "customer_order_years": q_customer_order_years,
     "range_window_sum": q_range_window_sum,
+    "link_hits": q_link_hits,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"

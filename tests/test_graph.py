@@ -108,3 +108,56 @@ def test_pagerank_empty(ray_session):
         pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
     )
     assert pagerank(empty, n_iter=2).count() == 0
+
+
+def _ref_hits(n_iter: int):
+    hub = np.full(N, 1.0)
+    auth = np.full(N, 1.0)
+    for _ in range(n_iter):
+        new_auth = np.zeros(N)
+        for a, b in EDGES:
+            new_auth[b] += hub[a]
+        na = np.linalg.norm(new_auth)
+        auth = new_auth / na if na > 0 else new_auth
+        new_hub = np.zeros(N)
+        for a, b in EDGES:
+            new_hub[a] += auth[b]
+        nh = np.linalg.norm(new_hub)
+        hub = new_hub / nh if nh > 0 else new_hub
+    return hub, auth
+
+
+@pytest.mark.parametrize("driver_cap", [2_000_000, 0])
+def test_hits_matches_numpy(ray_session, driver_cap):
+    from cloud_crawler_ray.ops.graph import hits
+
+    n_iter = 4 if driver_cap == 0 else 16  # bound the broadcast-path time
+    got = hits(_edges_ds(), n_iter=n_iter, driver_cap=driver_cap).to_pandas()
+    names = _names()
+    hub, auth = _ref_hits(n_iter)
+    m = {r.node: (r.hub, r.authority) for r in got.itertuples()}
+    for i in range(N):
+        gh, ga = m[names[i]]
+        assert abs(gh - hub[i]) < 1e-12 and abs(ga - auth[i]) < 1e-12, i
+
+
+def test_connected_components(ray_session):
+    import ray.data as rd
+    from cloud_crawler_ray.ops.graph import connected_components
+
+    # two components: {n0..n3} (via 0-1,2-3,1-2) and {n4, n5}
+    names = _names()
+    E = [(0, 1), (2, 3), (1, 2), (4, 5)]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": [names[a] for a, _ in E],
+                "dst": [names[b] for _, b in E],
+            }
+        )
+    ).repartition(2)
+    got = connected_components(edges).to_pandas()
+    comp = dict(zip(got["node"], got["component"]))
+    assert comp[names[0]] == comp[names[3]] == names[0]
+    assert comp[names[4]] == comp[names[5]] == names[4]
+    assert comp[names[0]] != comp[names[4]]
