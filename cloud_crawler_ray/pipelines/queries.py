@@ -3171,6 +3171,398 @@ def q_range_window_sum(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_nation_profit(sf_dir: str):
+    """TPC-H Q9-style product profit by (supplier nation, order year) for
+    parts whose name contains 'red'. The part filter resolves driver-side
+    (part is a dimension table) and is pushed into the lineitem scan as an
+    isin row filter; supplier nationkey and order date arrive via the same
+    size-gated keyed_attach used by trade_volume/market_share; the group key
+    is (nationkey, year) so per-block int64 partials collapse to a handful
+    of rows before the driver combine maps nation names."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import keyed_attach
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    keys = part.filter(
+        pc.match_substring(part.column("p_name"), "red")
+    ).column("p_partkey")
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pc.field("l_partkey").isin(keys),
+    )
+    supp = rd.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_suppkey", "s_nationkey"]), batch_format="pyarrow"
+    )
+    li = keyed_attach(li, supp, "l_suppkey", ["s_nationkey"], right_count=supp.count())
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderdate"]), batch_format="pyarrow"
+    )
+    li = keyed_attach(li, orders, "l_orderkey", ["o_orderdate"], right_count=orders.count())
+
+    def profit_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "s_nationkey": pc.cast(t.column("s_nationkey"), pa.int32()),
+                "o_year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+                "profit_e4": _rev_e4(t, "l_extendedprice", "l_discount", complement=True),
+            }
+        )
+        return tt.group_by(["s_nationkey", "o_year"]).aggregate([("profit_e4", "sum")])
+
+    parts = li.map_batches(profit_partial, batch_format="pyarrow").to_pandas()
+    out = (
+        parts.groupby(["s_nationkey", "o_year"], as_index=False)["profit_e4_sum"]
+        .sum()
+        .rename(columns={"profit_e4_sum": "profit_e4"})
+    )
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    out = out.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    out["profit_e4"] = out["profit_e4"].astype(np.int64)
+    return (
+        out[["n_name", "o_year", "profit_e4"]]
+        .sort_values(["n_name", "o_year"], ascending=[True, False])
+        .reset_index(drop=True)
+    )
+
+
+def q_supplier_variety(sf_dir: str):
+    """TPC-H Q16-style supplier variety: distinct suppliers per part
+    (brand, type, size), using lineitem as the part↔supplier relation,
+    excluding one brand / one type / the complaint suppliers (NOT IN →
+    driver-resolved dimension set, inverted isin pushed into the scan).
+    Part attributes attach via size-gated keyed_attach; block-level
+    distinct quadruples shrink the one hash(brand|type|size) shuffle and
+    each attribute group lands whole in one shard for the exact
+    distinct-supplier count."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards, keyed_attach
+
+    bad = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey"],
+        filters=pc.field("s_acctbal") < 0,
+    ).column("s_suppkey")
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey"],
+        filter=~pc.field("l_suppkey").isin(bad),
+    )
+    part = rd.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=(
+            (pc.field("p_brand") != "Brand#1")
+            & (pc.field("p_type") != "PROMO")
+            & pc.field("p_size").isin([1, 5, 10, 15, 20, 25])
+        ),
+    ).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand", "p_type", "p_size"]),
+        batch_format="pyarrow",
+    )
+    li = keyed_attach(
+        li, part, "l_partkey", ["p_brand", "p_type", "p_size"], right_count=part.count()
+    )
+
+    def distinct_quads(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("p_brand")))
+        tt = pa.table(
+            {
+                "p_brand": t.column("p_brand"),
+                "p_type": t.column("p_type"),
+                "p_size": pc.cast(t.column("p_size"), pa.int32()),
+                "l_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                # group key: every (brand,type,size) lands whole in one shard
+                "grp": pc.binary_join_element_wise(
+                    t.column("p_brand"),
+                    t.column("p_type"),
+                    pc.cast(pc.cast(t.column("p_size"), pa.int64()), pa.string()),
+                    "\x1f",
+                ),
+            }
+        )
+        return tt.group_by(
+            ["grp", "p_brand", "p_type", "p_size", "l_suppkey"]
+        ).aggregate([])
+
+    n_sh = cluster_shards()
+
+    def shard_count(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["grp", "l_suppkey"])
+        out = g.groupby(["p_brand", "p_type", "p_size"], as_index=False).agg(
+            supplier_cnt=("l_suppkey", "nunique")
+        )
+        out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+        return out
+
+    out = (
+        li.map_batches(distinct_quads, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "grp", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_count(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return (
+        out.sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True],
+        ).reset_index(drop=True)
+    )
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2-style min-cost supplier: for each small STANDARD/ECONOMY
+    part, the EUROPE supplier with the lowest observed sale price (ties →
+    lowest suppkey). Both dimension filters resolve driver-side and become
+    scan row filters; per-block (part, supplier) min-partials shrink the one
+    hash(partkey) shuffle; each shard finishes the min and the argmin with
+    one vectorized sort + keep-first — the grouped-argmin-with-join-back
+    class (row_number() OVER (PARTITION BY ...) = 1)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name", "s_nationkey"]
+    ).to_pandas()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet")
+    ).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    eu = supp.merge(nation, left_on="s_nationkey", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )
+    eu = eu[eu["r_name"] == "EUROPE"][["s_suppkey", "s_name", "n_name"]]
+    pk = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey"],
+        filters=(pc.field("p_size") <= 10)
+        & pc.field("p_type").isin(["STANDARD", "ECONOMY"]),
+    ).column("p_partkey")
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+        filter=pc.field("l_partkey").isin(pk)
+        & pc.field("l_suppkey").isin(pa.array(eu["s_suppkey"].to_numpy())),
+    )
+
+    def min_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "p_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                "s_suppkey": pc.cast(t.column("l_suppkey"), pa.int64()),
+                "cost_e2": pc.cast(
+                    pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+        return tt.group_by(["p_partkey", "s_suppkey"]).aggregate([("cost_e2", "min")])
+
+    n_sh = cluster_shards()
+
+    def shard_argmin(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["p_partkey", "s_suppkey"], as_index=False)["cost_e2_min"].min()
+        g = g.sort_values(["p_partkey", "cost_e2_min", "s_suppkey"], kind="stable")
+        g = g.drop_duplicates("p_partkey", keep="first")
+        return g.rename(columns={"cost_e2_min": "cost_e2"})
+
+    out = (
+        li.map_batches(min_partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "p_partkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_argmin(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out = out.merge(eu, on="s_suppkey")
+    for c in ("p_partkey", "cost_e2", "s_suppkey"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["p_partkey", "cost_e2", "s_suppkey", "s_name", "n_name"]]
+        .sort_values("p_partkey")
+        .reset_index(drop=True)
+    )
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11-style important stock: per-part inventory value from
+    NATION_3's suppliers, kept when the part's share of the national total
+    exceeds 0.1% — the scalar-subquery-over-the-same-aggregate class. The
+    supplier set resolves driver-side (dimension) into a scan filter;
+    per-block int64 partials → hash(partkey) shard combine; the global
+    total is the sum of shard partials (one small driver add) and the
+    HAVING comparison stays in exact integers (value·1000 > total)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nk = nation.filter(pc.equal(nation.column("n_name"), "NATION_3")).column(
+        "n_nationkey"
+    )[0].as_py()
+    sk = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey"],
+        filters=pc.field("s_nationkey") == nk,
+    ).column("s_suppkey")
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_quantity"],
+        filter=pc.field("l_suppkey").isin(sk),
+    )
+
+    def value_partial(t: pa.Table) -> pa.Table:
+        price = pc.cast(pc.round(pc.multiply(t.column("l_extendedprice"), 100.0)), pa.int64())
+        qty = pc.cast(pc.round(t.column("l_quantity")), pa.int64())
+        tt = pa.table(
+            {
+                "p_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+                "value_e2": pc.multiply(price, qty),
+            }
+        )
+        return tt.group_by("p_partkey").aggregate([("value_e2", "sum")])
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    n_sh = cluster_shards()
+
+    def shard_sum(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("p_partkey", as_index=False)["value_e2_sum"].sum().rename(
+            columns={"value_e2_sum": "value_e2"}
+        )
+
+    per_part = (
+        li.map_batches(value_partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "p_partkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_sum(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    total = int(per_part["value_e2"].sum())
+    out = per_part[per_part["value_e2"] * 1000 > total].copy()
+    out["value_e2"] = out["value_e2"].astype(np.int64)
+    return (
+        out.sort_values(["value_e2", "p_partkey"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+
+
+def q_funnel_conversion(sf_dir: str):
+    """Event-funnel analysis: users who viewed, then clicked within 6 h of
+    the first view, then purchased within 6 h of that click — the
+    sequential-pattern class a training-data event pipeline needs. One
+    hash(user) shuffle puts each user's history whole in one shard; the
+    three stage timestamps are vectorized per shard (masked groupby-min +
+    merge, no per-user Python); shards emit one count row each and the
+    driver adds them."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_type"]
+    )
+    n_sh = cluster_shards()
+    win = pd.Timedelta(hours=6)
+
+    def shard_funnel(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = (
+            g[g["event_type"] == "view"].groupby("user_id")["ts"].min().rename("t1")
+        )
+        clk = g[g["event_type"] == "click"].merge(t1, on="user_id")
+        clk = clk[(clk["ts"] > clk["t1"]) & (clk["ts"] <= clk["t1"] + win)]
+        t2 = clk.groupby("user_id")["ts"].min().rename("t2")
+        pur = g[g["event_type"] == "purchase"].merge(t2, on="user_id")
+        pur = pur[(pur["ts"] > pur["t2"]) & (pur["ts"] <= pur["t2"] + win)]
+        return pd.DataFrame(
+            {
+                "n_view": [np.int64(t1.size)],
+                "n_click": [np.int64(t2.size)],
+                "n_purchase": [np.int64(pur["user_id"].nunique())],
+            }
+        )
+
+    parts = (
+        ev.map_batches(lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_funnel(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return pd.DataFrame(
+        {
+            "n_view": [np.int64(parts["n_view"].sum())],
+            "n_click": [np.int64(parts["n_click"].sum())],
+            "n_purchase": [np.int64(parts["n_purchase"].sum())],
+        }
+    )
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort-retention matrix: users grouped by first-active day, distinct
+    actives per (cohort day, day offset). One hash(user) shuffle keeps every
+    user's events in one shard, so per-shard distinct (cohort, offset, user)
+    triples are globally distinct and per-(cohort, offset) counts add
+    exactly across shards — a distinct-count matrix without a second
+    shuffle. Output bounded by days × days, never by users."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    n_sh = cluster_shards()
+
+    def shard_cohort(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(day=g["ts"].dt.floor("D"))
+        first = g.groupby("user_id")["day"].min().rename("cohort")
+        g = g.drop_duplicates(["user_id", "day"]).merge(first, on="user_id")
+        g = g.assign(day_offset=(g["day"] - g["cohort"]).dt.days.astype(np.int64))
+        out = (
+            g.assign(cohort_day=g["cohort"].dt.strftime("%Y-%m-%d"))
+            .groupby(["cohort_day", "day_offset"], as_index=False)
+            .agg(active_users=("user_id", "nunique"))
+        )
+        out["active_users"] = out["active_users"].astype(np.int64)
+        return out
+
+    parts = (
+        ev.map_batches(lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_cohort(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out = parts.groupby(["cohort_day", "day_offset"], as_index=False)[
+        "active_users"
+    ].sum()
+    out["active_users"] = out["active_users"].astype(np.int64)
+    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -3276,6 +3668,12 @@ QUERIES = {
     "customer_order_years": q_customer_order_years,
     "range_window_sum": q_range_window_sum,
     "link_hits": q_link_hits,
+    "nation_profit": q_nation_profit,
+    "supplier_variety": q_supplier_variety,
+    "min_cost_supplier": q_min_cost_supplier,
+    "important_parts": q_important_parts,
+    "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -4089,5 +4487,81 @@ ORACLE_SQL = {
         UNION ALL SELECT 0.75, quantile_disc(n_tokens, 0.75)::BIGINT FROM tc
         UNION ALL SELECT 0.90, quantile_disc(n_tokens, 0.90)::BIGINT FROM tc
         UNION ALL SELECT 0.99, quantile_disc(n_tokens, 0.99)::BIGINT FROM tc
+    """,
+    "nation_profit": """
+        SELECT n_name, year(o_orderdate)::BIGINT AS o_year,
+               sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                   * (100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT
+                 AS profit_e4
+        FROM lineitem JOIN part ON l_partkey=p_partkey
+         JOIN supplier ON l_suppkey=s_suppkey
+         JOIN nation ON s_nationkey=n_nationkey
+         JOIN orders ON l_orderkey=o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1,2 ORDER BY n_name, o_year DESC
+    """,
+    "supplier_variety": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+          AND p_size IN (1,5,10,15,20,25)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1,2,3
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "min_cost_supplier": """
+        WITH eu AS (SELECT s_suppkey, s_name, n_name FROM supplier
+                    JOIN nation ON s_nationkey=n_nationkey
+                    JOIN region ON n_regionkey=r_regionkey WHERE r_name='EUROPE'),
+        pk AS (SELECT p_partkey FROM part
+               WHERE p_size <= 10 AND p_type IN ('STANDARD','ECONOMY')),
+        cost AS (SELECT l_partkey, l_suppkey,
+                        min(CAST(round(l_extendedprice*100) AS BIGINT)) AS cost_e2
+                 FROM lineitem JOIN pk ON l_partkey=p_partkey
+                 JOIN eu ON l_suppkey=eu.s_suppkey GROUP BY 1,2)
+        SELECT c.l_partkey AS p_partkey, c.cost_e2, c.l_suppkey AS s_suppkey,
+               eu.s_name, eu.n_name
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY l_partkey ORDER BY cost_e2, l_suppkey) rn
+              FROM cost) c
+        JOIN eu ON c.l_suppkey=eu.s_suppkey
+        WHERE rn=1 ORDER BY p_partkey
+    """,
+    "important_parts": """
+        WITH v AS (SELECT l_partkey,
+                          sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                              * CAST(round(l_quantity) AS BIGINT)) AS value_e2
+                   FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
+                   WHERE s_nationkey = (SELECT n_nationkey FROM nation
+                                        WHERE n_name='NATION_3')
+                   GROUP BY 1)
+        SELECT l_partkey AS p_partkey, value_e2::BIGINT AS value_e2 FROM v
+        WHERE value_e2 * 1000 > (SELECT sum(value_e2) FROM v)
+        ORDER BY value_e2 DESC, p_partkey
+    """,
+    "funnel_conversion": """
+        WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type='view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(ts) AS t2 FROM events e
+              JOIN v ON e.user_id=v.user_id
+              WHERE event_type='click' AND ts > t1
+                AND ts <= t1 + INTERVAL 6 HOUR GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(ts) AS t3 FROM events e
+              JOIN c ON e.user_id=c.user_id
+              WHERE event_type='purchase' AND ts > t2
+                AND ts <= t2 + INTERVAL 6 HOUR GROUP BY e.user_id)
+        SELECT (SELECT count(*) FROM v)::BIGINT AS n_view,
+               (SELECT count(*) FROM c)::BIGINT AS n_click,
+               (SELECT count(*) FROM p)::BIGINT AS n_purchase
+    """,
+    "cohort_retention": """
+        WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+                   FROM events GROUP BY 1)
+        SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+               datediff('day', cohort, date_trunc('day', ts))::BIGINT AS day_offset,
+               count(DISTINCT e.user_id)::BIGINT AS active_users
+        FROM events e JOIN f ON e.user_id=f.user_id
+        GROUP BY 1,2 ORDER BY 1,2
     """,
 }

@@ -141,6 +141,12 @@ def test_oracle_keys_subset(entrymod):
         "user_type_pivot",
         "customer_order_years",
         "range_window_sum",
+        "nation_profit",
+        "supplier_variety",
+        "min_cost_supplier",
+        "important_parts",
+        "funnel_conversion",
+        "cohort_retention",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
