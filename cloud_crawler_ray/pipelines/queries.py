@@ -3403,12 +3403,13 @@ def q_min_cost_supplier(sf_dir: str):
 
 def q_important_parts(sf_dir: str):
     """TPC-H Q11-style important stock: per-part inventory value from
-    NATION_3's suppliers, kept when the part's share of the national total
-    exceeds 0.1% — the scalar-subquery-over-the-same-aggregate class. The
+    NATION_3's suppliers, kept when the part's value
+    exceeds twice the per-part average — the scalar-subquery-over-the-
+    same-aggregate class, made scale-invariant. The
     supplier set resolves driver-side (dimension) into a scan filter;
     per-block int64 partials → hash(partkey) shard combine; the global
     total is the sum of shard partials (one small driver add) and the
-    HAVING comparison stays in exact integers (value·1000 > total)."""
+    HAVING comparison stays in exact integers (value·2000 > total)."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -3459,7 +3460,7 @@ def q_important_parts(sf_dir: str):
         .to_pandas()
     )
     total = int(per_part["value_e2"].sum())
-    out = per_part[per_part["value_e2"] * 1000 > total].copy()
+    out = per_part[per_part["value_e2"] * len(per_part) > 2 * total].copy()
     out["value_e2"] = out["value_e2"].astype(np.int64)
     return (
         out.sort_values(["value_e2", "p_partkey"], ascending=[False, True])
@@ -4537,7 +4538,7 @@ ORACLE_SQL = {
                                         WHERE n_name='NATION_3')
                    GROUP BY 1)
         SELECT l_partkey AS p_partkey, value_e2::BIGINT AS value_e2 FROM v
-        WHERE value_e2 * 1000 > (SELECT sum(value_e2) FROM v)
+        WHERE value_e2 * (SELECT count(*) FROM v) > 2 * (SELECT sum(value_e2) FROM v)
         ORDER BY value_e2 DESC, p_partkey
     """,
     "funnel_conversion": """
