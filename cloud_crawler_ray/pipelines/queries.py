@@ -853,6 +853,23 @@ def q_api_doc_store(sf_dir: str):
     return handle.doc_store()
 
 
+def q_api_fetch(sf_dir: str):
+    """HttpParty analog (http_party.rb:26-135): the ApiFetchResults actor
+    pool fetching every endpoint of the JSON API fixture — one (url, ok,
+    code, json) row per URL. No SQL oracle (synthetic-net fetch); parity
+    vs a single-process ApiClient is pinned by tests/test_api_client.py."""
+    import ray.data as _rd
+
+    from ..stages.api_client import fetch_results
+    from ..synthweb import make_api_web
+
+    sf = _sf_of(sf_dir)
+    n = max(100, _SF_PAGES.get(sf, 4000) // 10)
+    web, urls = make_api_web(n)
+    ds = _rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    return fetch_results(ds, web, concurrency=4, batch_size=256)
+
+
 def q_hook_counters(sf_dir: str):
     """Crawl counters from the DSL hook surface: per-page on_every_page
     increments (aggregated distributed via the counter columns) merged with
@@ -3603,6 +3620,7 @@ QUERIES = {
     "value_percent_rank": q_value_percent_rank,
     "hook_counters": q_hook_counters,
     "api_doc_store": q_api_doc_store,
+    "api_fetch": q_api_fetch,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "media_thumbnails": q_media_thumbnails,
