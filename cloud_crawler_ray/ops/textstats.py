@@ -446,3 +446,56 @@ def value_quantiles_by(
         .to_pandas()
     )
     return out.sort_values([key, "q"]).reset_index(drop=True)
+
+
+def inverted_index(
+    ds: rd.Dataset, min_df: int = 1, n_shards: int | None = None
+) -> rd.Dataset:
+    """Inverted index (token → sorted posting list of doc_ids) — the
+    search-engine core op a crawled corpus feeds. Per-block distinct
+    (token, doc_id) pairs shrink the one hash(token) shuffle (a doc
+    mentions a hot token many times but ships one pair); each shard owns
+    its tokens whole, so df and the sorted postings string are exact with
+    a single vectorized pandas pass. Postings serialize as a comma-joined
+    string: at web scale one row per token streams out of the shard and
+    the posting payload is bounded by df — shard output never exceeds its
+    input pairs. min_df prunes the long tail before it leaves the shard."""
+    from .dedup import _add_shard, cluster_shards
+
+    if n_shards is None:
+        n_shards = cluster_shards()
+
+    def pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(batch["text"])
+        out = pd.DataFrame(
+            {
+                "token": toks.astype(str),
+                "doc_id": batch["doc_id"].reindex(toks.index).astype(np.int64),
+            }
+        )
+        return out.drop_duplicates(["token", "doc_id"])
+
+    def shard_index(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["token", "doc_id"]).sort_values(
+            ["token", "doc_id"], kind="stable"
+        )
+        grp = g.groupby("token", sort=False)["doc_id"]
+        df_counts = grp.size()
+        postings = grp.agg(lambda ids: ",".join(str(i) for i in ids))
+        out = pd.DataFrame(
+            {
+                "token": df_counts.index.astype(str),
+                "df": df_counts.to_numpy().astype(np.int64),
+                "postings": postings.to_numpy(),
+            }
+        )
+        return out[out["df"] >= min_df]
+
+    return (
+        ds.map_batches(pairs, batch_format="pandas", batch_size=4096)
+        .map_batches(lambda t: _add_shard(t, "token", n_shards), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_index(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )

@@ -3581,6 +3581,15 @@ def q_cohort_retention(sf_dir: str):
     return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
 
 
+def q_inverted_index(sf_dir: str):
+    """Inverted index over the documents table (ops/textstats.py
+    inverted_index): token -> df + sorted posting list, min_df=2."""
+    from ..ops.textstats import inverted_index
+
+    out = inverted_index(_docs(sf_dir), min_df=2).to_pandas()
+    return out.sort_values("token").reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -3621,6 +3630,7 @@ QUERIES = {
     "hook_counters": q_hook_counters,
     "api_doc_store": q_api_doc_store,
     "api_fetch": q_api_fetch,
+    "inverted_index": q_inverted_index,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "media_thumbnails": q_media_thumbnails,
@@ -4582,5 +4592,12 @@ ORACLE_SQL = {
                count(DISTINCT e.user_id)::BIGINT AS active_users
         FROM events e JOIN f ON e.user_id=f.user_id
         GROUP BY 1,2 ORDER BY 1,2
+    """,
+    "inverted_index": f"""
+        WITH pairs AS (
+          SELECT DISTINCT doc_id, unnest({_TOKENS}) AS token FROM documents)
+        SELECT token, count(*)::BIGINT AS df,
+               array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+        FROM pairs GROUP BY token HAVING count(*) >= 2 ORDER BY token
     """,
 }

@@ -147,6 +147,7 @@ def test_oracle_keys_subset(entrymod):
         "important_parts",
         "funnel_conversion",
         "cohort_retention",
+        "inverted_index",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
