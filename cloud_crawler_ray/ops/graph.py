@@ -567,3 +567,59 @@ def hits(
     return out.map_batches(
         lambda t: t.select(["node", "hub", "authority"]), batch_format="pyarrow"
     )
+
+
+def anchor_text_index(docs: rd.Dataset, n_shards: int | None = None) -> rd.Dataset:
+    """Anchor-text index: for every link target, how many distinct documents
+    point at it and the sorted distinct anchor texts used (the reference's
+    anchor-text surface, page.rb `links`/anchor lookup — P4 — aggregated
+    corpus-wide, the signal web search and focus-crawl scoring feed on).
+
+    Map side flattens the interleaved span column zero-copy
+    (list_flatten + list_parent_indices, never pandas), keeps kind=='link'
+    spans, and emits block-distinct (target, anchor, doc) triples; one
+    hash(target) shuffle then owns each target whole, so the distinct
+    referring-doc count and the '\\x1f'-joined distinct anchor list are
+    exact in a single vectorized pandas pass. Output is one row per target
+    — bounded by distinct URLs, never by links."""
+    import pyarrow.compute as pc
+
+    if n_shards is None:
+        n_shards = cluster_shards()
+
+    def triples(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        tt = pa.table(
+            {
+                "target": pc.struct_field(flat, "media_ref"),
+                "anchor": pc.struct_field(flat, "text"),
+                "doc_id": pc.take(t.column("doc_id"), parents),
+            }
+        ).filter(pc.equal(pc.struct_field(flat, "kind"), "link"))
+        return tt.group_by(["target", "anchor", "doc_id"]).aggregate([])
+
+    def shard_index(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["target", "anchor", "doc_id"])
+        grp = g.groupby("target", sort=False)
+        n_refs = grp["doc_id"].nunique()
+        anchors = grp["anchor"].agg(
+            lambda a: "\x1f".join(sorted(set(a)))
+        )
+        return pd.DataFrame(
+            {
+                "target": n_refs.index.astype(str),
+                "n_refs": n_refs.to_numpy().astype(np.int64),
+                "anchors": anchors.to_numpy(),
+            }
+        )
+
+    return (
+        docs.map_batches(triples, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "target", n_shards), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_index(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )

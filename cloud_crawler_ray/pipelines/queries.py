@@ -3590,6 +3590,17 @@ def q_inverted_index(sf_dir: str):
     return out.sort_values("token").reset_index(drop=True)
 
 
+def q_anchor_texts(sf_dir: str):
+    """Anchor-text index over the flagship crawl (ops/graph.py
+    anchor_text_index): per link target, distinct referring docs + sorted
+    distinct anchor texts. No SQL oracle (crawl-derived interleaved spans);
+    parity vs the Python oracle is pinned in tests/test_graph.py."""
+    from ..ops.graph import anchor_text_index
+
+    out = anchor_text_index(crawl_handle_for(sf_dir).documents()).to_pandas()
+    return out.sort_values("target").reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -3631,6 +3642,7 @@ QUERIES = {
     "api_doc_store": q_api_doc_store,
     "api_fetch": q_api_fetch,
     "inverted_index": q_inverted_index,
+    "anchor_texts": q_anchor_texts,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "media_thumbnails": q_media_thumbnails,

@@ -161,3 +161,89 @@ def test_connected_components(ray_session):
     assert comp[names[0]] == comp[names[3]] == names[0]
     assert comp[names[4]] == comp[names[5]] == names[4]
     assert comp[names[0]] != comp[names[4]]
+
+
+def _docs_with_spans() -> rd.Dataset:
+    from cloud_crawler_ray.schemas import DOCUMENTS_SCHEMA
+
+    def spans(items):
+        return [
+            {"kind": k, "text": t, "media_ref": m, "offset": i}
+            for i, (k, t, m) in enumerate(items)
+        ]
+
+    rows = {
+        "doc_id": ["http://h/a", "http://h/b", "http://h/c"],
+        "spans": [
+            spans(
+                [
+                    ("text", "intro", ""),
+                    ("link", "to x", "http://h/x"),
+                    ("link", "also x", "http://h/x"),
+                    ("image", "", "http://h/img.png"),
+                    ("link", "to y", "http://h/y"),
+                ]
+            ),
+            spans(
+                [
+                    ("link", "to x", "http://h/x"),  # same anchor, different doc
+                    ("text", "body", ""),
+                ]
+            ),
+            spans([("text", "no links", "")]),
+        ],
+    }
+    tbl = pa.Table.from_pydict(rows, schema=DOCUMENTS_SCHEMA)
+    return rd.from_arrow(tbl).repartition(2)
+
+
+def test_anchor_text_index(ray_session):
+    from cloud_crawler_ray.ops.graph import anchor_text_index
+
+    out = (
+        anchor_text_index(_docs_with_spans())
+        .to_pandas()
+        .sort_values("target")
+        .reset_index(drop=True)
+    )
+    assert out["target"].tolist() == ["http://h/x", "http://h/y"]
+    assert out["n_refs"].tolist() == [2, 1]
+    assert out["anchors"].tolist() == ["also x\x1fto x", "to y"]
+
+
+def test_anchor_text_index_matches_crawl_oracle(ray_session):
+    """Corpus-level parity on a real crawl: recompute the index row-by-row
+    from the Python oracle's documents and compare exactly."""
+    from collections import defaultdict
+
+    from cloud_crawler_ray.oracle import crawl_oracle
+    from cloud_crawler_ray.ops.graph import anchor_text_index
+    from cloud_crawler_ray.pipelines.crawl import crawl
+    from cloud_crawler_ray.spec import CrawlSpec
+    from cloud_crawler_ray.synthweb import make_skewed_web
+
+    import shutil
+
+    web, seeds = make_skewed_web(300, n_hosts=6, seed=13)
+    out_dir = "/tmp/ccray_anchor_idx_test"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spec = CrawlSpec(delay=0.01)
+    h = crawl(web, seeds, spec, out_dir)
+    got = (
+        anchor_text_index(h.documents())
+        .to_pandas()
+        .sort_values("target")
+        .reset_index(drop=True)
+    )
+    ora = crawl_oracle(web, seeds, spec)
+    refs = defaultdict(set)
+    anchors = defaultdict(set)
+    for doc in ora.documents:
+        for s in doc["spans"]:
+            if s["kind"] == "link":
+                refs[s["media_ref"]].add(doc["doc_id"])
+                anchors[s["media_ref"]].add(s["text"])
+    assert got["target"].tolist() == sorted(refs)
+    for _, row in got.iterrows():
+        assert row["n_refs"] == len(refs[row["target"]])
+        assert row["anchors"] == "\x1f".join(sorted(anchors[row["target"]]))
