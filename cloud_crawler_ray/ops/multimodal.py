@@ -435,3 +435,145 @@ def interleave_pack(docs: rd.Dataset, seq_tokens: int = 1024) -> rd.Dataset:
         ]
     )
     return prefix_stamp(ordered, seq_tokens, empty_schema)
+
+
+def validate_spans(docs: rd.Dataset) -> rd.Dataset:
+    """Interleaved-schema integrity audit: per document, count violations of
+    the span contract (BASELINE input_hint: ordered struct<kind, text,
+    media_ref, offset>) — offsets must be the 0-based dense document order,
+    media/link spans must carry a media_ref, text spans must carry text,
+    kinds must be known. Emits ONE row per (doc, violation kind) with a
+    count, only for violators — a 100 TB corpus audit streams out bounded
+    by bad docs, not by spans. Fully vectorized (list_flatten /
+    list_parent_indices + numpy masks, no per-row Python)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    KNOWN = ("text", "image", "video", "link", "json")
+
+    def part(t: pa.Table) -> pa.Table:
+        spans = t.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kinds = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
+        texts = pc.struct_field(flat, "text").to_numpy(zero_copy_only=False)
+        refs = pc.struct_field(flat, "media_ref").to_numpy(zero_copy_only=False)
+        offs = pc.struct_field(flat, "offset").to_numpy(zero_copy_only=False)
+        if len(parents) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "violation": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # dense 0-based order: offset must equal position within its doc
+        starts = np.flatnonzero(np.r_[True, parents[1:] != parents[:-1]])
+        pos = np.arange(len(parents)) - np.repeat(
+            starts, np.diff(np.r_[starts, len(parents)])
+        )
+        is_media = np.isin(kinds, ("image", "video", "link"))
+        checks = {
+            "offset_not_dense": offs != pos,
+            "media_missing_ref": is_media & (refs == ""),
+            "text_missing_text": (kinds == "text") & (texts == ""),
+            "unknown_kind": ~np.isin(kinds, KNOWN),
+        }
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        frames = []
+        for name, mask in checks.items():
+            if not mask.any():
+                continue
+            bad_parents = parents[mask]
+            uniq, cnt = np.unique(bad_parents, return_counts=True)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": doc_ids[uniq],
+                        "violation": name,
+                        "n": cnt.astype(np.int64),
+                    }
+                )
+            )
+        if not frames:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.string()),
+                    "violation": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        out = pd.concat(frames, ignore_index=True)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return docs.map_batches(part, batch_format="pyarrow")
+
+
+def main_content(
+    docs: rd.Dataset, min_chars: int = 40
+) -> rd.Dataset:
+    """Boilerplate strip over the interleaved span sequence: keep a doc's
+    text spans that are long (≥ min_chars) or adjacent in document order to
+    a long text span; short isolated text runs (nav labels, footers,
+    button captions between link spans) drop. The classic text-density
+    heuristic expressed on the span sequence instead of a re-parse — pure
+    map stage, no shuffle, output one (doc_id, main_text, n_kept,
+    n_dropped) row per doc. Vectorized: shifted same-doc masks, pandas
+    groupby-join only over kept spans."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    def part(t: pa.Table) -> pa.Table:
+        spans = t.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kinds = pc.struct_field(flat, "kind").to_numpy(zero_copy_only=False)
+        texts = pc.struct_field(flat, "text").to_numpy(zero_copy_only=False)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        n = len(parents)
+        is_text = kinds == "text"
+        tlen = np.char.str_len(texts.astype(str))
+        long = is_text & (tlen >= min_chars)
+        if n:
+            same_prev = np.r_[False, parents[1:] == parents[:-1]]
+            same_next = np.r_[parents[:-1] == parents[1:], False]
+            prev_long = np.r_[False, long[:-1]] & same_prev
+            next_long = np.r_[long[1:], False] & same_next
+        else:
+            prev_long = next_long = np.zeros(0, dtype=bool)
+        keep = is_text & (long | prev_long | next_long)
+        df = pd.DataFrame(
+            {
+                "row": parents,
+                "text": texts,
+                "keep": keep,
+                "is_text": is_text,
+            }
+        )
+        kept = (
+            df[df["keep"]]
+            .groupby("row", sort=True)["text"]
+            .agg(lambda ts: " ".join(ts))
+        )
+        per_doc = df[df["is_text"]].groupby("row", sort=True)["keep"]
+        n_kept = per_doc.sum()
+        n_text = per_doc.size()
+        rows = np.arange(len(doc_ids))
+        main = pd.Series("", index=rows, dtype=object)
+        main.loc[kept.index] = kept
+        nk = pd.Series(0, index=rows, dtype=np.int64)
+        nk.loc[n_kept.index] = n_kept.astype(np.int64)
+        nt = pd.Series(0, index=rows, dtype=np.int64)
+        nt.loc[n_text.index] = n_text.astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "main_text": pa.array(main.to_numpy(), pa.string()),
+                "n_kept": pa.array(nk.to_numpy(), pa.int64()),
+                "n_dropped": pa.array((nt - nk).to_numpy(), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(part, batch_format="pyarrow")

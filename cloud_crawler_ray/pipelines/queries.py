@@ -3601,6 +3601,45 @@ def q_anchor_texts(sf_dir: str):
     return out.sort_values("target").reset_index(drop=True)
 
 
+def q_span_violations(sf_dir: str):
+    """Interleaved-schema integrity audit over the flagship crawl
+    (ops/multimodal.py validate_spans), summarized per violation kind —
+    all zeros on a healthy crawl (the engine's own extractor satisfies
+    the contract, pinned in tests/test_ops.py). The per-doc detail rows
+    stay distributed; only the bounded per-kind totals reach the driver."""
+    import numpy as np
+
+    from ..ops.multimodal import validate_spans
+
+    CHECKS = [
+        "media_missing_ref",
+        "offset_not_dense",
+        "text_missing_text",
+        "unknown_kind",
+    ]
+    detail = validate_spans(crawl_handle_for(sf_dir).documents()).to_pandas()
+    if detail.empty:
+        totals = {}
+    else:
+        totals = detail.groupby("violation")["n"].sum().to_dict()
+    return pd.DataFrame(
+        {
+            "violation": CHECKS,
+            "n": np.array([int(totals.get(c, 0)) for c in CHECKS], np.int64),
+        }
+    )
+
+
+def q_main_content(sf_dir: str):
+    """Boilerplate strip over the flagship crawl's interleaved spans
+    (ops/multimodal.py main_content): per doc, the text-density-kept main
+    text + kept/dropped counts. No SQL oracle (crawl-derived spans);
+    semantics pinned in tests/test_ops.py."""
+    from ..ops.multimodal import main_content
+
+    return main_content(crawl_handle_for(sf_dir).documents(), min_chars=20)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -3643,6 +3682,8 @@ QUERIES = {
     "api_fetch": q_api_fetch,
     "inverted_index": q_inverted_index,
     "anchor_texts": q_anchor_texts,
+    "span_violations": q_span_violations,
+    "main_content": q_main_content,
     "media_features": q_media_features,
     "media_frames": q_media_frames,
     "media_thumbnails": q_media_thumbnails,

@@ -966,3 +966,92 @@ def test_kmeans_more_clusters_than_points(ray_session):
     df = assign.to_pandas()
     assert len(df) == 4
     assert len(centers) == 4  # seeding capped at the row count
+
+
+def test_validate_spans_flags_violations(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.multimodal import validate_spans
+
+    def sp(kind, off, text="x", ref="r"):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = [
+        # clean doc: dense offsets, media has ref, text has text
+        {"doc_id": "ok", "spans": [sp("text", 0), sp("image", 1), sp("link", 2)]},
+        # offsets skip 1 → two spans at wrong positions
+        {"doc_id": "gap", "spans": [sp("text", 0), sp("text", 2), sp("text", 3)]},
+        # media without ref + unknown kind + empty text
+        {
+            "doc_id": "bad",
+            "spans": [
+                sp("image", 0, ref=""),
+                sp("blob", 1),
+                sp("text", 2, text=""),
+            ],
+        },
+    ]
+    out = (
+        validate_spans(rd.from_items(rows).repartition(2))
+        .to_pandas()
+        .sort_values(["doc_id", "violation"])
+        .reset_index(drop=True)
+    )
+    got = {(r["doc_id"], r["violation"]): r["n"] for _, r in out.iterrows()}
+    assert got == {
+        ("gap", "offset_not_dense"): 2,
+        ("bad", "media_missing_ref"): 1,
+        ("bad", "unknown_kind"): 1,
+        ("bad", "text_missing_text"): 1,
+    }
+
+
+def test_validate_spans_clean_crawl_has_no_violations(ray_session):
+    """The engine's own extractor must satisfy the span contract."""
+    from cloud_crawler_ray.ops.multimodal import validate_spans
+    from cloud_crawler_ray.pipelines.crawl import crawl
+    from cloud_crawler_ray.spec import CrawlSpec
+    from cloud_crawler_ray.synthweb import make_skewed_web
+    import shutil
+
+    web, seeds = make_skewed_web(150, n_hosts=4, seed=21)
+    out_dir = "/tmp/ccray_validate_spans_test"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    h = crawl(web, seeds, CrawlSpec(delay=0.01), out_dir)
+    assert validate_spans(h.documents()).count() == 0
+
+
+def test_main_content_strips_nav_keeps_body(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.multimodal import main_content
+
+    def sp(kind, off, text="", ref=""):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    long1 = "this paragraph is long enough to clear the density bar easily"
+    long2 = "a second substantive paragraph keeps the adjacent short note"
+    rows = [
+        {
+            "doc_id": "page",
+            "spans": [
+                sp("link", 0, "Home", "http://h/"),
+                sp("text", 1, "menu"),  # short, between links → dropped
+                sp("link", 2, "About", "http://h/about"),
+                sp("text", 3, long1),
+                sp("text", 4, "see also"),  # short but adjacent to long → kept
+                sp("text", 5, long2),
+                sp("image", 6, "", "http://h/img.png"),
+                sp("text", 7, "footer"),  # short, isolated → dropped
+            ],
+        },
+        {"doc_id": "empty", "spans": [sp("link", 0, "x", "http://h/x")]},
+    ]
+    out = (
+        main_content(rd.from_items(rows).repartition(2), min_chars=40)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc["page", "main_text"] == f"{long1} see also {long2}"
+    assert out.loc["page", "n_kept"] == 3 and out.loc["page", "n_dropped"] == 2
+    assert out.loc["empty", "main_text"] == "" and out.loc["empty", "n_kept"] == 0
