@@ -94,3 +94,22 @@ def test_rank_hosts_example(ray_session):
     assert len(df) >= 2  # multiple hosts ranked
     assert abs(df["total_rank"].sum() - 1.0) < 1e-6  # ranks are a distribution
     assert (df["total_rank"].to_numpy()[:-1] >= df["total_rank"].to_numpy()[1:]).all()
+
+
+def test_api_harvest_example(ray_session):
+    import json
+    import zlib
+
+    from examples.api_harvest import main
+
+    out = main(n_docs=60)
+    # recompute expected per-tag (n, score) directly from the fixture's
+    # deterministic doc generator (synthweb.make_api_web)
+    exp: dict[str, tuple[int, int]] = {}
+    for i in range(60):
+        score = zlib.crc32(f"17:{i}".encode()) % 1000
+        for j in range(i % 4):
+            tag = f"t{(i + j) % 11}"
+            n, s = exp.get(tag, (0, 0))
+            exp[tag] = (n + 1, s + score)
+    assert out == exp
