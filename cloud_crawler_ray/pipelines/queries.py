@@ -3640,6 +3640,72 @@ def q_main_content(sf_dir: str):
     return main_content(crawl_handle_for(sf_dir).documents(), min_chars=20)
 
 
+def q_view_days_no_purchase(sf_dir: str):
+    """EXCEPT set class at (user, day) granularity: days on which a user
+    viewed but bought nothing — the bag-difference companion to the
+    INTERSECT query. Per-block partial (user, day, saw_view, saw_purchase)
+    flags collapse the event stream before the one hash(user) shuffle;
+    each shard ORs its users' day flags and emits only the surviving
+    (user, day) pairs — the driver sees result rows, never the event log."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "day": pc.strftime(
+                    pc.floor_temporal(t.column("ts"), unit="day"), "%Y-%m-%d"
+                ),
+                "saw_view": pc.cast(
+                    pc.equal(t.column("event_type"), "view"), pa.int64()
+                ),
+                "saw_purchase": pc.cast(
+                    pc.equal(t.column("event_type"), "purchase"), pa.int64()
+                ),
+            }
+        )
+        return tt.group_by(["user_id", "day"]).aggregate(
+            [("saw_view", "max"), ("saw_purchase", "max")]
+        )
+
+    n_sh = cluster_shards()
+
+    def shard_diff(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["user_id", "day"], as_index=False)[
+            ["saw_view_max", "saw_purchase_max"]
+        ].max()
+        keep = agg[(agg["saw_view_max"] == 1) & (agg["saw_purchase_max"] == 0)]
+        return pd.DataFrame(
+            {
+                "user_id": keep["user_id"].to_numpy().astype(np.int64),
+                "day": keep["day"].to_numpy(),
+            }
+        )
+
+    out = (
+        ev.map_batches(flags, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_diff(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(
+            {"user_id": pd.Series(dtype="int64"), "day": pd.Series(dtype=str)}
+        )
+    return out.sort_values(["user_id", "day"]).reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -3756,6 +3822,7 @@ QUERIES = {
     "important_parts": q_important_parts,
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
+    "view_days_no_purchase": q_view_days_no_purchase,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -4652,5 +4719,16 @@ ORACLE_SQL = {
         SELECT token, count(*)::BIGINT AS df,
                array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
         FROM pairs GROUP BY token HAVING count(*) >= 2 ORDER BY token
+    """,
+"view_days_no_purchase": """
+        SELECT user_id, day FROM (
+          SELECT DISTINCT user_id,
+                 strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+          FROM events WHERE event_type='view'
+          EXCEPT
+          SELECT DISTINCT user_id,
+                 strftime(date_trunc('day', ts), '%Y-%m-%d')
+          FROM events WHERE event_type='purchase')
+        ORDER BY user_id, day
     """,
 }

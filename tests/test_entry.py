@@ -148,6 +148,7 @@ def test_oracle_keys_subset(entrymod):
         "funnel_conversion",
         "cohort_retention",
         "inverted_index",
+        "view_days_no_purchase",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
