@@ -3706,6 +3706,17 @@ def q_view_days_no_purchase(sf_dir: str):
     return out.sort_values(["user_id", "day"]).reset_index(drop=True)
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE subword learning over the documents table (ops/bpe.py): the
+    distributed word-frequency stage feeds a driver-side Sennrich merge
+    loop on the bounded freq table; 32 merges, deterministic tie-break.
+    No SQL oracle (iterative algorithm); pinned against a naive corpus-
+    level reference in tests/test_bpe.py."""
+    from ..ops.bpe import learn_bpe
+
+    return learn_bpe(_docs(sf_dir), n_merges=32, top_v=10_000)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -3823,6 +3834,7 @@ QUERIES = {
     "funnel_conversion": q_funnel_conversion,
     "cohort_retention": q_cohort_retention,
     "view_days_no_purchase": q_view_days_no_purchase,
+    "bpe_merges": q_bpe_merges,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
