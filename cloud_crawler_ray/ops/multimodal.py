@@ -577,3 +577,64 @@ def main_content(
         )
 
     return docs.map_batches(part, batch_format="pyarrow")
+
+
+def media_fetch_plan(docs: rd.Dataset, n_shards: int | None = None) -> rd.Dataset:
+    """Media fetch plan: one row per DISTINCT media_ref across the corpus —
+    refcount, kind, and the first referencing doc (min doc_id, then min
+    offset) — so the media-fetch stage downloads every asset exactly once
+    no matter how many pages embed it (hot logos/CDN assets are the media
+    analog of hot URLs). Block-level distinct (ref, kind, doc) triples with
+    min-offset partials shrink the one hash(media_ref) shuffle; each shard
+    owns its refs whole, so the count and argmin are exact. Output bounded
+    by distinct assets, never by embeddings."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .dedup import _add_shard, cluster_shards
+
+    if n_shards is None:
+        n_shards = cluster_shards()
+
+    def triples(t: pa.Table) -> pa.Table:
+        spans = t.column("spans").combine_chunks()
+        flat = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        tt = pa.table(
+            {
+                "media_ref": pc.struct_field(flat, "media_ref"),
+                "kind": pc.struct_field(flat, "kind"),
+                "doc_id": pc.take(t.column("doc_id"), parents),
+                "offset": pc.cast(pc.struct_field(flat, "offset"), pa.int64()),
+            }
+        ).filter(pc.is_in(pc.struct_field(flat, "kind"), value_set=pa.array(_MEDIA_KINDS)))
+        return tt.group_by(["media_ref", "kind", "doc_id"]).aggregate(
+            [("offset", "min")]
+        )
+
+    def shard_plan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["media_ref", "doc_id", "offset_min"], kind="stable"
+        ).drop_duplicates(["media_ref", "kind", "doc_id"])
+        grp = g.groupby("media_ref", sort=False)
+        n_refs = grp["doc_id"].nunique()
+        first = g.drop_duplicates("media_ref", keep="first").set_index("media_ref")
+        return pd.DataFrame(
+            {
+                "media_ref": n_refs.index.astype(str),
+                "kind": first.loc[n_refs.index, "kind"].to_numpy(),
+                "n_refs": n_refs.to_numpy().astype(np.int64),
+                "first_doc": first.loc[n_refs.index, "doc_id"].to_numpy(),
+            }
+        )
+
+    return (
+        docs.map_batches(triples, batch_format="pyarrow")
+        .map_batches(
+            lambda t: _add_shard(t, "media_ref", n_shards), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_plan(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )

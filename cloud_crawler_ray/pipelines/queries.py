@@ -3717,6 +3717,17 @@ def q_bpe_merges(sf_dir: str):
     return learn_bpe(_docs(sf_dir), n_merges=32, top_v=10_000)
 
 
+def q_media_fetch_plan(sf_dir: str):
+    """Distinct-asset media fetch plan over the flagship crawl
+    (ops/multimodal.py media_fetch_plan): per media_ref, refcount + first
+    referencing doc — download each asset once. No SQL oracle
+    (crawl-derived spans); semantics pinned in tests/test_ops.py."""
+    from ..ops.multimodal import media_fetch_plan
+
+    out = media_fetch_plan(crawl_handle_for(sf_dir).documents()).to_pandas()
+    return out.sort_values("media_ref").reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -3835,6 +3846,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "view_days_no_purchase": q_view_days_no_purchase,
     "bpe_merges": q_bpe_merges,
+    "media_fetch_plan": q_media_fetch_plan,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"

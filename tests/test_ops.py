@@ -1055,3 +1055,43 @@ def test_main_content_strips_nav_keeps_body(ray_session):
     assert out.loc["page", "main_text"] == f"{long1} see also {long2}"
     assert out.loc["page", "n_kept"] == 3 and out.loc["page", "n_dropped"] == 2
     assert out.loc["empty", "main_text"] == "" and out.loc["empty", "n_kept"] == 0
+
+
+def test_media_fetch_plan_dedups_refs(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.multimodal import media_fetch_plan
+
+    def sp(kind, off, ref="", text=""):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    logo = "http://cdn/logo.png"
+    rows = [
+        {
+            "doc_id": "a",
+            "spans": [
+                sp("image", 0, logo),
+                sp("text", 1, text="x"),
+                sp("image", 2, logo),  # same ref twice in one doc
+                sp("video", 3, "http://cdn/v1.mp4"),
+            ],
+        },
+        {"doc_id": "b", "spans": [sp("image", 0, logo), sp("link", 1, "http://h/x", "t")]},
+        {"doc_id": "c", "spans": [sp("image", 0, "http://cdn/only-c.png")]},
+    ]
+    out = (
+        media_fetch_plan(rd.from_items(rows).repartition(2))
+        .to_pandas()
+        .sort_values("media_ref")
+        .reset_index(drop=True)
+    )
+    got = {
+        r["media_ref"]: (r["kind"], r["n_refs"], r["first_doc"])
+        for _, r in out.iterrows()
+    }
+    # links are NOT media; the logo counts 2 docs (not 3 occurrences)
+    assert got == {
+        logo: ("image", 2, "a"),
+        "http://cdn/v1.mp4": ("video", 1, "a"),
+        "http://cdn/only-c.png": ("image", 1, "c"),
+    }
