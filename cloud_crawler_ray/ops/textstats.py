@@ -499,3 +499,43 @@ def inverted_index(
             lambda g: shard_index(g.drop(columns=["shard"])), batch_format="pandas"
         )
     )
+
+
+def chunk_documents(
+    ds: rd.Dataset, size: int = 64, stride: int = 32
+) -> rd.Dataset:
+    """Sliding-window document chunking: split each doc into token windows
+    of ``size`` with ``stride`` overlap (the long-context training prep —
+    every token lands in ≥1 chunk, window k starts at k·stride, the last
+    window may run short). Pure map stage, no shuffle; per-batch numpy
+    slicing over the tokenized column, output bounded by tokens/stride.
+    Empty docs emit no chunks."""
+
+    def chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids: list = []
+        chunk_ids: list[int] = []
+        n_tokens: list[int] = []
+        texts: list[str] = []
+        toks_col = batch["text"].str.lower().str.split(r"\s+", regex=True)
+        for did, toks in zip(batch["doc_id"], toks_col):
+            toks = [t for t in toks if t]
+            n = len(toks)
+            if n == 0:
+                continue
+            n_chunks = 1 if n <= size else 1 + -(-(n - size) // stride)
+            for k in range(n_chunks):
+                w = toks[k * stride : k * stride + size]
+                doc_ids.append(did)
+                chunk_ids.append(k)
+                n_tokens.append(len(w))
+                texts.append(" ".join(w))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(doc_ids),
+                "chunk_id": np.asarray(chunk_ids, dtype=np.int64),
+                "n_tokens": np.asarray(n_tokens, dtype=np.int64),
+                "chunk_text": texts,
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pandas", batch_size=2048)

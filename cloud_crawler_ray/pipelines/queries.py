@@ -3728,6 +3728,16 @@ def q_media_fetch_plan(sf_dir: str):
     return out.sort_values("media_ref").reset_index(drop=True)
 
 
+def q_chunk_documents(sf_dir: str):
+    """Sliding-window chunking of every document (64-token windows, stride
+    32 — ops/textstats.py chunk_documents), the long-context training prep
+    step. Map-only, no shuffle; SQL-checked via DuckDB list slicing."""
+    from ..ops.textstats import chunk_documents
+
+    out = chunk_documents(_docs(sf_dir), size=64, stride=32).to_pandas()
+    return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -3847,6 +3857,7 @@ QUERIES = {
     "view_days_no_purchase": q_view_days_no_purchase,
     "bpe_merges": q_bpe_merges,
     "media_fetch_plan": q_media_fetch_plan,
+    "chunk_documents": q_chunk_documents,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -4754,5 +4765,18 @@ ORACLE_SQL = {
                  strftime(date_trunc('day', ts), '%Y-%m-%d')
           FROM events WHERE event_type='purchase')
         ORDER BY user_id, day
+    """,
+"chunk_documents": f"""
+        WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        c AS (SELECT doc_id, toks,
+                     unnest(generate_series(0,
+                       CASE WHEN len(toks) <= 64 THEN 0
+                            ELSE (len(toks) - 64 + 31) // 32 END)) AS chunk_id
+              FROM t WHERE len(toks) > 0)
+        SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+               least(len(toks) - chunk_id*32, 64)::BIGINT AS n_tokens,
+               array_to_string(toks[chunk_id*32 + 1 : chunk_id*32 + 64], ' ')
+                 AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id
     """,
 }

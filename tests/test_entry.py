@@ -149,6 +149,7 @@ def test_oracle_keys_subset(entrymod):
         "cohort_retention",
         "inverted_index",
         "view_days_no_purchase",
+        "chunk_documents",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
