@@ -3738,6 +3738,83 @@ def q_chunk_documents(sf_dir: str):
     return out.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
 
 
+def q_parts_together(sf_dir: str):
+    """Market-basket co-occurrence: the 20 part pairs most often ordered
+    together. Block-level distinct (order, part) pairs → hash(orderkey)
+    shard (each order lands whole, so the within-order self-merge is a
+    vectorized pandas join, not a Python loop) → pair partial counts →
+    hash(pair) shard for exact totals + per-shard top-20 → driver keeps the
+    global top-20 (safe: a pair lives whole in one shard). Two shuffles,
+    both over pre-aggregated rows — never the raw lineitem stream."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    n_sh = cluster_shards()
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        out = m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
+        return out.rename(
+            columns={"l_partkey_a": "part_a", "l_partkey_b": "part_b", "size": "n"}
+        )
+
+    pair_partials = (
+        li.map_batches(distinct_pairs, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "l_orderkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: order_pairs(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["part_a", "part_b"], as_index=False)["n"].sum()
+        tot = tot.sort_values(
+            ["n", "part_a", "part_b"], ascending=[False, True, True], kind="stable"
+        )
+        return tot.head(20)
+
+    parts = (
+        pair_partials.map_batches(
+            lambda t: _add_shard(
+                t.append_column(
+                    "key",
+                    pc.binary_join_element_wise(
+                        pc.cast(t.column("part_a"), pa.string()),
+                        pc.cast(t.column("part_b"), pa.string()),
+                        "\x1f",
+                    ),
+                ),
+                "key",
+                n_sh,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_topk(g.drop(columns=["shard", "key"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = shard_topk(parts)
+    for c in ("part_a", "part_b"):
+        out[c] = out[c].astype(np.int64)
+    out["n_orders"] = out["n"].astype(np.int64)
+    return out[["part_a", "part_b", "n_orders"]].reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -3858,6 +3935,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "media_fetch_plan": q_media_fetch_plan,
     "chunk_documents": q_chunk_documents,
+    "parts_together": q_parts_together,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -4778,5 +4856,15 @@ ORACLE_SQL = {
                array_to_string(toks[chunk_id*32 + 1 : chunk_id*32 + 64], ' ')
                  AS chunk_text
         FROM c ORDER BY doc_id, chunk_id
+    """,
+"parts_together": """
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*)::BIGINT AS n_orders
+        FROM lp a JOIN lp b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1,2
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 20
     """,
 }

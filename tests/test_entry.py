@@ -150,6 +150,7 @@ def test_oracle_keys_subset(entrymod):
         "inverted_index",
         "view_days_no_purchase",
         "chunk_documents",
+        "parts_together",
     ],
 )
 def test_sql_checked_query(entrymod, con, name):
