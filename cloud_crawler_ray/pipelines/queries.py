@@ -3815,6 +3815,15 @@ def q_parts_together(sf_dir: str):
     return out[["part_a", "part_b", "n_orders"]].reset_index(drop=True)
 
 
+def q_crawl_wave_metrics(sf_dir: str):
+    """Per-wave crawl telemetry from the committed lineage markers
+    (CrawlHandle.wave_metrics): jobs, raw rows, fetched/failed, spill flag
+    — the checkpoint protocol's monitoring surface. No SQL oracle
+    (lineage-derived); marker accounting is pinned by
+    tests/test_checkpoint.py and tests/test_job_limit.py."""
+    return crawl_handle_for(sf_dir).wave_metrics()
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -3936,6 +3945,7 @@ QUERIES = {
     "media_fetch_plan": q_media_fetch_plan,
     "chunk_documents": q_chunk_documents,
     "parts_together": q_parts_together,
+    "crawl_wave_metrics": q_crawl_wave_metrics,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
