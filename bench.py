@@ -55,6 +55,45 @@ def _materialize(result) -> int:
     return 0
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+    return x
+
+
+def _platform_ceiling(lo: int, hi: int, total: int = 240_000_000, reps: int = 2) -> dict:
+    """What lo-vs-hi parallel efficiency THIS machine can deliver at all:
+    a pure-ALU multiprocessing loop (no Ray, no memory traffic, no shuffle)
+    with fixed total work, timed at both process counts. Shared-hypervisor
+    VMs cap well below 1.0 (few busy cores clock higher than many busy
+    cores; host neighbours steal), so the engine's measured efficiency must
+    be read AGAINST this ceiling, not against the theoretical 1.0 a real
+    N-vs-4N-node cluster (separate machines, separate frequency budgets)
+    would offer. Max over reps: a higher ceiling makes the engine-relative
+    claim more conservative."""
+    import multiprocessing as mp
+
+    def run(p: int) -> float:
+        per = total // p
+        t0 = time.perf_counter()
+        with mp.Pool(p) as pool:
+            pool.map(_burn, [per] * p)
+        return time.perf_counter() - t0
+
+    best = None
+    for _ in range(reps):
+        t_lo, t_hi = run(lo), run(hi)
+        eff = (t_lo / t_hi) / (hi / lo)
+        if best is None or eff > best["ceiling_efficiency"]:
+            best = {
+                "ceiling_sec_lo": round(t_lo, 2),
+                "ceiling_sec_hi": round(t_hi, 2),
+                "ceiling_efficiency": round(eff, 3),
+            }
+    return best
+
+
 def run_once() -> dict:
     import ray
 
@@ -245,11 +284,16 @@ def run_scaling() -> dict:
     med = sorted(per_rep)[len(per_rep) // 2] if len(per_rep) % 2 else round(
         sum(sorted(per_rep)[len(per_rep) // 2 - 1 : len(per_rep) // 2 + 1]) / 2, 3
     )
+    ceiling = _platform_ceiling(lo, hi)
     return {
         "metric": (
             "scaling efficiency: single-wave fetch+extract+score crawl "
             f"(curl mode, distributed planner) at num_cpus={lo} vs {hi}, "
             "fresh sessions, identical input"
+        ),
+        **ceiling,
+        "engine_relative_efficiency": round(
+            eff / ceiling["ceiling_efficiency"], 3
         ),
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
