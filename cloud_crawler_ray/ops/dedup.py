@@ -1486,3 +1486,136 @@ def substring_dup_pairs(
             lambda g: shard_sum(g.drop(columns=["shard"])), batch_format="pandas"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: k-means cluster, dedup within clusters only
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    emb: rd.Dataset,
+    threshold: float = 0.95,
+    k: int = 16,
+    n_iter: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster: int = 8192,
+) -> rd.Dataset:
+    """Semantic near-dedup in the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding corpus, then search for
+    cosine-similar pairs ONLY within each cluster and keep one
+    representative (lowest id) per duplicate group. Returns a Dataset with
+    one row per input vector: (id_col, rep_id, keep) — keep is False for
+    the rows SemDeDup would drop.
+
+    Scale shape (the reason this beats all-pairs at 10^8+ docs):
+    - clustering is the shuffle-free broadcast k-means (ops/similarity.py
+      `kmeans`): per-iteration cost is one ray.put of k×dim floats plus one
+      map pass emitting k partial rows per block; no join, no groupby.
+    - cluster assignment rides a single map pass that KEEPS the vector, so
+      vectors arrive at their cluster's task without a join; the only
+      shuffle is one groupby("cluster") — k groups, k chosen so n/k ≈
+      max_cluster (SemDeDup's own cost model: within-cluster O(m²) with m
+      bounded beats corpus O(n²)).
+    - a cluster that still exceeds `max_cluster` (skewed corpora) is
+      recursively split inside its task by deterministic random-hyperplane
+      sign bits before the pairwise pass, bounding per-task memory at
+      O(max_cluster²) — near-dups straddling a split plane can be missed,
+      the same locality approximation SemDeDup already makes at cluster
+      boundaries; split counts are surfaced in the `split_depth` column,
+      never silent.
+    """
+    from .similarity import kmeans
+
+    centers, _ = kmeans(emb, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    cent = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-12)
+    cent_ref = ray.put(cent)
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    vec_col: t.column(vec_col),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
+        c = ray.get(cent_ref)
+        ids, M = _emb_matrix(t, id_col)
+        # k-means assigns by Euclidean argmin; on normalized centers with
+        # normalized rows that is cosine argmax — one matmul per block
+        assign = np.argmax(M @ c.T, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                vec_col: t.column(vec_col),
+                "cluster": pa.array(assign, pa.int64()),
+            }
+        )
+
+    tagged = emb.map_batches(tag, batch_format="pyarrow")
+
+    def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(ids, kind="stable")
+        ids, M = ids[order], M[order]
+
+        rep = ids.copy()
+        depth_out = np.zeros(len(ids), np.int64)
+
+        def leaf(idx: np.ndarray, depth: int) -> None:
+            if len(idx) <= 1:
+                return
+            if len(idx) > max_cluster:
+                # deterministic hyperplane split: seed by depth only, so the
+                # same rows split the same way under any partitioning
+                plane = np.random.default_rng(1000 + depth).standard_normal(
+                    M.shape[1]
+                )
+                side = (M[idx] @ plane) >= 0.0
+                if side.all() or (~side).all():
+                    side = np.zeros(len(idx), bool)
+                    side[: len(idx) // 2] = True  # degenerate: halve by id order
+                leaf(idx[side], depth + 1)
+                leaf(idx[~side], depth + 1)
+                depth_out[idx] += 1
+                return
+            sims = M[idx] @ M[idx].T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            if len(ii) == 0:
+                return
+            # union-find over in-leaf pairs; roots by position (ids sorted
+            # ascending, so min-position root == min-id representative)
+            parent = np.arange(len(idx))
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in zip(ii, jj):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    if ra > rb:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            roots = np.array([find(i) for i in range(len(idx))])
+            rep[idx] = ids[idx[roots]]
+
+        leaf(np.arange(len(ids)), 0)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "rep_id": rep,
+                "keep": rep == ids,
+                "split_depth": depth_out,
+            }
+        )
+
+    return tagged.groupby("cluster").map_groups(
+        lambda g: dedup_cluster(g.drop(columns=["cluster"])), batch_format="pandas"
+    )
