@@ -239,3 +239,146 @@ def kmeans(
         )
 
     return centers, emb.map_batches(assign_block, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN — the 100-TB memory path
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    emb: rd.Dataset,
+    m: int = 8,
+    n_centroids: int = 256,
+    id_col: str = "vec_id",
+    sample_cap: int = 4096,
+) -> np.ndarray:
+    """Train PQ codebooks (Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search"): split the vector into ``m`` subspaces, k-means
+    each subspace to ``n_centroids`` centroids. Training runs driver-side on
+    a deterministic hash-min sample (≤ sample_cap rows, one map pass — the
+    knn_ivf coarse-quantizer pattern); the corpus itself never leaves its
+    blocks. Returns codebooks float64[m, n_centroids, dim/m]."""
+    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+        take = np.argsort(h, kind="stable")[:sample_cap]
+        return pd.DataFrame(
+            {
+                "h": h[take].astype(np.int64),
+                "embedding": df["embedding"].to_numpy()[take],
+            }
+        )
+
+    samp = emb.map_batches(seed_partial, batch_format="pandas").to_pandas()
+    samp = samp.sort_values("h", kind="stable").head(sample_cap)
+    S = np.stack(samp["embedding"].to_numpy()).astype(np.float64)
+    dim = S.shape[1]
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    books = np.zeros((m, n_centroids, dsub))
+    for j in range(m):
+        sub = S[:, j * dsub : (j + 1) * dsub].copy()
+        # plain L2 k-means per subspace (subvectors are not unit-norm):
+        # deterministic seeding by hash order, empty clusters keep centers
+        cent = sub[: min(n_centroids, len(sub))].copy()
+        for _ in range(8):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                mem = sub[assign == c]
+                if len(mem):
+                    cent[c] = mem.mean(axis=0)
+        if len(cent) < n_centroids:
+            cent = np.vstack([cent, np.zeros((n_centroids - len(cent), dsub))])
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    emb: rd.Dataset, codebooks: np.ndarray, id_col: str = "vec_id"
+) -> rd.Dataset:
+    """Encode every vector to m uint8 codes (one broadcast of the codebooks
+    via ray.put, one vectorized map pass — dim×8 bytes → m bytes per vector,
+    a 32× shrink at dim=64/m=8: the compression that lets a 10^10-vector
+    index fit the object store)."""
+    m, n_centroids, dsub = codebooks.shape
+    ref = ray.put(codebooks)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        books = ray.get(ref)
+        M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        codes = np.zeros((len(M), m), np.uint8)
+        for j in range(m):
+            sub = M[:, j * dsub : (j + 1) * dsub]
+            # ||x-c||² argmin via the dot-product trick: one matmul per block
+            d = sub @ books[j].T - 0.5 * (books[j] * books[j]).sum(axis=1)
+            codes[:, j] = np.argmax(d, axis=1).astype(np.uint8)
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "code": list(codes),
+            }
+        )
+
+    return emb.map_batches(encode, batch_format="pandas")
+
+
+def knn_pq(
+    emb: rd.Dataset,
+    queries: pd.DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_centroids: int = 256,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Approximate top-k by asymmetric distance computation over PQ codes:
+    per query, an m×n_centroids lookup table of subspace dot products
+    broadcasts once; each code block scores every row with m table gathers
+    + a sum (no float vectors touched after encoding). Same output shape and
+    tie-breaking as knn_brute — (query_id, neighbor_id, rank) — so recall is
+    directly measurable against it (pytest pins it on clustered data).
+
+    Scale: scans compressed codes (m bytes/vector), so the scan path moves
+    32× less data than brute force; compose with the IVF bucketing in
+    knn_ivf for sub-linear candidate generation when the corpus outgrows
+    full scans."""
+    books = pq_train(emb, m=m, n_centroids=n_centroids, id_col=id_col)
+    codes = pq_encode(emb, books, id_col=id_col)
+
+    qids, Q = _matrix(queries, id_col)
+    dsub = books.shape[2]
+    # LUT[qi, j, c] = q_sub · c_sub — queries stay full-precision (asymmetric)
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), books)
+    qref = ray.put((qids, lut))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qids_, lut_ = ray.get(qref)
+        bids = df[id_col].to_numpy()
+        C = np.stack(df["code"].to_numpy()).astype(np.int64)  # (nb, m)
+        # scores (nq, nb): gather each subspace column then sum
+        scores = np.zeros((len(qids_), len(bids)))
+        for j in range(C.shape[1]):
+            scores += lut_[:, j, :][:, C[:, j]]
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        top = min(k + 1, scores.shape[1])
+        for qi in range(scores.shape[0]):
+            idx = np.lexsort((bids, -scores[qi]))[:top]
+            for j in idx:
+                if bids[j] != qids_[qi]:
+                    rows["query_id"].append(int(qids_[qi]))
+                    rows["neighbor_id"].append(int(bids[j]))
+                    rows["score"].append(float(scores[qi, j]))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    partials = codes.map_batches(partial, batch_format="pandas", batch_size=4096)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    pdf = out.to_pandas().sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(pdf, preserve_index=False)
