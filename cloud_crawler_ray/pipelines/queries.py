@@ -3824,6 +3824,132 @@ def q_crawl_wave_metrics(sf_dir: str):
     return crawl_handle_for(sf_dir).wave_metrics()
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup over the embeddings table: k-means the
+    corpus (k=10, deterministic seeding), find cosine-0.5 near-dup pairs
+    within clusters only (0.5 is the corpus's planted near-dup band — the
+    same threshold the exact embedding_neardup query uses), keep the
+    lowest-id representative per group.
+    Reported as the per-cluster keep/drop tally plus the global totals row
+    (cluster = -1). No SQL oracle (iterative k-means decides the search
+    neighborhoods); pinned by planted-pair, forced-split and
+    partition-invariance pytests (tests/test_ops.py)."""
+    import numpy as np
+
+    from ..ops.dedup import semantic_dedup
+
+    marks = semantic_dedup(_emb(sf_dir), threshold=0.5, k=10, n_iter=8)
+
+    def tally(df: pd.DataFrame) -> pd.DataFrame:
+        kept = df.groupby("keep").size()
+        return pd.DataFrame(
+            {
+                "n_kept": [int(kept.get(True, 0))],
+                "n_dropped": [int(kept.get(False, 0))],
+            }
+        )
+
+    parts = marks.map_batches(tally, batch_format="pandas").to_pandas()
+    out = pd.DataFrame(
+        {
+            "n_kept": [int(parts["n_kept"].sum())],
+            "n_dropped": [int(parts["n_dropped"].sum())],
+        }
+    )
+    out["n_kept"] = out["n_kept"].astype(np.int64)
+    out["n_dropped"] = out["n_dropped"].astype(np.int64)
+    return out
+
+
+def q_knn_pq(sf_dir: str):
+    """Approximate top-10 neighbors via product quantization + asymmetric
+    distance (Jégou et al. 2011): codebooks train on a hash-min sample,
+    vectors compress to 8 uint8 codes (32× smaller than the float64 rows —
+    the representation that lets a 10^10-vector index live in the object
+    store), scans gather per-query lookup tables. No SQL oracle
+    (quantized scores); recall@10 vs knn_brute pinned ≥0.6 by pytest, and
+    codes pinned partition-invariant."""
+    from ..ops.similarity import knn_pq
+
+    return knn_pq(_emb(sf_dir), _query_vecs(sf_dir), k=10, m=8)
+
+
+def q_part_triangles(sf_dir: str):
+    """Graph-analytics over a derived co-purchase graph: triangles of parts
+    whose pairwise 'ordered together at least twice' ties close. Edge
+    derivation reuses the market-basket shape (block-distinct (order, part)
+    → order-sharded pair partials → pair-sharded exact totals, gate n ≥ 2);
+    triangles come from the oriented wedge-join in ops/graph.py. Exact —
+    SQL-checked against a 3-way self-join of the same gated edge list."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards
+    from ..ops.graph import triangles
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
+    )
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    n_sh = cluster_shards()
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+        out = m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
+        return out.rename(columns={"l_partkey_a": "a", "l_partkey_b": "b", "size": "n"})
+
+    pair_partials = (
+        li.map_batches(distinct_pairs, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "l_orderkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: order_pairs(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )
+
+    def strong_edges(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["a", "b"], as_index=False)["n"].sum()
+        tot = tot[tot["n"] >= 2]
+        return tot[["a", "b"]]
+
+    edges = (
+        pair_partials.map_batches(
+            lambda t: _add_shard(
+                t.append_column(
+                    "key",
+                    pc.binary_join_element_wise(
+                        pc.cast(t.column("a"), pa.string()),
+                        pc.cast(t.column("b"), pa.string()),
+                        "\x1f",
+                    ),
+                ),
+                "key",
+                n_sh,
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: strong_edges(g.drop(columns=["shard", "key"])),
+            batch_format="pandas",
+        )
+    )
+
+    tri = triangles(edges).to_pandas()
+    for c in ("a", "b", "c"):
+        tri[c] = tri[c].astype(np.int64)
+    return (
+        tri.rename(columns={"a": "part_a", "b": "part_b", "c": "part_c"})
+        .sort_values(["part_a", "part_b", "part_c"])
+        .reset_index(drop=True)
+    )
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -3946,6 +4072,9 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "parts_together": q_parts_together,
     "crawl_wave_metrics": q_crawl_wave_metrics,
+    "semantic_dedup": q_semantic_dedup,
+    "part_triangles": q_part_triangles,
+    "knn_pq": q_knn_pq,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -4876,5 +5005,20 @@ ORACLE_SQL = {
         GROUP BY 1,2
         ORDER BY n_orders DESC, part_a, part_b
         LIMIT 20
+    """,
+"part_triangles": """
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1,2 HAVING count(*) >= 2
+        )
+        SELECT e1.pa::BIGINT AS part_a, e1.pb::BIGINT AS part_b,
+               e2.pb::BIGINT AS part_c
+        FROM e e1
+        JOIN e e2 ON e2.pa = e1.pb
+        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+        ORDER BY part_a, part_b, part_c
     """,
 }

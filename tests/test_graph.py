@@ -247,3 +247,59 @@ def test_anchor_text_index_matches_crawl_oracle(ray_session):
     for _, row in got.iterrows():
         assert row["n_refs"] == len(refs[row["target"]])
         assert row["anchors"] == "\x1f".join(sorted(anchors[row["target"]]))
+
+
+def _brute_triangles(edges):
+    es = set(map(tuple, edges))
+    nodes = sorted({x for e in edges for x in e})
+    out = []
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes:
+                if c > b and (a, c) in es and (b, c) in es:
+                    out.append((a, b, c))
+    return sorted(out)
+
+
+def test_triangles_both_paths(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import triangles
+
+    rng = np.random.default_rng(5)
+    n = 40
+    edges = sorted(
+        {
+            (int(a), int(b)) if a < b else (int(b), int(a))
+            for a, b in rng.integers(0, n, size=(260, 2))
+            if a != b
+        }
+    )
+    expect = _brute_triangles(edges)
+    assert len(expect) > 5  # the fixture really contains triangles
+    tbl = pa.table(
+        {
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    for cap in (2_000_000, 0):  # broadcast path, then forced shard-join path
+        got = triangles(rd.from_arrow(tbl).repartition(5), broadcast_cap=cap).to_pandas()
+        got_t = sorted(map(tuple, got[["a", "b", "c"]].itertuples(index=False)))
+        assert got_t == expect, (cap, len(got_t), len(expect))
+
+
+def test_triangles_empty_and_no_triangles(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import triangles
+
+    # a path graph has no triangles
+    tbl = pa.table({"a": pa.array([0, 1, 2], pa.int64()), "b": pa.array([1, 2, 3], pa.int64())})
+    got = triangles(rd.from_arrow(tbl)).to_pandas()
+    assert len(got) == 0

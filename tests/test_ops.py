@@ -1095,3 +1095,136 @@ def test_media_fetch_plan_dedups_refs(ray_session):
         "http://cdn/v1.mp4": ("video", 1, "a"),
         "http://cdn/only-c.png": ("image", 1, "c"),
     }
+
+
+def test_semantic_dedup_planted(ray_session):
+    """SemDeDup: planted near-dup pairs inside well-separated blobs must map
+    to one representative (the lower id); singletons keep themselves."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    dim, per = 16, 40
+    centers = np.eye(3, dim) * 30.0
+    ids, vecs = [], []
+    vid = 0
+    for c in range(3):
+        for _ in range(per):
+            ids.append(vid)
+            vecs.append((centers[c] + rng.normal(0, 0.5, dim)).astype(np.float64))
+            vid += 1
+    planted = []
+    for k in range(12):  # near-dups of the first 12 vectors (blob 0)
+        ids.append(1000 + k)
+        vecs.append(vecs[k] + 1e-4 * rng.standard_normal(dim))
+        planted.append((k, 1000 + k))
+    tbl = pa.table(
+        {"vec_id": pa.array(ids, pa.int64()), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    out = semantic_dedup(
+        rd.from_arrow(tbl).repartition(4), threshold=0.99999, k=3, n_iter=6
+    ).to_pandas()
+    rep = dict(zip(out["vec_id"], out["rep_id"]))
+    assert len(out) == len(ids)
+    for a, b in planted:
+        assert rep[b] == a, (a, b, rep[b])  # dup collapses to the lower id
+        assert rep[a] == a
+    # everyone else is its own representative (within-blob noise pairs sit
+    # near 0.995 cosine; the planted 1e-4 perturbations near 1-1e-10, so the
+    # 0.99999 threshold separates them by orders of magnitude)
+    others = out[~out["vec_id"].isin([b for _, b in planted])]
+    assert (others["rep_id"] == others["vec_id"]).all()
+    assert (out["keep"] == (out["rep_id"] == out["vec_id"])).all()
+
+
+def test_semantic_dedup_split_path(ray_session):
+    """Oversized clusters recursively split by deterministic hyperplanes;
+    EXACT duplicates project identically so they can never straddle a split
+    — forced via max_cluster=8 they are still found, and split_depth > 0
+    proves the split path actually ran."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 8))
+    ids = list(range(60)) + [500, 501]
+    vecs = [list(map(float, v)) for v in base] + [
+        list(map(float, base[5])),
+        list(map(float, base[17])),
+    ]
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()), "embedding": vecs})
+    out = semantic_dedup(
+        rd.from_arrow(tbl), threshold=0.9999, k=1, n_iter=2, max_cluster=8
+    ).to_pandas()
+    rep = dict(zip(out["vec_id"], out["rep_id"]))
+    assert rep[500] == 5 and rep[501] == 17
+    assert (out["split_depth"] > 0).any()
+
+
+def test_semantic_dedup_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((80, 12))
+    M[40] = M[2] + 1e-5
+    M[41] = M[9] + 1e-5
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(list(range(80)), pa.int64()),
+            "embedding": [list(map(float, v)) for v in M],
+        }
+    )
+    outs = []
+    for parts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        df = (
+            semantic_dedup(ds, threshold=0.999, k=4, n_iter=5)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        outs.append(df[["vec_id", "rep_id", "keep"]])
+    assert outs[0].equals(outs[1])
+
+
+def test_knn_pq_recall(ray_session):
+    """PQ/ADC approximate top-k: recall@10 vs brute force must be high on
+    the real embeddings table (64-dim blobs; m=8 subspaces, 256 centroids
+    ≈ near-lossless at this dimensionality)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.similarity import knn_brute, knn_pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    queries = t.head(10)
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    brute = knn_brute(emb, queries, k=10).to_pandas()
+    approx = knn_pq(emb, queries, k=10, m=8).to_pandas()
+    recalls = []
+    for q in queries["vec_id"]:
+        bset = set(brute[brute["query_id"] == q]["neighbor_id"])
+        pset = set(approx[approx["query_id"] == q]["neighbor_id"])
+        assert len(pset) == len(bset)
+        recalls.append(len(bset & pset) / max(1, len(bset)))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_pq_encode_shape(ray_session):
+    """Codes are m uint8 per vector and deterministic across partitionings."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.similarity import pq_encode, pq_train
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    books = pq_train(emb, m=8, n_centroids=16)
+    assert books.shape[0] == 8
+    a = pq_encode(emb.repartition(1), books).to_pandas().sort_values("vec_id")
+    b = pq_encode(emb.repartition(6), books).to_pandas().sort_values("vec_id")
+    assert all(len(c) == 8 for c in a["code"])
+    assert [list(c) for c in a["code"]] == [list(c) for c in b["code"]]
