@@ -3861,6 +3861,44 @@ def q_semantic_dedup(sf_dir: str):
     return out
 
 
+def q_first_last_event(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE window class: each user's first and last event
+    type over their (ts, event_id)-ordered history, plus the event count.
+    Same ordered-per-key machinery as q_event_transitions — one hash(user)
+    shuffle, per-shard sort, then a vectorized first/last/size groupby per
+    shard (users land whole in one shard, so the per-shard answer is the
+    global answer). SQL-checked against DuckDB's FIRST_VALUE/LAST_VALUE
+    with the unbounded frame."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    n_sh = cluster_shards()
+
+    def shard_firstlast(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        agg = g.groupby("user_id")["event_type"].agg(["first", "last", "size"])
+        out = agg.reset_index().rename(
+            columns={"first": "first_type", "last": "last_type", "size": "n_events"}
+        )
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[["user_id", "first_type", "last_type", "n_events"]]
+
+    parts = (
+        ev.map_batches(lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_firstlast(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return parts.sort_values("user_id").reset_index(drop=True)
+
+
 def q_knn_pq(sf_dir: str):
     """Approximate top-10 neighbors via product quantization + asymmetric
     distance (Jégou et al. 2011): codebooks train on a hash-min sample,
@@ -4075,6 +4113,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "part_triangles": q_part_triangles,
     "knn_pq": q_knn_pq,
+    "first_last_event": q_first_last_event,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -5005,6 +5044,16 @@ ORACLE_SQL = {
         GROUP BY 1,2
         ORDER BY n_orders DESC, part_a, part_b
         LIMIT 20
+    """,
+"first_last_event": """
+        SELECT DISTINCT user_id,
+          first_value(event_type) OVER w AS first_type,
+          last_value(event_type)  OVER w AS last_type,
+          count(*) OVER (PARTITION BY user_id)::BIGINT AS n_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY user_id
     """,
 "part_triangles": """
         WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
