@@ -755,3 +755,119 @@ def triangles(edges: rd.Dataset, broadcast_cap: int = 2_000_000) -> rd.Dataset:
     return tagged.groupby("shard").map_groups(
         lambda g: shard_join(g.drop(columns=["shard"])), batch_format="pandas"
     )
+
+
+def k_core(
+    edges: rd.Dataset,
+    k: int,
+    broadcast_cap: int = 5_000_000,
+    max_iters: int = 1000,
+) -> rd.Dataset:
+    """k-core of an undirected graph (columns ``a``, ``b``, a < b, rows
+    distinct): the maximal subgraph where every node has degree ≥ k,
+    computed by iterative peeling. Returns the surviving edge Dataset.
+
+    Shape per round: degrees come from per-block partial counts over both
+    endpoints (one hash(node) shard combine — bounded rows, never the raw
+    edge stream twice); nodes under k form the peel set. The peel set is
+    BY CONSTRUCTION the small side (it shrinks every round toward
+    convergence), so it broadcasts via ray.put as a sorted numpy array and
+    edges drop by two vectorized searchsorted probes — under
+    ``broadcast_cap`` peeled nodes per round; above it the round falls back
+    to a hash-shard anti-join (test-forced with broadcast_cap=0). Each
+    round re-roots the edge blocks on raw refs (`_rebase`) so iteration
+    cost stays flat (the PageRank lineage lesson). Terminates when a round
+    peels nothing; max_iters is a loud backstop, never a silent cap."""
+    n_sh = cluster_shards()
+    cur = edges.materialize()
+
+    def degree_partial(t: pa.Table) -> pa.Table:
+        nodes = np.concatenate(
+            [
+                t.column("a").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        u, c = np.unique(nodes, return_counts=True)
+        return pa.table({"node": pa.array(u), "deg": pa.array(c.astype(np.int64))})
+
+    def shard_sum(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("node", as_index=False)["deg"].sum()
+        return out[out["deg"] < k][["node"]]
+
+    for it in range(max_iters):
+        if cur.count() == 0:
+            return cur
+        peel_ds = (
+            cur.map_batches(degree_partial, batch_format="pyarrow")
+            .map_batches(lambda t: _add_shard(t, "node", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: shard_sum(g.drop(columns=["shard"])), batch_format="pandas"
+            )
+            .materialize()
+        )
+        n_peel = peel_ds.count()
+        if n_peel == 0:
+            return cur
+        if n_peel <= broadcast_cap:
+            peel = np.sort(peel_ds.to_pandas()["node"].to_numpy().astype(np.int64))
+            ref = ray.put(peel)
+
+            def drop(t: pa.Table) -> pa.Table:
+                p = ray.get(ref)
+                a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+                b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+                ia = np.searchsorted(p, a)
+                ib = np.searchsorted(p, b)
+                hit_a = (ia < len(p)) & (p[np.minimum(ia, len(p) - 1)] == a)
+                hit_b = (ib < len(p)) & (p[np.minimum(ib, len(p) - 1)] == b)
+                keep = ~(hit_a | hit_b)
+                return t.filter(pa.array(keep))
+
+            cur = _rebase(cur.map_batches(drop, batch_format="pyarrow").materialize())
+        else:
+            # anti-join round: tag peel rows, co-shard with edges on each
+            # endpoint in turn, drop edges whose endpoint has a peel partner
+            def tag_peel(t: pa.Table, col: str) -> pa.Table:
+                return pa.table(
+                    {
+                        "a": pa.array(
+                            np.full(t.num_rows, -1, np.int64)
+                        ),
+                        "b": pa.array(
+                            np.full(t.num_rows, -1, np.int64)
+                        ),
+                        "_key": t.column("node"),
+                    }
+                )
+
+            stream = cur
+            for col in ("a", "b"):
+                tagged = stream.map_batches(
+                    lambda t, col=col: t.append_column("_key", t.column(col)),
+                    batch_format="pyarrow",
+                ).union(
+                    peel_ds.map_batches(
+                        lambda t, col=col: tag_peel(t, col), batch_format="pyarrow"
+                    )
+                )
+
+                def anti(g: pd.DataFrame) -> pd.DataFrame:
+                    is_peel = g["a"] < 0
+                    peeled = set(g.loc[is_peel, "_key"])
+                    e = g.loc[~is_peel]
+                    return e[~e["_key"].isin(peeled)][["a", "b"]]
+
+                stream = (
+                    tagged.map_batches(
+                        lambda t: _add_shard(t, "_key", n_sh), batch_format="pyarrow"
+                    )
+                    .groupby("shard")
+                    .map_groups(
+                        lambda g: anti(g.drop(columns=["shard"])),
+                        batch_format="pandas",
+                    )
+                )
+            cur = _rebase(stream.materialize())
+    raise RuntimeError(f"k_core did not converge in {max_iters} rounds")

@@ -3899,40 +3899,22 @@ def q_first_last_event(sf_dir: str):
     return parts.sort_values("user_id").reset_index(drop=True)
 
 
-def q_knn_pq(sf_dir: str):
-    """Approximate top-10 neighbors via product quantization + asymmetric
-    distance (Jégou et al. 2011): codebooks train on a hash-min sample,
-    vectors compress to 8 uint8 codes (32× smaller than the float64 rows —
-    the representation that lets a 10^10-vector index live in the object
-    store), scans gather per-query lookup tables. No SQL oracle
-    (quantized scores); recall@10 vs knn_brute pinned ≥0.6 by pytest, and
-    codes pinned partition-invariant."""
-    from ..ops.similarity import knn_pq
-
-    return knn_pq(_emb(sf_dir), _query_vecs(sf_dir), k=10, m=8)
-
-
-def q_part_triangles(sf_dir: str):
-    """Graph-analytics over a derived co-purchase graph: triangles of parts
-    whose pairwise 'ordered together at least twice' ties close. Edge
-    derivation reuses the market-basket shape (block-distinct (order, part)
-    → order-sharded pair partials → pair-sharded exact totals, gate n ≥ 2);
-    triangles come from the oriented wedge-join in ops/graph.py. Exact —
-    SQL-checked against a 3-way self-join of the same gated edge list."""
-    import numpy as np
+def _strong_part_edges(sf_dir: str) -> rd.Dataset:
+    """Distinct 'ordered together at least twice' part pairs (a < b) — the
+    shared edge derivation for part_triangles and part_k_core: block-level
+    distinct (order, part), order-sharded pair partials, pair-sharded exact
+    totals with the n ≥ 2 gate."""
     import pyarrow.compute as pc
 
     from ..ops.dedup import _add_shard, cluster_shards
-    from ..ops.graph import triangles
 
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
     )
+    n_sh = cluster_shards()
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
         return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
-
-    n_sh = cluster_shards()
 
     def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["l_orderkey", "l_partkey"])
@@ -3950,12 +3932,11 @@ def q_part_triangles(sf_dir: str):
         )
     )
 
-    def strong_edges(g: pd.DataFrame) -> pd.DataFrame:
+    def strong(g: pd.DataFrame) -> pd.DataFrame:
         tot = g.groupby(["a", "b"], as_index=False)["n"].sum()
-        tot = tot[tot["n"] >= 2]
-        return tot[["a", "b"]]
+        return tot[tot["n"] >= 2][["a", "b"]]
 
-    edges = (
+    return (
         pair_partials.map_batches(
             lambda t: _add_shard(
                 t.append_column(
@@ -3973,12 +3954,57 @@ def q_part_triangles(sf_dir: str):
         )
         .groupby("shard")
         .map_groups(
-            lambda g: strong_edges(g.drop(columns=["shard", "key"])),
-            batch_format="pandas",
+            lambda g: strong(g.drop(columns=["shard", "key"])), batch_format="pandas"
         )
     )
 
-    tri = triangles(edges).to_pandas()
+
+def q_part_k_core(sf_dir: str):
+    """2-core of the co-purchase part graph: iteratively peel parts with
+    fewer than two strong ties until every survivor sits on a cycle —
+    distributed peeling rounds with size-gated peel-set broadcast
+    (ops/graph.py k_core). No SQL oracle (iterate-until-fixpoint with
+    aggregates is not expressible in a recursive CTE); the op is pinned to
+    a brute-force numpy peeling on planted-clique fixtures
+    (tests/test_graph.py), both paths."""
+    import numpy as np
+
+    from ..ops.graph import k_core
+
+    core = k_core(_strong_part_edges(sf_dir), k=2).to_pandas()
+    for c in ("a", "b"):
+        core[c] = core[c].astype(np.int64)
+    return (
+        core.rename(columns={"a": "part_a", "b": "part_b"})
+        .sort_values(["part_a", "part_b"])
+        .reset_index(drop=True)
+    )
+
+
+def q_knn_pq(sf_dir: str):
+    """Approximate top-10 neighbors via product quantization + asymmetric
+    distance (Jégou et al. 2011): codebooks train on a hash-min sample,
+    vectors compress to 8 uint8 codes (32× smaller than the float64 rows —
+    the representation that lets a 10^10-vector index live in the object
+    store), scans gather per-query lookup tables. No SQL oracle
+    (quantized scores); recall@10 vs knn_brute pinned ≥0.6 by pytest, and
+    codes pinned partition-invariant."""
+    from ..ops.similarity import knn_pq
+
+    return knn_pq(_emb(sf_dir), _query_vecs(sf_dir), k=10, m=8)
+
+
+def q_part_triangles(sf_dir: str):
+    """Graph-analytics over a derived co-purchase graph: triangles of parts
+    whose pairwise 'ordered together at least twice' ties close. Edge
+    derivation shared with part_k_core (_strong_part_edges); triangles come
+    from the oriented wedge-join in ops/graph.py. Exact — SQL-checked
+    against a 3-way self-join of the same gated edge list."""
+    import numpy as np
+
+    from ..ops.graph import triangles
+
+    tri = triangles(_strong_part_edges(sf_dir)).to_pandas()
     for c in ("a", "b", "c"):
         tri[c] = tri[c].astype(np.int64)
     return (
@@ -4114,6 +4140,7 @@ QUERIES = {
     "part_triangles": q_part_triangles,
     "knn_pq": q_knn_pq,
     "first_last_event": q_first_last_event,
+    "part_k_core": q_part_k_core,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"

@@ -303,3 +303,62 @@ def test_triangles_empty_and_no_triangles(ray_session):
     tbl = pa.table({"a": pa.array([0, 1, 2], pa.int64()), "b": pa.array([1, 2, 3], pa.int64())})
     got = triangles(rd.from_arrow(tbl)).to_pandas()
     assert len(got) == 0
+
+
+def _brute_k_core(edges, k):
+    es = set(map(tuple, edges))
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            return sorted(es)
+        es = {e for e in es if e[0] not in bad and e[1] not in bad}
+
+
+def test_k_core_both_paths(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import k_core
+
+    rng = np.random.default_rng(13)
+    # sparse random graph (dissolves under k=8 peeling) + a planted 12-clique
+    edges = {
+        (int(a), int(b)) if a < b else (int(b), int(a))
+        for a, b in rng.integers(0, 200, size=(400, 2))
+        if a != b
+    }
+    clique = rng.choice(np.arange(1000, 1100), 12, replace=False)
+    ii, jj = np.triu_indices(12, k=1)
+    edges |= {
+        (int(min(clique[i], clique[j])), int(max(clique[i], clique[j])))
+        for i, j in zip(ii, jj)
+    }
+    edges = sorted(edges)
+    expect = _brute_k_core(edges, 8)
+    assert len(expect) >= 66  # the clique (66 edges) must survive
+    tbl = pa.table(
+        {
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    for cap in (5_000_000, 0):  # broadcast peel, then forced anti-join path
+        got = k_core(rd.from_arrow(tbl).repartition(4), k=8, broadcast_cap=cap).to_pandas()
+        got_e = sorted(map(tuple, got[["a", "b"]].itertuples(index=False)))
+        assert got_e == expect, (cap, len(got_e), len(expect))
+
+
+def test_k_core_empty_result(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import k_core
+
+    tbl = pa.table({"a": pa.array([0, 1], pa.int64()), "b": pa.array([1, 2], pa.int64())})
+    got = k_core(rd.from_arrow(tbl), k=3)
+    assert got.count() == 0
