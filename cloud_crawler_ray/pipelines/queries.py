@@ -3981,6 +3981,44 @@ def q_part_k_core(sf_dir: str):
     )
 
 
+def q_merge_upsert(sf_dir: str):
+    """MERGE / CDC upsert: apply a deterministic changeset to the documents
+    table — updates re-source ~10% of docs to 'cdc', deletes another ~10%,
+    inserts shifted-id copies of a third ~10% — via the generic co-sharded
+    merge (ops/curation.py merge_changeset: one hash(key) shuffle, base rows
+    never leave their shards twice). The changeset derives from the same
+    multiplicative doc_id hash train_test_split already SQL-checks, so the
+    oracle expresses the identical merge as keep/update/insert unions."""
+    import numpy as np
+
+    from ..ops.curation import merge_changeset
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=cols)
+
+    def changeset(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        h = (df["doc_id"].to_numpy().astype(np.int64) * 2654435761) % (2**32)
+        bucket = h % 10
+        upd = df[bucket == 0].copy()
+        upd["source"] = "cdc"
+        upd["op"] = "U"
+        dele = df[bucket == 1].copy()
+        dele["op"] = "D"
+        ins = df[bucket == 2].copy()
+        ins["doc_id"] = ins["doc_id"] + 10_000_000
+        ins["source"] = "new"
+        ins["op"] = "I"
+        out = pd.concat([upd, dele, ins], ignore_index=True)
+        return pa.Table.from_pandas(out[cols + ["op"]], preserve_index=False)
+
+    changes = docs.map_batches(changeset, batch_format="pyarrow")
+    merged = merge_changeset(docs, changes, key="doc_id").to_pandas()
+    merged["doc_id"] = merged["doc_id"].astype(np.int64)
+    merged["n_chars"] = merged["n_chars"].astype(np.int64)
+    return merged[cols].sort_values("doc_id").reset_index(drop=True)
+
+
 def q_knn_pq(sf_dir: str):
     """Approximate top-10 neighbors via product quantization + asymmetric
     distance (Jégou et al. 2011): codebooks train on a hash-min sample,
@@ -4141,6 +4179,7 @@ QUERIES = {
     "knn_pq": q_knn_pq,
     "first_last_event": q_first_last_event,
     "part_k_core": q_part_k_core,
+    "merge_upsert": q_merge_upsert,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -5081,6 +5120,18 @@ ORACLE_SQL = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         ORDER BY user_id
+    """,
+"merge_upsert": """
+        WITH h AS (
+          SELECT doc_id, lang, source, n_chars,
+                 (doc_id * 2654435761) % 4294967296 AS hh
+          FROM documents),
+        keep AS (SELECT doc_id, lang, source, n_chars FROM h WHERE hh % 10 NOT IN (0, 1)),
+        upd  AS (SELECT doc_id, lang, 'cdc' AS source, n_chars FROM h WHERE hh % 10 = 0),
+        ins  AS (SELECT doc_id + 10000000 AS doc_id, lang, 'new' AS source, n_chars
+                 FROM h WHERE hh % 10 = 2)
+        SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
+        ORDER BY doc_id
     """,
 "part_triangles": """
         WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -252,3 +252,38 @@ def test_doc_frequency_counts_docs_not_occurrences(ray_session):
     assert got == {"eggs": 3, "spam": 2}
     # eggs (df 3) must rank above spam (df 2) despite spam's higher tf
     assert list(out["token"]) == ["eggs", "spam"]
+
+
+def test_merge_changeset_semantics(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.curation import merge_changeset
+
+    base = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    changes = pa.table(
+        {
+            "k": pa.array([2, 3, 9], pa.int64()),
+            "v": pa.array(["B", "x", "z"]),
+            "op": pa.array(["U", "D", "I"]),
+        }
+    )
+    for parts in (1, 5):
+        got = (
+            merge_changeset(
+                rd.from_arrow(base).repartition(parts),
+                rd.from_arrow(changes),
+                key="k",
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        expect = pd.DataFrame({"k": [1, 2, 4, 9], "v": ["a", "B", "d", "z"]})
+        assert got.equals(expect), got
