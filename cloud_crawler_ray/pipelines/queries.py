@@ -3981,6 +3981,114 @@ def q_part_k_core(sf_dir: str):
     )
 
 
+def q_doc_metrics_long(sf_dir: str):
+    """UNPIVOT / melt: the per-doc quality metrics reshaped wide → long
+    ((doc_id, metric, value) — one row per metric). Pure map-side schema
+    reshape (no shuffle: each block melts independently), the inverse of
+    the PIVOT class q_user_type_pivot. SQL-checked against DuckDB UNPIVOT."""
+    import numpy as np
+
+    from ..ops.textstats import quality_scores
+
+    wide = quality_scores(_docs(sf_dir)).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "n_stopwords"]
+    )
+    metrics = ["n_chars", "n_stopwords", "n_tokens"]
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(
+            id_vars=["doc_id"],
+            value_vars=metrics,
+            var_name="metric",
+            value_name="value",
+        )
+        out["value"] = out["value"].astype(np.int64)
+        return out
+
+    parts = wide.map_batches(melt, batch_format="pandas").to_pandas()
+    return parts.sort_values(["doc_id", "metric"]).reset_index(drop=True)
+
+
+def q_grouped_moments(sf_dir: str):
+    """Per-group sufficient statistics (the grouped correlation/regression
+    feeder): n, Σqty, Σprice_cents, Σqty·price, Σqty², Σprice² per
+    (returnflag, linestatus) as exact int64 — one bounded partial row per
+    (block, group), tiny driver combine. The grouped sibling of
+    q_revenue_moments; at 100 TB the combine stays #groups × #blocks rows."""
+    import numpy as np
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        p = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "n": np.ones(len(df), np.int64),
+                "sum_qty": q,
+                "sum_price_cents": p,
+                "sum_qp": q * p,
+                "sum_qq": q * q,
+                "sum_pp": p * p,
+            }
+        )
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+    for c in ("n", "sum_qty", "sum_price_cents", "sum_qp", "sum_qq", "sum_pp"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_value_mad(sf_dir: str):
+    """Per-user median absolute deviation of event values (the robust
+    outlier scale): exact, in integer quarter-cents — mad4 = 4·mad(cents)
+    is always an integer under the interpolated-median convention (median
+    of ints is a half-int; deviations step by ½; their median by ¼).
+    Users land whole in one hash shard, so both median passes are
+    shard-local numpy order statistics — no second shuffle. SQL-checked
+    against DuckDB's mad() cross-multiplied to the same integer domain."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+    n_sh = cluster_shards()
+
+    def shard_mad(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, grp in g.groupby("user_id"):
+            cents = np.round(grp["value"].to_numpy() * 100.0).astype(np.int64)
+            cents.sort()
+            n = len(cents)
+            med2 = int(cents[(n - 1) // 2]) + int(cents[n // 2])  # 2·median
+            dev2 = np.abs(2 * cents - med2)  # 2·|x − median|, integer
+            dev2.sort()
+            mad4 = int(dev2[(n - 1) // 2]) + int(dev2[n // 2])  # 4·mad
+            rows.append((uid, n, mad4))
+        return pd.DataFrame(rows, columns=["user_id", "n_events", "mad4_cents"]).astype(
+            {"user_id": np.int64, "n_events": np.int64, "mad4_cents": np.int64}
+        )
+
+    parts = (
+        ev.map_batches(lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_mad(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return parts.sort_values("user_id").reset_index(drop=True)
+
+
 def q_merge_upsert(sf_dir: str):
     """MERGE / CDC upsert: apply a deterministic changeset to the documents
     table — updates re-source ~10% of docs to 'cdc', deletes another ~10%,
@@ -4180,6 +4288,9 @@ QUERIES = {
     "first_last_event": q_first_last_event,
     "part_k_core": q_part_k_core,
     "merge_upsert": q_merge_upsert,
+    "doc_metrics_long": q_doc_metrics_long,
+    "grouped_moments": q_grouped_moments,
+    "value_mad": q_value_mad,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -5120,6 +5231,37 @@ ORACLE_SQL = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         ORDER BY user_id
+    """,
+"doc_metrics_long": f"""
+        WITH wide AS (
+          SELECT doc_id,
+                 length(text)::BIGINT AS n_chars,
+                 len({_TOKENS})::BIGINT AS n_tokens,
+                 len(list_filter({_TOKENS},
+                                 t -> t IN ('the','a','of','and','to','in')))::BIGINT AS n_stopwords
+          FROM documents)
+        UNPIVOT wide ON n_chars, n_stopwords, n_tokens
+        INTO NAME metric VALUE value
+        ORDER BY doc_id, metric
+    """,
+"grouped_moments": """
+        SELECT l_returnflag, l_linestatus,
+               count(*)::BIGINT AS n,
+               sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_price_cents,
+               sum(CAST(round(l_quantity) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_qp,
+               sum(CAST(round(l_quantity) AS BIGINT)
+                   * CAST(round(l_quantity) AS BIGINT))::BIGINT AS sum_qq,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_pp
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+"value_mad": """
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               CAST(round(4 * mad(CAST(round(value * 100) AS BIGINT))) AS BIGINT)
+                 AS mad4_cents
+        FROM events GROUP BY user_id ORDER BY user_id
     """,
 "merge_upsert": """
         WITH h AS (
