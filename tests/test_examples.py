@@ -113,3 +113,14 @@ def test_api_harvest_example(ray_session):
             n, s = exp.get(tag, (0, 0))
             exp[tag] = (n + 1, s + score)
     assert out == exp
+
+
+def test_embedding_curation_example(ray_session):
+    from examples.embedding_curation import main
+
+    out = main("/root/testdata/sf0.001")
+    assert out["n_vectors"] == 500
+    assert 0 < out["n_kept"] <= out["n_vectors"]
+    nn = out["neighbors"]
+    assert set(nn.columns) == {"query_id", "neighbor_id", "rank"}
+    assert (nn.groupby("query_id")["rank"].max() == 5).all()
