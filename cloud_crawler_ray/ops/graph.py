@@ -871,3 +871,226 @@ def k_core(
                 )
             cur = _rebase(stream.materialize())
     raise RuntimeError(f"k_core did not converge in {max_iters} rounds")
+
+
+def random_walks(
+    edges: rd.Dataset,
+    walk_len: int = 10,
+    walks_per_node: int = 2,
+    seed: int = 7,
+    broadcast_cap: int = 5_000_000,
+) -> rd.Dataset:
+    """Deterministic random-walk corpus over an undirected int-id edge list
+    (columns ``a``, ``b``) — the graph→sequence generator for DeepWalk /
+    node2vec-style embedding training (Perozzi et al. 2014). Every node
+    starts ``walks_per_node`` walks; each step picks a neighbor by a
+    counter-based hash of (walk_id, step, seed), so the corpus is fully
+    reproducible under any partitioning and any retry (no RNG state
+    anywhere). Walks stop early at dead ends. Returns (walk_id, start,
+    walk) with the walk as a list<int64> column.
+
+    Shape, size-gated like every lookup here: under ``broadcast_cap``
+    edges the CSR adjacency (indptr + sorted neighbor array) broadcasts
+    once via ray.put and walk blocks advance all steps locally — one map
+    pass total. Above the cap each step is one hash(cur) shuffle that
+    co-locates walk frontiers with their node's neighbor list (test-forced
+    with broadcast_cap=0; walk state re-roots on raw block refs each step
+    so iteration cost stays flat). Both paths emit byte-identical walks."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    n_sh = cluster_shards()
+
+    K1, K2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def _pick(walk_ids: np.ndarray, step: int, deg: np.ndarray) -> np.ndarray:
+        h = (walk_ids.astype(np.uint64) + np.uint64(seed)) * K1
+        h ^= h >> np.uint64(29)
+        h = (h + np.uint64(step)) * K2
+        h ^= h >> np.uint64(32)
+        return (h % np.maximum(deg.astype(np.uint64), 1)).astype(np.int64)
+
+    def _seeds_table(t: pa.Table) -> pa.Table:
+        nodes = np.unique(
+            np.concatenate(
+                [
+                    t.column("a").to_numpy(zero_copy_only=False),
+                    t.column("b").to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64)
+        )
+        reps = np.repeat(nodes, walks_per_node)
+        copy = np.tile(np.arange(walks_per_node, dtype=np.int64), len(nodes))
+        # walk_id is globally unique and deterministic: node * wpn + copy
+        return pa.table(
+            {
+                "walk_id": pa.array(reps * walks_per_node + copy),
+                "start": pa.array(reps),
+            }
+        )
+
+    # distinct seed nodes via one sharded pass (bounded rows per shard)
+    seeds = (
+        edges.map_batches(_seeds_table, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "walk_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"]).drop_duplicates("walk_id"),
+            batch_format="pandas",
+        )
+    )
+
+    if n_edges <= broadcast_cap:
+        ep = edges.to_pandas()
+        a = ep["a"].to_numpy().astype(np.int64)
+        b = ep["b"].to_numpy().astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        nodes = np.unique(src)
+        indptr = np.searchsorted(src, nodes, side="left")
+        indptr = np.append(indptr, len(src))
+        ref = ray.put((nodes, indptr, dst))
+
+        def walk_block(df: pd.DataFrame) -> pd.DataFrame:
+            nodes_, indptr_, nbrs_ = ray.get(ref)
+            wid = df["walk_id"].to_numpy().astype(np.int64)
+            cur = df["start"].to_numpy().astype(np.int64)
+            alive = np.ones(len(cur), bool)
+            walks = [cur.copy()]
+            for step in range(1, walk_len):
+                pos = np.searchsorted(nodes_, cur)
+                pos = np.minimum(pos, len(nodes_) - 1)
+                found = nodes_[pos] == cur
+                lo = indptr_[pos]
+                deg = indptr_[pos + 1] - lo
+                ok = alive & found & (deg > 0)
+                pick = _pick(wid, step, deg)
+                nxt = np.where(ok, nbrs_[lo + np.where(ok, pick, 0)], -1)
+                alive = ok
+                cur = np.where(ok, nxt, cur)
+                walks.append(np.where(ok, nxt, -1))
+            W = np.stack(walks, axis=1)  # (n, walk_len), -1 past dead ends
+            return pd.DataFrame(
+                {
+                    "walk_id": wid,
+                    "start": df["start"].to_numpy().astype(np.int64),
+                    "walk": [row[row >= 0].tolist() for row in W],
+                }
+            )
+
+        return seeds.map_batches(walk_block, batch_format="pandas")
+
+    # distributed path: one co-shard round per step
+    state = seeds.map_batches(
+        lambda t: pa.table(
+            {
+                "walk_id": t.column("walk_id"),
+                "start": t.column("start"),
+                "cur": t.column("start"),
+                "path": pa.array(
+                    [[v] for v in t.column("start").to_pylist()],
+                    pa.list_(pa.int64()),
+                ),
+                "alive": pa.array([True] * t.num_rows),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def und(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("a").combine_chunks().cast(pa.int64()),
+                        t.column("b").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "nbr": pa.concat_arrays(
+                    [
+                        t.column("b").combine_chunks().cast(pa.int64()),
+                        t.column("a").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    adj = edges.map_batches(und, batch_format="pyarrow").materialize()
+
+    for step in range(1, walk_len):
+        tagged = state.map_batches(
+            lambda t: t.append_column("_key", t.column("cur")),
+            batch_format="pyarrow",
+        ).union(
+            adj.map_batches(
+                lambda t: pa.table(
+                    {
+                        "walk_id": pa.array(
+                            np.full(t.num_rows, -1, np.int64)
+                        ),
+                        "start": t.column("nbr"),
+                        "cur": t.column("node"),
+                        "path": pa.array(
+                            [None] * t.num_rows, pa.list_(pa.int64())
+                        ),
+                        "alive": pa.array([False] * t.num_rows),
+                        "_key": t.column("node"),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+        def advance(g: pd.DataFrame, step=step) -> pd.DataFrame:
+            is_adj = g["walk_id"] < 0
+            w = g.loc[~is_adj].copy()
+            if not len(w):
+                return w.drop(columns=["_key"])
+            # shard-local CSR: adjacency rows sorted by (node, nbr)
+            an = g.loc[is_adj, "cur"].to_numpy().astype(np.int64)
+            ab = g.loc[is_adj, "start"].to_numpy().astype(np.int64)
+            order = np.lexsort((ab, an))
+            an, ab = an[order], ab[order]
+            uniq = np.unique(an)
+            indptr = np.append(np.searchsorted(an, uniq, side="left"), len(an))
+
+            curs = w["cur"].to_numpy().astype(np.int64)
+            wids = w["walk_id"].to_numpy().astype(np.int64)
+            alive = w["alive"].to_numpy().astype(bool)
+            pos = np.searchsorted(uniq, curs)
+            pos = np.minimum(pos, max(len(uniq) - 1, 0))
+            found = (len(uniq) > 0) & (uniq[pos] == curs) if len(uniq) else np.zeros(len(w), bool)
+            lo = indptr[pos] if len(uniq) else np.zeros(len(w), np.int64)
+            deg = (indptr[pos + 1] - lo) if len(uniq) else np.zeros(len(w), np.int64)
+            ok = alive & found & (deg > 0)
+            pick = _pick(wids, step, deg)
+            nxt = np.where(ok, ab[np.minimum(lo + np.where(ok, pick, 0), max(len(ab) - 1, 0))], curs) if len(ab) else curs
+            w["cur"] = nxt
+            w["alive"] = ok
+            w["path"] = [
+                list(p) + [int(n)] if o else list(p)
+                for p, n, o in zip(w["path"], nxt, ok)
+            ]
+            return w.drop(columns=["_key"])
+
+        state = _rebase(
+            tagged.map_batches(lambda t: _add_shard(t, "_key", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g, step=step: advance(g.drop(columns=["shard"]), step),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "walk_id": df["walk_id"].to_numpy().astype(np.int64),
+                "start": df["start"].to_numpy().astype(np.int64),
+                "walk": [list(p) for p in df["path"]],
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pandas")

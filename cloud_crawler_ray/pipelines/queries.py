@@ -3981,6 +3981,35 @@ def q_part_k_core(sf_dir: str):
     )
 
 
+def q_graph_walks(sf_dir: str):
+    """DeepWalk-style random-walk corpus over the strong-tie part graph:
+    every node starts one 8-step walk, neighbor choice by a counter-based
+    hash of (walk_id, step) — fully reproducible under any partitioning or
+    retry, no RNG state (ops/graph.py random_walks; CSR broadcast under the
+    edge cap, per-step co-shard rounds above it, byte-identical either way
+    — pytest-pinned). No SQL oracle (path sampling); edge validity and
+    path-equality across both paths are the pins."""
+    import numpy as np
+
+    walks = random_walks_over(_strong_part_edges(sf_dir))
+    walks["walk_str"] = ["-".join(map(str, w)) for w in walks["walk"]]
+    out = walks[["walk_id", "start", "walk_str"]].copy()
+    out["walk_id"] = out["walk_id"].astype(np.int64)
+    out["start"] = out["start"].astype(np.int64)
+    return out.sort_values("walk_id").reset_index(drop=True)
+
+
+def random_walks_over(edges) -> pd.DataFrame:
+    from ..ops.graph import random_walks
+
+    return (
+        random_walks(edges, walk_len=8, walks_per_node=1)
+        .to_pandas()
+        .sort_values("walk_id")
+        .reset_index(drop=True)
+    )
+
+
 def q_doc_metrics_long(sf_dir: str):
     """UNPIVOT / melt: the per-doc quality metrics reshaped wide → long
     ((doc_id, metric, value) — one row per metric). Pure map-side schema
@@ -4291,6 +4320,7 @@ QUERIES = {
     "doc_metrics_long": q_doc_metrics_long,
     "grouped_moments": q_grouped_moments,
     "value_mad": q_value_mad,
+    "graph_walks": q_graph_walks,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"

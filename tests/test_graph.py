@@ -362,3 +362,71 @@ def test_k_core_empty_result(ray_session):
     tbl = pa.table({"a": pa.array([0, 1], pa.int64()), "b": pa.array([1, 2], pa.int64())})
     got = k_core(rd.from_arrow(tbl), k=3)
     assert got.count() == 0
+
+
+def test_random_walks_both_paths_identical(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import random_walks
+
+    rng = np.random.default_rng(21)
+    edges = sorted(
+        {
+            (int(a), int(b)) if a < b else (int(b), int(a))
+            for a, b in rng.integers(0, 50, size=(150, 2))
+            if a != b
+        }
+    )
+    es = set(edges) | {(b, a) for a, b in edges}
+    tbl = pa.table(
+        {
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    outs = []
+    for cap in (5_000_000, 0):
+        got = (
+            random_walks(
+                rd.from_arrow(tbl).repartition(4), walk_len=6, walks_per_node=2, broadcast_cap=cap
+            )
+            .to_pandas()
+            .sort_values("walk_id")
+            .reset_index(drop=True)
+        )
+        outs.append(got)
+        # every walk starts at its start node and every hop is a real edge
+        for _, row in got.iterrows():
+            w = list(row["walk"])
+            assert w[0] == row["start"]
+            for x, y in zip(w, w[1:]):
+                assert (x, y) in es, (x, y)
+    a, b = outs
+    assert a["walk_id"].tolist() == b["walk_id"].tolist()
+    assert [list(w) for w in a["walk"]] == [list(w) for w in b["walk"]]
+    # every node starts walks_per_node walks
+    nodes = {x for e in edges for x in e}
+    assert len(a) == 2 * len(nodes)
+
+
+def test_random_walks_partition_invariant_and_dead_end(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import random_walks
+
+    # undirected walks never hit a dead end (you can always go back), so
+    # this pins partition invariance and full walk lengths on a small graph
+    tbl = pa.table({"a": pa.array([0, 1, 10], pa.int64()), "b": pa.array([1, 2, 11], pa.int64())})
+    a = (
+        random_walks(rd.from_arrow(tbl).repartition(1), walk_len=5, walks_per_node=1)
+        .to_pandas().sort_values("walk_id").reset_index(drop=True)
+    )
+    b = (
+        random_walks(rd.from_arrow(tbl).repartition(3), walk_len=5, walks_per_node=1)
+        .to_pandas().sort_values("walk_id").reset_index(drop=True)
+    )
+    assert [list(w) for w in a["walk"]] == [list(w) for w in b["walk"]]
+    assert (a["walk"].apply(len) == 5).all()
