@@ -3981,6 +3981,37 @@ def q_part_k_core(sf_dir: str):
     )
 
 
+def q_blocklist_filter(sf_dir: str):
+    """Content-policy blocklist filter: drop documents containing any
+    blocklisted term at a word boundary, report survivors' ids + term-free
+    length. The standard training-data safety gate — map-side only (the
+    pattern compiles once per worker via the default-arg trick; RE2 and
+    Python agree on \\b for plain-word alternations, verified empirically).
+    At 100 TB this is exactly a fetch-stage hook: no shuffle, prunes before
+    anything expensive."""
+    import re
+
+    import numpy as np
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    terms = ("spark", "dup", "drop")
+
+    def gate(df: pd.DataFrame, pat=re.compile(r"\b(" + "|".join(("spark", "dup", "drop")) + r")\b")) -> pd.DataFrame:
+        keep = ~df["text"].str.contains(pat, regex=True)
+        out = df.loc[keep]
+        return pd.DataFrame(
+            {
+                "doc_id": out["doc_id"].to_numpy().astype(np.int64),
+                "n_chars": out["text"].str.len().to_numpy().astype(np.int64),
+            }
+        )
+
+    out = docs.map_batches(gate, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_graph_walks(sf_dir: str):
     """DeepWalk-style random-walk corpus over the strong-tie part graph:
     every node starts one 8-step walk, neighbor choice by a counter-based
@@ -4321,6 +4352,7 @@ QUERIES = {
     "grouped_moments": q_grouped_moments,
     "value_mad": q_value_mad,
     "graph_walks": q_graph_walks,
+    "blocklist_filter": q_blocklist_filter,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -5292,6 +5324,12 @@ ORACLE_SQL = {
                CAST(round(4 * mad(CAST(round(value * 100) AS BIGINT))) AS BIGINT)
                  AS mad4_cents
         FROM events GROUP BY user_id ORDER BY user_id
+    """,
+"blocklist_filter": """
+        SELECT doc_id, length(text)::BIGINT AS n_chars
+        FROM documents
+        WHERE NOT regexp_matches(text, '\\b(spark|dup|drop)\\b')
+        ORDER BY doc_id
     """,
 "merge_upsert": """
         WITH h AS (
