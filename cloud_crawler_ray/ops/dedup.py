@@ -1619,3 +1619,109 @@ def semantic_dedup(
     return tagged.groupby("cluster").map_groups(
         lambda g: dedup_cluster(g.drop(columns=["cluster"])), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC): shift-resistant sub-document dedup
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunks(
+    docs: rd.Dataset,
+    target: int = 32,
+    min_len: int = 8,
+    max_len: int = 128,
+) -> rd.Dataset:
+    """Split each document's token stream at content-defined boundaries (a
+    rolling hash over a 4-token window; boundary where hash % target == 0,
+    clamped to [min_len, max_len] tokens) and emit one row per chunk:
+    (doc_id, ord, chunk_hash, n_tokens). Because boundaries depend only on
+    local content, an insertion near the head of a document shifts ONE
+    chunk, not every chunk after it — the property that makes sub-document
+    dedup work on near-identical pages (fixed-size chunking loses all
+    alignment; pytest pins the shift-resistance). Pure map-side."""
+
+    def chunk_block(df: pd.DataFrame) -> pd.DataFrame:
+        out_doc, out_ord, out_hash, out_len = [], [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            toks = text.split()
+            if not toks:
+                continue
+            # vectorized token hashes (pd.util.hash_array: deterministic
+            # murmur, process-independent — tokens cannot contain NUL so the
+            # factorizer truncation trap does not apply)
+            th = pd.util.hash_array(np.asarray(toks, object))
+            w = th.copy()
+            for k, mult in ((1, 0x9E3779B1), (2, 0x85EBCA77), (3, 0xC2B2AE3D)):
+                if k < len(th):
+                    w[k:] = w[k:] + th[:-k] * np.uint64(mult)
+            is_cut = (w % np.uint64(target)) == 0
+            cand = np.flatnonzero(is_cut)
+            n = len(toks)
+            bounds = [0]
+            last = 0
+            while last < n:  # O(#chunks), not O(#tokens)
+                lo, hi = last + min_len - 1, last + max_len - 1
+                ci = int(np.searchsorted(cand, lo))
+                if ci < len(cand) and cand[ci] <= min(hi, n - 1):
+                    cut = int(cand[ci]) + 1
+                else:
+                    cut = min(hi + 1, n)
+                bounds.append(cut)
+                last = cut
+            chunk_strs = [" ".join(toks[a:b]) for a, b in zip(bounds, bounds[1:])]
+            ch = pd.util.hash_array(np.asarray(chunk_strs, object))
+            out_doc.extend([doc_id] * len(chunk_strs))
+            out_ord.extend(range(len(chunk_strs)))
+            out_hash.extend((ch & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
+            out_len.extend(b - a for a, b in zip(bounds, bounds[1:]))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_doc, np.int64),
+                "ord": np.asarray(out_ord, np.int64),
+                "chunk_hash": np.asarray(out_hash, np.int64),
+                "n_tokens": np.asarray(out_len, np.int64),
+            }
+        )
+
+    return docs.map_batches(chunk_block, batch_format="pandas")
+
+
+def hash_u64(s: str) -> int:
+    """Deterministic 64-bit string hash (blake2b-8; Python's hash() is
+    salted per process and can NEVER cross a task boundary)."""
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def cdc_dedup_stats(docs: rd.Dataset, **chunk_kw) -> pd.DataFrame:
+    """Corpus-level storage-dedup estimate over CDC chunks: total chunks,
+    distinct chunk hashes, duplicated-chunk count and the duplicated token
+    mass. One hash(chunk_hash) shuffle over fixed-width rows — text never
+    crosses a stage boundary after chunking."""
+    chunks = cdc_chunks(docs, **chunk_kw)
+    n_sh = cluster_shards()
+
+    def shard_stats(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("chunk_hash").agg(n=("doc_id", "size"), toks=("n_tokens", "first"))
+        dup = agg[agg["n"] > 1]
+        return pd.DataFrame(
+            {
+                "total_chunks": [int(agg["n"].sum())],
+                "distinct_chunks": [len(agg)],
+                "dup_chunks": [int((dup["n"] - 1).sum())],
+                "dup_tokens": [int(((dup["n"] - 1) * dup["toks"]).sum())],
+            }
+        )
+
+    parts = (
+        chunks.map_batches(lambda t: _add_shard(t, "chunk_hash", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_stats(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out = parts.sum().to_frame().T
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.reset_index(drop=True)

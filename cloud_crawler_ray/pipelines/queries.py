@@ -3981,6 +3981,18 @@ def q_part_k_core(sf_dir: str):
     )
 
 
+def q_cdc_dedup(sf_dir: str):
+    """Content-defined-chunking storage dedup estimate over the documents
+    table: rolling-hash chunk boundaries (shift-resistant — an insertion
+    moves one chunk, not every chunk after it; pytest-pinned), then one
+    hash(chunk_hash) shuffle over fixed-width rows for the duplicated-chunk
+    and duplicated-token mass. No SQL oracle (rolling-hash boundaries);
+    determinism, length-exactness and dup accounting are the pins."""
+    from ..ops.dedup import cdc_dedup_stats
+
+    return cdc_dedup_stats(_docs(sf_dir))
+
+
 def q_blocklist_filter(sf_dir: str):
     """Content-policy blocklist filter: drop documents containing any
     blocklisted term at a word boundary, report survivors' ids + term-free
@@ -4353,6 +4365,7 @@ QUERIES = {
     "value_mad": q_value_mad,
     "graph_walks": q_graph_walks,
     "blocklist_filter": q_blocklist_filter,
+    "cdc_dedup": q_cdc_dedup,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"

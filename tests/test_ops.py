@@ -1228,3 +1228,57 @@ def test_pq_encode_shape(ray_session):
     b = pq_encode(emb.repartition(6), books).to_pandas().sort_values("vec_id")
     assert all(len(c) == 8 for c in a["code"])
     assert [list(c) for c in a["code"]] == [list(c) for c in b["code"]]
+
+
+def test_cdc_chunks_shift_resistance(ray_session):
+    """Content-defined chunking: inserting tokens at the head of a document
+    must preserve most downstream chunk hashes (the property fixed-size
+    chunking lacks), and chunking must be deterministic and length-exact."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import cdc_chunks
+
+    rng = np.random.default_rng(2)
+    vocab = [f"w{i}" for i in range(500)]
+    toks = [vocab[i] for i in rng.integers(0, 500, 4000)]
+    base = " ".join(toks)
+    shifted = "zzz qqq " + base
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": [base, shifted]})
+    ch = cdc_chunks(rd.from_arrow(tbl)).to_pandas()
+    a = ch[ch["doc_id"] == 1]
+    b = ch[ch["doc_id"] == 2]
+    assert a["n_tokens"].sum() == 4000 and b["n_tokens"].sum() == 4002
+    assert (a["n_tokens"] <= 128).all() and (a["n_tokens"] >= 1).all()
+    shared = set(a["chunk_hash"]) & set(b["chunk_hash"])
+    assert len(shared) >= 0.7 * len(set(a["chunk_hash"])), (
+        len(shared), a["chunk_hash"].nunique()
+    )
+    # determinism under partitioning
+    ch2 = cdc_chunks(rd.from_arrow(tbl).repartition(2)).to_pandas()
+    m1 = ch.sort_values(["doc_id", "ord"]).reset_index(drop=True)
+    m2 = ch2.sort_values(["doc_id", "ord"]).reset_index(drop=True)
+    assert m1.equals(m2)
+
+
+def test_cdc_dedup_stats_counts_duplicated_mass(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import cdc_dedup_stats
+
+    rng = np.random.default_rng(4)
+    vocab = [f"t{i}" for i in range(300)]
+    doc = " ".join(vocab[i] for i in rng.integers(0, 300, 2000))
+    other = " ".join(vocab[i] for i in rng.integers(0, 300, 2000))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [doc, doc, other],  # doc 2 is an exact copy of doc 1
+        }
+    )
+    st = cdc_dedup_stats(rd.from_arrow(tbl))
+    assert len(st) == 1
+    row = st.iloc[0]
+    assert row["total_chunks"] == row["distinct_chunks"] + row["dup_chunks"]
+    # the exact copy duplicates every one of doc 1's chunks
+    assert row["dup_chunks"] >= (row["total_chunks"] - row["dup_chunks"]) * 0.3
+    assert row["dup_tokens"] >= 1900  # ~2000 tokens duplicated
