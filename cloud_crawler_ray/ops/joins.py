@@ -222,3 +222,112 @@ def asof_join(
         return _to_arrow(m[out_cols])
 
     return both.groupby("shard").map_groups(merge, batch_format="pandas")
+
+
+def interval_overlap_pairs(
+    iv: rd.Dataset,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_s: int = 86400,
+    n_shards: int | None = None,
+) -> rd.Dataset:
+    """Interval-overlap self-join: distinct-key pairs whose [start, end]
+    intervals intersect, with the number of intersecting interval pairs per
+    key pair. The third join class here beside as-of (nearest earlier) and
+    banded range (point-in-window): both sides are INTERVALS.
+
+    Shape — bucket replication + per-bucket sweep: each interval replicates
+    to every time bucket it touches (map-side; short intervals ⇒ ~1 row
+    each), one hash(bucket) shuffle co-locates concurrent intervals, and
+    each bucket emits its overlap pairs from a start-sorted vectorized
+    sweep (searchsorted gives every i its contiguous overlap range; pair
+    indices come from one repeat/cumsum construction — no Python pair
+    loop). A pair is counted ONLY in the bucket holding the later start, so
+    cross-bucket duplicates never exist. Output volume is the honest cost;
+    the bucket width trades replication against per-bucket fan-in."""
+    from .dedup import _add_shard, cluster_shards
+
+    n_sh = n_shards or cluster_shards()
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        st = df[start_col].to_numpy().astype(np.int64)
+        en = df[end_col].to_numpy().astype(np.int64)
+        b0, b1 = st // bucket_s, en // bucket_s
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), reps)
+        if len(reps):
+            offs = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(
+                np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+            )
+        else:
+            offs = np.array([], np.int64)
+        return pd.DataFrame(
+            {
+                "key": df[key_col].to_numpy()[idx],
+                "st": st[idx],
+                "en": en[idx],
+                "bucket": b0[idx] + offs,
+            }
+        )
+
+    rep = iv.map_batches(replicate, batch_format="pandas")
+
+    def bucket_sweep(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for bucket, gb in g.groupby("bucket"):
+            gb = gb.sort_values(["st", "en", "key"], kind="stable")
+            st = gb["st"].to_numpy()
+            keys = gb["key"].to_numpy()
+            hi = np.searchsorted(st, gb["en"].to_numpy(), side="right")
+            cnt = np.maximum(hi - np.arange(len(st)) - 1, 0)
+            if not cnt.sum():
+                continue
+            ii = np.repeat(np.arange(len(st)), cnt)
+            offs = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+            jj = np.arange(int(cnt.sum())) - np.repeat(offs, cnt) + ii + 1
+            # count each pair only in the later start's bucket; drop same-key
+            keep = (st[jj] // bucket_s == bucket) & (keys[ii] != keys[jj])
+            ka, kb = keys[ii[keep]], keys[jj[keep]]
+            outs.append(
+                pd.DataFrame(
+                    {"key_a": np.minimum(ka, kb), "key_b": np.maximum(ka, kb)}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"key_a": np.array([], np.int64), "key_b": np.array([], np.int64)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = (
+        rep.map_batches(lambda t: _add_shard(t, "bucket", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: bucket_sweep(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("key_a"), pa.string()),
+            pc.cast(t.column("key_b"), pa.string()),
+            "\x1f",
+        )
+        return _add_shard(t.append_column("_k", key), "_k", n_sh).drop_columns(["_k"])
+
+    def pair_count(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["key_a", "key_b"], as_index=False).size()
+        out = out.rename(columns={"size": "n_overlaps"})
+        out["n_overlaps"] = out["n_overlaps"].astype(np.int64)
+        return out
+
+    return (
+        pairs.map_batches(pair_key, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: pair_count(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )

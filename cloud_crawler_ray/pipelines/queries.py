@@ -3981,6 +3981,32 @@ def q_part_k_core(sf_dir: str):
     )
 
 
+def q_concurrent_sessions(sf_dir: str):
+    """Interval-overlap self-join (the third join class beside as-of and
+    banded range): pairs of users whose 30-min-gap sessions intersect in
+    time, with the intersecting-session-pair count. Sessionization is the
+    existing shard-local windows op; the overlap join is bucket replication
+    + per-bucket start-sorted sweep with later-start dedup
+    (ops/joins.py interval_overlap_pairs). SQL-checked against the LAG
+    sessionization + explicit overlap self-join."""
+    import numpy as np
+
+    from ..ops.joins import interval_overlap_pairs
+    from ..ops.windows import session_windows
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    iv = session_windows(ev, gap_s=1800)
+    pairs = interval_overlap_pairs(
+        iv, key_col="user_id", start_col="session_start", end_col="session_end"
+    ).to_pandas()
+    out = pairs.rename(columns={"key_a": "user_a", "key_b": "user_b"})
+    for c in ("user_a", "user_b", "n_overlaps"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["user_a", "user_b"]).reset_index(drop=True)
+
+
 def q_cdc_dedup(sf_dir: str):
     """Content-defined-chunking storage dedup estimate over the documents
     table: rolling-hash chunk boundaries (shift-resistant — an insertion
@@ -4366,6 +4392,7 @@ QUERIES = {
     "graph_walks": q_graph_walks,
     "blocklist_filter": q_blocklist_filter,
     "cdc_dedup": q_cdc_dedup,
+    "concurrent_sessions": q_concurrent_sessions,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -5337,6 +5364,31 @@ ORACLE_SQL = {
                CAST(round(4 * mad(CAST(round(value * 100) AS BIGINT))) AS BIGINT)
                  AS mad4_cents
         FROM events GROUP BY user_id ORDER BY user_id
+    """,
+"concurrent_sessions": """
+        -- engine floors event times to whole seconds before sessionizing
+        -- (ops/windows.py session_windows: int64 // 1e6); mirror exactly
+        WITH e2 AS (
+          SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS es
+          FROM events),
+        g AS (
+          SELECT user_id, ts, es,
+                 CASE WHEN lag(es) OVER w IS NULL
+                        OR es - lag(es) OVER w > 1800
+                      THEN 1 ELSE 0 END AS brk
+          FROM e2
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT user_id, es,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+              FROM g),
+        iv AS (SELECT user_id, sid,
+                      min(es)::BIGINT AS st, max(es)::BIGINT AS en
+               FROM s GROUP BY 1, 2)
+        SELECT a.user_id::BIGINT AS user_a, b.user_id::BIGINT AS user_b,
+               count(*)::BIGINT AS n_overlaps
+        FROM iv a JOIN iv b
+          ON a.user_id < b.user_id AND a.st <= b.en AND b.st <= a.en
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
 "blocklist_filter": """
         SELECT doc_id, length(text)::BIGINT AS n_chars

@@ -1282,3 +1282,41 @@ def test_cdc_dedup_stats_counts_duplicated_mass(ray_session):
     # the exact copy duplicates every one of doc 1's chunks
     assert row["dup_chunks"] >= (row["total_chunks"] - row["dup_chunks"]) * 0.3
     assert row["dup_tokens"] >= 1900  # ~2000 tokens duplicated
+
+
+def test_interval_overlap_pairs_vs_brute(ray_session):
+    """Bucket-replicated interval-overlap join vs an all-pairs numpy check,
+    including intervals spanning multiple buckets and equal endpoints."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.joins import interval_overlap_pairs
+
+    rng = np.random.default_rng(17)
+    n = 300
+    keys = rng.integers(0, 40, n).astype(np.int64)
+    st = rng.integers(0, 500_000, n).astype(np.int64)
+    en = st + rng.integers(0, 200_000, n)  # many spans >> bucket (86400)
+    tbl = pa.table({"user_id": pa.array(keys), "session_start": pa.array(st), "session_end": pa.array(en)})
+    got = (
+        interval_overlap_pairs(
+            rd.from_arrow(tbl).repartition(5),
+            key_col="user_id", start_col="session_start", end_col="session_end",
+        )
+        .to_pandas().sort_values(["key_a", "key_b"]).reset_index(drop=True)
+    )
+    from collections import Counter
+    cnt = Counter()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if keys[i] != keys[j] and st[i] <= en[j] and st[j] <= en[i]:
+                cnt[(min(keys[i], keys[j]), max(keys[i], keys[j]))] += 1
+    expect = (
+        pd.DataFrame(
+            [(a, b, c) for (a, b), c in cnt.items()],
+            columns=["key_a", "key_b", "n_overlaps"],
+        )
+        .astype(np.int64)
+        .sort_values(["key_a", "key_b"])
+        .reset_index(drop=True)
+    )
+    assert got.astype(np.int64).equals(expect), (len(got), len(expect))
