@@ -273,6 +273,9 @@ def pq_train(
     samp = emb.map_batches(seed_partial, batch_format="pandas").to_pandas()
     samp = samp.sort_values("h", kind="stable").head(sample_cap)
     S = np.stack(samp["embedding"].to_numpy()).astype(np.float64)
+    # codebooks live in the L2-normalized domain — the same domain the
+    # query LUTs and block scans use (cosine == dot on unit vectors)
+    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
     dim = S.shape[1]
     assert dim % m == 0, (dim, m)
     dsub = dim // m
@@ -308,6 +311,7 @@ def pq_encode(
     def encode(df: pd.DataFrame) -> pd.DataFrame:
         books = ray.get(ref)
         M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         codes = np.zeros((len(M), m), np.uint8)
         for j in range(m):
             sub = M[:, j * dsub : (j + 1) * dsub]
@@ -372,6 +376,87 @@ def knn_pq(
         return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
 
     partials = codes.map_batches(partial, batch_format="pandas", batch_size=4096)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    pdf = out.to_pandas().sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def knn_ivfpq(
+    emb: rd.Dataset,
+    queries: pd.DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_centroids: int = 256,
+    id_col: str = "vec_id",
+    sample_rows: int = 4096,
+) -> pa.Table:
+    """IVF-PQ: the composed scale path — IVF coarse lists make candidate
+    generation sub-linear (only nprobe of nlist lists are scanned per
+    query), PQ codes make the scan itself compressed-domain (m bytes per
+    vector, lookup-table gathers — knn_pq's ADC). At 10^10 vectors this is
+    the memory-AND-compute bound variant: neither the full float matrix nor
+    a full scan ever happens. One pass assigns lists and encodes codes
+    together; the scan pass touches only probed (list, code) rows. Output
+    shape/tie-breaks match knn_brute (recall pinned by pytest)."""
+    sample = emb.limit(sample_rows).to_pandas()
+    _, S = _matrix(sample, id_col)
+    cent = kmeans_fit(S, nlist)
+    books = pq_train(emb, m=m, n_centroids=n_centroids, id_col=id_col)
+    dsub = books.shape[2]
+    cent_ref = ray.put(cent)
+    books_ref = ray.put(books)
+
+    qids, Q = _matrix(queries, id_col)
+    qprobe = np.argsort(-(Q @ cent.T), axis=1)[:, :nprobe]
+    probe_of_cluster: dict[int, list[int]] = {}
+    for qi, clusters in enumerate(qprobe):
+        for c in clusters:
+            probe_of_cluster.setdefault(int(c), []).append(qi)
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), books)
+    probe_ref = ray.put((qids, lut, probe_of_cluster))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        cent_ = ray.get(cent_ref)
+        books_ = ray.get(books_ref)
+        qids_, lut_, probes = ray.get(probe_ref)
+        bids, B = _matrix(batch, id_col)
+        assign = np.argmax(B @ cent_.T, axis=1)
+        # encode the block once (normalized rows — match the LUT domain)
+        codes = np.zeros((len(B), m), np.int64)
+        for j in range(m):
+            sub = B[:, j * dsub : (j + 1) * dsub]
+            d = sub @ books_[j].T - 0.5 * (books_[j] * books_[j]).sum(axis=1)
+            codes[:, j] = np.argmax(d, axis=1)
+        rows = {"query_id": [], "neighbor_id": [], "score": []}
+        for c in np.unique(assign):
+            quers = probes.get(int(c), [])
+            if not quers:
+                continue
+            mask = assign == c
+            sub_ids, sub_codes = bids[mask], codes[mask]
+            scores = np.zeros((len(quers), len(sub_ids)))
+            for j in range(m):
+                scores += lut_[quers][:, j, :][:, sub_codes[:, j]]
+            top = min(k + 1, scores.shape[1])
+            for row, qi in enumerate(quers):
+                idx = np.lexsort((sub_ids, -scores[row]))[:top]
+                for j in idx:
+                    if sub_ids[j] != qids_[qi]:
+                        rows["query_id"].append(int(qids_[qi]))
+                        rows["neighbor_id"].append(int(sub_ids[j]))
+                        rows["score"].append(float(scores[row, j]))
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "score"])
+
+    partials = emb.map_batches(partial, batch_format="pandas", batch_size=4096)
 
     def final_topk(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["score", "neighbor_id"], ascending=[False, True]).head(k)

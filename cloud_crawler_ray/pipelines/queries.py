@@ -3981,6 +3981,18 @@ def q_part_k_core(sf_dir: str):
     )
 
 
+def q_knn_ivfpq(sf_dir: str):
+    """Composed IVF-PQ ANN: coarse lists bound the scan to nprobe/nlist of
+    the corpus, PQ codes bound its memory to m bytes/vector — the variant a
+    10^10-vector index actually runs. No SQL oracle; recall@10 vs brute
+    pinned by pytest (m=16 subspaces on the 64-dim corpus)."""
+    from ..ops.similarity import knn_ivfpq
+
+    return knn_ivfpq(
+        _emb(sf_dir), _query_vecs(sf_dir), k=10, nlist=8, nprobe=4, m=16
+    )
+
+
 def q_concurrent_sessions(sf_dir: str):
     """Interval-overlap self-join (the third join class beside as-of and
     banded range): pairs of users whose 30-min-gap sessions intersect in
@@ -4393,6 +4405,7 @@ QUERIES = {
     "blocklist_filter": q_blocklist_filter,
     "cdc_dedup": q_cdc_dedup,
     "concurrent_sessions": q_concurrent_sessions,
+    "knn_ivfpq": q_knn_ivfpq,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"

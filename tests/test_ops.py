@@ -1320,3 +1320,24 @@ def test_interval_overlap_pairs_vs_brute(ray_session):
         .reset_index(drop=True)
     )
     assert got.astype(np.int64).equals(expect), (len(got), len(expect))
+
+
+def test_knn_ivfpq_recall(ray_session):
+    """Composed IVF-PQ: sub-linear candidate lists + compressed-domain ADC;
+    recall@10 vs brute force on the real embeddings table."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.similarity import knn_brute, knn_ivfpq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    queries = t.head(10)
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    brute = knn_brute(emb, queries, k=10).to_pandas()
+    approx = knn_ivfpq(emb, queries, k=10, nlist=8, nprobe=4, m=16).to_pandas()
+    recalls = []
+    for q in queries["vec_id"]:
+        bset = set(brute[brute["query_id"] == q]["neighbor_id"])
+        pset = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(bset & pset) / max(1, len(bset)))
+    assert np.mean(recalls) >= 0.6, recalls
