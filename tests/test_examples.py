@@ -124,3 +124,13 @@ def test_embedding_curation_example(ray_session):
     nn = out["neighbors"]
     assert set(nn.columns) == {"query_id", "neighbor_id", "rank"}
     assert (nn.groupby("query_id")["rank"].max() == 5).all()
+
+
+def test_adaptive_crawl_example(ray_session):
+    from examples.adaptive_crawl import main
+
+    out = main("/tmp/ccray_example_adaptive_test")
+    assert out["n_fetched"] > 0
+    # authority-guided ordering: the first half of the crawl averages at
+    # least as high an authority tier as the second half
+    assert out["mean_tier_first_half"] >= out["mean_tier_second_half"]
