@@ -115,3 +115,52 @@ def consistent_sample(
         return pd.DataFrame({key: pd.Series(dtype="int64")})
     tops = tops.sort_values(["h", key], kind="stable").head(k)
     return tops.drop(columns=["h", "shard"]).reset_index(drop=True)
+
+
+def weighted_sample(
+    ds: rd.Dataset,
+    key: str,
+    weight_col: str,
+    k: int = 100,
+    n_shards: int = 64,
+) -> "pd.DataFrame":
+    """Deterministic weighted sample without replacement (Efraimidis-
+    Spirakis A-ES, 2006): each row draws priority = -ln(u)/w with u a pure
+    hash of its key, the k LOWEST priorities win — inclusion probability
+    proportional to weight, membership a pure function of the key set (the
+    same resume/repartition stability contract as consistent_sample, with
+    importance weighting — the mixture-sampling primitive a weighted corpus
+    blend needs). Zero/negative weights never win (priority = +inf).
+
+    Same bounded shape as consistent_sample: per-block partial top-k →
+    hash-shard top-k → driver merges n_shards×k rows."""
+    from .dedup import _add_shard
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = (ids * np.uint64(_KNUTH)) % np.uint64(_M32)
+        # u in (0,1): (h+1)/(M+1) — never 0 or 1, fully hash-determined
+        u = (h.astype(np.float64) + 1.0) / (float(_M32) + 1.0)
+        with np.errstate(divide="ignore"):
+            pri = np.where(w > 0, -np.log(u) / np.maximum(w, 1e-300), np.inf)
+        take = min(k, len(pri))
+        idx = np.lexsort((ids, pri))[:take]
+        out = t.take(pa.array(idx, pa.int64()))
+        return out.append_column("pri", pa.array(pri[idx]))
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["pri", key], kind="stable").head(k)
+
+    tops = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, key, n_shards), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    if tops.empty:
+        return pd.DataFrame({key: pd.Series(dtype="int64")})
+    tops = tops.sort_values(["pri", key], kind="stable").head(k)
+    tops = tops[~np.isinf(tops["pri"])]
+    return tops.drop(columns=["pri", "shard"]).reset_index(drop=True)

@@ -3981,6 +3981,32 @@ def q_part_k_core(sf_dir: str):
     )
 
 
+def q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement (Efraimidis-
+    Spirakis exponential keys) — 100 docs sampled proportional to length:
+    membership is a pure function of the key set (resume/repartition
+    stable), bounded per-block partial top-k → shard top-k. No SQL oracle
+    (float log priorities); exact numpy-oracle membership, partition
+    invariance and zero-weight exclusion pinned by pytest."""
+    import numpy as np
+
+    from ..ops.sampling import weighted_sample
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "wt", t.column("n_chars").cast(pa.float64())
+        ),
+        batch_format="pyarrow",
+    )
+    out = weighted_sample(docs, key="doc_id", weight_col="wt", k=100)
+    out = out[["doc_id", "n_chars"]].copy()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_knn_ivfpq(sf_dir: str):
     """Composed IVF-PQ ANN: coarse lists bound the scan to nprobe/nlist of
     the corpus, PQ codes bound its memory to m bytes/vector — the variant a
@@ -4406,6 +4432,7 @@ QUERIES = {
     "cdc_dedup": q_cdc_dedup,
     "concurrent_sessions": q_concurrent_sessions,
     "knn_ivfpq": q_knn_ivfpq,
+    "weighted_sample": q_weighted_sample,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"

@@ -72,3 +72,35 @@ def test_consistent_sample_stable_under_growth(ray_session):
     # displace members, never reshuffle survivors)
     assert {d for d in s_big if d < 5_000} <= s_small
     assert len(s_small) == 64 and len(s_big) == 64
+
+
+def test_weighted_sample_exact_vs_numpy(ray_session):
+    """A-ES weighted sample: exact membership equals the numpy oracle with
+    the same hash-derived priorities, under any partitioning; zero-weight
+    rows never win; heavier keys win more often across disjoint key sets."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.sampling import weighted_sample
+
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    w = np.where(ids % 10 == 0, 50.0, 1.0)  # every 10th row is 50x heavier
+    w[7] = 0.0
+    tbl = pa.table({"doc_id": pa.array(ids), "wt": pa.array(w)})
+
+    KNUTH, M32 = 2654435761, 2**32
+    h = (ids.astype(np.uint64) * np.uint64(KNUTH)) % np.uint64(M32)
+    u = (h.astype(np.float64) + 1.0) / (float(M32) + 1.0)
+    pri = np.where(w > 0, -np.log(u) / np.maximum(w, 1e-300), np.inf)
+    expect = set(ids[np.lexsort((ids, pri))[:200]])
+
+    for parts in (1, 9):
+        got = weighted_sample(
+            rd.from_arrow(tbl).repartition(parts), key="doc_id", weight_col="wt", k=200
+        )
+        assert set(got["doc_id"]) == expect
+    assert 7 not in expect
+    heavy = sum(1 for i in expect if i % 10 == 0)
+    assert heavy > 120  # 10% of rows carry 50x weight -> dominate the sample
