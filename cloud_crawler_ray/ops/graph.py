@@ -1094,3 +1094,110 @@ def random_walks(
         )
 
     return state.map_batches(finish, batch_format="pandas")
+
+
+def bfs_distances(
+    edges: rd.Dataset,
+    seeds: list[int],
+    max_depth: int = 15,
+) -> rd.Dataset:
+    """Multi-source BFS hop distances over an undirected int-id edge list
+    (columns ``a``, ``b``): returns (node, dist) for every node within
+    ``max_depth`` hops of any seed. The canonical iterative frontier
+    expansion, fully distributed — frontier and label state stay Datasets
+    end to end (nothing O(nodes) on the driver):
+
+    per round, one hash(node) co-shard joins the frontier with its
+    adjacency lists (vectorized merge per shard) to produce candidates at
+    d+1, and a second co-shard anti-joins candidates against the labels so
+    only first-reached nodes survive (BFS = first touch is the shortest).
+    Rounds re-root on raw block refs (`_rebase`); the loop ends when a
+    round discovers nothing. ``max_depth`` bounds the recursion exactly
+    like the SQL oracle's recursive-CTE depth guard, so both sides compute
+    the identical relation."""
+    n_sh = cluster_shards()
+
+    und = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t.column("a").combine_chunks().cast(pa.int64()),
+                        t.column("b").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "nbr": pa.concat_arrays(
+                    [
+                        t.column("b").combine_chunks().cast(pa.int64()),
+                        t.column("a").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    seed_tbl = pa.table(
+        {
+            "node": pa.array(sorted(set(int(s) for s in seeds)), pa.int64()),
+            "dist": pa.array([0] * len(set(seeds)), pa.int64()),
+        }
+    )
+    labels = rd.from_arrow(seed_tbl).materialize()
+    frontier = labels
+
+    for d in range(1, max_depth + 1):
+        if frontier.count() == 0:
+            break
+        # candidates: frontier nodes' neighbors at distance d
+        tagged = frontier.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "nbr": pa.array(np.full(t.num_rows, -1, np.int64))}
+            ),
+            batch_format="pyarrow",
+        ).union(und)
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            on_frontier = set(g.loc[g["nbr"] < 0, "node"])
+            adj = g[g["nbr"] >= 0]
+            hit = adj[adj["node"].isin(on_frontier)]
+            return pd.DataFrame({"node": hit["nbr"].unique().astype(np.int64)})
+
+        cands = (
+            tagged.map_batches(lambda t: _add_shard(t, "node", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: expand(g.drop(columns=["shard"])), batch_format="pandas"
+            )
+        )
+
+        # anti-join against labels: first touch wins
+        tagged2 = cands.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "dist": pa.array(np.full(t.num_rows, -1, np.int64))}
+            ),
+            batch_format="pyarrow",
+        ).union(labels)
+
+        def first_touch(g: pd.DataFrame, d=d) -> pd.DataFrame:
+            labeled = set(g.loc[g["dist"] >= 0, "node"])
+            new = g.loc[(g["dist"] < 0) & ~g["node"].isin(labeled), "node"].unique()
+            return pd.DataFrame(
+                {"node": new.astype(np.int64), "dist": np.full(len(new), d, np.int64)}
+            )
+
+        new_labels = (
+            tagged2.map_batches(lambda t: _add_shard(t, "node", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g, d=d: first_touch(g.drop(columns=["shard"]), d),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        if new_labels.count() == 0:
+            break
+        frontier = _rebase(new_labels)
+        labels = _rebase(labels.union(new_labels).materialize())
+
+    return labels

@@ -3981,6 +3981,39 @@ def q_part_k_core(sf_dir: str):
     )
 
 
+def q_part_reach(sf_dir: str):
+    """Multi-source BFS hop distances over the strong-tie part graph from
+    its 5 lowest-id nodes — the first iterative graph query here with an
+    exact SQL oracle (DuckDB recursive CTE with the same depth-15 guard).
+    Frontier and labels stay Datasets end to end (per-round co-shard join
+    + anti-join, ops/graph.py bfs_distances); seeds come from bounded
+    per-block min partials."""
+    import numpy as np
+
+    from ..ops.graph import bfs_distances
+
+    edges = _strong_part_edges(sf_dir).materialize()
+
+    def min5(t: pa.Table) -> pa.Table:
+        nodes = np.unique(
+            np.concatenate(
+                [
+                    t.column("a").to_numpy(zero_copy_only=False),
+                    t.column("b").to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64)
+        )[:5]
+        return pa.table({"node": pa.array(nodes, pa.int64())})
+
+    parts = edges.map_batches(min5, batch_format="pyarrow").to_pandas()
+    seeds = sorted(parts["node"].unique())[:5]
+
+    out = bfs_distances(edges, seeds).to_pandas()
+    out["part"] = out["node"].astype(np.int64)
+    out["dist"] = out["dist"].astype(np.int64)
+    return out[["part", "dist"]].sort_values("part").reset_index(drop=True)
+
+
 def q_weighted_sample(sf_dir: str):
     """Deterministic weighted sample without replacement (Efraimidis-
     Spirakis exponential keys) — 100 docs sampled proportional to length:
@@ -4433,6 +4466,7 @@ QUERIES = {
     "concurrent_sessions": q_concurrent_sessions,
     "knn_ivfpq": q_knn_ivfpq,
     "weighted_sample": q_weighted_sample,
+    "part_reach": q_part_reach,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -5447,6 +5481,23 @@ ORACLE_SQL = {
                  FROM h WHERE hh % 10 = 2)
         SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
         ORDER BY doc_id
+    """,
+"part_reach": """
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e0 AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1,2 HAVING count(*) >= 2),
+        e AS (SELECT pa AS a, pb AS b FROM e0 UNION ALL SELECT pb, pa FROM e0),
+        seeds AS (SELECT DISTINCT a FROM e ORDER BY a LIMIT 5),
+        rec AS (
+          WITH RECURSIVE r(node, d) AS (
+            SELECT a, 0 FROM seeds
+            UNION
+            SELECT e.b, r.d + 1 FROM r JOIN e ON e.a = r.node WHERE r.d < 15
+          ) SELECT node, min(d) AS dist FROM r GROUP BY 1)
+        SELECT node::BIGINT AS part, dist::BIGINT AS dist FROM rec ORDER BY part
     """,
 "part_triangles": """
         WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

@@ -430,3 +430,50 @@ def test_random_walks_partition_invariant_and_dead_end(ray_session):
     )
     assert [list(w) for w in a["walk"]] == [list(w) for w in b["walk"]]
     assert (a["walk"].apply(len) == 5).all()
+
+
+def test_bfs_distances_vs_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import bfs_distances
+
+    rng = np.random.default_rng(31)
+    edges = sorted(
+        {
+            (int(a), int(b)) if a < b else (int(b), int(a))
+            for a, b in rng.integers(0, 120, size=(200, 2))
+            if a != b
+        }
+    )
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seeds = [0, 1]
+    # brute BFS
+    from collections import deque
+    dist = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                dq.append(v)
+    tbl = pa.table(
+        {
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    got = (
+        bfs_distances(rd.from_arrow(tbl).repartition(4), seeds)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert dict(zip(got["node"], got["dist"])) == dist
+    # max_depth truncation matches the depth-bounded relation
+    got2 = bfs_distances(rd.from_arrow(tbl), seeds, max_depth=2).to_pandas()
+    expect2 = {n: dd for n, dd in dist.items() if dd <= 2}
+    assert dict(zip(got2["node"], got2["dist"])) == expect2
