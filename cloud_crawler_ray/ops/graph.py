@@ -1100,6 +1100,7 @@ def bfs_distances(
     edges: rd.Dataset,
     seeds: list[int],
     max_depth: int = 15,
+    driver_cap: int = 2_000_000,
 ) -> rd.Dataset:
     """Multi-source BFS hop distances over an undirected int-id edge list
     (columns ``a``, ``b``): returns (node, dist) for every node within
@@ -1115,6 +1116,54 @@ def bfs_distances(
     round discovers nothing. ``max_depth`` bounds the recursion exactly
     like the SQL oracle's recursive-CTE depth guard, so both sides compute
     the identical relation."""
+    edges = edges.materialize()
+    if edges.count() <= driver_cap:
+        # size-gated driver path (the pagerank precedent): the distinct edge
+        # list crosses the wire ONCE and BFS runs in numpy CSR — at sandbox
+        # scale the distributed rounds are ~2 pure-floor executions each for
+        # work numpy does in milliseconds. The distributed path below is the
+        # 10^10-edge shape, test-forced with driver_cap=0.
+        ed = edges.to_pandas()
+        a = ed["a"].to_numpy().astype(np.int64)
+        b = ed["b"].to_numpy().astype(np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        nodes = np.unique(src)
+        indptr = np.append(np.searchsorted(src, nodes, side="left"), len(src))
+        dist = np.full(len(nodes), -1, np.int64)
+        seed_arr = np.asarray(sorted(set(int(x) for x in seeds)))
+        pos = np.searchsorted(nodes, seed_arr)
+        ok = (pos < len(nodes)) & (nodes[np.minimum(pos, len(nodes) - 1)] == seed_arr)
+        frontier = pos[ok]
+        dist[frontier] = 0
+        out_nodes = list(seed_arr)  # seeds not in the graph still label 0
+        out_dist = [0] * len(seed_arr)
+        d = 0
+        while len(frontier) and d < max_depth:
+            d += 1
+            nbr_idx = np.concatenate(
+                [dst[indptr[f] : indptr[f + 1]] for f in frontier]
+            ) if len(frontier) else np.array([], np.int64)
+            npos = np.searchsorted(nodes, np.unique(nbr_idx))
+            new = npos[dist[npos] < 0]
+            if not len(new):
+                break
+            dist[new] = d
+            frontier = new
+        seen = dist >= 0
+        extra = ~np.isin(nodes[seen], seed_arr)
+        out_nodes += nodes[seen][extra].tolist()
+        out_dist += dist[seen][extra].tolist()
+        tbl = pa.table(
+            {
+                "node": pa.array(np.asarray(out_nodes, np.int64)),
+                "dist": pa.array(np.asarray(out_dist, np.int64)),
+            }
+        )
+        return rd.from_arrow(tbl)
+
     n_sh = cluster_shards()
 
     und = edges.map_batches(

@@ -468,12 +468,13 @@ def test_bfs_distances_vs_brute(ray_session):
             "b": pa.array([e[1] for e in edges], pa.int64()),
         }
     )
-    got = (
-        bfs_distances(rd.from_arrow(tbl).repartition(4), seeds)
-        .to_pandas().sort_values("node").reset_index(drop=True)
-    )
-    assert dict(zip(got["node"], got["dist"])) == dist
-    # max_depth truncation matches the depth-bounded relation
-    got2 = bfs_distances(rd.from_arrow(tbl), seeds, max_depth=2).to_pandas()
-    expect2 = {n: dd for n, dd in dist.items() if dd <= 2}
-    assert dict(zip(got2["node"], got2["dist"])) == expect2
+    for cap in (2_000_000, 0):  # driver numpy path, then forced distributed
+        got = (
+            bfs_distances(rd.from_arrow(tbl).repartition(4), seeds, driver_cap=cap)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert dict(zip(got["node"], got["dist"])) == dist, cap
+        # max_depth truncation matches the depth-bounded relation
+        got2 = bfs_distances(rd.from_arrow(tbl), seeds, max_depth=2, driver_cap=cap).to_pandas()
+        expect2 = {n: dd for n, dd in dist.items() if dd <= 2}
+        assert dict(zip(got2["node"], got2["dist"])) == expect2, cap
