@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from .dedup import _add_shard
@@ -331,3 +332,100 @@ def interval_overlap_pairs(
             lambda g: pair_count(g.drop(columns=["shard"])), batch_format="pandas"
         )
     )
+
+
+_BLOOM_K1 = np.uint64(0x9E3779B97F4A7C15)
+_BLOOM_K2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _bloom_indices(keys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(len(keys), n_hashes) bit positions, fully vectorized double hashing
+    over int64 keys — the numpy sibling of the crawl seen-set's string
+    BloomFilter (state/filters.py:32)."""
+    k = keys.astype(np.uint64)
+    h1 = k * _BLOOM_K1
+    h1 ^= h1 >> np.uint64(31)
+    h2 = (k * _BLOOM_K2) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(
+        np.int64
+    )
+
+
+def bloom_anti_join(
+    left: rd.Dataset,
+    right_keys: rd.Dataset,
+    key_col: str,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 7,
+) -> rd.Dataset:
+    """EXACT anti-join (left rows whose key does not appear in right_keys)
+    with a Bloom pre-filter: per-block partial filters over the right side
+    OR-merge into one bit array (fixed n_bits/8 bytes regardless of
+    cardinality; at real scale the OR is a tree reduce, not a driver fold),
+    broadcast once, and every left block drops its definite-misses map-side
+    — only possible-hits (true hits + the filter's false-positive rate)
+    reach the exact shard-based check, so the shuffle carries a fraction of
+    the left side. False positives cost work, never correctness: the hit
+    subset is re-checked exactly against the right keys."""
+    from .dedup import _add_shard, cluster_shards
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        # right side is single-column; its name need not match key_col
+        keys = np.unique(
+            t.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        bits = np.zeros(n_bits // 8, np.uint8)
+        idx = _bloom_indices(keys, n_bits, n_hashes).ravel()
+        np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = right_keys.map_batches(bloom_partial, batch_format="pyarrow").to_pandas()
+    bits = np.zeros(n_bits // 8, np.uint8)
+    for b in parts["bits"]:
+        bits |= np.frombuffer(b, np.uint8)
+    bref = ray.put(bits)
+
+    def split(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        keys = t.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = _bloom_indices(keys, n_bits, n_hashes)
+        hit = np.all((b[idx >> 3] & (1 << (idx & 7))) != 0, axis=1)
+        return t.append_column("_maybe", pa.array(hit))
+
+    tagged = left.map_batches(split, batch_format="pyarrow").materialize()
+    sure_miss = tagged.filter(expr="_maybe == False").drop_columns(["_maybe"])
+    maybe = tagged.filter(expr="_maybe == True").drop_columns(["_maybe"])
+
+    # exact check for the maybe-subset: co-shard with the right keys
+    n_sh = cluster_shards()
+    _ls = left.schema()
+    left_cols = list(_ls.names)
+    ltypes = dict(zip(_ls.names, _ls.types))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {c: pa.nulls(t.num_rows, ltypes[c]) for c in left_cols}
+        cols[key_col] = t.column(0).cast(pa.int64())
+        cols["_is_right"] = pa.array([True] * t.num_rows)
+        return pa.table(cols)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.append_column("_is_right", pa.array([False] * t.num_rows))
+
+    both = maybe.map_batches(tag_left, batch_format="pyarrow").union(
+        right_keys.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def shard_anti(g: pd.DataFrame) -> pd.DataFrame:
+        rk = set(g.loc[g["_is_right"], key_col])
+        lf = g.loc[~g["_is_right"]]
+        return lf[~lf[key_col].isin(rk)].drop(columns=["_is_right"])
+
+    survivors = (
+        both.map_batches(lambda t: _add_shard(t, key_col, n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_anti(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )
+    return sure_miss.union(survivors)

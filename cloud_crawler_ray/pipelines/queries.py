@@ -3981,6 +3981,37 @@ def q_part_k_core(sf_dir: str):
     )
 
 
+def q_customers_no_orders(sf_dir: str):
+    """NOT IN anti-join with a Bloom pre-filter: customers with no order
+    since 1998-06-01 (lapsed accounts). Per-block partial Bloom filters over the order custkeys
+    OR-merge into one broadcast bit array; definite misses resolve map-side
+    and only possible-hits (hits + false positives) pay the exact co-shard
+    check — the crawl seen-set's filter structure applied to the query
+    path. Exact by construction (false positives are re-checked, never
+    dropped) — SQL-checked at all three scales."""
+    import numpy as np
+
+    from ..ops.joins import bloom_anti_join
+
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"]
+    )
+    okeys = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"],
+        filter=pc.field("o_orderdate") >= pc.scalar(_dt.datetime(1998, 6, 1)),
+    )
+    out = bloom_anti_join(cust, okeys, key_col="c_custkey").to_pandas()
+    if out.empty:  # empty blocks lose their schema through to_pandas
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64")})
+    out["c_custkey"] = out["c_custkey"].astype(np.int64)
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def q_part_reach(sf_dir: str):
     """Multi-source BFS hop distances over the strong-tie part graph from
     its 5 lowest-id nodes — the first iterative graph query here with an
@@ -4467,6 +4498,7 @@ QUERIES = {
     "knn_ivfpq": q_knn_ivfpq,
     "weighted_sample": q_weighted_sample,
     "part_reach": q_part_reach,
+    "customers_no_orders": q_customers_no_orders,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -5481,6 +5513,13 @@ ORACLE_SQL = {
                  FROM h WHERE hh % 10 = 2)
         SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
         ORDER BY doc_id
+    """,
+"customers_no_orders": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1998-06-01')
+        ORDER BY c_custkey
     """,
 "part_reach": """
         WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

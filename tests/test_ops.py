@@ -1341,3 +1341,30 @@ def test_knn_ivfpq_recall(ray_session):
         pset = set(approx[approx["query_id"] == q]["neighbor_id"])
         recalls.append(len(bset & pset) / max(1, len(bset)))
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_bloom_anti_join_exact_under_false_positives(ray_session):
+    """Bloom pre-filter must never change the result: with a deliberately
+    tiny filter (high false-positive rate) the exact co-shard check still
+    yields the true anti-join, and with a roomy filter most rows resolve
+    map-side. Compared against a set-difference oracle."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.joins import bloom_anti_join
+
+    rng = np.random.default_rng(23)
+    left_keys = np.arange(2000, dtype=np.int64)
+    right_keys = rng.choice(2000, 700, replace=False).astype(np.int64)
+    expect = sorted(set(left_keys) - set(right_keys))
+    lt = pa.table({"k": pa.array(left_keys), "v": pa.array(left_keys * 2)})
+    rt = pa.table({"rk": pa.array(right_keys)})
+    for n_bits in (64, 1 << 22):  # 64 bits -> almost everything collides
+        got = (
+            bloom_anti_join(
+                rd.from_arrow(lt).repartition(4), rd.from_arrow(rt), key_col="k",
+                n_bits=n_bits,
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert got["k"].tolist() == expect, n_bits
+        assert (got["v"] == got["k"] * 2).all()
