@@ -3981,6 +3981,59 @@ def q_part_k_core(sf_dir: str):
     )
 
 
+def q_priority_cube(sf_dir: str):
+    """CUBE grouping sets: order count + exact cent revenue at all four
+    granularities of (priority, year) — the full CUBE, including the
+    (ALL, year) slice ROLLUP lacks. Computed once at the finest level
+    (bounded per-block partials: priorities × years rows), the three
+    coarser sets derive on the driver — grouping-sets-as-post-aggregation,
+    the same shape as q_pricing_rollup generalized to every subset."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_orderdate", "o_totalprice"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"), 100.0)), pa.int64())
+        tt = pa.table(
+            {
+                "priority": t.column("o_orderpriority"),
+                "year": pc.cast(pc.year(t.column("o_orderdate")), pa.int64()),
+                "cents": cents,
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return tt.group_by(["priority", "year"]).aggregate([("cents", "sum"), ("n", "sum")])
+
+    parts = orders.map_batches(partial, batch_format="pyarrow").to_pandas()
+    fine = parts.groupby(["priority", "year"], as_index=False)[["cents_sum", "n_sum"]].sum()
+    fine = fine.rename(columns={"cents_sum": "revenue_cents", "n_sum": "n_orders"})
+
+    by_p = fine.groupby("priority", as_index=False)[["revenue_cents", "n_orders"]].sum()
+    by_p["year"] = -1  # ALL sentinel (year is numeric)
+    by_y = fine.groupby("year", as_index=False)[["revenue_cents", "n_orders"]].sum()
+    by_y["priority"] = "ALL"
+    top = pd.DataFrame(
+        {
+            "priority": ["ALL"],
+            "year": [-1],
+            "revenue_cents": [fine["revenue_cents"].sum()],
+            "n_orders": [fine["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_p, by_y, top], ignore_index=True)
+    for c in ("year", "revenue_cents", "n_orders"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["priority", "year", "revenue_cents", "n_orders"]]
+        .sort_values(["priority", "year"])
+        .reset_index(drop=True)
+    )
+
+
 def q_customers_no_orders(sf_dir: str):
     """NOT IN anti-join with a Bloom pre-filter: customers with no order
     since 1998-06-01 (lapsed accounts). Per-block partial Bloom filters over the order custkeys
@@ -4499,6 +4552,7 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "part_reach": q_part_reach,
     "customers_no_orders": q_customers_no_orders,
+    "priority_cube": q_priority_cube,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -5513,6 +5567,15 @@ ORACLE_SQL = {
                  FROM h WHERE hh % 10 = 2)
         SELECT * FROM keep UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins
         ORDER BY doc_id
+    """,
+"priority_cube": """
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(year(o_orderdate), -1)::BIGINT AS year,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS revenue_cents,
+               count(*)::BIGINT AS n_orders
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, year(o_orderdate))
+        ORDER BY priority, year
     """,
 "customers_no_orders": """
         SELECT c_custkey FROM customer
