@@ -520,3 +520,132 @@ def merge_changeset(
             lambda g: apply_shard(g.drop(columns=["shard"])), batch_format="pandas"
         )
     )
+
+
+def segment_dedup(ds: rd.Dataset, seg_tokens: int = 16) -> rd.Dataset:
+    """Corpus-level duplicated-passage removal (the RefinedWeb / CCNet
+    line-dedup step, at token-segment grain because this corpus has no
+    newline structure): split each document into consecutive
+    non-overlapping ``seg_tokens``-token segments, keep only the globally
+    FIRST occurrence of each distinct segment (first = lowest
+    (doc_id, ordinal)), and reassemble each document from its surviving
+    segments plus the (<seg_tokens)-token tail, which never enters the
+    dedup. Output: one row per doc — doc_id, n_segs, n_kept, clean_text.
+
+    Shape: two corpus-volume shuffles, no driver state. Segment rows
+    shuffle keyed by the segment STRING (hash-sharded) so the winner rule
+    is exact under the same semantics the SQL oracle uses; at 100 TB the
+    key would be a 128-bit content hash (collision odds ~n²/2^129) so
+    only fixed-width rows cross the wire — same trade documented at
+    substring_dup_pairs. Winner resolution is a per-shard vectorized
+    sort + first-of-run mask; reassembly is a per-doc-shard string join
+    bounded by the docs in that shard."""
+    from .dedup import _add_shard, cluster_shards
+
+    n_sh = cluster_shards()
+
+    def to_segments(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        docs, ords, segs, tails = [], [], [], []
+        for did, txt in zip(ids, t.column("text").to_pylist()):
+            toks = T.tokenize(txt)
+            nseg = len(toks) // seg_tokens
+            for i in range(nseg):
+                docs.append(did)
+                ords.append(i)
+                segs.append(" ".join(toks[i * seg_tokens : (i + 1) * seg_tokens]))
+                tails.append(None)
+            # tail row: always kept, never a dedup participant (ord sorts last)
+            docs.append(did)
+            ords.append(nseg)
+            segs.append(None)
+            tails.append(" ".join(toks[nseg * seg_tokens :]))
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.int64()),
+                "ord": pa.array(ords, pa.int64()),
+                "seg": pa.array(segs, pa.string()),
+                "tail": pa.array(tails, pa.string()),
+            }
+        )
+
+    import pyarrow.compute as pc
+
+    _row_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("ord", pa.int64()),
+            ("seg", pa.string()),
+            ("tail", pa.string()),
+            ("keep", pa.bool_()),
+        ]
+    )
+
+    rows = ds.map_batches(to_segments, batch_format="pyarrow")
+    seg_rows = rows.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("seg"))), batch_format="pyarrow"
+    )
+    tail_rows = rows.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("tail"))), batch_format="pyarrow"
+    )
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["seg", "doc_id", "ord"], kind="mergesort")
+        first = ~g["seg"].duplicated()
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "ord": pa.array(g["ord"].to_numpy(), pa.int64()),
+                "seg": pa.array(g["seg"], pa.string()),
+                "tail": pa.nulls(len(g), pa.string()),
+                "keep": pa.array(first.to_numpy(), pa.bool_()),
+            },
+            schema=_row_schema,
+        )
+
+    flagged = (
+        seg_rows.map_batches(
+            lambda t: _add_shard(t, "seg", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: resolve(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )
+
+    def tag_tail(t: pa.Table) -> pa.Table:
+        return t.append_column("keep", pa.array(np.ones(t.num_rows, dtype=bool)))
+
+    everything = flagged.union(
+        tail_rows.map_batches(tag_tail, batch_format="pyarrow")
+    )
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "ord"], kind="mergesort")
+        is_seg = g["seg"].notna()
+        piece = g["seg"].where(is_seg, g["tail"])
+        kept = g[g["keep"] & (piece != "").to_numpy()]
+        kp = piece[g["keep"].to_numpy() & (piece != "").to_numpy()]
+        agg = pd.DataFrame({"doc_id": kept["doc_id"].to_numpy(), "p": kp.to_numpy()})
+        joined = agg.groupby("doc_id", sort=True)["p"].agg(" ".join)
+        segs_per_doc = g[is_seg].groupby("doc_id")["ord"].size()
+        kept_per_doc = g[is_seg & g["keep"]].groupby("doc_id")["ord"].size()
+        all_ids = g["doc_id"].drop_duplicates().sort_values()
+        return pd.DataFrame(
+            {
+                "doc_id": all_ids.to_numpy().astype(np.int64),
+                "n_segs": segs_per_doc.reindex(all_ids).fillna(0).to_numpy().astype(np.int64),
+                "n_kept": kept_per_doc.reindex(all_ids).fillna(0).to_numpy().astype(np.int64),
+                "clean_text": joined.reindex(all_ids).fillna("").to_numpy(),
+            }
+        )
+
+    return (
+        everything.map_batches(
+            lambda t: _add_shard(t, "doc_id", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: reassemble(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )

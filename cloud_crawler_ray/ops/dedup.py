@@ -87,6 +87,7 @@ def keyed_attach(
     n_shards: int | None = None,
     right_count: int | None = None,
     broadcast_cap: int = 500_000,
+    salt: int = 1,
 ) -> rd.Dataset:
     """Equi-join: attach *right*'s payload columns to *left* rows on ``key``
     (right unique per key; unmatched left rows get nulls).
@@ -97,7 +98,16 @@ def keyed_attach(
     driver holds only refs); otherwise the fully distributed path:
     union-with-tag → shard by crc(key) → per-shard pandas merge. Neither
     path materializes the corpus on the driver. Tests force the join path
-    via broadcast_cap=0."""
+    via broadcast_cap=0.
+
+    ``salt`` > 1 splits every hash shard into ``salt`` sub-shards on the
+    join path: left rows spread round-robin across their key's sub-shards,
+    right rows REPLICATE into all of them — so one hot key's probe rows
+    divide over ``salt`` merge tasks instead of serializing into one. The
+    result is identical (each left row still meets its key's full right
+    side exactly once); the cost is right-side duplication, which is why
+    salting is an explicit knob, not the default. Pytest pins salted ==
+    unsalted byte-for-byte on a hot-key fixture."""
     if left.schema() is None:  # fully empty left: nothing to attach to
         return left
     if right.schema() is None:  # fully empty right: left-join semantics —
@@ -125,8 +135,17 @@ def keyed_attach(
     rtypes = {n: _rt[n] for n in payload_cols}
     ltypes = {n: _lt[n] for n in lonly}
 
+    def _resalt(t: pa.Table, sub: np.ndarray) -> pa.Table:
+        sh = t.column("shard").to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = sh * salt + sub
+        return t.drop_columns(["shard"]).append_column(
+            "shard", pa.array(sh.astype(np.int32), pa.int32())
+        )
+
     def tag_left(t: pa.Table) -> pa.Table:
         t = _add_shard(t, key, n_shards)
+        if salt > 1:
+            t = _resalt(t, np.arange(t.num_rows, dtype=np.int64) % salt)
         t = t.append_column("_side", pa.array(np.zeros(t.num_rows, dtype=np.int8)))
         for c in payload_cols:
             t = t.append_column(c, pa.nulls(t.num_rows, type=rtypes[c]))
@@ -135,6 +154,11 @@ def keyed_attach(
     def tag_right(t: pa.Table) -> pa.Table:
         t = t.select([key] + payload_cols)
         t = _add_shard(t, key, n_shards)
+        if salt > 1:
+            t = pa.concat_tables(
+                _resalt(t, np.full(t.num_rows, s, dtype=np.int64))
+                for s in range(salt)
+            )
         t = t.append_column("_side", pa.array(np.ones(t.num_rows, dtype=np.int8)))
         for c in lonly:
             t = t.append_column(c, pa.nulls(t.num_rows, type=ltypes[c]))
@@ -791,30 +815,34 @@ def simhash_bits(text: str, seed: int = 11) -> int:
     return out
 
 
-def simhash_pairs(
-    ds: rd.Dataset, hamming_threshold: int = 3, bucket_cap: int = 500
+def hash64_hamming_pairs(
+    sigs: rd.Dataset,
+    id_col: str = "doc_id",
+    sig_col: str = "sim",
+    hamming_threshold: int = 3,
+    bucket_cap: int = 500,
 ) -> pa.Table:
-    """SimHash near-dup: 64-bit signatures, bucketed by each of four 16-bit
-    chunks (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk), then
-    exact Hamming verification within buckets."""
-
-    def sig_batch(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        sigs = [simhash_bits(t) for t in texts]
-        return pa.table(
-            {"doc_id": batch.column("doc_id"), "sim": pa.array(sigs, pa.uint64())}
-        )
-
-    sigs = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=2048)
+    """Generic 64-bit-signature near-dup core: all (a, b) id pairs whose
+    signatures differ in ≤ ``hamming_threshold`` bits. Pigeonhole bucketing
+    over ``hamming_threshold + 1`` bit-chunks (d bit flips cannot touch all
+    d+1 chunks, so every qualifying pair shares at least one exact chunk),
+    then exact Hamming verification inside buckets — the shared engine
+    behind SimHash text near-dup and perceptual-hash media near-dup.
+    Hot buckets above ``bucket_cap`` are skipped (boilerplate signatures),
+    matching the capped-candidate policy of the other dedup ops."""
+    n_chunks = hamming_threshold + 1
+    width = 64 // n_chunks
 
     def explode_chunks(batch: pa.Table) -> pa.Table:
         ids, buckets, sims_out = [], [], []
         for did, s in zip(
-            batch.column("doc_id").to_pylist(), batch.column("sim").to_pylist()
+            batch.column(id_col).to_pylist(), batch.column(sig_col).to_pylist()
         ):
-            for c in range(4):
+            for c in range(n_chunks):
+                lo = c * width
+                hi = 64 if c == n_chunks - 1 else lo + width
                 ids.append(did)
-                buckets.append(f"{c}:{(s >> (16 * c)) & 0xFFFF}")
+                buckets.append(f"{c}:{(s >> lo) & ((1 << (hi - lo)) - 1)}")
                 sims_out.append(s)
         return pa.table(
             {
@@ -858,6 +886,27 @@ def simhash_pairs(
         return pa.table({"a": [], "b": [], "hamming": []})
     pairs = pairs.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"])
     return pa.Table.from_pandas(pairs, preserve_index=False)
+
+
+def simhash_pairs(
+    ds: rd.Dataset, hamming_threshold: int = 3, bucket_cap: int = 500
+) -> pa.Table:
+    """SimHash near-dup: 64-bit signatures, bucketed by each of four 16-bit
+    chunks (pigeonhole: hamming ≤ 3 ⇒ at least one identical chunk), then
+    exact Hamming verification within buckets (hash64_hamming_pairs)."""
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sigs = [simhash_bits(t) for t in texts]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "sim": pa.array(sigs, pa.uint64())}
+        )
+
+    sigs = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=2048)
+    return hash64_hamming_pairs(
+        sigs, "doc_id", "sim",
+        hamming_threshold=hamming_threshold, bucket_cap=bucket_cap,
+    )
 
 
 def ngram_jaccard_pairs(

@@ -638,3 +638,115 @@ def media_fetch_plan(docs: rd.Dataset, n_shards: int | None = None) -> rd.Datase
             lambda g: shard_plan(g.drop(columns=["shard"])), batch_format="pandas"
         )
     )
+
+
+PHASH_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),
+        ("phash", pa.uint64()),
+        ("backend", pa.string()),
+    ]
+)
+
+
+def _dct_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n×n): B @ x transforms a length-n
+    signal; B @ G @ B.T transforms an image block."""
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    b = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    b[0] /= np.sqrt(2.0)
+    return b
+
+
+_PHASH_N = 32  # luma grid side; DCT keeps the top-left 8×8 low frequencies
+_PHASH_B = _dct_basis(_PHASH_N)
+
+
+def phash64(grid: np.ndarray) -> int:
+    """64-bit perceptual hash of a 32×32 luma grid: 2-D DCT, take the
+    top-left 8×8 low-frequency block minus the DC term, threshold each
+    coefficient against the block median (pHash as in Zauner's
+    'Implementation and Benchmarking of Perceptual Image Hash Functions';
+    the standard mean/median-of-DCT formulation). Pure numpy — this math
+    runs for real in-sandbox; only pixel DECODE is behind the backend
+    stub."""
+    g = np.asarray(grid, dtype=np.float64).reshape(_PHASH_N, _PHASH_N)
+    d = _PHASH_B @ g @ _PHASH_B.T
+    low = d[:8, :8].ravel()[1:]  # drop DC so global brightness can't flip all bits
+    med = np.median(low)
+    bits = low > med
+    h = 0
+    for bit in bits:  # 63 bits; bit 63 stays 0
+        h = (h << 1) | int(bit)
+    return h
+
+
+class MediaPhasher:
+    """Actor-pool stage: payload → 64-bit perceptual hash. With PIL the
+    grid would be the decoded image resized to 32×32 grayscale; the fake
+    backend derives a deterministic pseudo-luma grid from the payload
+    bytes (identical payloads ⇒ identical grids ⇒ identical hashes, which
+    is exactly what the synthetic fixtures can exercise — near-identical
+    PIXELS need a real decoder, so that property is documented, not
+    faked). DCT basis built once per actor."""
+
+    def __init__(self):
+        self.backend = DecodeBackend()
+
+    def _grid(self, payload: bytes) -> np.ndarray:
+        if self.backend.name == "pil":  # pragma: no cover - PIL absent
+            raise NotImplementedError(
+                "real decode not wired in this sandbox; fake backend is the "
+                "deterministic stand-in"
+            )
+        raw = hashlib.blake2b(payload, digest_size=64).digest()
+        expanded = np.frombuffer(
+            b"".join(
+                hashlib.blake2b(raw, digest_size=64, salt=bytes([i])).digest()
+                for i in range(16)
+            ),
+            dtype=np.uint8,
+        )
+        return expanded.reshape(_PHASH_N, _PHASH_N).astype(np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        hashes = [
+            phash64(self._grid(p)) for p in batch.column("payload").to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "phash": pa.array(hashes, pa.uint64()),
+                "backend": pa.array([self.backend.name] * len(ids), pa.string()),
+            },
+            schema=PHASH_SCHEMA,
+        )
+
+
+def media_phashes(media: rd.Dataset, concurrency: int = 2) -> rd.Dataset:
+    """Perceptual hashes for a media table — small batches (binary payloads
+    dominate block memory), init-once actor pool."""
+    return media.map_batches(
+        MediaPhasher, concurrency=concurrency, batch_size=256,
+        batch_format="pyarrow",
+    )
+
+
+def media_phash_pairs(
+    media: rd.Dataset, hamming_threshold: int = 4, concurrency: int = 2
+) -> pa.Table:
+    """Near-duplicate media pairs by perceptual hash: phash stage → the
+    shared 64-bit hamming pair core (pigeonhole chunk bucketing + in-bucket
+    verify, ops/dedup.py hash64_hamming_pairs). Output (a, b, hamming),
+    bounded by the true pair set."""
+    from .dedup import hash64_hamming_pairs
+
+    sigs = media_phashes(media, concurrency=concurrency)
+    return hash64_hamming_pairs(
+        sigs, "media_id", "phash", hamming_threshold=hamming_threshold
+    )

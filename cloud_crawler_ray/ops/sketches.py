@@ -240,3 +240,50 @@ def quantile_sketch(
     samp, total = quantile_sketch_merge(parts, m)
     est = quantile_sketch_estimate(samp, qs)
     return pd.DataFrame({"q": list(qs), "value_est": est, "n": total})
+
+
+def hll_distinct_by(
+    ds: rd.Dataset, key: str, value: str, p: int = 12
+) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT value) per key — the grouped-sketch shape
+    (one HLL register array per key, mergeable by elementwise max, so
+    re-execution cannot skew it). Per block: one register row per key
+    PRESENT IN THAT BLOCK (bounded by block keys, not corpus keys); rows
+    hash-shard on the key so a key's partials meet in exactly one shard;
+    the driver sees one (key, estimate) row per distinct key. The exact
+    twin at test scale is groupby/COUNT DISTINCT (tumbling_distinct /
+    vocab_size family); this is the 100-TB path when per-key id sets are
+    unbounded (e.g. distinct users per host over a year of events)."""
+    from .dedup import _add_shard, cluster_shards
+
+    m = 1 << p
+    n_sh = cluster_shards()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys, regs = [], []
+        for k, sub in df.groupby(key, sort=False):
+            keys.append(k)
+            regs.append(hll_partial(sub[value].to_numpy(), p).tobytes())
+        return pd.DataFrame({key: keys, "reg": regs})
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        keys, ests = [], []
+        for k, sub in g.groupby(key, sort=False):
+            regs = np.stack(
+                [np.frombuffer(r, dtype=np.uint8) for r in sub["reg"]]
+            )
+            keys.append(k)
+            ests.append(hll_estimate(hll_merge(regs)))
+        return pd.DataFrame({key: keys, "approx_distinct": ests})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(
+            lambda t: _add_shard(t, key, n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: combine(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )

@@ -908,6 +908,27 @@ def q_media_thumbnails(sf_dir: str):
     return resize_media(media_table_from_documents(docs), max_dim=64)
 
 
+def q_media_phash_dups(sf_dir: str):
+    """Near-duplicate media detection by perceptual hash over the crawl's
+    media table: actor-pool phash stage (real numpy DCT over the decode
+    stub's deterministic luma grid — DC-invariant, unit-pinned) → the
+    shared 64-bit hamming pair core (pigeonhole buckets + in-bucket
+    verify). The dedup-images-before-training step at 100 TB: signatures
+    are 8 bytes/item, candidate generation sub-quadratic. No SQL oracle
+    (hash semantics); exact-dup pairing and DCT properties are
+    pytest-pinned."""
+    import numpy as np
+
+    from ..ops.multimodal import media_phash_pairs, media_table_from_documents
+
+    docs = crawl_handle_for(sf_dir).documents()
+    pairs = media_phash_pairs(
+        media_table_from_documents(docs), hamming_threshold=4
+    ).to_pandas()
+    pairs["hamming"] = pairs["hamming"].astype(np.int64)
+    return pairs.sort_values(["a", "b"]).reset_index(drop=True)
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary: bounded-cardinality (6-group) multi-
     aggregate as per-block Arrow group_by partials + tiny driver combine —
@@ -4413,6 +4434,178 @@ def q_part_triangles(sf_dir: str):
     )
 
 
+def q_dominant_suppliers(sf_dir: str):
+    """TPC-H Q20-shape analog over the available tables: suppliers that
+    shipped >1/3 of a part's 1996 volume, counted per supplier (top-20).
+    The correlated per-part threshold needs part totals NEXT TO per-
+    (part, supplier) sums — both live in the same hash(partkey) shard, so
+    one shuffle serves the grouped aggregate, the correlated comparison,
+    and the join (no second all-to-all). Per-supplier counts leave each
+    shard as bounded partials; the 20 winners' names come from an
+    is_in-filtered supplier read. Quantities sum as exact int64."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    expr = (pc.field("l_shipdate") >= datetime.datetime(1996, 1, 1)) & (
+        pc.field("l_shipdate") < datetime.datetime(1997, 1, 1)
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=expr,
+    )
+    n_sh = cluster_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_partkey": t.column("l_partkey").to_numpy(zero_copy_only=False),
+                "l_suppkey": t.column("l_suppkey").to_numpy(zero_copy_only=False),
+                "q": t.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+        g = df.groupby(["l_partkey", "l_suppkey"], sort=False, as_index=False)["q"].sum()
+        return pa.table(
+            {
+                "l_partkey": pa.array(g["l_partkey"].to_numpy(), pa.int64()),
+                "l_suppkey": pa.array(g["l_suppkey"].to_numpy(), pa.int64()),
+                "q": pa.array(g["q"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        sp = g.groupby(["l_partkey", "l_suppkey"], sort=False, as_index=False)["q"].sum()
+        pt = sp.groupby("l_partkey")["q"].sum()
+        dom = sp[3 * sp["q"].to_numpy() > pt.reindex(sp["l_partkey"]).to_numpy()]
+        out = dom.groupby("l_suppkey", as_index=False).size()
+        return pd.DataFrame(
+            {
+                "l_suppkey": out["l_suppkey"].to_numpy().astype(np.int64),
+                "cnt": out["size"].to_numpy().astype(np.int64),
+            }
+        )
+
+    counts = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "l_partkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lambda g: resolve(g.drop(columns=["shard"])), batch_format="pandas")
+        .to_pandas()
+    )
+    top = (
+        counts.groupby("l_suppkey", as_index=False)["cnt"].sum()
+        .sort_values(["cnt", "l_suppkey"], ascending=[False, True])
+        .head(20)
+    )
+    names = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name"],
+            filter=pc.field("s_suppkey").isin(top["l_suppkey"].tolist()),
+        )
+        .to_pandas()
+        .set_index("s_suppkey")["s_name"]
+    )
+    return pd.DataFrame(
+        {
+            "s_suppkey": top["l_suppkey"].to_numpy().astype(np.int64),
+            "s_name": names.reindex(top["l_suppkey"]).to_numpy(),
+            "dominant_parts": top["cnt"].to_numpy().astype(np.int64),
+        }
+    ).reset_index(drop=True)
+
+
+def q_event_users_hll(sf_dir: str):
+    """Approximate distinct users per event type via grouped HyperLogLog
+    (ops/sketches.py hll_distinct_by): one mergeable 2^12-byte register row
+    per (block, key), key-sharded combine, driver sees one row per key.
+    The 100-TB shape for per-key COUNT DISTINCT when id sets are unbounded;
+    exact twin = tumbling_distinct / vocab_size. No SQL oracle (estimates);
+    pytest pins the error band and partition invariance."""
+    import numpy as np
+
+    from ..ops.sketches import hll_distinct_by
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    out = hll_distinct_by(ev, "event_type", "user_id", p=12)
+    out["approx_distinct"] = out["approx_distinct"].round(2).astype(np.float64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_segment_dedup(sf_dir: str):
+    """Corpus-level duplicated-passage removal (RefinedWeb/CCNet line-dedup
+    at 16-token-segment grain — ops/curation.py segment_dedup): keep the
+    globally first occurrence of every distinct segment, reassemble docs
+    from survivors + the tail. Two corpus-volume shuffles (segment-key
+    winner resolution, doc-key reassembly), zero driver state; SQL-checked
+    including the reassembled clean_text strings."""
+    from ..ops.curation import segment_dedup
+
+    out = segment_dedup(_docs(sf_dir), seg_tokens=16).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_forward_fill(sf_dir: str):
+    """LAST_VALUE ... IGNORE NULLS window class: carry each user's most
+    recent purchase value forward onto every subsequent event (the gap-fill
+    / sessionization-enrichment shape). One hash(user) shuffle, per-shard
+    sort + two maximum.accumulate passes (source index, user start) — no
+    per-key Python; values are copied, never computed, so doubles
+    hash-match SQL bit-for-bit and rows before a user's first purchase are
+    real NULLs."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    n_sh = cluster_shards()
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("user_id", pa.int64()),
+            ("last_purchase_value", pa.float64()),
+        ]
+    )
+
+    def fill(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        n = len(g)
+        idx = np.arange(n)
+        newuser = g["user_id"].ne(g["user_id"].shift()).to_numpy()
+        ustart = np.maximum.accumulate(np.where(newuser, idx, 0))
+        src = np.maximum.accumulate(
+            np.where(g["event_type"].to_numpy() == "purchase", idx, -1)
+        )
+        valid = src >= ustart
+        vals = g["value"].to_numpy()[np.maximum(src, 0)]
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+                "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+                "last_purchase_value": pa.array(vals, pa.float64(), mask=~valid),
+            },
+            schema=schema,
+        )
+
+    out = (
+        ev.map_batches(lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lambda g: fill(g.drop(columns=["shard"])), batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -4553,6 +4746,11 @@ QUERIES = {
     "part_reach": q_part_reach,
     "customers_no_orders": q_customers_no_orders,
     "priority_cube": q_priority_cube,
+    "segment_dedup": q_segment_dedup,
+    "forward_fill": q_forward_fill,
+    "event_users_hll": q_event_users_hll,
+    "dominant_suppliers": q_dominant_suppliers,
+    "media_phash_dups": q_media_phash_dups,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -5615,5 +5813,76 @@ ORACLE_SQL = {
         JOIN e e2 ON e2.pa = e1.pb
         JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
         ORDER BY part_a, part_b, part_c
+    """,
+"segment_dedup": f"""
+        WITH t AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        seg AS (
+          SELECT doc_id, unnest(generate_series(0, len(toks)//16 - 1)) AS ord,
+                 toks
+          FROM t WHERE len(toks) >= 16
+        ),
+        s2 AS (
+          SELECT doc_id, ord,
+                 array_to_string(toks[ord*16+1 : ord*16+16], ' ') AS seg
+          FROM seg
+        ),
+        w AS (
+          SELECT doc_id, ord, seg,
+                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, ord) AS rn
+          FROM s2
+        ),
+        tails AS (
+          SELECT doc_id, len(toks)//16 AS ord,
+                 array_to_string(toks[(len(toks)//16)*16+1 : len(toks)], ' ')
+                   AS piece
+          FROM t
+        ),
+        pieces AS (
+          SELECT doc_id, ord, seg AS piece FROM w WHERE rn = 1
+          UNION ALL
+          SELECT doc_id, ord, piece FROM tails WHERE piece <> ''
+        ),
+        stats AS (
+          SELECT doc_id, count(*) AS n_segs,
+                 count(*) FILTER (WHERE rn = 1) AS n_kept
+          FROM w GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(s.n_segs, 0)::BIGINT AS n_segs,
+               coalesce(s.n_kept, 0)::BIGINT AS n_kept,
+               coalesce(p.clean_text, '') AS clean_text
+        FROM t
+        LEFT JOIN stats s USING (doc_id)
+        LEFT JOIN (SELECT doc_id, string_agg(piece, ' ' ORDER BY ord)
+                     AS clean_text
+                   FROM pieces GROUP BY doc_id) p USING (doc_id)
+        ORDER BY t.doc_id
+    """,
+"dominant_suppliers": """
+        WITH f AS (
+          SELECT l_partkey, l_suppkey, l_quantity::BIGINT AS q
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+        ),
+        sp AS (SELECT l_partkey, l_suppkey, sum(q) AS sq FROM f GROUP BY 1, 2),
+        pt AS (SELECT l_partkey, sum(q) AS pq FROM f GROUP BY 1),
+        dom AS (
+          SELECT l_suppkey, count(*) AS dominant_parts
+          FROM sp JOIN pt USING (l_partkey)
+          WHERE 3 * sp.sq > pt.pq GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, d.dominant_parts::BIGINT AS dominant_parts
+        FROM dom d JOIN supplier s ON s.s_suppkey = d.l_suppkey
+        ORDER BY dominant_parts DESC, s.s_suppkey LIMIT 20
+    """,
+"forward_fill": """
+        SELECT event_id, user_id,
+               last_value(CASE WHEN event_type = 'purchase' THEN value END
+                          IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_purchase_value
+        FROM events ORDER BY event_id
     """,
 }

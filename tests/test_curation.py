@@ -287,3 +287,63 @@ def test_merge_changeset_semantics(ray_session):
         )
         expect = pd.DataFrame({"k": [1, 2, 4, 9], "v": ["a", "B", "d", "z"]})
         assert got.equals(expect), got
+
+
+def test_segment_dedup_naive_parity(ray_session):
+    """segment_dedup matches a naive single-process oracle on a corpus with
+    planted cross-doc duplicated passages: global first occurrence (lowest
+    (doc_id, ord)) survives, later copies drop, tails always survive, and
+    the reassembled clean_text preserves within-doc order. Partition-
+    invariant."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.functions import text as T
+    from cloud_crawler_ray.ops.curation import segment_dedup
+
+    K = 4
+    boiler = "b " * K  # 4-token segment duplicated across docs
+    docs = {
+        0: ("alpha beta gamma delta " + boiler + "tail0 x"),
+        1: (boiler + "e f g h " + "tail1"),
+        2: ("alpha beta gamma delta " + "i j k l"),
+        3: "short doc",  # < K tokens of segments: tail only
+        4: boiler + boiler.strip(),  # two identical segments in ONE doc
+    }
+    # naive oracle
+    seen: set[str] = set()
+    want = {}
+    for did in sorted(docs):
+        toks = T.tokenize(docs[did])
+        nseg = len(toks) // K
+        segs = [" ".join(toks[i * K:(i + 1) * K]) for i in range(nseg)]
+        kept = []
+        n_kept = 0
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+                n_kept += 1
+        tail = " ".join(toks[nseg * K:])
+        if tail:
+            kept.append(tail)
+        want[did] = (nseg, n_kept, " ".join(kept))
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(sorted(docs), pa.int64()),
+            "text": pa.array([docs[d] for d in sorted(docs)]),
+        }
+    )
+    for parts in (1, 4):
+        out = (
+            segment_dedup(rd.from_arrow(t).repartition(parts), seg_tokens=K)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == sorted(docs)
+        for _, r in out.iterrows():
+            ns, nk, ct = want[r["doc_id"]]
+            assert r["n_segs"] == ns, (r["doc_id"], r["n_segs"], ns)
+            assert r["n_kept"] == nk, (r["doc_id"], r["n_kept"], nk)
+            assert r["clean_text"] == ct, (r["doc_id"], r["clean_text"], ct)

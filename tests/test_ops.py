@@ -1368,3 +1368,107 @@ def test_bloom_anti_join_exact_under_false_positives(ray_session):
         )
         assert got["k"].tolist() == expect, n_bits
         assert (got["v"] == got["k"] * 2).all()
+
+
+def test_keyed_attach_salted_matches_unsalted(ray_session):
+    """Hot-key skew salting: salt>1 splits a hot key's probe rows across
+    sub-shards with the right side replicated — output must be identical
+    to the unsalted join path, including null padding for unmatched keys."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import keyed_attach
+
+    # one hot key (0) with 5000 left rows, a cold key, and an unmatched key
+    n_hot = 5000
+    ks = [0] * n_hot + [1, 99]
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(ks, pa.int64()),
+                "x": pa.array(list(range(len(ks))), pa.int64()),
+            }
+        )
+    ).repartition(8)
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([0, 1], pa.int64()),
+                "n": pa.array([10, 20], pa.int64()),
+            }
+        )
+    )
+
+    def run(salt):
+        return (
+            keyed_attach(
+                left, right, "k", ["n"],
+                right_count=2, broadcast_cap=0, salt=salt,
+            )
+            .to_pandas()
+            .sort_values(["k", "x"])
+            .reset_index(drop=True)
+        )
+
+    base, salted = run(1), run(8)
+    pd.testing.assert_frame_equal(base, salted)
+    assert (base.loc[base["k"] == 0, "n"] == 10).all()
+    assert pd.isna(base.loc[base["k"] == 99, "n"]).all()
+
+
+def test_phash64_dc_invariance_and_noise_stability():
+    """pHash math (real, numpy DCT): global brightness shifts change only
+    the dropped DC term (hash identical); small additive noise flips few
+    of the 63 bits; different random grids land far apart."""
+    from cloud_crawler_ray.ops.multimodal import phash64
+
+    rng = np.random.default_rng(3)
+    g = rng.uniform(0, 255, size=(32, 32))
+    assert phash64(g) == phash64(g + 17.5)
+
+    noisy = g + rng.normal(0, 0.5, size=(32, 32))
+    d_noise = bin(phash64(g) ^ phash64(noisy)).count("1")
+    assert d_noise <= 12, d_noise
+
+    other = rng.uniform(0, 255, size=(32, 32))
+    d_other = bin(phash64(g) ^ phash64(other)).count("1")
+    assert d_other >= 16, d_other
+
+
+def test_media_phash_pairs_exact_dups(ray_session):
+    """Perceptual-hash media near-dup e2e: the same media_ref appearing in
+    several docs produces identical payloads → identical phashes → pairs at
+    hamming 0; distinct refs never pair at threshold 4 (hash avalanche).
+    The fake decode can only exercise exact duplicates — documented; the
+    near-pixel property is pinned by the numpy DCT unit test above."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.multimodal import (
+        media_phash_pairs, media_phashes, media_table_from_documents,
+    )
+
+    def img(ref, off):
+        return {"kind": "image", "text": "", "media_ref": ref, "offset": off}
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": ["a", "b", "c"],
+                "spans": [
+                    [img("/logo.png", 0), img("/photo1.png", 1)],
+                    [img("/logo.png", 0), img("/photo2.png", 1)],
+                    [img("/logo.png", 0)],
+                ],
+            }
+        )
+    )
+    media = media_table_from_documents(docs)
+    sigs = media_phashes(media).to_pandas()
+    assert sigs["backend"].eq("fake").all()
+    by_id = sigs.set_index("media_id")["phash"]
+    assert by_id["a#0"] == by_id["b#0"] == by_id["c#0"]  # same ref, same hash
+    assert by_id["a#1"] != by_id["b#1"]
+
+    pairs = media_phash_pairs(media, hamming_threshold=4).to_pandas()
+    got = {tuple(sorted((r["a"], r["b"]))) for _, r in pairs.iterrows()}
+    assert got == {("a#0", "b#0"), ("a#0", "c#0"), ("b#0", "c#0")}
+    assert (pairs["hamming"] == 0).all()

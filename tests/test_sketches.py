@@ -159,3 +159,35 @@ def test_quantile_sketch_merge_is_exact_bottom_k(ray_session):
     # bottom-k mergeability: merged sample == whole-input sample
     assert merged["h"].tolist() == whole["h"].tolist()[:512]
     assert merged["v"].tolist() == whole["v"].tolist()[:512]
+
+
+def test_hll_distinct_by_vs_exact(ray_session):
+    """Grouped HLL: per-key estimates within the 2^p error band of the exact
+    per-key distinct counts, one output row per key, invariant to input
+    partitioning (mergeable registers)."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.sketches import hll_distinct_by
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 5, size=20_000)
+    vals = rng.integers(0, 3_000, size=20_000) + keys * 10_000
+    t = pa.table(
+        {
+            "k": pa.array(keys, pa.int64()),
+            "v": pa.array(vals, pa.int64()),
+        }
+    )
+    exact = (
+        pd.DataFrame({"k": keys, "v": vals})
+        .groupby("k")["v"].nunique()
+    )
+    for nparts in (2, 17):
+        est = (
+            hll_distinct_by(rd.from_arrow(t).repartition(nparts), "k", "v", p=12)
+            .sort_values("k")
+            .set_index("k")["approx_distinct"]
+        )
+        assert set(est.index) == set(exact.index)
+        rel = (est - exact).abs() / exact
+        assert (rel < 0.10).all(), rel
