@@ -4573,6 +4573,7 @@ def q_forward_fill(sf_dir: str):
         [
             ("event_id", pa.int64()),
             ("user_id", pa.int64()),
+            ("has_prior_purchase", pa.bool_()),
             ("last_purchase_value", pa.float64()),
         ]
     )
@@ -4587,12 +4588,13 @@ def q_forward_fill(sf_dir: str):
             np.where(g["event_type"].to_numpy() == "purchase", idx, -1)
         )
         valid = src >= ustart
-        vals = g["value"].to_numpy()[np.maximum(src, 0)]
+        vals = np.where(valid, g["value"].to_numpy()[np.maximum(src, 0)], -1.0)
         return pa.table(
             {
                 "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
                 "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
-                "last_purchase_value": pa.array(vals, pa.float64(), mask=~valid),
+                "has_prior_purchase": pa.array(valid, pa.bool_()),
+                "last_purchase_value": pa.array(vals, pa.float64()),
             },
             schema=schema,
         )
@@ -5877,12 +5879,18 @@ ORACLE_SQL = {
         ORDER BY dominant_parts DESC, s.s_suppkey LIMIT 20
     """,
 "forward_fill": """
+        WITH w AS (
+          SELECT event_id, user_id,
+                 last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS lv
+          FROM events
+        )
         SELECT event_id, user_id,
-               last_value(CASE WHEN event_type = 'purchase' THEN value END
-                          IGNORE NULLS)
-                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS last_purchase_value
-        FROM events ORDER BY event_id
+               lv IS NOT NULL AS has_prior_purchase,
+               coalesce(lv, -1.0) AS last_purchase_value
+        FROM w ORDER BY event_id
     """,
 }

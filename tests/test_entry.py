@@ -64,95 +64,18 @@ def test_oracle_keys_subset(entrymod):
     assert len(q) >= 15
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "word_count",
-        "token_count",
-        "quality_score",
-        "doc_fingerprint",
-        "exact_dedup",
-        "ngram_jaccard",
-        "counter_global",
-        "keyed_event_log",
-        "seq_assign",
-        "knn_cosine",
-        "embedding_neardup",
-        "pricing_summary",
-        "top_segment_customers",
-        "nation_orders",
-        "bpe_token_count",
-        "forecast_revenue",
-        "shipping_priority",
-        "order_priority",
-        "promo_revenue",
-        "train_test_split",
-        "vocab_topk",
-        "token_quantiles",
-        "vocab_size",
-        "consistent_sample",
-        "decontaminate",
-        "dedup_keep_best",
-        "stratified_sample",
-        "repetition_stats",
-        "doc_frequency",
-        "curate_corpus",
-        "pack_sequences",
-        "tumbling_distinct",
-        "contamination_report",
-        "tfidf_top_terms",
-        "mix_weighted",
-        "quality_gate",
-        "lang_token_quantiles",
-        "rolling_max",
-        "large_orders",
-        "regional_revenue",
-        "returned_revenue",
-        "order_gaps",
-        "substring_dups",
-        "value_quantiles",
-        "idle_customers",
-        "event_transitions",
-        "source_reputation",
-        "value_percent_rank",
-        "custdist",
-        "small_qty_revenue",
-        "disjunctive_revenue",
-        "trade_volume",
-        "running_total",
-        "props_key_counts",
-        "brand_top_parts",
-        "top_supplier",
-        "late_sole_suppliers",
-        "priority_mix",
-        "market_share",
-        "doc_deciles",
-        "per_key_sample",
-        "winsorized_stats",
-        "value_histogram",
-        "order_top_line",
-        "gopher_rules",
-        "revenue_moments",
-        "pricing_rollup",
-        "incremental_dedup",
-        "rolling_sum",
-        "repeat_customers",
-        "monthly_orders",
-        "user_type_pivot",
-        "customer_order_years",
-        "range_window_sum",
-        "nation_profit",
-        "supplier_variety",
-        "min_cost_supplier",
-        "important_parts",
-        "funnel_conversion",
-        "cohort_retention",
-        "inverted_index",
-        "view_days_no_purchase",
-        "chunk_documents",
-        "parts_together",
-    ],
-)
+def _sql_checked_names():
+    """Every oracle-backed query, derived from ORACLE_SQL at collection time
+    so a new SQL-checked query is pinned here automatically."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from cloud_crawler_ray.pipelines.queries import ORACLE_SQL
+
+    return sorted(ORACLE_SQL)
+
+
+@pytest.mark.parametrize("name", _sql_checked_names())
 def test_sql_checked_query(entrymod, con, name):
     got = normalize(to_df(entrymod.queries()[name](SF)))
     exp = normalize(con.execute(entrymod.oracle_sql()[name]).df())
@@ -170,7 +93,7 @@ def test_sql_checked_query(entrymod, con, name):
      "hll_distinct", "minhash_keep_best", "span_stats",
      "media_captions", "interleave_pack", "lm_score", "pagerank",
      "embedding_clusters", "cms_heavy_hitters", "value_quantile_sketch",
-     "crawl_host_stats", "link_hits", "api_fetch", "anchor_texts", "span_violations", "main_content", "bpe_merges", "media_fetch_plan", "crawl_wave_metrics"],
+     "crawl_host_stats", "link_hits", "api_fetch", "anchor_texts", "span_violations", "main_content", "bpe_merges", "media_fetch_plan", "crawl_wave_metrics", "event_users_hll", "media_phash_dups"],
 )
 def test_rows_only_query(entrymod, name):
     df = to_df(entrymod.queries()[name](SF_SMALL))
@@ -178,11 +101,4 @@ def test_rows_only_query(entrymod, name):
     assert len(df.columns) > 0
 
 
-@pytest.mark.parametrize("name", ["windowed_count", "session_windows"])
-def test_windowed_sql_checked(entrymod, con, name):
-    got = normalize(to_df(entrymod.queries()[name](SF)))
-    exp = normalize(con.execute(entrymod.oracle_sql()[name]).df())
-    assert list(got.columns) == list(exp.columns)
-    assert len(got) == len(exp)
-    for c in got.columns:
-        assert got[c].tolist() == exp[c].tolist(), c
+
