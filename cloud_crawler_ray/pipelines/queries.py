@@ -4363,6 +4363,98 @@ def q_value_mad(sf_dir: str):
     return parts.sort_values("user_id").reset_index(drop=True)
 
 
+def q_value_outliers(sf_dir: str):
+    """Robust per-user outlier gate (the |x − median| > 3·MAD rule, the
+    training-data analog of value anomaly filtering): entirely in integer
+    quarter-cents — dev4 = |4·cents − med4| and the gate dev4 > 3·mad4 are
+    exact, so Ray and SQL agree bit-for-bit with no float epsilon. Users
+    land whole in one hash shard (same shape as value_mad): both order
+    statistics AND the flag count are shard-local, one shuffle total."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+    n_sh = cluster_shards()
+
+    def shard_outliers(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, grp in g.groupby("user_id"):
+            cents = np.round(grp["value"].to_numpy() * 100.0).astype(np.int64)
+            sc = np.sort(cents)
+            n = len(sc)
+            med2 = int(sc[(n - 1) // 2]) + int(sc[n // 2])  # 2·median
+            dev2 = np.abs(2 * sc - med2)
+            dev2.sort()
+            mad4 = int(dev2[(n - 1) // 2]) + int(dev2[n // 2])  # 4·mad
+            dev4 = np.abs(4 * cents - 2 * med2)  # 4·|x − median|
+            rows.append((uid, n, int((dev4 > 3 * mad4).sum())))
+        return pd.DataFrame(
+            rows, columns=["user_id", "n_events", "n_outliers"]
+        ).astype(
+            {"user_id": np.int64, "n_events": np.int64, "n_outliers": np.int64}
+        )
+
+    parts = (
+        ev.map_batches(lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_outliers(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return parts.sort_values("user_id").reset_index(drop=True)
+
+
+def q_late_data_windows(sf_dir: str):
+    """Event-time windows with an allowed-lateness accounting — the
+    streaming-semantics class the wave-synchronous reference never had:
+    per (event_type, 1h tumbling window), how many events would arrive
+    within watermark + 10 min of window close vs total. Arrival time is a
+    deterministic per-event delay (multiplicative event_id hash, ≤ 1h) so
+    the op is SQL-checkable; all time math is integer microseconds-to-
+    seconds floor division on both sides. Pure map-side partials bounded
+    by types × windows — no shuffle."""
+    import numpy as np
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "event_type"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        s = t.column("ts").cast(pa.int64()).to_numpy() // 1_000_000
+        eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        delay = (eid * 2654435761) % 4294967296 % 3600
+        win = (s // 3600) * 3600
+        on_time = (s + delay) <= (win + 3600 + 600)
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pylist(),
+                "window_start": win,
+                "on_time": on_time.astype(np.int64),
+                "total": np.ones(len(win), dtype=np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "window_start"], as_index=False).sum()
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "window_start": pa.array(g["window_start"].to_numpy(), pa.int64()),
+                "on_time": pa.array(g["on_time"].to_numpy(), pa.int64()),
+                "total": pa.array(g["total"].to_numpy(), pa.int64()),
+            }
+        )
+
+    parts = ev.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["event_type", "window_start"], as_index=False)[
+        ["on_time", "total"]
+    ].sum()
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
 def q_merge_upsert(sf_dir: str):
     """MERGE / CDC upsert: apply a deterministic changeset to the documents
     table — updates re-source ~10% of docs to 'cdc', deletes another ~10%,
@@ -4753,6 +4845,8 @@ QUERIES = {
     "event_users_hll": q_event_users_hll,
     "dominant_suppliers": q_dominant_suppliers,
     "media_phash_dups": q_media_phash_dups,
+    "value_outliers": q_value_outliers,
+    "late_data_windows": q_late_data_windows,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -5859,6 +5953,38 @@ ORACLE_SQL = {
                      AS clean_text
                    FROM pieces GROUP BY doc_id) p USING (doc_id)
         ORDER BY t.doc_id
+    """,
+"value_outliers": """
+        WITH c AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        st AS (
+          SELECT user_id,
+                 CAST(round(4 * median(cents)) AS BIGINT) AS med4,
+                 CAST(round(4 * mad(cents)) AS BIGINT) AS mad4
+          FROM c GROUP BY user_id
+        )
+        SELECT c.user_id,
+               count(*)::BIGINT AS n_events,
+               count(*) FILTER (WHERE abs(4 * c.cents - st.med4) > 3 * st.mad4)
+                 ::BIGINT AS n_outliers
+        FROM c JOIN st USING (user_id)
+        GROUP BY c.user_id ORDER BY c.user_id
+    """,
+"late_data_windows": """
+        WITH w AS (
+          SELECT event_type,
+                 (epoch_us(ts) // 1000000 // 3600) * 3600 AS window_start,
+                 epoch_us(ts) // 1000000
+                   + (event_id * 2654435761) % 4294967296 % 3600 AS arrival
+          FROM events
+        )
+        SELECT event_type, window_start::BIGINT AS window_start,
+               count(*) FILTER (WHERE arrival <= window_start + 3600 + 600)
+                 ::BIGINT AS on_time,
+               count(*)::BIGINT AS total
+        FROM w GROUP BY 1, 2 ORDER BY 1, 2
     """,
 "dominant_suppliers": """
         WITH f AS (
