@@ -4455,6 +4455,52 @@ def q_late_data_windows(sf_dir: str):
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
+def q_value_p95(sf_dir: str):
+    """Interpolated percentile (PERCENTILE_CONT 0.95) per event type — the
+    order-statistic class with FRACTIONAL interpolation, made exact: at
+    q=19/20 the interpolated value times 20 is always an integer in the
+    cent domain (20·v = (20−f)·x_lo + f·x_hi with f = 19·(n−1) mod 20), so
+    both sides emit p95_20_cents as int64 and hash-match bit-for-bit.
+    Event types shard whole; one shuffle, per-shard numpy sort + one
+    index pick."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    n_sh = cluster_shards()
+
+    def shard_p95(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, grp in g.groupby("event_type"):
+            cents = np.sort(
+                np.round(grp["value"].to_numpy() * 100.0).astype(np.int64)
+            )
+            n = len(cents)
+            pos20 = 19 * (n - 1)  # 20 · (0.95 · (n−1))
+            lo, f = pos20 // 20, pos20 % 20
+            hi = min(lo + 1, n - 1)
+            p95_20 = (20 - f) * int(cents[lo]) + f * int(cents[hi])
+            rows.append((et, n, p95_20))
+        return pd.DataFrame(
+            rows, columns=["event_type", "n_events", "p95_20_cents"]
+        ).astype({"n_events": np.int64, "p95_20_cents": np.int64})
+
+    parts = (
+        ev.map_batches(
+            lambda t: _add_shard(t, "event_type", n_sh), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_p95(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return parts.sort_values("event_type").reset_index(drop=True)
+
+
 def q_merge_upsert(sf_dir: str):
     """MERGE / CDC upsert: apply a deterministic changeset to the documents
     table — updates re-source ~10% of docs to 'cdc', deletes another ~10%,
@@ -4847,6 +4893,7 @@ QUERIES = {
     "media_phash_dups": q_media_phash_dups,
     "value_outliers": q_value_outliers,
     "late_data_windows": q_late_data_windows,
+    "value_p95": q_value_p95,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -5971,6 +6018,16 @@ ORACLE_SQL = {
                  ::BIGINT AS n_outliers
         FROM c JOIN st USING (user_id)
         GROUP BY c.user_id ORDER BY c.user_id
+    """,
+"value_p95": """
+        WITH c AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events
+        )
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               CAST(round(20 * percentile_cont(0.95) WITHIN GROUP
+                          (ORDER BY cents)) AS BIGINT) AS p95_20_cents
+        FROM c GROUP BY event_type ORDER BY event_type
     """,
 "late_data_windows": """
         WITH w AS (
