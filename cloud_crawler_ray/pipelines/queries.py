@@ -4746,6 +4746,258 @@ def q_forward_fill(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_brand_regression(sf_dir: str):
+    """Per-brand OLS regression + Pearson correlation of sale price on
+    quantity, derived from exact int64 sufficient statistics (the grouped
+    analytics class on top of q_grouped_moments): the part dimension attaches
+    map-side (broadcast dict — the ray.put-once pattern, never re-shuffled),
+    each block emits one bounded partial row per brand, and the driver
+    combines 25 rows. slope/intercept/corr are computed by the SAME IEEE
+    double expression as the SQL oracle over identical integer sums, so the
+    DOUBLE columns hash-match bit-for-bit. Prices are exact cents (the
+    repo-wide integer domain — whole dollars would hit .50 ties where numpy
+    half-to-even and SQL half-away disagree); per-brand Σp² ≲ 4e17 at sf0.1,
+    inside int64, and the n·Σp² products happen in doubles."""
+    import numpy as np
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+    )
+    brand_of = pd.Series(
+        part.column("p_brand").to_pylist(),
+        index=part.column("p_partkey").to_numpy(),
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.round(df["l_quantity"].to_numpy()).astype(np.int64)
+        p = np.round(df["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "p_brand": df["l_partkey"].map(brand_of).to_numpy(),
+                "n": np.ones(len(df), np.int64),
+                "sq": q,
+                "sp": p,
+                "sqq": q * q,
+                "spp": p * p,
+                "sqp": q * p,
+            }
+        )
+        return g.groupby("p_brand", as_index=False).sum()
+
+    s = (
+        li.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("p_brand", as_index=False)
+        .sum()
+    )
+    nd = s["n"].to_numpy().astype(np.float64)
+    sqd = s["sq"].to_numpy().astype(np.float64)
+    spd = s["sp"].to_numpy().astype(np.float64)
+    sqqd = s["sqq"].to_numpy().astype(np.float64)
+    sppd = s["spp"].to_numpy().astype(np.float64)
+    sqpd = s["sqp"].to_numpy().astype(np.float64)
+    cov_n = nd * sqpd - sqd * spd
+    varx_n = nd * sqqd - sqd * sqd
+    vary_n = nd * sppd - spd * spd
+    slope = cov_n / varx_n
+    out = pd.DataFrame(
+        {
+            "p_brand": s["p_brand"],
+            "n": s["n"].astype(np.int64),
+            "slope": slope,
+            "intercept": (spd - slope * sqd) / nd,
+            "corr": cov_n / np.sqrt(varx_n * vary_n),
+        }
+    )
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def q_skyline_orders(sf_dir: str):
+    """Skyline / Pareto-frontier query (Börzsönyi et al. 2001): orders not
+    strictly dominated in BOTH total price and order date — ops/pareto.py's
+    local-prune/global-finish pattern (per-block vectorized skyline, small
+    candidate union to the driver, exact finish with the same kernel; rows
+    never shuffle). SQL oracle is the strictly-greater RANGE window
+    formulation, validated against brute-force NOT EXISTS."""
+    from ..ops.pareto import pareto_front
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "price_c": pc.cast(
+                    pc.round(pc.multiply(t.column("o_totalprice"), 100.0)),
+                    pa.int64(),
+                ),
+                "date_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return pareto_front(orders, "o_orderkey", "price_c", "date_us")
+
+
+def q_value_zscore(sf_dir: str):
+    """Per-group feature standardization (the training-data z-score
+    transform): group stats come from exact int64 partial sums (one row per
+    block × event_type), the tiny stat table broadcasts back map-side, and
+    every row's z-score is the same IEEE double expression as the SQL oracle
+    — per-row DOUBLE output that still hash-matches bit-for-bit. Two passes
+    over the input, zero shuffles: the stats pass reduces to ~groups×blocks
+    rows and the transform pass is embarrassingly parallel."""
+    import numpy as np
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        g = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n": np.ones(len(df), np.int64),
+                "s": c,
+                "ss": c * c,
+            }
+        )
+        return g.groupby("event_type", as_index=False).sum()
+
+    stats = (
+        ev.map_batches(partial, batch_format="pandas")
+        .to_pandas()
+        .groupby("event_type", as_index=False)
+        .sum()
+    )
+    nd = stats["n"].to_numpy().astype(np.float64)
+    sd = stats["s"].to_numpy().astype(np.float64)
+    ssd = stats["ss"].to_numpy().astype(np.float64)
+    mean = sd / nd
+    std = np.sqrt(ssd / nd - mean * mean)
+    mean_of = dict(zip(stats["event_type"], mean))
+    std_of = dict(zip(stats["event_type"], std))
+
+    def zmap(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.round(df["value"].to_numpy() * 100.0).astype(np.int64)
+        m = df["event_type"].map(mean_of).to_numpy(dtype=np.float64)
+        s = df["event_type"].map(std_of).to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy().astype(np.int64),
+                "event_type": df["event_type"],
+                "zscore": (c.astype(np.float64) - m) / s,
+            }
+        )
+
+    out = ev.map_batches(zmap, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_path_trigrams(sf_dir: str):
+    """Event-sequence trigram mining (double-LAG window class, the n-gram
+    big sibling of event_transitions): per-user event-type 3-grams in
+    (ts, event_id) order, counted corpus-wide. Users land whole in one hash
+    shard, so ordering + shifted-array trigram extraction are shard-local
+    and fully vectorized; per-shard partial counts are bounded by |types|³,
+    so the driver combine is O(125) rows regardless of corpus size."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    n_sh = cluster_shards()
+
+    def shard_trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy()
+        t = g["event_type"].to_numpy()
+        same2 = np.zeros(len(g), dtype=bool)
+        same2[2:] = u[2:] == u[:-2]
+        out = pd.DataFrame(
+            {
+                "t1": np.roll(t, 2)[same2],
+                "t2": np.roll(t, 1)[same2],
+                "t3": t[same2],
+                "cnt": np.ones(int(same2.sum()), np.int64),
+            }
+        )
+        return out.groupby(["t1", "t2", "t3"], as_index=False).sum()
+
+    parts = (
+        ev.map_batches(lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_trigrams(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = parts.groupby(["t1", "t2", "t3"], as_index=False).sum()
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out.sort_values(["t1", "t2", "t3"]).reset_index(drop=True)
+
+
+def q_event_mode(sf_dir: str):
+    """Grouped mode with deterministic tie-break (most frequent event type
+    per user; ties → lexicographically smallest type): per-block (user,
+    type) count partials shrink the single hash(user) shuffle, each shard
+    finishes the count and the argmax with one vectorized sort +
+    keep-first — the row_number()=1 class over a counted subquery."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    n_sh = cluster_shards()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.assign(cnt=np.int64(1)).groupby(
+            ["user_id", "event_type"], as_index=False
+        )["cnt"].sum()
+        return g
+
+    def shard_mode(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["user_id", "event_type"], as_index=False)["cnt"].sum()
+        g = g.sort_values(
+            ["user_id", "cnt", "event_type"],
+            ascending=[True, False, True],
+            kind="stable",
+        ).drop_duplicates("user_id", keep="first")
+        return g.rename(columns={"event_type": "modal_type", "cnt": "modal_cnt"})
+
+    out = (
+        ev.map_batches(partial, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "user_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_mode(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    for c in ("user_id", "modal_cnt"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out[["user_id", "modal_type", "modal_cnt"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -4894,6 +5146,11 @@ QUERIES = {
     "value_outliers": q_value_outliers,
     "late_data_windows": q_late_data_windows,
     "value_p95": q_value_p95,
+    "brand_regression": q_brand_regression,
+    "skyline_orders": q_skyline_orders,
+    "value_zscore": q_value_zscore,
+    "path_trigrams": q_path_trigrams,
+    "event_mode": q_event_mode,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -6075,5 +6332,88 @@ ORACLE_SQL = {
                lv IS NOT NULL AS has_prior_purchase,
                coalesce(lv, -1.0) AS last_purchase_value
         FROM w ORDER BY event_id
+    """,
+"brand_regression": """
+        WITH f AS (
+          SELECT p_brand,
+                 CAST(round(l_quantity) AS BIGINT) AS q,
+                 CAST(round(l_extendedprice * 100) AS BIGINT) AS p
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+        ),
+        s AS (
+          SELECT p_brand, count(*)::BIGINT AS n,
+                 sum(q)::BIGINT AS sq, sum(p)::BIGINT AS sp,
+                 sum(q*q)::BIGINT AS sqq, sum(p*p)::BIGINT AS spp,
+                 sum(q*p)::BIGINT AS sqp
+          FROM f GROUP BY 1
+        ),
+        d AS (
+          SELECT p_brand, n,
+                 CAST(n AS DOUBLE) AS nd, CAST(sq AS DOUBLE) AS sqd,
+                 CAST(sp AS DOUBLE) AS spd, CAST(sqq AS DOUBLE) AS sqqd,
+                 CAST(spp AS DOUBLE) AS sppd, CAST(sqp AS DOUBLE) AS sqpd
+          FROM s
+        )
+        SELECT p_brand, n,
+               (nd*sqpd - sqd*spd) / (nd*sqqd - sqd*sqd) AS slope,
+               (spd - (nd*sqpd - sqd*spd) / (nd*sqqd - sqd*sqd) * sqd) / nd
+                 AS intercept,
+               (nd*sqpd - sqd*spd)
+                 / sqrt((nd*sqqd - sqd*sqd) * (nd*sppd - spd*spd)) AS corr
+        FROM d ORDER BY p_brand
+    """,
+"skyline_orders": """
+        WITH o AS (
+          SELECT o_orderkey,
+                 CAST(round(o_totalprice*100) AS BIGINT) AS price_c,
+                 epoch_us(o_orderdate) AS date_us
+          FROM orders
+        ),
+        w AS (
+          SELECT *, max(date_us) OVER (ORDER BY price_c DESC
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+          FROM o
+        )
+        SELECT o_orderkey, price_c, date_us
+        FROM w WHERE mx IS NULL OR mx <= date_us ORDER BY o_orderkey
+    """,
+"value_zscore": """
+        WITH c AS (
+          SELECT event_id, event_type,
+                 CAST(round(value*100) AS BIGINT) AS cents
+          FROM events
+        ),
+        s AS (
+          SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS nd,
+                 CAST(sum(cents) AS DOUBLE) AS sd,
+                 CAST(sum(cents*cents) AS DOUBLE) AS ssd
+          FROM c GROUP BY 1
+        )
+        SELECT c.event_id, c.event_type,
+               (CAST(c.cents AS DOUBLE) - sd/nd)
+                 / sqrt(ssd/nd - (sd/nd)*(sd/nd)) AS zscore
+        FROM c JOIN s USING (event_type) ORDER BY c.event_id
+    """,
+"path_trigrams": """
+        WITH w AS (
+          SELECT lag(event_type, 2) OVER win AS t1,
+                 lag(event_type, 1) OVER win AS t2,
+                 event_type AS t3
+          FROM events
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT t1, t2, t3, count(*)::BIGINT AS cnt
+        FROM w WHERE t1 IS NOT NULL GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+"event_mode": """
+        WITH c AS (
+          SELECT user_id, event_type, count(*)::BIGINT AS cnt
+          FROM events GROUP BY 1, 2
+        )
+        SELECT user_id, event_type AS modal_type, cnt AS modal_cnt
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                         ORDER BY cnt DESC, event_type) AS rn FROM c)
+        WHERE rn = 1 ORDER BY user_id
     """,
 }

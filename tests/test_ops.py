@@ -1472,3 +1472,32 @@ def test_media_phash_pairs_exact_dups(ray_session):
     got = {tuple(sorted((r["a"], r["b"]))) for _, r in pairs.iterrows()}
     assert got == {("a#0", "b#0"), ("a#0", "c#0"), ("b#0", "c#0")}
     assert (pairs["hamming"] == 0).all()
+
+
+def test_pareto_front_matches_bruteforce(ray_session):
+    """Skyline op: per-block local-skyline + driver finish equals the O(n²)
+    strict-domination definition, across many blocks and with duplicate
+    points (which never dominate each other)."""
+    import numpy as np
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.pareto import _local_skyline, pareto_front
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    x = rng.integers(0, 500, n).astype(np.int64)  # small domain → many ties
+    y = rng.integers(0, 500, n).astype(np.int64)
+    x[:3] = x[0]; y[:3] = y[0]  # planted exact duplicates
+    ids = np.arange(n, dtype=np.int64)
+
+    keep = _local_skyline(x, y)
+    brute = np.array(
+        [not np.any((x > x[i]) & (y > y[i])) for i in range(n)]
+    )
+    assert (keep == brute).all()
+
+    ds = rd.from_arrow(
+        pa.table({"id": ids, "x": x, "y": y})
+    ).repartition(16)
+    out = pareto_front(ds, "id", "x", "y")
+    assert out["id"].tolist() == sorted(ids[brute].tolist())
