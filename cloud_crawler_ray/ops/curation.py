@@ -649,3 +649,44 @@ def segment_dedup(ds: rd.Dataset, seg_tokens: int = 16) -> rd.Dataset:
             lambda g: reassemble(g.drop(columns=["shard"])), batch_format="pandas"
         )
     )
+
+
+# ---------------- PII redaction ----------------
+
+# Deliberately RE2-compatible (no lookaround, no backreferences) so the exact
+# same patterns run in DuckDB regexp_replace for the SQL oracle. Compiled
+# once per worker process at import.
+import re as _re
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (class, pattern, replacement) — applied in order; replacements contain
+    # no digits, so later patterns cannot re-match inside an earlier token.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+_PII_COMPILED = [(name, _re.compile(pat), rep) for name, pat, rep in PII_PATTERNS]
+
+
+def redact_pii(
+    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> rd.Dataset:
+    """Redact emails / IPv4 addresses / phone numbers from a text column —
+    the privacy-scrub stage of a training-data pipeline. Pure map-side
+    (embarrassingly parallel, no shuffle, no driver state); per-class match
+    counts are reported per row so a downstream gate can drop PII-heavy
+    documents instead of keeping the scrub silent. Counts are measured on
+    the ORIGINAL text; replacements apply in declaration order."""
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        txt = df[text_col]
+        out = {id_col: df[id_col]}
+        clean = txt
+        for name, rx, rep in _PII_COMPILED:
+            out[f"n_{name}"] = txt.str.count(rx).astype(np.int64)
+            clean = clean.str.replace(rx, rep, regex=True)
+        out["clean_text"] = clean
+        cols = [id_col, "clean_text"] + [f"n_{n}" for n, _, _ in _PII_COMPILED]
+        return pd.DataFrame(out)[cols]
+
+    return ds.map_batches(scrub, batch_format="pandas")

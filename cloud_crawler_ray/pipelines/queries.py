@@ -4998,6 +4998,51 @@ def q_event_mode(sf_dir: str):
     )
 
 
+def q_pii_redact(sf_dir: str):
+    """PII redaction (ops/curation.py redact_pii — the privacy-scrub stage):
+    emails, IPv4s and phone numbers replaced by class tokens, per-class
+    counts kept so a gate can drop PII-heavy rows. The corpus tables carry
+    no PII by construction, so the query materializes a deterministic
+    contact string from the customer table IDENTICALLY on both sides (same
+    concatenation, same lpad) and the RE2-compatible patterns then do real
+    work — every row has one email, one IP and one phone to find. Pure
+    map-side, no shuffle."""
+    import numpy as np
+
+    from ..ops.curation import redact_pii
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy().astype(np.int64)
+        name = df["c_name"]
+        contact = (
+            name
+            + " <"
+            + name.str.lower()
+            + "@mail.example.com> ip 10.0."
+            + pd.Series((k % 256).astype(str), index=df.index)
+            + "."
+            + pd.Series(((k // 256) % 256).astype(str), index=df.index)
+            + " tel 555-"
+            + pd.Series([str(v % 1000).zfill(3) for v in k], index=df.index)
+            + "-"
+            + pd.Series([str(v % 10000).zfill(4) for v in k], index=df.index)
+        )
+        return pd.DataFrame({"c_custkey": k, "text": contact})
+
+    out = redact_pii(
+        cust.map_batches(synth, batch_format="pandas"),
+        id_col="c_custkey",
+        text_col="text",
+    ).to_pandas()
+    for c in ("c_custkey", "n_email", "n_ip", "n_phone"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -5151,6 +5196,7 @@ QUERIES = {
     "value_zscore": q_value_zscore,
     "path_trigrams": q_path_trigrams,
     "event_mode": q_event_mode,
+    "pii_redact": q_pii_redact,
 }
 
 _TOKENS = "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
@@ -6415,5 +6461,27 @@ ORACLE_SQL = {
         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                          ORDER BY cnt DESC, event_type) AS rn FROM c)
         WHERE rn = 1 ORDER BY user_id
+    """,
+"pii_redact": """
+        WITH s AS (
+          SELECT c_custkey,
+                 c_name || ' <' || lower(c_name) || '@mail.example.com> ip 10.0.'
+                   || CAST(c_custkey % 256 AS VARCHAR) || '.'
+                   || CAST((c_custkey // 256) % 256 AS VARCHAR) || ' tel 555-'
+                   || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+                   || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS text
+          FROM customer)
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                 '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS clean_text,
+               len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+               len(regexp_extract_all(text,
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ip,
+               len(regexp_extract_all(text,
+                 '\\b\\d{3}-\\d{3}-\\d{4}\\b'))::BIGINT AS n_phone
+        FROM s ORDER BY c_custkey
     """,
 }

@@ -347,3 +347,32 @@ def test_segment_dedup_naive_parity(ray_session):
             assert r["n_segs"] == ns, (r["doc_id"], r["n_segs"], ns)
             assert r["n_kept"] == nk, (r["doc_id"], r["n_kept"], nk)
             assert r["clean_text"] == ct, (r["doc_id"], r["clean_text"], ct)
+
+
+def test_redact_pii_planted(ray_session):
+    """Planted PII of every class is replaced and counted; clean rows pass
+    through untouched with zero counts; counts measure the ORIGINAL text."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.curation import redact_pii
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "mail bob.smith+x@sub.example.org now"},
+            {"doc_id": 2, "text": "server at 192.168.1.254 and 10.0.0.1"},
+            {"doc_id": 3, "text": "call 555-123-4567 twice 555-123-4567"},
+            {"doc_id": 4, "text": "no pii here at all"},
+            {"doc_id": 5, "text": "a@b.io via 1.2.3.4 tel 111-222-3333"},
+        ]
+    )
+    out = redact_pii(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "clean_text"] == "mail <EMAIL> now"
+    assert out.loc[0, ["n_email", "n_ip", "n_phone"]].tolist() == [1, 0, 0]
+    assert out.loc[1, "clean_text"] == "server at <IP> and <IP>"
+    assert out.loc[1, "n_ip"] == 2
+    assert out.loc[2, "clean_text"] == "call <PHONE> twice <PHONE>"
+    assert out.loc[2, "n_phone"] == 2
+    assert out.loc[3, "clean_text"] == "no pii here at all"
+    assert out.loc[3, ["n_email", "n_ip", "n_phone"]].sum() == 0
+    assert out.loc[4, "clean_text"] == "<EMAIL> via <IP> tel <PHONE>"
+    assert out.loc[4, ["n_email", "n_ip", "n_phone"]].tolist() == [1, 1, 1]
