@@ -180,3 +180,37 @@ def path_of(url: str) -> str:
         return urlsplit(url).path
     except ValueError:
         return ""
+
+
+# ---- crawl-trap skeleton (target-side addition; no reference analog — the
+# reference's only trap defenses are depth_limit and skip_links_like) ----
+
+_HEXRUN_RE = re.compile(r"\b[0-9a-f]{8,}\b")
+_DIGITRUN_RE = re.compile(r"[0-9]+")
+
+
+def url_skeleton(url: str) -> str:
+    """Collapse a URL's variable parts into its generator 'shape': long hex
+    runs (session ids, content hashes) → 'H', digit runs (dates, page
+    numbers, object ids) → 'D', query string reduced to its sorted parameter
+    NAMES. Calendar pagers, session-id mills and infinite facet grids emit
+    unbounded URL sets that all share one skeleton — the per-(host, skeleton)
+    budget caps them without touching legitimately distinct paths."""
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url.lower()
+    path = _HEXRUN_RE.sub("H", parts.path.lower())
+    path = _DIGITRUN_RE.sub("D", path)
+    if parts.query:
+        names = sorted({kv.split("=", 1)[0].lower() for kv in parts.query.split("&") if kv})
+        return f"{path}?{','.join(names)}"
+    return path
+
+
+def trap_keys_of(urls: list[str]) -> list[str]:
+    """host + NUL + skeleton per URL. The NUL separator keeps trap keys
+    disjoint from the bare-hostname keyspace, so they can share the crawl's
+    scheduled-count map (state shards + lineage 'sched') with the per-host
+    budget — same commit, same resume restore."""
+    return [f"{host_of(u)}\x00{url_skeleton(u)}" for u in urls]

@@ -328,6 +328,12 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
     delay_ms = int(spec.delay * 1000)
     clocks: dict[str, int] = {}
     sched: dict[str, int] = {}  # per-host scheduled counts (crawl budget)
+    trap_sched: dict[str, int] = {}  # per-(host, skeleton) counts (trap guard)
+
+    def _trap_key(url: str) -> str:
+        from .canon import url_skeleton
+
+        return f"{host_of(url)}\x00{url_skeleton(url)}"
     host_delay_cache: dict[str, int] = {}  # robots Crawl-delay overrides
 
     def _delay_for(host: str) -> int:
@@ -392,6 +398,17 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
                     taken[h] = taken.get(h, 0) + 1
                     kept.append(j)
             admitted = kept
+        # crawl-trap guard: same gate keyed by (host, URL skeleton), applied
+        # after the host budget in the same processing order
+        if spec.trap_guard is not None:
+            tkept: list[dict] = []
+            ttaken: dict[str, int] = {}
+            for j in admitted:
+                k = _trap_key(j["url"])
+                if trap_sched.get(k, 0) + ttaken.get(k, 0) < spec.trap_guard:
+                    ttaken[k] = ttaken.get(k, 0) + 1
+                    tkept.append(j)
+            admitted = tkept
         if spec.job_limit is not None:
             jobs, rest = admitted[: spec.job_limit], admitted[spec.job_limit :]
         else:
@@ -424,6 +441,9 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
             total_latency = sum(p.clock_ms for p in chain)
             clocks[host] = t + total_latency
             sched[host] = sched.get(host, 0) + 1
+            if spec.trap_guard is not None:
+                tk = _trap_key(j["url"])
+                trap_sched[tk] = trap_sched.get(tk, 0) + 1
             res.fetch_log.append((host, t, j["url"]))
             wave_marks.add(canonical_url(j["url"]))
 

@@ -378,6 +378,22 @@ def _plan_wave_local(
             return cand.drop_columns(
                 ["prio"] if "prio" in cand.column_names else []
             ), spill
+    # crawl-trap guard: same gate keyed by (host, URL skeleton) — applied
+    # after the host budget, in the same processing order
+    if spec.trap_guard is not None and cand.num_rows:
+        from ..canon import trap_keys_of
+        from ..stages.politeness import budget_filter_block
+
+        tk = trap_keys_of(cand.column("url").to_pylist())
+        cand = cand.append_column("_trap", pa.array(tk, pa.string()))
+        cand = budget_filter_block(
+            cand, state.get_sched(list(dict.fromkeys(tk))), spec.trap_guard,
+            key_col="_trap",
+        ).drop_columns(["_trap"])
+        if cand.num_rows == 0:
+            return cand.drop_columns(
+                ["prio"] if "prio" in cand.column_names else []
+            ), spill
     # job_limit throttle: cap the wave, spill the (post-dedup, still-sorted)
     # remainder for the next wave's pool (batch_job.rb:229-241)
     if spec.job_limit is not None and cand.num_rows > spec.job_limit:
@@ -824,6 +840,24 @@ def _crawl_inner(
                 f = enforce_host_budget(
                     f, state, spec.max_pages_per_host, sort_cols
                 )
+            if spec.trap_guard is not None:
+                # trap guard: the same distributed gate keyed by
+                # (host, skeleton) — all rows of a skeleton meet in one shard
+                from ..canon import trap_keys_of as _tko
+                from ..stages.politeness import enforce_host_budget as _ehb
+
+                def _add_trap(t: pa.Table) -> pa.Table:
+                    return t.append_column(
+                        "_trap",
+                        pa.array(_tko(t.column("url").to_pylist()), pa.string()),
+                    )
+
+                f = _ehb(
+                    f.map_batches(_add_trap, batch_format="pyarrow"),
+                    state, spec.trap_guard, sort_cols, key_col="_trap",
+                ).map_batches(
+                    lambda t: t.drop_columns(["_trap"]), batch_format="pyarrow"
+                )
             f, n_jobs = zip_with_index(
                 f, sort_cols, col="seq", base=next_seq, with_count=True
             )
@@ -956,6 +990,12 @@ def _crawl_inner(
             ):
                 updates[h] = max(updates.get(h, 0), int(e))
                 sched_updates[h] = sched_updates.get(h, 0) + 1
+            trap_updates: dict[str, int] = {}
+            if spec.trap_guard is not None:
+                from ..canon import trap_keys_of as _tko_commit
+
+                for k in _tko_commit(fm_tbl.column("url").to_pylist()):
+                    trap_updates[k] = trap_updates.get(k, 0) + 1
         else:
             # the seen delta (if any) was committed inside the fetch execution
             # above; only the clock advance remains — two small columns of the
@@ -973,12 +1013,28 @@ def _crawl_inner(
             sched_updates = {
                 h: int(v) for h, v in edf.groupby("host")["end"].size().items()
             }
+            trap_updates = {}
+            if spec.trap_guard is not None:
+                # one string column of the wave's frontier, driver-side —
+                # same cost class as the host/end columns above
+                from ..canon import trap_keys_of as _tko_commit
+
+                for k in _tko_commit(
+                    pq.read_table(fdir, columns=["url"]).column("url").to_pylist()
+                ):
+                    trap_updates[k] = trap_updates.get(k, 0) + 1
         _prof(f"w{wave} seen_commit")
         state.advance_clocks(updates)
+        # commit the wave's scheduled counts (mark-after-commit, like the
+        # clocks — an uncommitted wave replans identically): per-host budget
+        # counts and NUL-keyed trap counts share one map and one lineage field
+        _sched_commit: dict[str, int] = {}
         if spec.max_pages_per_host is not None:
-            # commit the wave's per-host scheduled counts (mark-after-commit,
-            # like the clocks — an uncommitted wave replans identically)
-            state.add_sched(sched_updates)
+            _sched_commit.update(sched_updates)
+        if spec.trap_guard is not None:
+            _sched_commit.update(trap_updates)
+        if _sched_commit:
+            state.add_sched(_sched_commit)
         next_seq += n_jobs
         total_jobs += n_jobs
         # commit the wave's Set-Cookie responses in deterministic
@@ -1058,7 +1114,7 @@ def _crawl_inner(
                 # max-merged clocks) — the budget restore source on resume
                 "sched": _merge_sched(
                     committed[-1].get("sched", {}) if committed else {},
-                    sched_updates if spec.max_pages_per_host is not None else {},
+                    _sched_commit,
                 ),
             },
         )

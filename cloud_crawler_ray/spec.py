@@ -60,6 +60,17 @@ class CrawlSpec:
     # Counts commit with the wave (mark-after-commit, like the clocks), so
     # resume never over- or under-schedules a host.
     max_pages_per_host: int | None = None
+    # Crawl-trap guard (target-side addition; the reference's only trap
+    # defenses are depth_limit and skip_links_like): at most this many pages
+    # are ever SCHEDULED per (host, URL skeleton), where the skeleton
+    # collapses digit runs / long hex runs / query VALUES
+    # (canon.url_skeleton) — calendar pagers, session-id mills and facet
+    # grids share one skeleton and get capped; legitimately distinct paths
+    # do not. Applied after max_pages_per_host in the same processing order,
+    # with the same semantics: drops are not seen-marked and not spilled,
+    # counts commit with the wave (shared scheduled-count map, NUL-separated
+    # keyspace) and restore on resume.
+    trap_guard: int | None = None
     # robots Crawl-delay compliance (target-side addition; the reference
     # obeys robots allow/deny only): when True, each host's politeness
     # delay is max(spec.delay, its robots.txt Crawl-delay for user_agent).

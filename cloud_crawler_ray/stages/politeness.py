@@ -190,31 +190,34 @@ def slot_block(
 
 
 def budget_filter_block(
-    tbl: pa.Table, sched: dict[str, int], budget: int
+    tbl: pa.Table, sched: dict[str, int], budget: int, key_col: str = "host"
 ) -> pa.Table:
-    """Vectorized per-host budget gate over one table whose rows are already
-    in processing order: keep row i of host h iff sched[h] + (h's rows so
+    """Vectorized per-key budget gate over one table whose rows are already
+    in processing order: keep row i of key k iff sched[k] + (k's rows so
     far in this table) < budget. Shared by the driver-side planner and the
-    distributed shard filter below so budget semantics cannot drift."""
+    distributed shard filter below so budget semantics cannot drift. The
+    key is the host for max_pages_per_host and host+NUL+skeleton for the
+    trap guard — same kernel, same counts map."""
     import pandas as pd
 
-    hosts = tbl.column("host").to_pylist()
-    hs = pd.Series(hosts)
+    keys = tbl.column(key_col).to_pylist()
+    hs = pd.Series(keys)
     within = hs.groupby(hs, sort=False).cumcount().to_numpy()
     base = hs.map(lambda h: sched.get(h, 0)).to_numpy(dtype=np.int64)
     return tbl.filter(pa.array(base + within < budget))
 
 
 class ShardBudgetFilter:
-    """map_groups callable for groupby(host-hash shard): every row of a host
-    lands in one shard, so the per-host cumcount is exact. One batched
+    """map_groups callable for groupby(key-hash shard): every row of a key
+    lands in one shard, so the per-key cumcount is exact. One batched
     scheduled-count RPC per shard per wave (ShardedState.get_sched), never
-    one per host — the assign_slots pattern applied to the budget gate."""
+    one per key — the assign_slots pattern applied to the budget gate."""
 
-    def __init__(self, state, budget: int, sort_cols: list[str]):
+    def __init__(self, state, budget: int, sort_cols: list[str], key_col: str = "host"):
         self.state = state
         self.budget = budget
         self.sort_cols = sort_cols
+        self.key_col = key_col
 
     def __call__(self, group: pa.Table) -> pa.Table:
         group = group.drop_columns(["_bshard"])
@@ -222,19 +225,21 @@ class ShardBudgetFilter:
             group, sort_keys=[(c, "ascending") for c in self.sort_cols]
         )
         group = group.take(order)
-        uniq_hosts = list(dict.fromkeys(group.column("host").to_pylist()))
-        sched = self.state.get_sched(uniq_hosts)
-        return budget_filter_block(group, sched, self.budget)
+        uniq_keys = list(dict.fromkeys(group.column(self.key_col).to_pylist()))
+        sched = self.state.get_sched(uniq_keys)
+        return budget_filter_block(group, sched, self.budget, self.key_col)
 
 
 def enforce_host_budget(
     ds: rd.Dataset, state, budget: int, sort_cols: list[str],
-    n_shards: int | None = None,
+    n_shards: int | None = None, key_col: str = "host",
 ) -> rd.Dataset:
-    """Distributed per-host budget gate (max_pages_per_host): hash-shard by
-    host, per-shard sort in processing order + vectorized cumcount against
-    the committed scheduled counts. Runs between the seen filter and seq
-    assignment so the surviving wave gets dense sequence numbers."""
+    """Distributed per-key budget gate (max_pages_per_host when key_col is
+    "host"; the crawl-trap guard when key_col is the host+skeleton column):
+    hash-shard by key, per-shard sort in processing order + vectorized
+    cumcount against the committed scheduled counts. Runs between the seen
+    filter and seq assignment so the surviving wave gets dense sequence
+    numbers."""
     from ..state.shards import shards_of
     from .frontier_ops import _cluster_shards
 
@@ -242,10 +247,10 @@ def enforce_host_budget(
         n_shards = _cluster_shards(_SLOT_SHARDS)
 
     def add_shard(t: pa.Table) -> pa.Table:
-        sh = shards_of(t.column("host").to_pylist(), n_shards)
+        sh = shards_of(t.column(key_col).to_pylist(), n_shards)
         return t.append_column("_bshard", pa.array(sh, pa.int64()))
 
-    filt = ShardBudgetFilter(state, budget, sort_cols)
+    filt = ShardBudgetFilter(state, budget, sort_cols, key_col)
 
     def apply(group: pa.Table) -> pa.Table:
         return filt(group)
