@@ -51,6 +51,8 @@ class FetchedPage:
     error: str = ""
     set_cookie: str = ""
     clock_ms: int = -1       # politeness-clock cost incl. failed attempts
+    etag: str = ""           # server content validator (200/304 responses)
+    not_modified: bool = False  # conditional GET answered 304
 
     def __post_init__(self):
         if self.clock_ms < 0:
@@ -59,6 +61,18 @@ class FetchedPage:
     @property
     def fetched(self) -> bool:
         return self.error == ""
+
+
+def etag_of(body: bytes, content_type: str) -> str:
+    """Deterministic server-side content validator: a weak ETag derived from
+    the served body + content type. The synthetic server's stand-in for a
+    real origin's ETag/Last-Modified — two responses carry the same etag iff
+    the served bytes are identical, which is exactly the contract a
+    conditional GET (If-None-Match → 304) relies on."""
+    import zlib
+
+    b = body or b""
+    return f'W/"{zlib.crc32(b):08x}{zlib.crc32(content_type.encode("utf-8") + b[::-1]):08x}"'
 
 
 def _h64(s: str) -> int:
@@ -141,11 +155,20 @@ class SyntheticNet:
 def fetch_chain(
     net: SyntheticNet, url: str, depth: int, referer: str, redirect_limit: int,
     cookie_header: str = "",
+    prior_etag: str = "",
 ) -> list[FetchedPage]:
     """Fetch a URL following same-host redirects up to the limit
     (http.rb:68-91, 155-169; same-host-only follow http.rb:245-247).
     Unregistered URL → error page (FakeWeb NetConnectNotAllowedError →
-    rescue → error Page, http.rb:84-90)."""
+    rescue → error Page, http.rb:84-90).
+
+    *prior_etag* (incremental-recrawl conditional GET; target-side addition
+    — the reference always refetches): sent as If-None-Match on the FIRST
+    hop only (it is the validator of the job URL's previous 200 body; later
+    hops are different URLs). A 200 row whose current served body hashes to
+    the same etag answers 304 Not Modified — empty body, same latency on the
+    politeness clock (the validation round trip still happens), the etag
+    echoed back. Redirect/error/auth hops never 304."""
     pages: list[FetchedPage] = []
     cur = url
     for _hop in range(redirect_limit + 1):
@@ -196,6 +219,19 @@ def fetch_chain(
 
             if not header_has_pair(cookie_header, gate):
                 body = LOGIN_STUB_BODY  # cookie-gated content
+        # etag of the SERVED body (post cookie-gate) — what a real origin
+        # would validate against; only 200s carry one
+        etag = etag_of(body, row["content_type"]) if int(row["status"]) == 200 else ""
+        if _hop == 0 and prior_etag and etag and etag == prior_etag:
+            pages.append(
+                FetchedPage(
+                    cur, 304, b"", row["content_type"], "",
+                    int(row["latency_ms"]), depth, referer,
+                    set_cookie=row.get("set_cookie") or "",
+                    clock_ms=attempts_clock, etag=etag, not_modified=True,
+                )
+            )
+            return pages
         page = FetchedPage(
             cur,
             int(row["status"]),
@@ -207,6 +243,7 @@ def fetch_chain(
             referer,
             set_cookie=row.get("set_cookie") or "",
             clock_ms=attempts_clock,
+            etag=etag,
         )
         pages.append(page)
         target = page.redirect_to
@@ -227,6 +264,27 @@ class OracleResult:
     seen: set[str] = field(default_factory=set)               # canonical URLs
     counters: dict[str, int] = field(default_factory=dict)    # hook increments
     fetch_log: list[tuple[str, int, str]] = field(default_factory=list)    # host, t_ms, url
+    children: dict[str, list[str]] = field(default_factory=dict)  # canonical → admitted links
+
+
+def prior_from_result(res: OracleResult) -> dict[str, dict]:
+    """Build the prior-crawl index a recrawl consumes from an OracleResult:
+    canonical_url → {etag, spans, links} for every validated page (200, or
+    304 in a recrawl chain — its etag is still the content validator). The
+    oracle-side twin of the engine's PriorIndex load from raw parquet."""
+    docs: dict[str, list] = {}
+    for d in res.documents:
+        docs.setdefault(d["doc_id"], d["spans"])
+    out: dict[str, dict] = {}
+    for p in res.pages:
+        if p["fetched"] and p.get("etag") and p["code"] in (200, 304):
+            c = p["canonical_url"]
+            out[c] = {
+                "etag": p["etag"],
+                "spans": docs.get(c, []),
+                "links": res.children.get(c, []),
+            }
+    return out
 
 
 class LinkAdmission:
@@ -284,6 +342,8 @@ def _page_dict(p: FetchedPage, ex, seq: int, wave: int, t_ms: int, ua: str) -> d
         "fetch_time_ms": t_ms,
         "seq": seq,
         "wave": wave,
+        "etag": p.etag,
+        "not_modified": p.not_modified,
         "spans": [] if ex is None else [
             {"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in ex.spans
         ],
@@ -313,7 +373,16 @@ def expand_seeds_with_sitemaps(net, seeds: list[str]) -> list[str]:
     return out
 
 
-def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
+def crawl_oracle(
+    web, seeds: list[str], spec: CrawlSpec,
+    prior: dict[str, dict] | None = None,
+) -> OracleResult:
+    """*prior* (incremental recrawl): canonical_url → {etag, spans, links}
+    from a previous crawl (prior_from_result). Jobs whose URL has a prior
+    etag fetch conditionally; a 304 reuses the prior document spans and
+    replays the prior admitted links (re-admitted under the CURRENT spec at
+    the current depth; focus_crawl is not re-applied — it ran when the
+    content was last seen, and a 304 carries no content to focus on)."""
     net = SyntheticNet(web) if isinstance(web, pa.Table) else web
     adm = LinkAdmission(spec, net)
     if spec.use_sitemaps and isinstance(web, pa.Table):
@@ -434,9 +503,13 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
             req_cookies = request_cookie_header(
                 spec.cookies, committed_hdrs.get(host, ""), spec.accept_cookies
             )
+            pe = ""
+            if prior is not None:
+                pr = prior.get(canonical_url(j["url"]))
+                pe = pr["etag"] if pr else ""
             chain = fetch_chain(
                 net, j["url"], j["depth"], j["referer"], spec.redirect_limit,
-                cookie_header=req_cookies,
+                cookie_header=req_cookies, prior_etag=pe,
             )
             total_latency = sum(p.clock_ms for p in chain)
             clocks[host] = t + total_latency
@@ -463,18 +536,28 @@ def crawl_oracle(web, seeds: list[str], spec: CrawlSpec) -> OracleResult:
                     pd["spans"] = []
                 if p.fetched:
                     res.pages.append({k: v for k, v in pd.items() if k not in ("spans", "links")})
-                    res.documents.append({"doc_id": pd["canonical_url"], "spans": pd["spans"]})
+                    doc_spans = pd["spans"]
+                    if p.not_modified:
+                        # 304: the document is the prior crawl's, verbatim
+                        doc_spans = (prior.get(pd["canonical_url"]) or {}).get("spans", [])
+                    res.documents.append({"doc_id": pd["canonical_url"], "spans": doc_spans})
                     wave_marks.add(pd["canonical_url"])
                 else:
                     res.pages.append({k: v for k, v in pd.items() if k not in ("spans", "links")})
-                # link expansion from each kept page (batch_crawl_job.rb:107-119)
-                if spec.follow_links and ex is not None:
-                    links = ex.links
-                    if spec.focus_crawl is not None:
-                        links = spec.focus_crawl(pd, links)
+                # link expansion from each kept page (batch_crawl_job.rb:107-119);
+                # a 304 replays the prior crawl's admitted links re-admitted
+                # under the current spec at the current depth
+                if spec.follow_links and (ex is not None or p.not_modified):
+                    if p.not_modified:
+                        links = (prior.get(pd["canonical_url"]) or {}).get("links", [])
+                    else:
+                        links = ex.links
+                        if spec.focus_crawl is not None:
+                            links = spec.focus_crawl(pd, links)
                     admitted = [
                         ln for ln in links if adm.admit(ln, p.url, p.depth)
                     ]
+                    res.children[pd["canonical_url"]] = list(admitted)
                     for k, ln in enumerate(admitted):
                         next_frontier.append(
                             {

@@ -63,6 +63,8 @@ META_COLS = [
     "fetch_time_ms",
     "seq",
     "wave",
+    "etag",
+    "not_modified",
 ]
 
 
@@ -77,6 +79,7 @@ class CrawlHandle:
     out_dir: str
     waves: int
     n_jobs: int
+    prior_dir: str | None = None  # incremental recrawl: 304 docs fill from here
 
     def _raw_files(self) -> list[str]:
         return glob.glob(os.path.join(self.out_dir, "raw", "wave=*", "*.parquet"))
@@ -90,7 +93,35 @@ class CrawlHandle:
 
         if not self._raw_files():  # zero-job crawl (e.g. empty seed list)
             return self._empty(DOCUMENTS_SCHEMA)
-        return self._documents_inner()
+        if self.prior_dir is None:
+            return self._documents_inner()
+        # incremental recrawl: 304 pages carry no spans — their documents
+        # are the prior crawl's, pulled by an Arrow-native semi-join on
+        # doc_id (hash-shard both sides; no pandas, list<struct> spans
+        # survive intact). Recurses through a chain of recrawls via each
+        # crawl's meta.json prior_dir link.
+        raw = read_table(
+            os.path.join(self.out_dir, "raw"),
+            columns=["canonical_url", "spans", "fetched", "not_modified"],
+        )
+
+        def fresh(t: pa.Table) -> pa.Table:
+            f = t.filter(
+                pc.and_(t.column("fetched"), pc.invert(t.column("not_modified")))
+            )
+            return pa.table(
+                {"doc_id": f.column("canonical_url"), "spans": f.column("spans")}
+            )
+
+        def ids304(t: pa.Table) -> pa.Table:
+            f = t.filter(pc.and_(t.column("fetched"), t.column("not_modified")))
+            return pa.table({"doc_id": f.column("canonical_url")})
+
+        filled = _docs_semi_join(
+            open_crawl(self.prior_dir).documents(),
+            raw.map_batches(ids304, batch_format="pyarrow"),
+        )
+        return raw.map_batches(fresh, batch_format="pyarrow").union(filled)
 
     def _documents_inner(self) -> rd.Dataset:
         # only fetched pages become documents (oracle.py:319-321 — failed
@@ -290,6 +321,60 @@ class CrawlHandle:
                 batch_format="pyarrow",
             )
         )
+
+
+def open_crawl(out_dir: str) -> CrawlHandle:
+    """Re-open a finished crawl's output directory as a CrawlHandle (waves /
+    n_jobs recovered from the lineage markers; prior_dir from meta.json, so
+    a recrawl chain's document fill keeps working from disk)."""
+    committed = _committed_waves(out_dir)
+    prior_dir = None
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        prior_dir = read_json(meta_path).get("prior_dir")
+    return CrawlHandle(
+        out_dir=out_dir,
+        waves=(committed[-1]["wave"] + 1) if committed else 0,
+        n_jobs=committed[-1]["total_jobs"] if committed else 0,
+        prior_dir=prior_dir,
+    )
+
+
+def _docs_semi_join(docs: rd.Dataset, ids: rd.Dataset) -> rd.Dataset:
+    """docs rows (doc_id, spans) whose doc_id appears in ids (doc_id) —
+    hash-shard both sides so each shard filters with one vectorized
+    ``pc.is_in`` against its local id set; spans never leave Arrow. The
+    304-document fill of an incremental recrawl: ids is the wave-bounded
+    not-modified set, docs is the prior corpus."""
+    from ..schemas import DOCUMENTS_SCHEMA
+    from ..stages.frontier_ops import _cluster_shards
+    from ..state.shards import shards_of
+
+    n_shards = _cluster_shards()
+    span_t = DOCUMENTS_SCHEMA.field("spans").type
+
+    def tag(side: int):
+        def add(t: pa.Table) -> pa.Table:
+            sh = shards_of(t.column("doc_id").to_pylist(), n_shards)
+            if side == 1 and "spans" not in t.column_names:
+                t = t.append_column("spans", pa.nulls(t.num_rows, span_t))
+            return t.select(["doc_id", "spans"]).append_column(
+                "_shard", pa.array(sh, pa.int64())
+            ).append_column("_side", pa.array([side] * t.num_rows, pa.int8()))
+
+        return add
+
+    both = docs.map_batches(tag(0), batch_format="pyarrow").union(
+        ids.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def filt(g: pa.Table) -> pa.Table:
+        want = g.filter(pc.equal(g.column("_side"), 1)).column("doc_id")
+        d = g.filter(pc.equal(g.column("_side"), 0))
+        d = d.filter(pc.is_in(d.column("doc_id"), value_set=want.combine_chunks()))
+        return d.select(["doc_id", "spans"])
+
+    return both.groupby("_shard").map_groups(filt, batch_format="pyarrow")
 
 
 def _seeds_frontier(seeds: list[str]) -> pa.Table:
@@ -506,6 +591,7 @@ def crawl(
     max_waves: int | None = None,
     resume: bool = False,
     state: ShardedState | None = None,
+    prior_dir: str | None = None,
 ) -> CrawlHandle:
     """Run (or resume) a crawl of *web* from *seeds* under *spec*.
 
@@ -519,13 +605,32 @@ def crawl(
     below this many candidate rows are planned driver-side (semantically
     identical; membership stays in the shard actors) — 0 forces the fully
     distributed planner.
+
+    prior_dir: a previous crawl's out_dir → incremental recrawl. The prior
+    crawl's validated (canonical_url, etag, admitted links) load into
+    sharded PriorIndex actors (state/prior.py); each job fetches with
+    If-None-Match, a 304 costs the validation round trip on the politeness
+    clock but no re-extraction, replays the prior admitted links (so BFS
+    traverses unchanged regions to reach changed/new pages), and its
+    document fills from the prior documents parquet at read time. Resume of
+    a recrawl recovers prior_dir from the crawl's meta.json.
     """
     if fetch_mode not in ("tasks", "actors"):
         raise ValueError(f"fetch_mode must be 'tasks' or 'actors', got {fetch_mode!r}")
+    if resume and prior_dir is None:
+        meta_path = os.path.join(out_dir, "meta.json")
+        if os.path.exists(meta_path):
+            prior_dir = read_json(meta_path).get("prior_dir")
     own_state = state is None
     if own_state:
         state = ShardedState(n_shards)
+    prior = None
     try:
+        if prior_dir is not None:
+            from ..state.prior import PriorIndex
+
+            prior = PriorIndex(n_shards)
+            prior.load_from_raw(prior_dir)
         return _crawl_inner(
             web, seeds, spec, out_dir, state,
             fetch_concurrency=fetch_concurrency,
@@ -534,10 +639,13 @@ def crawl(
             small_wave_threshold=small_wave_threshold,
             driver_fetch_threshold=driver_fetch_threshold,
             max_waves=max_waves, resume=resume,
+            prior=prior, prior_dir=prior_dir,
         )
     finally:
         if own_state:
             state.shutdown()
+        if prior is not None:
+            prior.shutdown()
 
 
 def _collect_if_small(ds: rd.Dataset, threshold: int) -> tuple[pa.Table | None, rd.Dataset]:
@@ -638,6 +746,7 @@ def _crawl_inner(
     web, seeds, spec, out_dir, state,
     *, fetch_concurrency, fetch_batch_size, fetch_mode,
     small_wave_threshold, driver_fetch_threshold, max_waves, resume,
+    prior=None, prior_dir=None,
 ) -> CrawlHandle:
     import math
     import sys
@@ -660,6 +769,13 @@ def _crawl_inner(
     if not resume and os.path.exists(out_dir):
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    # crawl-level metadata: the prior_dir link lets a handle opened from
+    # disk (open_crawl) fill 304 documents — including recursively through
+    # a chain of recrawls — and lets resume rebuild the prior index
+    meta_path = os.path.join(out_dir, "meta.json")
+    if not (resume and os.path.exists(meta_path)):
+        write_json(meta_path, {"prior_dir": prior_dir})
+    prior_attach = prior.attach() if prior is not None else None
 
     from ..oracle import SyntheticNet
 
@@ -809,7 +925,11 @@ def _crawl_inner(
             os.makedirs(fdir, exist_ok=True)
             pq.write_table(fm_tbl, os.path.join(fdir, "part-0.parquet"))
             _prof(f"w{wave} frontier_write")
-            fetch_in = rd.from_arrow(fm_tbl)
+            # conditional-GET columns attach AFTER the frontier write (the
+            # durable frontier keeps its lean schema; prior_links would
+            # bloat it) and the same table feeds the driver-fetch path
+            fetch_tbl = prior_attach(fm_tbl) if prior_attach is not None else fm_tbl
+            fetch_in = rd.from_arrow(fetch_tbl)
             nblocks = max(1, min(math.ceil(n_jobs / fetch_batch_size), ncpus * 2))
             if nblocks > 1:
                 fetch_in = fetch_in.repartition(nblocks)
@@ -899,6 +1019,13 @@ def _crawl_inner(
             fetch_in = f.repartition(
                 max(1, min(math.ceil(n_jobs / fetch_batch_size), ncpus * 2))
             )
+            if prior_attach is not None:
+                # conditional-GET columns: one batched RPC per prior shard
+                # per block (the SeenFilter pattern), after the frontier
+                # parts are written so the durable schema stays lean
+                fetch_in = fetch_in.map_batches(
+                    prior_attach, batch_format="pyarrow"
+                )
 
         # pre-batch hook: batch is planned (post dedup/seen), fetch not begun
         fire_hook(
@@ -923,7 +1050,7 @@ def _crawl_inner(
             driver_fx.wave = wave
             driver_fx.cookie_hdrs = cookie_hdrs
             os.makedirs(raw_dir, exist_ok=True)
-            pq.write_table(driver_fx(fm_tbl), os.path.join(raw_dir, "part-0.parquet"))
+            pq.write_table(driver_fx(fetch_tbl), os.path.join(raw_dir, "part-0.parquet"))
         else:
             if fetch_mode == "tasks":
                 raw = fetch_in.map_batches(
@@ -1160,7 +1287,9 @@ def _crawl_inner(
             fr_tbl, fr_ds = _collect_if_small(fr_ds, small_wave_threshold)
         wave += 1
 
-    handle = CrawlHandle(out_dir=out_dir, waves=wave, n_jobs=total_jobs)
+    handle = CrawlHandle(
+        out_dir=out_dir, waves=wave, n_jobs=total_jobs, prior_dir=prior_dir
+    )
     # after_crawl receives the page-store analog (dsl_core.rb:172-174 passes
     # @page_store; here the handle's lazy readers)
     fire_hook(

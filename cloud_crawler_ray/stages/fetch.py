@@ -59,6 +59,8 @@ FETCH_OUT_SCHEMA = pa.schema(
         ("counter_vals", pa.list_(pa.int64())),
         ("set_cookie", pa.string()),
         ("chain_pos", pa.int32()),
+        ("etag", pa.string()),
+        ("not_modified", pa.bool_()),
     ]
 )
 
@@ -96,11 +98,19 @@ class FetchExtract:
         hosts = batch.column("host").to_pylist()
         fts = batch.column("fetch_time_ms").to_pylist()
         ends = batch.column("job_end_ms").to_pylist()
+        # incremental-recrawl columns, attached pre-fetch by PriorAttach
+        # (state/prior.py) when the crawl has a prior_dir
+        if "prior_etag" in batch.column_names:
+            pes = batch.column("prior_etag").to_pylist()
+            plinks = batch.column("prior_links").to_pylist()
+        else:
+            pes = [""] * len(urls)
+            plinks = [None] * len(urls)
 
         from ..functions.agents import agent_for
 
-        for url, referer, depth, seq, host, ft, end in zip(
-            urls, referers, depths, seqs, hosts, fts, ends
+        for url, referer, depth, seq, host, ft, end, pe, plink in zip(
+            urls, referers, depths, seqs, hosts, fts, ends, pes, plinks
         ):
             ua = agent_for(spec.user_agent, spec.ua_seed, seq)
             from ..stages.cookies import request_cookie_header
@@ -110,7 +120,7 @@ class FetchExtract:
             )
             chain = fetch_chain(
                 self.net, url, depth, referer, spec.redirect_limit,
-                cookie_header=req_cookies,
+                cookie_header=req_cookies, prior_etag=pe or "",
             )
             kept = chain if spec.keep_redirects else chain[-1:]
             ordinal_base = 0
@@ -154,10 +164,16 @@ class FetchExtract:
                     page_dict["spans"] = []
 
                 children: list[str] = []
-                if spec.follow_links and ex is not None and p.fetched:
-                    links = ex.links
-                    if spec.focus_crawl is not None:
-                        links = spec.focus_crawl(page_dict, links)
+                if spec.follow_links and p.fetched and (ex is not None or p.not_modified):
+                    if p.not_modified:
+                        # 304: replay the prior crawl's admitted links,
+                        # re-admitted under the current spec at the current
+                        # depth (no focus_crawl — no content to focus on)
+                        links = list(plink or [])
+                    else:
+                        links = ex.links
+                        if spec.focus_crawl is not None:
+                            links = spec.focus_crawl(page_dict, links)
                     children = [ln for ln in links if self.adm.admit(ln, p.url, p.depth)]
 
                 cols["url"].append(p.url)
@@ -183,6 +199,8 @@ class FetchExtract:
                 cols["counter_vals"].append(cvals)
                 cols["set_cookie"].append(p.set_cookie)
                 cols["chain_pos"].append(pos)
+                cols["etag"].append(p.etag)
+                cols["not_modified"].append(p.not_modified)
                 ordinal_base += len(children)
 
         return pa.table(cols, schema=FETCH_OUT_SCHEMA)
