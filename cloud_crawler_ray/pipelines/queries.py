@@ -568,6 +568,57 @@ def q_crawl_host_stats(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def q_recrawl_status(sf_dir: str):
+    """Incremental recrawl (conditional GET) over a deterministically
+    mutated next version of a skewed synthetic web: crawl v1, recrawl v2
+    with prior_dir — every unchanged page revalidates (304, no
+    re-extraction, prior links replayed), the changed ~1/7 refetch (200).
+    Returns per-status-code page counts. No SQL oracle (crawl-derived
+    input); conditional-GET semantics are oracle-pinned by
+    tests/test_recrawl.py."""
+    import json
+
+    from ..spec import CrawlSpec
+    from ..synthweb import make_skewed_web, mutate_web
+    from .crawl import _committed_waves, crawl, open_crawl
+
+    sf = _sf_of(sf_dir)
+    n = max(300, _SF_PAGES.get(sf, 4000) // 16)
+    base = f"/tmp/ccray_recrawl_sf{sf}"
+    out1, out2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+    vfile = os.path.join(base, "cache_version.json")
+    version_ok = False
+    try:
+        with open(vfile) as f:
+            version_ok = json.load(f)["version"] == CACHE_VERSION
+    except (OSError, KeyError, ValueError):
+        pass
+    if not (version_ok and _committed_waves(out2)):
+        web, seeds = make_skewed_web(n, n_hosts=max(4, n // 250), seed=137)
+        spec = CrawlSpec(delay=0.02)
+        crawl(web, seeds, spec, out1)
+        crawl(mutate_web(web), seeds, spec, out2, prior_dir=out1)
+        from ..storage import write_json
+
+        write_json(vfile, {"version": CACHE_VERSION})
+    pages = open_crawl(out2).pages()
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return (
+            pa.table({"code": _pc.cast(t.column("code"), pa.int32())})
+            .group_by("code")
+            .aggregate([([], "count_all")])
+            .rename_columns(["code", "n_pages"])
+        )
+
+    parts = pages.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("code", as_index=False)["n_pages"].sum()
+    out["n_pages"] = out["n_pages"].astype("int64")
+    return out.sort_values("code").reset_index(drop=True)
+
+
 def q_link_hits(sf_dir: str):
     """HITS hubs & authorities over the flagship crawl's link graph: top-10
     authorities with their hub scores. No SQL oracle (iterative float
@@ -5149,6 +5200,7 @@ QUERIES = {
     "repeat_customers": q_repeat_customers,
     "monthly_orders": q_monthly_orders,
     "crawl_host_stats": q_crawl_host_stats,
+    "recrawl_status": q_recrawl_status,
     "user_type_pivot": q_user_type_pivot,
     "customer_order_years": q_customer_order_years,
     "range_window_sum": q_range_window_sum,

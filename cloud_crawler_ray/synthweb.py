@@ -152,6 +152,33 @@ def web_table(
     return pa.table(rows, schema=WEB_SCHEMA)
 
 
+def mutate_web(web: pa.Table, every: int = 7) -> pa.Table:
+    """Deterministic 'next version' of a synthetic web for incremental
+    recrawl: every text/html 200 page whose url-crc % *every* == 0 gains a
+    trailing text paragraph (content change → new ETag; the link structure
+    is untouched, so the crawl frontier is identical and only the changed
+    fraction refetches). robots.txt / sitemap.xml rows never mutate."""
+    import zlib
+
+    urls = web.column("url").to_pylist()
+    bodies = web.column("body").to_pylist()
+    statuses = web.column("status").to_pylist()
+    ctypes = web.column("content_type").to_pylist()
+    out = []
+    for u, b, st, ct in zip(urls, bodies, statuses, ctypes):
+        if (
+            b
+            and st == 200
+            and ct == "text/html"
+            and not u.endswith(("/robots.txt", "/sitemap.xml"))
+            and zlib.crc32(u.encode("utf-8")) % every == 0
+        ):
+            b = b + b"\n<p>updated in the next version</p>"
+        out.append(b)
+    i = web.column_names.index("body")
+    return web.set_column(i, "body", pa.array(out, pa.binary()))
+
+
 def make_api_web(n_docs: int, seed: int = 7) -> tuple[pa.Table, list[str]]:
     """Deterministic JSON-API fixture (BatchApiJob target): n_docs endpoints
     each serving a JSON document; seeds = every endpoint (url-list mode)."""
