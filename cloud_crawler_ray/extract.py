@@ -58,6 +58,7 @@ class Extraction:
     spans: list[tuple[str, str, str, int]] = field(default_factory=list)  # kind,text,media_ref,offset
     links: list[str] = field(default_factory=list)       # absolutized, doc order, uniq keep-first
     anchor_text: dict[str, str] = field(default_factory=dict)
+    canonical: str = ""  # <link rel="canonical" href=...>, absolutized, keep-first
 
 
 class _SpanParser(HTMLParser):
@@ -104,6 +105,15 @@ class _SpanParser(HTMLParser):
                 if abs_src:
                     self._flush_text()
                     self._emit("image" if tag == "img" else "video", "", abs_src)
+        elif tag == "link":
+            # rel=canonical declaration: first one wins (the convention
+            # search engines apply to conflicting declarations)
+            rel = (d.get("rel") or "").strip().lower()
+            href = d.get("href")
+            if rel == "canonical" and href and not self.out.canonical:
+                abs_url = to_absolute(href, self.page_url, self.base_url)
+                if abs_url:
+                    self.out.canonical = abs_url
 
     def handle_endtag(self, tag):
         if tag in self.SKIP_CONTENT:
@@ -151,6 +161,7 @@ _HREF_RE = re.compile(
     r"""\bhref\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I
 )
 _SRC_RE = re.compile(r"""\bsrc\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I)
+_REL_RE = re.compile(r"""\brel\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I)
 
 
 def _attr_from(attrs_str: str, rx: re.Pattern, name: str) -> list:
@@ -203,7 +214,7 @@ def _find_cdata_close(lower: str, tag: str, pos: int) -> int:
 # tags the handler actually reacts to — forwarding anything else is a
 # guaranteed no-op (handle_starttag ignores tags outside a/img/video and
 # SKIP_CONTENT; handle_endtag outside a and SKIP_CONTENT)
-_RELEVANT_START = frozenset({"a", "img", "video", "script", "style", "title", "head"})
+_RELEVANT_START = frozenset({"a", "img", "video", "link", "script", "style", "title", "head"})
 _RELEVANT_END = frozenset({"a", "script", "style", "title", "head"})
 
 
@@ -237,6 +248,10 @@ def _fast_feed(handler: _SpanParser, text: str) -> None:
             attrs = _attr_from(attrs_str, _HREF_RE, "href")
         elif tag in ("img", "video"):
             attrs = _attr_from(attrs_str, _SRC_RE, "src")
+        elif tag == "link":
+            attrs = _attr_from(attrs_str, _REL_RE, "rel") + _attr_from(
+                attrs_str, _HREF_RE, "href"
+            )
         else:
             attrs = []
         handler.handle_starttag(tag, attrs)

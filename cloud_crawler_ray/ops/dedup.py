@@ -1774,3 +1774,91 @@ def cdc_dedup_stats(docs: rd.Dataset, **chunk_kw) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def collapse_alias_docs(
+    docs: rd.Dataset, edges: rd.Dataset, n_shards: int | None = None
+) -> rd.Dataset:
+    """Collapse documents by rel=canonical declaration (CrawlHandle
+    .alias_edges): each (src → dst) edge says src's content is a duplicate
+    of dst by the SITE'S OWN declaration — the zero-false-positive dedup
+    signal that complements the content-similarity families above.
+
+    Output: one (doc_id, spans) row per FINAL id, where a src doc's final
+    id is its declared dst and everything else keeps its own id; per final
+    id the canonical page's own row wins, else the lexicographically first
+    alias. Two bounded hash shuffles, Arrow-native end to end (list<struct>
+    spans never touch pandas): (1) shard docs+edges by doc_id/src → map
+    each doc to its final id via a vectorized index_in probe; (2) shard by
+    final id → per-shard sort + first-of-run keep."""
+    from ..stages.frontier_ops import _cluster_shards, _first_of_run_mask
+    from ..state.shards import shards_of
+
+    if n_shards is None:
+        n_shards = _cluster_shards()
+    dschema = docs.schema()
+    span_t = dschema.types[dschema.names.index("spans")]
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        sh = shards_of(t.column("doc_id").to_pylist(), n_shards)
+        return pa.table(
+            {
+                "key": t.column("doc_id"),
+                "spans": t.column("spans"),
+                "dst": pa.nulls(t.num_rows, pa.string()),
+                "_shard": pa.array(sh, pa.int64()),
+                "_side": pa.array(np.zeros(t.num_rows, np.int8)),
+            }
+        )
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        sh = shards_of(t.column("src").to_pylist(), n_shards)
+        return pa.table(
+            {
+                "key": t.column("src"),
+                "spans": pa.nulls(t.num_rows, span_t),
+                "dst": t.column("dst"),
+                "_shard": pa.array(sh, pa.int64()),
+                "_side": pa.array(np.ones(t.num_rows, np.int8)),
+            }
+        )
+
+    both = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        edges.map_batches(tag_edges, batch_format="pyarrow")
+    )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        e = g.filter(pc.equal(g.column("_side"), 1))
+        d = g.filter(pc.equal(g.column("_side"), 0))
+        idx = pc.index_in(d.column("key"), value_set=e.column("key").combine_chunks())
+        final = pc.coalesce(pc.take(e.column("dst"), idx), d.column("key"))
+        sh2 = shards_of(final.to_pylist(), n_shards)
+        return pa.table(
+            {
+                "final_id": final,
+                "orig_id": d.column("key"),
+                "spans": d.column("spans"),
+                "_shard2": pa.array(sh2, pa.int64()),
+            }
+        )
+
+    resolved = both.groupby("_shard").map_groups(resolve, batch_format="pyarrow")
+
+    def keep_best(g: pa.Table) -> pa.Table:
+        is_alias = pc.cast(
+            pc.not_equal(g.column("final_id"), g.column("orig_id")), pa.int8()
+        )
+        g = g.append_column("_alias", is_alias)
+        order = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("final_id", "ascending"),
+                ("_alias", "ascending"),   # the canonical page's own row first
+                ("orig_id", "ascending"),
+            ],
+        )
+        g = g.take(order)
+        g = g.filter(_first_of_run_mask(g.column("final_id")))
+        return pa.table({"doc_id": g.column("final_id"), "spans": g.column("spans")})
+
+    return resolved.groupby("_shard2").map_groups(keep_best, batch_format="pyarrow")

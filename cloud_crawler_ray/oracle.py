@@ -344,6 +344,7 @@ def _page_dict(p: FetchedPage, ex, seq: int, wave: int, t_ms: int, ua: str) -> d
         "wave": wave,
         "etag": p.etag,
         "not_modified": p.not_modified,
+        "canonical_decl": "" if ex is None else ex.canonical,
         "spans": [] if ex is None else [
             {"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in ex.spans
         ],

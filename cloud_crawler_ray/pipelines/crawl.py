@@ -65,6 +65,7 @@ META_COLS = [
     "wave",
     "etag",
     "not_modified",
+    "canonical_decl",
 ]
 
 
@@ -295,6 +296,35 @@ class CrawlHandle:
         from ..storage import write_table
 
         write_table(self.documents(), path)
+
+    def alias_edges(self) -> rd.Dataset:
+        """rel=canonical declarations of fetched pages as (src, dst)
+        canonical-URL edges, self-declarations dropped — the input to
+        ops/dedup.collapse_alias_docs (duplicate-URL collapse by the site's
+        OWN declaration, complementing the content-similarity dedups)."""
+        from ..canon import canonical_urls
+
+        if not self._raw_files():
+            return self._empty(pa.schema([("src", pa.string()), ("dst", pa.string())]))
+        ds = read_table(
+            os.path.join(self.out_dir, "raw"),
+            columns=["canonical_url", "canonical_decl", "fetched"],
+        )
+
+        def project(t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.and_(t.column("fetched"), pc.not_equal(t.column("canonical_decl"), ""))
+            )
+            dst = canonical_urls(t.column("canonical_decl").to_pylist())
+            out = pa.table(
+                {
+                    "src": t.column("canonical_url"),
+                    "dst": pa.array(dst, pa.string()),
+                }
+            )
+            return out.filter(pc.not_equal(out.column("src"), out.column("dst")))
+
+        return ds.map_batches(project, batch_format="pyarrow")
 
     def seen_urls(self) -> rd.Dataset:
         """Committed URL-seen set as a Dataset of distinct canonical_url —

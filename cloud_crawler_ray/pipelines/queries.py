@@ -38,7 +38,7 @@ def _emb(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-CACHE_VERSION = 5  # bump when the raw/frontier schema or flagship spec changes
+CACHE_VERSION = 6  # bump when the raw/frontier schema or flagship spec changes
 
 
 def _flagship_on_page(p: dict) -> dict:
@@ -617,6 +617,74 @@ def q_recrawl_status(sf_dir: str):
     out = parts.groupby("code", as_index=False)["n_pages"].sum()
     out["n_pages"] = out["n_pages"].astype("int64")
     return out.sort_values("code").reset_index(drop=True)
+
+
+def q_canonical_alias_dedup(sf_dir: str):
+    """rel=canonical alias collapse over a crawled web where every article
+    has a print/amp alias variant declaring it canonical: crawl → alias
+    edges → collapse_alias_docs (ops/dedup.py). Returns doc counts before/
+    after the collapse and the edge count. No SQL oracle (crawl-derived
+    input); collapse semantics pinned vs a Python reference in
+    tests/test_alias.py."""
+    import json
+
+    from ..ops.dedup import collapse_alias_docs
+    from ..spec import CrawlSpec
+    from ..synthweb import FakePage, page_url, web_table
+    from .crawl import _committed_waves, crawl, open_crawl
+
+    sf = _sf_of(sf_dir)
+    n_articles = max(30, _SF_PAGES.get(sf, 4000) // 64)
+    base = f"/tmp/ccray_alias_sf{sf}"
+    out = os.path.join(base, "crawl")
+    vfile = os.path.join(base, "cache_version.json")
+    version_ok = False
+    try:
+        with open(vfile) as f:
+            version_ok = json.load(f)["version"] == CACHE_VERSION
+    except (OSError, KeyError, ValueError):
+        pass
+    if not (version_ok and _committed_waves(out)):
+        pages = [
+            FakePage(
+                name="home",
+                links=[f"art{i}" for i in range(n_articles)]
+                + [f"art{i}-print" for i in range(n_articles)]
+                + [f"art{i}-amp" for i in range(0, n_articles, 2)],
+            )
+        ]
+        for i in range(n_articles):
+            pages.append(FakePage(name=f"art{i}", texts=[f"article {i} body"]))
+            pages.append(
+                FakePage(
+                    name=f"art{i}-print",
+                    texts=[f"article {i} body"],
+                    canonical=f"art{i}",
+                )
+            )
+            if i % 2 == 0:
+                pages.append(
+                    FakePage(
+                        name=f"art{i}-amp",
+                        texts=[f"article {i} body amp"],
+                        canonical=f"art{i}",
+                    )
+                )
+        crawl(web_table(pages), [page_url("home")], CrawlSpec(delay=0.02), out)
+        from ..storage import write_json
+
+        write_json(vfile, {"version": CACHE_VERSION})
+    handle = open_crawl(out)
+    n_docs = handle.documents().count()
+    n_edges = handle.alias_edges().count()
+    n_collapsed = collapse_alias_docs(handle.documents(), handle.alias_edges()).count()
+    return pd.DataFrame(
+        {
+            "n_docs": pd.array([n_docs], dtype="int64"),
+            "n_alias_edges": pd.array([n_edges], dtype="int64"),
+            "n_collapsed_docs": pd.array([n_collapsed], dtype="int64"),
+        }
+    )
 
 
 def q_link_hits(sf_dir: str):
@@ -5201,6 +5269,7 @@ QUERIES = {
     "monthly_orders": q_monthly_orders,
     "crawl_host_stats": q_crawl_host_stats,
     "recrawl_status": q_recrawl_status,
+    "canonical_alias_dedup": q_canonical_alias_dedup,
     "user_type_pivot": q_user_type_pivot,
     "customer_order_years": q_customer_order_years,
     "range_window_sum": q_range_window_sum,

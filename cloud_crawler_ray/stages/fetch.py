@@ -61,6 +61,7 @@ FETCH_OUT_SCHEMA = pa.schema(
         ("chain_pos", pa.int32()),
         ("etag", pa.string()),
         ("not_modified", pa.bool_()),
+        ("canonical_decl", pa.string()),
     ]
 )
 
@@ -201,6 +202,7 @@ class FetchExtract:
                 cols["chain_pos"].append(pos)
                 cols["etag"].append(p.etag)
                 cols["not_modified"].append(p.not_modified)
+                cols["canonical_decl"].append("" if ex is None else ex.canonical)
                 ordinal_base += len(children)
 
         return pa.table(cols, schema=FETCH_OUT_SCHEMA)

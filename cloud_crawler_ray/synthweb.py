@@ -53,6 +53,8 @@ class FakePage:
     #                                      (>3 → the fetcher's retry budget is
     #                                      exhausted and the page errors out)
     require_cookie: str | None = None    # "name=value" gating the real body
+    canonical: str | None = None         # <link rel="canonical"> target page
+    #                                      name (same host) or absolute URL
 
     @property
     def url(self) -> str:
@@ -71,6 +73,13 @@ def render_body(page: FakePage) -> bytes:
     parts = ["<html><head>"]
     if page.base:
         parts.append(f'<base href="{page.base}">')
+    if page.canonical:
+        target = (
+            page.canonical
+            if "://" in page.canonical
+            else page_url(page.canonical, page.host)
+        )
+        parts.append(f'<link rel="canonical" href="{target}">')
     parts.append(f"<title>page {page.name}</title></head><body>")
     anchors = [f'<a href="{ln}">to {ln}</a>' for ln in page.links]
     anchors += [f'<a href="{href}">ext {href}</a>' for href in page.hrefs]

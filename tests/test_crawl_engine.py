@@ -30,20 +30,15 @@ def assert_parity(res, handle):
 
     # pages metadata incl. the virtual politeness clock
     keyfn = lambda p: (p["seq"], p["url"])
+    _PAGE_KEYS = ("url", "code", "depth", "referer", "redirect_to", "fetched",
+                  "fetch_time_ms", "seq", "wave", "etag", "not_modified",
+                  "canonical_decl")
     got_pages = sorted(
-        (
-            {k: r[k] for k in ("url", "code", "depth", "referer", "redirect_to",
-                               "fetched", "fetch_time_ms", "seq", "wave")}
-            for r in handle.pages().take_all()
-        ),
+        ({k: r[k] for k in _PAGE_KEYS} for r in handle.pages().take_all()),
         key=keyfn,
     )
     exp_pages = sorted(
-        (
-            {k: p[k] for k in ("url", "code", "depth", "referer", "redirect_to",
-                               "fetched", "fetch_time_ms", "seq", "wave")}
-            for p in res.pages
-        ),
+        ({k: p[k] for k in _PAGE_KEYS} for p in res.pages),
         key=keyfn,
     )
     assert got_pages == exp_pages

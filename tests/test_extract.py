@@ -110,6 +110,14 @@ EDGE_BODIES = [
     b"<a href='/q'data-y/>z</a>",
     b"<a href=/docs/ data/>w",
     b"<a href=x y=/z/>v</a>",
+    # rel=canonical declarations: relative, absolute, self-closed, repeated
+    # (first wins), wrong rel ignored, unquoted values
+    b'<link rel="canonical" href="/main">x',
+    b'<link rel="canonical" href="http://other.com/m"/>x',
+    b'<link rel=canonical href=/m>x',
+    b'<link rel="canonical" href="/one"><link rel="canonical" href="/two">',
+    b'<link rel="stylesheet" href="/style.css">x',
+    b'<link href="/nope">x',
 ]
 
 
@@ -148,3 +156,4 @@ def test_fast_parser_matches_stdlib():
         assert fast.spans == slow.spans, (url, body)
         assert fast.links == slow.links, (url, body)
         assert fast.anchor_text == slow.anchor_text, (url, body)
+        assert fast.canonical == slow.canonical, (url, body)
