@@ -539,3 +539,140 @@ def chunk_documents(
         )
 
     return ds.map_batches(chunks, batch_format="pandas", batch_size=2048)
+
+
+def bm25_topk(
+    ds: rd.Dataset,
+    terms: tuple[str, ...],
+    k: int = 10,
+    scale: int = 10_000,
+    n_shards: int = 64,
+) -> "pd.DataFrame":
+    """Top-k documents for a fixed term query by integer-exact BM25.
+
+    Okapi BM25 with k1=6/5, b=3/4 — those rationals clear the denominators
+    exactly: with N docs, total length L (so avgdl = L/N) and doc length dl,
+
+        tf_term = tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+                = 22*L*tf / (10*L*tf + 3*L + 9*N*dl)      (exact integers)
+
+    and idf is the same integer surrogate tfidf_top_terms uses
+    ((N*scale)//df — monotone in the real idf), so every per-term score is
+    one BIGINT floor division the SQL oracle reproduces bit-for-bit: no
+    ln(), no float, no cross-engine ulp risk.
+
+    Distributed shape: map-side per block emit (doc_id, dl) for every doc
+    and (doc_id, term, tf) for query terms only (bounded by |terms| per
+    doc); N/L/df are tiny global aggregates; candidates shard by doc_id so
+    each shard scores and partial-top-k's locally; the driver merges
+    shards' top-k (k x shards rows). The corpus-sized shuffle is the
+    fixed-width dl column only."""
+    from .dedup import _add_shard
+
+    term_set = set(terms)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(batch["text"])
+        hit = toks[toks.isin(term_set)]
+        pairs = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].loc[hit.index].to_numpy(),
+                "term": hit.to_numpy(),
+            }
+        )
+        tf = pairs.groupby(["doc_id", "term"], as_index=False).size().rename(
+            columns={"size": "tf"}
+        )
+        # dl for EVERY doc, including zero-token ones (they count toward N
+        # and L exactly as the oracle's len(tokens) does)
+        splits = batch["text"].str.lower().str.split(r"\s+", regex=True)
+        dlv = splits.map(lambda ts: sum(1 for t in ts if t))
+        out = pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].to_numpy(),
+                "term": "",
+                "tf": 0,
+                "dl": dlv.to_numpy().astype(np.int64),
+            }
+        )
+        tf["dl"] = 0
+        return pd.concat(
+            [out, tf[["doc_id", "term", "tf", "dl"]]], ignore_index=True
+        ).astype({"doc_id": "int64", "tf": "int64", "dl": "int64"})
+
+    rows = ds.map_batches(partial, batch_format="pandas", batch_size=4096)
+    rows = rows.map_batches(
+        lambda t: _add_shard(t, "doc_id", n_shards), batch_format="pyarrow"
+    ).materialize()
+
+    # global scalars: N docs, total length L, per-term df — per-block
+    # partials bounded by 1 + |terms| rows each, tiny driver combine
+    def stat_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        dlrows = t.filter(pc.equal(t.column("term"), ""))
+        tfrows = t.filter(pc.not_equal(t.column("term"), ""))
+        keys = [""]
+        ns = [dlrows.num_rows]
+        ss = [int(pc.sum(dlrows.column("dl")).as_py() or 0)]
+        if tfrows.num_rows:
+            uniq, cnt = np.unique(
+                np.array(tfrows.column("term").to_pylist()), return_counts=True
+            )
+            keys += [str(u) for u in uniq]
+            ns += [int(c) for c in cnt]
+            ss += [0] * len(uniq)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "s": pa.array(ss, pa.int64()),
+            }
+        )
+
+    stats = (
+        rows.map_batches(stat_partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("key", as_index=False)
+        .sum()
+    )
+    srow = stats[stats["key"] == ""]
+    n_docs = int(srow["n"].sum())
+    total_len = int(srow["s"].sum())
+    df_counts = {
+        r["key"]: int(r["n"]) for _, r in stats[stats["key"] != ""].iterrows()
+    }
+    if n_docs == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="int64")})
+    N, L = n_docs, total_len
+    idf = {t: (N * scale) // df for t, df in df_counts.items() if df > 0}
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        dl_map = g[g["term"] == ""].set_index("doc_id")["dl"]
+        tf = g[g["term"] != ""].copy()
+        tf = tf[tf["term"].isin(idf)]
+        if tf.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="int64")})
+        dl = dl_map.reindex(tf["doc_id"]).to_numpy(dtype=np.int64)
+        tfv = tf["tf"].to_numpy(dtype=np.int64)
+        idfv = tf["term"].map(idf).to_numpy(dtype=np.int64)
+        num = idfv * 22 * tfv * L
+        den = 10 * L * tfv + 3 * L + 9 * N * dl
+        tf["score"] = num // den
+        out = tf.groupby("doc_id", as_index=False)["score"].sum()
+        return out.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(k).astype({"doc_id": "int64", "score": "int64"})
+
+    parts = (
+        rows.groupby("shard")
+        .map_groups(shard_topk, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        parts.sort_values(["score", "doc_id"], ascending=[False, True], kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )

@@ -1585,6 +1585,16 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(_docs(sf_dir), seq_tokens=1024)
 
 
+def q_bm25_rank(sf_dir: str):
+    """Top-10 documents for a fixed 3-term query by integer-exact BM25
+    (k1=6/5, b=3/4 — rationals clear the denominators, idf is the integer
+    surrogate tfidf uses, so the score is pure BIGINT floor division and
+    the oracle hash-matches bit-for-bit; ops/textstats.py bm25_topk)."""
+    from ..ops.textstats import bm25_topk
+
+    return bm25_topk(_docs(sf_dir), terms=("join", "stream", "vector"), k=10)
+
+
 def q_tfidf_top_terms(sf_dir: str):
     """Per-doc top-5 distinguishing terms by the integer-exact tf-over-df
     score (ops/textstats.py tfidf_top_terms): token-sharded in-place df +
@@ -5235,6 +5245,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "doc_frequency": q_doc_frequency,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "bm25_rank": q_bm25_rank,
     "mix_weighted": q_mix_weighted,
     "quality_gate": q_quality_gate,
     "minhash_keep_best": q_minhash_keep_best,
@@ -5798,6 +5809,25 @@ ORACLE_SQL = {
         SELECT doc_id, n_tokens, tok_offset,
                (tok_offset // 1024)::BIGINT AS seq_id
         FROM s
+    """,
+    "bm25_rank": f"""
+        WITH pairs AS (
+          SELECT doc_id, unnest({_TOKENS}) AS token FROM documents),
+        dl AS (SELECT doc_id, len({_TOKENS})::BIGINT AS dl FROM documents),
+        st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS l FROM dl),
+        tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM pairs
+               WHERE token IN ('join', 'stream', 'vector') GROUP BY 1, 2),
+        df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY token),
+        sc AS (SELECT tf.doc_id,
+                      (((st.n * 10000) // df.df) * 22 * tf.tf * st.l)
+                       // (10 * st.l * tf.tf + 3 * st.l + 9 * st.n * dl.dl)
+                      AS s
+               FROM tf
+               CROSS JOIN st
+               JOIN df ON tf.token = df.token
+               JOIN dl ON tf.doc_id = dl.doc_id)
+        SELECT doc_id, sum(s)::BIGINT AS score FROM sc
+        GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10
     """,
     "tfidf_top_terms": f"""
         WITH pairs AS (
