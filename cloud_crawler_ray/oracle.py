@@ -405,17 +405,29 @@ def crawl_oracle(
 
         return f"{host_of(url)}\x00{url_skeleton(url)}"
     host_delay_cache: dict[str, int] = {}  # robots Crawl-delay overrides
+    lat_stats: dict[str, tuple[int, int]] = {}  # committed (sum_ms, n) per host
 
     def _delay_for(host: str) -> int:
         if not spec.obey_crawl_delay:
-            return delay_ms
-        if host not in host_delay_cache:
-            from .stages.politeness import effective_delay_ms
+            base = delay_ms
+        else:
+            if host not in host_delay_cache:
+                from .stages.politeness import effective_delay_ms
 
-            host_delay_cache[host] = effective_delay_ms(
-                net.robots_for(host), spec.user_agent, delay_ms
-            )
-        return host_delay_cache[host]
+                host_delay_cache[host] = effective_delay_ms(
+                    net.robots_for(host), spec.user_agent, delay_ms
+                )
+            base = host_delay_cache[host]
+        if spec.adaptive_delay_pct is not None:
+            # adaptive politeness from COMMITTED latency stats only (the
+            # engine commits them with the wave) — integer-exact, shared
+            # semantics with stages/politeness.adaptive_host_delays
+            s, n = lat_stats.get(host, (0, 0))
+            if n:
+                a = (spec.adaptive_delay_pct * s) // (100 * n)
+                if a > base:
+                    base = a
+        return base
 
     next_seq = 0
 
@@ -494,6 +506,7 @@ def crawl_oracle(
         next_frontier: list[dict] = []
         wave_marks: set[str] = set()
         wave_cookies: list[tuple[int, int, str, str]] = []  # seq, pos, host, hdr
+        wave_lat: dict[str, tuple[int, int]] = {}  # per-host (sum_ms, n) delta
         for j in jobs:
             seq = next_seq
             next_seq += 1
@@ -515,6 +528,8 @@ def crawl_oracle(
             total_latency = sum(p.clock_ms for p in chain)
             clocks[host] = t + total_latency
             sched[host] = sched.get(host, 0) + 1
+            ws, wn = wave_lat.get(host, (0, 0))
+            wave_lat[host] = (ws + total_latency, wn + 1)
             if spec.trap_guard is not None:
                 tk = _trap_key(j["url"])
                 trap_sched[tk] = trap_sched.get(tk, 0) + 1
@@ -572,6 +587,10 @@ def crawl_oracle(
                     child_base += len(admitted)
         if spec.follow_links:  # curl mode has no bloom marking (batch_curl_job.rb)
             res.seen |= wave_marks  # mark-at-wave-commit (batch_crawl_job.rb:139-153)
+        # latency stats commit with the wave (adaptive politeness)
+        for h, (s, n) in wave_lat.items():
+            ps, pn = lat_stats.get(h, (0, 0))
+            lat_stats[h] = (ps + s, pn + n)
         # commit the wave's cookies in deterministic (seq, chain-pos) order
         by_host: dict[str, list[str]] = {}
         for _seq, _pos, h, sc in sorted(wave_cookies):

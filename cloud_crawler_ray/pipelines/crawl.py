@@ -523,10 +523,15 @@ def _plan_wave_local(
         "seq", pa.array(np.arange(base_seq, base_seq + n, dtype=np.int64))
     )
 
-    from ..stages.politeness import slot_block
+    from ..stages.politeness import adaptive_host_delays, slot_block
 
     uniq_hosts = list(dict.fromkeys(cand.column("host").to_pylist()))
     clocks = state.get_clocks(uniq_hosts)
+    if spec.adaptive_delay_pct is not None:
+        host_delays = adaptive_host_delays(
+            uniq_hosts, delay_ms, host_delays,
+            spec.adaptive_delay_pct, state.get_lat(uniq_hosts),
+        )
     # vectorized per-host serial slots (rows already in seq order) — the
     # same kernel the distributed ShardSlotAssigner runs per host-shard
     cand = slot_block(cand, clocks, chain_idx, delay_ms, host_delays)
@@ -538,6 +543,16 @@ def _merge_sched(prev: dict, delta: dict) -> dict:
     out = {h: int(n) for h, n in prev.items()}
     for h, n in delta.items():
         out[h] = out.get(h, 0) + int(n)
+    return out
+
+
+def _merge_lat(prev: dict, delta: dict) -> dict:
+    """Additive merge of per-host (latency_sum_ms, n_jobs) pairs — the
+    adaptive-politeness lineage field (JSON stores pairs as 2-lists)."""
+    out = {h: [int(v[0]), int(v[1])] for h, v in prev.items()}
+    for h, (s, n) in delta.items():
+        ps, pn = out.get(h, [0, 0])
+        out[h] = [ps + int(s), pn + int(n)]
     return out
 
 
@@ -861,6 +876,9 @@ def _crawl_inner(
         sched_prev = last.get("sched", {})
         if sched_prev:
             state.add_sched({h: int(n) for h, n in sched_prev.items()})
+        lat_prev = last.get("lat", {})
+        if lat_prev:
+            state.add_lat({h: (int(v[0]), int(v[1])) for h, v in lat_prev.items()})
     if resume:
         # drop any partial (uncommitted) wave outputs before recompute —
         # unconditionally: a crash before the FIRST lineage marker still
@@ -1027,6 +1045,7 @@ def _crawl_inner(
             f = assign_slots(
                 f, state, chain_idx_ref, delay_ms,
                 host_delays_ref=host_delays_ref,
+                adaptive_pct=spec.adaptive_delay_pct,
             )
             w = wave
             f = f.map_batches(
@@ -1142,11 +1161,16 @@ def _crawl_inner(
                 state.add(delta)
             updates: dict[str, int] = {}
             sched_updates: dict[str, int] = {}
-            for h, e in zip(
-                fm_tbl.column("host").to_pylist(), fm_tbl.column("job_end_ms").to_pylist()
+            lat_updates: dict[str, tuple[int, int]] = {}
+            for h, e, ft in zip(
+                fm_tbl.column("host").to_pylist(),
+                fm_tbl.column("job_end_ms").to_pylist(),
+                fm_tbl.column("fetch_time_ms").to_pylist(),
             ):
                 updates[h] = max(updates.get(h, 0), int(e))
                 sched_updates[h] = sched_updates.get(h, 0) + 1
+                ps, pn = lat_updates.get(h, (0, 0))
+                lat_updates[h] = (ps + int(e) - int(ft), pn + 1)
             trap_updates: dict[str, int] = {}
             if spec.trap_guard is not None:
                 from ..canon import trap_keys_of as _tko_commit
@@ -1157,18 +1181,29 @@ def _crawl_inner(
             # the seen delta (if any) was committed inside the fetch execution
             # above; only the clock advance remains — two small columns of the
             # wave's frontier, read driver-side (no Ray execution)
-            ends_tbl = pq.read_table(fdir, columns=["host", "job_end_ms"])
+            ends_tbl = pq.read_table(
+                fdir, columns=["host", "job_end_ms", "fetch_time_ms"]
+            )
             import pandas as _pd
 
             edf = _pd.DataFrame(
                 {
                     "host": ends_tbl.column("host").to_pylist(),
                     "end": ends_tbl.column("job_end_ms").to_numpy(zero_copy_only=False),
+                    "lat": (
+                        ends_tbl.column("job_end_ms").to_numpy(zero_copy_only=False)
+                        - ends_tbl.column("fetch_time_ms").to_numpy(zero_copy_only=False)
+                    ),
                 }
             )
             updates = {h: int(v) for h, v in edf.groupby("host")["end"].max().items()}
             sched_updates = {
                 h: int(v) for h, v in edf.groupby("host")["end"].size().items()
+            }
+            _lat_sum = edf.groupby("host")["lat"].sum()
+            lat_updates = {
+                h: (int(_lat_sum[h]), int(n))
+                for h, n in edf.groupby("host")["lat"].size().items()
             }
             trap_updates = {}
             if spec.trap_guard is not None:
@@ -1192,6 +1227,10 @@ def _crawl_inner(
             _sched_commit.update(trap_updates)
         if _sched_commit:
             state.add_sched(_sched_commit)
+        if spec.adaptive_delay_pct is not None:
+            # commit the wave's observed latency (mark-after-commit, like
+            # the clocks — an uncommitted wave replans with the old delays)
+            state.add_lat(lat_updates)
         next_seq += n_jobs
         total_jobs += n_jobs
         # commit the wave's Set-Cookie responses in deterministic
@@ -1272,6 +1311,12 @@ def _crawl_inner(
                 "sched": _merge_sched(
                     committed[-1].get("sched", {}) if committed else {},
                     _sched_commit,
+                ),
+                # cumulative per-host (latency_sum_ms, n_jobs) — the
+                # adaptive-politeness restore source on resume
+                "lat": _merge_lat(
+                    committed[-1].get("lat", {}) if committed else {},
+                    lat_updates if spec.adaptive_delay_pct is not None else {},
                 ),
             },
         )

@@ -71,6 +71,15 @@ class CrawlSpec:
     # counts commit with the wave (shared scheduled-count map, NUL-separated
     # keyspace) and restore on resume.
     trap_guard: int | None = None
+    # Adaptive politeness (target-side addition; the reference's delay is
+    # static): when set, each host's delay becomes
+    # max(effective static delay, pct% of the host's committed mean job
+    # latency) — a slow origin is backed off proportionally (e.g. 150 =
+    # wait 1.5x its observed mean latency between requests). Latency sums
+    # commit with the wave (mark-after-commit, like the clocks) and restore
+    # on resume, so both planners and a resumed crawl compute identical
+    # slots. Integer-exact: (pct * sum_ms) // (100 * n).
+    adaptive_delay_pct: int | None = None
     # robots Crawl-delay compliance (target-side addition; the reference
     # obeys robots allow/deny only): when True, each host's politeness
     # delay is max(spec.delay, its robots.txt Crawl-delay for user_agent).

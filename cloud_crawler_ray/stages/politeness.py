@@ -155,6 +155,30 @@ def build_host_delays(web: pa.Table, spec) -> dict[str, int]:
     return out
 
 
+def adaptive_host_delays(
+    hosts: list[str],
+    delay_ms: int,
+    host_delays: dict[str, int] | None,
+    pct: int,
+    lat: dict[str, tuple[int, int]],
+) -> dict[str, int] | None:
+    """Adaptive politeness (target-side addition; the reference's delay is
+    static): per host, delay = max(static effective delay, pct% of the
+    host's COMMITTED mean observed job latency) — a slow origin is backed
+    off proportionally, integer-exact ((pct·sum)//(100·n), no float). Stats
+    commit with the wave like the clocks, so both planners and a resumed
+    crawl compute identical delays. Shared by the driver planner, the shard
+    assigner, and the oracle."""
+    out = dict(host_delays or {})
+    for h in hosts:
+        s, n = lat.get(h, (0, 0))
+        if n:
+            a = (pct * s) // (100 * n)
+            if a > out.get(h, delay_ms):
+                out[h] = a
+    return out or None
+
+
 def slot_block(
     tbl: pa.Table, clocks: dict[str, int], chain_idx, delay_ms: int,
     host_delays: dict[str, int] | None = None,
@@ -273,11 +297,15 @@ class ShardSlotAssigner:
     RPC per shard per wave (ShardedState.get_clocks fans it out per state
     shard), never one per host."""
 
-    def __init__(self, state, chain_idx_ref, delay_ms: int, host_delays_ref=None):
+    def __init__(
+        self, state, chain_idx_ref, delay_ms: int, host_delays_ref=None,
+        adaptive_pct: int | None = None,
+    ):
         self.state = state
         self.chain_idx_ref = chain_idx_ref
         self.delay_ms = delay_ms
         self.host_delays_ref = host_delays_ref
+        self.adaptive_pct = adaptive_pct
         self._chain_idx = None
         self._host_delays = None
 
@@ -294,14 +322,21 @@ class ShardSlotAssigner:
         group = group.take(order)
         uniq_hosts = list(dict.fromkeys(group.column("host").to_pylist()))
         clocks = self.state.get_clocks(uniq_hosts)
+        host_delays = self._host_delays
+        if self.adaptive_pct is not None:
+            # one batched latency-stats RPC per shard per wave, like clocks
+            host_delays = adaptive_host_delays(
+                uniq_hosts, self.delay_ms, host_delays,
+                self.adaptive_pct, self.state.get_lat(uniq_hosts),
+            )
         return slot_block(
-            group, clocks, self._chain_idx, self.delay_ms, self._host_delays
+            group, clocks, self._chain_idx, self.delay_ms, host_delays
         )
 
 
 def assign_slots(
     ds: rd.Dataset, state, chain_idx_ref, delay_ms: int, n_shards: int | None = None,
-    host_delays_ref=None,
+    host_delays_ref=None, adaptive_pct: int | None = None,
 ) -> rd.Dataset:
     from ..state.shards import shards_of
     from .frontier_ops import _cluster_shards
@@ -313,7 +348,9 @@ def assign_slots(
         sh = shards_of(t.column("host").to_pylist(), n_shards)
         return t.append_column("_hshard", pa.array(sh, pa.int64()))
 
-    assigner = ShardSlotAssigner(state, chain_idx_ref, delay_ms, host_delays_ref)
+    assigner = ShardSlotAssigner(
+        state, chain_idx_ref, delay_ms, host_delays_ref, adaptive_pct
+    )
 
     def assign(group: pa.Table) -> pa.Table:  # map_groups wants a plain fn
         return assigner(group)

@@ -74,6 +74,9 @@ class StateShard:
         # per-host scheduled-page counts (max_pages_per_host budget); same
         # partitioning and commit discipline as the clocks
         self.sched: dict[str, int] = {}
+        # per-host observed-latency (sum_ms, n_jobs) for adaptive politeness;
+        # same partitioning and commit discipline as the clocks
+        self.lat: dict[str, tuple[int, int]] = {}
 
     # ---- membership (the Redis bloom analog) ----
     def check(self, keys: list[str]) -> list[bool]:
@@ -121,6 +124,15 @@ class StateShard:
     def get_sched(self, hosts: list[str]) -> dict[str, int]:
         return {h: self.sched.get(h, 0) for h in hosts}
 
+    # ---- per-host observed-latency stats (adaptive politeness) ----
+    def add_lat(self, updates: dict[str, tuple[int, int]]) -> None:
+        for host, (s, n) in updates.items():
+            ps, pn = self.lat.get(host, (0, 0))
+            self.lat[host] = (ps + int(s), pn + int(n))
+
+    def get_lat(self, hosts: list[str]) -> dict[str, tuple[int, int]]:
+        return {h: self.lat.get(h, (0, 0)) for h in hosts}
+
     # ---- checkpoint ----
     def snapshot(self) -> bytes:
         return pickle.dumps(
@@ -129,6 +141,7 @@ class StateShard:
                 "seen": self.seen,
                 "clocks": self.clocks,
                 "sched": self.sched,
+                "lat": self.lat,
             },
             protocol=pickle.HIGHEST_PROTOCOL,
         )
@@ -138,6 +151,7 @@ class StateShard:
         self.seen = state["seen"]
         self.clocks = state["clocks"]
         self.sched = state.get("sched", {})
+        self.lat = state.get("lat", {})
         self.bloom = BloomFilter(n_bits=self.bloom.n_bits)
         self.bloom.add_many(list(self.seen))
 
@@ -213,6 +227,25 @@ class ShardedState:
             per_shard.setdefault(shard_of(host, self.n_shards), {})[host] = n
         ray.get(
             [self.shards[sid].add_sched.remote(u) for sid, u in per_shard.items()]
+        )
+
+    def get_lat(self, hosts: list[str]) -> dict[str, tuple[int, int]]:
+        out: dict[str, tuple[int, int]] = {}
+        groups = self._group(hosts)
+        futs = [
+            self.shards[sid].get_lat.remote([hosts[i] for i in idxs])
+            for sid, idxs in groups.items()
+        ]
+        for d in ray.get(futs):
+            out.update(d)
+        return out
+
+    def add_lat(self, updates: dict[str, tuple[int, int]]) -> None:
+        per_shard: dict[int, dict[str, tuple[int, int]]] = {}
+        for host, sn in updates.items():
+            per_shard.setdefault(shard_of(host, self.n_shards), {})[host] = sn
+        ray.get(
+            [self.shards[sid].add_lat.remote(u) for sid, u in per_shard.items()]
         )
 
     def seen_count(self) -> int:
