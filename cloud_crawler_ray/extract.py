@@ -59,6 +59,9 @@ class Extraction:
     links: list[str] = field(default_factory=list)       # absolutized, doc order, uniq keep-first
     anchor_text: dict[str, str] = field(default_factory=dict)
     canonical: str = ""  # <link rel="canonical" href=...>, absolutized, keep-first
+    noindex: bool = False      # <meta name="robots" content="...noindex...">
+    nofollow_all: bool = False  # meta robots nofollow: ignore ALL links
+    nofollow: set[str] = field(default_factory=set)  # hrefs with rel=nofollow
 
 
 class _SpanParser(HTMLParser):
@@ -98,6 +101,9 @@ class _SpanParser(HTMLParser):
                 self._flush_text()
                 self._in_a = abs_url  # None if unparseable → swallow as text
                 self._a_text = []
+                rel = (d.get("rel") or "").lower()
+                if abs_url and "nofollow" in rel.split():
+                    self.out.nofollow.add(abs_url)
         elif tag in ("img", "video"):
             src = d.get("src")
             if src:
@@ -114,6 +120,17 @@ class _SpanParser(HTMLParser):
                 abs_url = to_absolute(href, self.page_url, self.base_url)
                 if abs_url:
                     self.out.canonical = abs_url
+        elif tag == "meta":
+            # <meta name="robots" content="noindex, nofollow"> — directive
+            # tokens are comma-separated, case-insensitive
+            if (d.get("name") or "").strip().lower() == "robots":
+                directives = {
+                    tok.strip() for tok in (d.get("content") or "").lower().split(",")
+                }
+                if "noindex" in directives or "none" in directives:
+                    self.out.noindex = True
+                if "nofollow" in directives or "none" in directives:
+                    self.out.nofollow_all = True
 
     def handle_endtag(self, tag):
         if tag in self.SKIP_CONTENT:
@@ -162,6 +179,10 @@ _HREF_RE = re.compile(
 )
 _SRC_RE = re.compile(r"""\bsrc\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I)
 _REL_RE = re.compile(r"""\brel\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I)
+_NAME_RE = re.compile(r"""\bname\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I)
+_CONTENT_RE = re.compile(
+    r"""\bcontent\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s"'>]+))""", re.I
+)
 
 
 def _attr_from(attrs_str: str, rx: re.Pattern, name: str) -> list:
@@ -214,7 +235,9 @@ def _find_cdata_close(lower: str, tag: str, pos: int) -> int:
 # tags the handler actually reacts to — forwarding anything else is a
 # guaranteed no-op (handle_starttag ignores tags outside a/img/video and
 # SKIP_CONTENT; handle_endtag outside a and SKIP_CONTENT)
-_RELEVANT_START = frozenset({"a", "img", "video", "link", "script", "style", "title", "head"})
+_RELEVANT_START = frozenset(
+    {"a", "img", "video", "link", "meta", "script", "style", "title", "head"}
+)
 _RELEVANT_END = frozenset({"a", "script", "style", "title", "head"})
 
 
@@ -246,11 +269,19 @@ def _fast_feed(handler: _SpanParser, text: str) -> None:
         attrs_str = m.group(3) or ""
         if tag == "a":
             attrs = _attr_from(attrs_str, _HREF_RE, "href")
+            # rel only when the substring appears — anchors are the hot
+            # path and rel is rare, so the common case pays one `in` check
+            if "rel" in attrs_str:
+                attrs += _attr_from(attrs_str, _REL_RE, "rel")
         elif tag in ("img", "video"):
             attrs = _attr_from(attrs_str, _SRC_RE, "src")
         elif tag == "link":
             attrs = _attr_from(attrs_str, _REL_RE, "rel") + _attr_from(
                 attrs_str, _HREF_RE, "href"
+            )
+        elif tag == "meta":
+            attrs = _attr_from(attrs_str, _NAME_RE, "name") + _attr_from(
+                attrs_str, _CONTENT_RE, "content"
             )
         else:
             attrs = []

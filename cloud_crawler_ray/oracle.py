@@ -281,7 +281,8 @@ def prior_from_result(res: OracleResult) -> dict[str, dict]:
             c = p["canonical_url"]
             out[c] = {
                 "etag": p["etag"],
-                "spans": docs.get(c, []),
+                # None = the prior crawl stored no document (e.g. noindex)
+                "spans": docs.get(c),
                 "links": res.children.get(c, []),
             }
     return out
@@ -345,6 +346,7 @@ def _page_dict(p: FetchedPage, ex, seq: int, wave: int, t_ms: int, ua: str) -> d
         "etag": p.etag,
         "not_modified": p.not_modified,
         "canonical_decl": "" if ex is None else ex.canonical,
+        "noindex": False if ex is None else ex.noindex,  # gated by caller
         "spans": [] if ex is None else [
             {"kind": k, "text": t, "media_ref": m, "offset": o} for k, t, m, o in ex.spans
         ],
@@ -545,6 +547,7 @@ def crawl_oracle(
                     else None
                 )
                 pd = _page_dict(p, ex, seq, wave, t, ua)
+                pd["noindex"] = bool(spec.obey_meta_robots and pd["noindex"])
                 if spec.accept_cookies and p.set_cookie and p.fetched:
                     wave_cookies.append((seq, pos, host_of(p.url), p.set_cookie))
                 _run_hooks(spec, pd, res.counters)
@@ -554,9 +557,16 @@ def crawl_oracle(
                     res.pages.append({k: v for k, v in pd.items() if k not in ("spans", "links")})
                     doc_spans = pd["spans"]
                     if p.not_modified:
-                        # 304: the document is the prior crawl's, verbatim
-                        doc_spans = (prior.get(pd["canonical_url"]) or {}).get("spans", [])
-                    res.documents.append({"doc_id": pd["canonical_url"], "spans": doc_spans})
+                        # 304: the document is the prior crawl's, verbatim;
+                        # None = the prior crawl stored no document for it
+                        # (e.g. noindex), so neither does the recrawl
+                        doc_spans = (prior.get(pd["canonical_url"]) or {}).get("spans")
+                    if pd["noindex"]:
+                        doc_spans = None  # fetched + seen-marked, never indexed
+                    if doc_spans is not None:
+                        res.documents.append(
+                            {"doc_id": pd["canonical_url"], "spans": doc_spans}
+                        )
                     wave_marks.add(pd["canonical_url"])
                 else:
                     res.pages.append({k: v for k, v in pd.items() if k not in ("spans", "links")})
@@ -568,6 +578,11 @@ def crawl_oracle(
                         links = (prior.get(pd["canonical_url"]) or {}).get("links", [])
                     else:
                         links = ex.links
+                        if spec.obey_meta_robots:
+                            if ex.nofollow_all:
+                                links = []
+                            elif ex.nofollow:
+                                links = [l for l in links if l not in ex.nofollow]
                         if spec.focus_crawl is not None:
                             links = spec.focus_crawl(pd, links)
                     admitted = [

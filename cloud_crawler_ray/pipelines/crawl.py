@@ -66,6 +66,7 @@ META_COLS = [
     "etag",
     "not_modified",
     "canonical_decl",
+    "noindex",
 ]
 
 
@@ -103,12 +104,15 @@ class CrawlHandle:
         # crawl's meta.json prior_dir link.
         raw = read_table(
             os.path.join(self.out_dir, "raw"),
-            columns=["canonical_url", "spans", "fetched", "not_modified"],
+            columns=["canonical_url", "spans", "fetched", "not_modified", "noindex"],
         )
 
         def fresh(t: pa.Table) -> pa.Table:
             f = t.filter(
-                pc.and_(t.column("fetched"), pc.invert(t.column("not_modified")))
+                pc.and_(
+                    pc.and_(t.column("fetched"), pc.invert(t.column("not_modified"))),
+                    pc.invert(t.column("noindex")),
+                )
             )
             return pa.table(
                 {"doc_id": f.column("canonical_url"), "spans": f.column("spans")}
@@ -125,18 +129,19 @@ class CrawlHandle:
         return raw.map_batches(fresh, batch_format="pyarrow").union(filled)
 
     def _documents_inner(self) -> rd.Dataset:
-        # only fetched pages become documents (oracle.py:319-321 — failed
-        # fetches produce a pages row but no document)
+        # only fetched, indexable pages become documents (oracle.py — failed
+        # fetches produce a pages row but no document; meta-robots noindex
+        # suppresses the document while keeping the page)
         ds = read_table(
             os.path.join(self.out_dir, "raw"),
-            columns=["canonical_url", "spans", "fetched"],
+            columns=["canonical_url", "spans", "fetched", "noindex"],
         )
         return ds.map_batches(
             lambda t: (
                 lambda f: pa.table(
                     {"doc_id": f.column("canonical_url"), "spans": f.column("spans")}
                 )
-            )(t.filter(t.column("fetched"))),
+            )(t.filter(pc.and_(t.column("fetched"), pc.invert(t.column("noindex"))))),
             batch_format="pyarrow",
         )
 

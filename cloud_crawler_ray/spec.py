@@ -71,6 +71,14 @@ class CrawlSpec:
     # counts commit with the wave (shared scheduled-count map, NUL-separated
     # keyspace) and restore on resume.
     trap_guard: int | None = None
+    # Meta-robots compliance (target-side addition; the reference ignores
+    # in-page directives): when True, <meta name="robots"> noindex
+    # suppresses the page's document (the page is still fetched,
+    # seen-marked and recorded in pages with noindex=true), nofollow (or
+    # none) suppresses ALL link following from the page, and individual
+    # rel="nofollow" anchors are excluded from link following. Hooks still
+    # see the full extracted link list.
+    obey_meta_robots: bool = False
     # Adaptive politeness (target-side addition; the reference's delay is
     # static): when set, each host's delay becomes
     # max(effective static delay, pct% of the host's committed mean job

@@ -62,6 +62,10 @@ FETCH_OUT_SCHEMA = pa.schema(
         ("etag", pa.string()),
         ("not_modified", pa.bool_()),
         ("canonical_decl", pa.string()),
+        # noindex is the EFFECTIVE directive (raw <meta robots> noindex
+        # gated by spec.obey_meta_robots), so documents() can always filter
+        # on it without knowing the spec
+        ("noindex", pa.bool_()),
     ]
 )
 
@@ -173,6 +177,13 @@ class FetchExtract:
                         links = list(plink or [])
                     else:
                         links = ex.links
+                        if spec.obey_meta_robots:
+                            # meta nofollow kills all links; rel=nofollow
+                            # anchors are excluded individually
+                            if ex.nofollow_all:
+                                links = []
+                            elif ex.nofollow:
+                                links = [l for l in links if l not in ex.nofollow]
                         if spec.focus_crawl is not None:
                             links = spec.focus_crawl(page_dict, links)
                     children = [ln for ln in links if self.adm.admit(ln, p.url, p.depth)]
@@ -203,6 +214,9 @@ class FetchExtract:
                 cols["etag"].append(p.etag)
                 cols["not_modified"].append(p.not_modified)
                 cols["canonical_decl"].append("" if ex is None else ex.canonical)
+                cols["noindex"].append(
+                    bool(spec.obey_meta_robots and ex is not None and ex.noindex)
+                )
                 ordinal_base += len(children)
 
         return pa.table(cols, schema=FETCH_OUT_SCHEMA)

@@ -32,7 +32,7 @@ def assert_parity(res, handle):
     keyfn = lambda p: (p["seq"], p["url"])
     _PAGE_KEYS = ("url", "code", "depth", "referer", "redirect_to", "fetched",
                   "fetch_time_ms", "seq", "wave", "etag", "not_modified",
-                  "canonical_decl")
+                  "canonical_decl", "noindex")
     got_pages = sorted(
         ({k: r[k] for k in _PAGE_KEYS} for r in handle.pages().take_all()),
         key=keyfn,

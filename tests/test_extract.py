@@ -118,6 +118,14 @@ EDGE_BODIES = [
     b'<link rel="canonical" href="/one"><link rel="canonical" href="/two">',
     b'<link rel="stylesheet" href="/style.css">x',
     b'<link href="/nope">x',
+    # meta robots directives + rel=nofollow anchors, quoted and not
+    b'<meta name="robots" content="noindex">x',
+    b'<meta name="robots" content="NOINDEX, NOFOLLOW">x',
+    b'<meta name=robots content=nofollow>x',
+    b'<meta name="robots" content="none">x',
+    b'<meta name="viewport" content="noindex">x',
+    b'<a href="/s" rel="nofollow">s</a><a href="/t" rel="ugc nofollow">t</a>',
+    b'<a href=/u rel=nofollow>u</a>',
 ]
 
 
@@ -157,3 +165,6 @@ def test_fast_parser_matches_stdlib():
         assert fast.links == slow.links, (url, body)
         assert fast.anchor_text == slow.anchor_text, (url, body)
         assert fast.canonical == slow.canonical, (url, body)
+        assert fast.noindex == slow.noindex, (url, body)
+        assert fast.nofollow_all == slow.nofollow_all, (url, body)
+        assert fast.nofollow == slow.nofollow, (url, body)
