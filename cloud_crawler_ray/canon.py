@@ -209,8 +209,10 @@ def url_skeleton(url: str) -> str:
 
 
 def trap_keys_of(urls: list[str]) -> list[str]:
-    """host + NUL + skeleton per URL. The NUL separator keeps trap keys
+    """host + US (\\x1f) + skeleton per URL. The separator keeps trap keys
     disjoint from the bare-hostname keyspace, so they can share the crawl's
     scheduled-count map (state shards + lineage 'sched') with the per-host
-    budget — same commit, same resume restore."""
-    return [f"{host_of(u)}\x00{url_skeleton(u)}" for u in urls]
+    budget — same commit, same resume restore. NEVER NUL: pandas' object
+    hasher (shards_of routing, groupby factorization) compares C-string
+    style and truncates at an embedded NUL (state/shards.py caution)."""
+    return [f"{host_of(u)}\x1f{url_skeleton(u)}" for u in urls]

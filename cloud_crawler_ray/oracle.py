@@ -405,7 +405,7 @@ def crawl_oracle(
     def _trap_key(url: str) -> str:
         from .canon import url_skeleton
 
-        return f"{host_of(url)}\x00{url_skeleton(url)}"
+        return f"{host_of(url)}\x1f{url_skeleton(url)}"
     host_delay_cache: dict[str, int] = {}  # robots Crawl-delay overrides
     lat_stats: dict[str, tuple[int, int]] = {}  # committed (sum_ms, n) per host
 
@@ -509,12 +509,24 @@ def crawl_oracle(
         wave_marks: set[str] = set()
         wave_cookies: list[tuple[int, int, str, str]] = []  # seq, pos, host, hdr
         wave_lat: dict[str, tuple[int, int]] = {}  # per-host (sum_ms, n) delta
+        # per-(host, lane) connection clocks, wave-local: every lane starts
+        # the wave at the host's committed clock; the host clock commits to
+        # the max lane end (slot_block's conns model — identical kernel)
+        lane_clocks: dict[tuple[str, int], int] = {}
+        host_count: dict[str, int] = {}
+        wave_clock0: dict[str, int] = {}  # host clock frozen at wave start
+        k_conns = max(1, int(spec.host_connections))
         for j in jobs:
             seq = next_seq
             next_seq += 1
             res.crawl_order.append((wave, seq, j["url"]))
             host = host_of(j["url"])
-            t = clocks.get(host, 0) + _delay_for(host)
+            lane = host_count.get(host, 0) % k_conns
+            host_count[host] = host_count.get(host, 0) + 1
+            if host not in wave_clock0:
+                wave_clock0[host] = clocks.get(host, 0)
+            lc = lane_clocks.get((host, lane), wave_clock0[host])
+            t = lc + _delay_for(host)
             ua = agent_for(spec.user_agent, spec.ua_seed, seq)
             req_cookies = request_cookie_header(
                 spec.cookies, committed_hdrs.get(host, ""), spec.accept_cookies
@@ -528,7 +540,8 @@ def crawl_oracle(
                 cookie_header=req_cookies, prior_etag=pe,
             )
             total_latency = sum(p.clock_ms for p in chain)
-            clocks[host] = t + total_latency
+            lane_clocks[(host, lane)] = t + total_latency
+            clocks[host] = max(clocks.get(host, 0), t + total_latency)
             sched[host] = sched.get(host, 0) + 1
             ws, wn = wave_lat.get(host, (0, 0))
             wave_lat[host] = (ws + total_latency, wn + 1)

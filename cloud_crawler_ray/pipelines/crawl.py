@@ -539,7 +539,10 @@ def _plan_wave_local(
         )
     # vectorized per-host serial slots (rows already in seq order) — the
     # same kernel the distributed ShardSlotAssigner runs per host-shard
-    cand = slot_block(cand, clocks, chain_idx, delay_ms, host_delays)
+    cand = slot_block(
+        cand, clocks, chain_idx, delay_ms, host_delays,
+        conns=spec.host_connections,
+    )
     cand = cand.append_column("wave", pa.array([wave] * n, pa.int32()))
     return cand, spill
 
@@ -1051,6 +1054,7 @@ def _crawl_inner(
                 f, state, chain_idx_ref, delay_ms,
                 host_delays_ref=host_delays_ref,
                 adaptive_pct=spec.adaptive_delay_pct,
+                conns=spec.host_connections,
             )
             w = wave
             f = f.map_batches(
@@ -1224,7 +1228,7 @@ def _crawl_inner(
         state.advance_clocks(updates)
         # commit the wave's scheduled counts (mark-after-commit, like the
         # clocks — an uncommitted wave replans identically): per-host budget
-        # counts and NUL-keyed trap counts share one map and one lineage field
+        # counts and \x1f-keyed trap counts share one map and one lineage field
         _sched_commit: dict[str, int] = {}
         if spec.max_pages_per_host is not None:
             _sched_commit.update(sched_updates)

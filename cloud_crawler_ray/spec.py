@@ -68,9 +68,15 @@ class CrawlSpec:
     # grids share one skeleton and get capped; legitimately distinct paths
     # do not. Applied after max_pages_per_host in the same processing order,
     # with the same semantics: drops are not seen-marked and not spilled,
-    # counts commit with the wave (shared scheduled-count map, NUL-separated
+    # counts commit with the wave (shared scheduled-count map, \x1f-separated
     # keyspace) and restore on resume.
     trap_guard: int | None = None
+    # Per-host parallel connections (the reference's per-host connection
+    # pool, http.rb:219-240, made explicit): a host's jobs round-robin over
+    # this many lanes; the politeness delay applies PER LANE, every lane
+    # starts a wave at the host's committed clock, and the clock commits to
+    # the max lane end. 1 = the reference's serial-per-host model.
+    host_connections: int = 1
     # Meta-robots compliance (target-side addition; the reference ignores
     # in-page directives): when True, <meta name="robots"> noindex
     # suppresses the page's document (the page is still fetched,

@@ -181,13 +181,21 @@ def adaptive_host_delays(
 
 def slot_block(
     tbl: pa.Table, clocks: dict[str, int], chain_idx, delay_ms: int,
-    host_delays: dict[str, int] | None = None,
+    host_delays: dict[str, int] | None = None, conns: int = 1,
 ) -> pa.Table:
     """Vectorized multi-host slot assignment over one table whose rows are
     already in seq order. Per host (pandas groupby over the whole block, no
     per-host Python):
 
         t_i = clock_host + (k_i+1)*delay + exclusive-cumsum(chain latency)
+
+    *conns* > 1 (spec.host_connections — the reference's per-host
+    connection pool, http.rb:219-240, made explicit): a host's jobs
+    round-robin over ``conns`` lanes; the politeness delay applies PER
+    LANE (per connection), every lane starts at the host's committed
+    clock, and the clock still commits to the max lane end — so the same
+    serial kernel runs, grouped by (host, lane) with the host's clock and
+    delay.
 
     Shared by the driver-side planner (_plan_wave_local) and the distributed
     shard assigner below so the politeness model cannot drift between paths.
@@ -199,8 +207,18 @@ def slot_block(
     urls = tbl.column("url").to_pylist()
     lat = np.fromiter((chain_idx.get(u, 0) for u in urls), dtype=np.int64, count=n)
     hs = pd.Series(hosts)
-    within = hs.groupby(hs, sort=False).cumcount().to_numpy()
-    cum_lat = pd.Series(lat).groupby(hs, sort=False).cumsum().to_numpy() - lat
+    if conns > 1:
+        # integer (host, lane) group codes — NOT string concatenation:
+        # pandas' object-string hashtable compares C-string-style, i.e.
+        # keys are EQUAL past an embedded NUL (pandas 2.2 klib), so string
+        # composite keys silently merge groups
+        lane = hs.groupby(hs, sort=False).cumcount().to_numpy() % conns
+        _, hcodes = np.unique(np.asarray(hosts, dtype=object), return_inverse=True)
+        gs = pd.Series(hcodes.astype(np.int64) * conns + lane)
+    else:
+        gs = hs
+    within = gs.groupby(gs, sort=False).cumcount().to_numpy()
+    cum_lat = pd.Series(lat).groupby(gs, sort=False).cumsum().to_numpy() - lat
     clock0 = hs.map(lambda h: clocks.get(h, 0)).to_numpy(dtype=np.int64)
     if host_delays:
         dly = hs.map(lambda h: host_delays.get(h, delay_ms)).to_numpy(dtype=np.int64)
@@ -225,9 +243,15 @@ def budget_filter_block(
     import pandas as pd
 
     keys = tbl.column(key_col).to_pylist()
-    hs = pd.Series(keys)
-    within = hs.groupby(hs, sort=False).cumcount().to_numpy()
-    base = hs.map(lambda h: sched.get(h, 0)).to_numpy(dtype=np.int64)
+    # group by NUL-safe integer codes, never by the raw strings: trap-guard
+    # keys embed a NUL separator, and pandas' object-string hashtable
+    # treats keys as equal past an embedded NUL (C-string compare, pandas
+    # 2.2 klib) — a raw-string groupby would merge every skeleton of a
+    # host into one budget group. numpy's unicode compare is full-width.
+    _, codes = np.unique(np.asarray(keys, dtype=object), return_inverse=True)
+    cs = pd.Series(codes)
+    within = cs.groupby(cs, sort=False).cumcount().to_numpy()
+    base = pd.Series(keys).map(lambda h: sched.get(h, 0)).to_numpy(dtype=np.int64)
     return tbl.filter(pa.array(base + within < budget))
 
 
@@ -299,13 +323,14 @@ class ShardSlotAssigner:
 
     def __init__(
         self, state, chain_idx_ref, delay_ms: int, host_delays_ref=None,
-        adaptive_pct: int | None = None,
+        adaptive_pct: int | None = None, conns: int = 1,
     ):
         self.state = state
         self.chain_idx_ref = chain_idx_ref
         self.delay_ms = delay_ms
         self.host_delays_ref = host_delays_ref
         self.adaptive_pct = adaptive_pct
+        self.conns = conns
         self._chain_idx = None
         self._host_delays = None
 
@@ -330,13 +355,14 @@ class ShardSlotAssigner:
                 self.adaptive_pct, self.state.get_lat(uniq_hosts),
             )
         return slot_block(
-            group, clocks, self._chain_idx, self.delay_ms, host_delays
+            group, clocks, self._chain_idx, self.delay_ms, host_delays,
+            conns=self.conns,
         )
 
 
 def assign_slots(
     ds: rd.Dataset, state, chain_idx_ref, delay_ms: int, n_shards: int | None = None,
-    host_delays_ref=None, adaptive_pct: int | None = None,
+    host_delays_ref=None, adaptive_pct: int | None = None, conns: int = 1,
 ) -> rd.Dataset:
     from ..state.shards import shards_of
     from .frontier_ops import _cluster_shards
@@ -349,7 +375,7 @@ def assign_slots(
         return t.append_column("_hshard", pa.array(sh, pa.int64()))
 
     assigner = ShardSlotAssigner(
-        state, chain_idx_ref, delay_ms, host_delays_ref, adaptive_pct
+        state, chain_idx_ref, delay_ms, host_delays_ref, adaptive_pct, conns
     )
 
     def assign(group: pa.Table) -> pa.Table:  # map_groups wants a plain fn

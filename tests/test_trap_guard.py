@@ -44,9 +44,38 @@ def test_url_skeleton_shapes():
     assert url_skeleton("http://h.com/post/2024/01/item9") == "/post/D/D/itemD"
     assert url_skeleton("http://h.com/s/deadbeef0123/x") == "/s/H/x"
     assert url_skeleton("http://h.com/plain/path") == "/plain/path"
-    # trap keys are NUL-separated so they can never collide with hostnames
+    # trap keys are \x1f-separated so they can never collide with hostnames
+    # (never NUL: pandas' object hasher truncates keys at an embedded NUL,
+    # which would merge every skeleton of a host — see state/shards.py)
     k1, k2 = trap_keys_of(["http://h.com/cal?day=1", "http://h.com/cal?day=2"])
-    assert k1 == k2 == "h.com\x00/cal?day"
+    assert k1 == k2 == "h.com\x1f/cal?day"
+
+
+def test_trap_guard_two_skeletons_one_wave(ray_session, tmp_path):
+    """Two hot skeletons of ONE host arriving in the SAME wave each get
+    their own budget — the regression pinned here: grouping trap keys with
+    pandas' string hashtable merged all of a host's skeletons into one
+    group (object-key compare truncates at NUL), so the second skeleton was
+    starved by the first one's rows."""
+    pages = [
+        FakePage(
+            name="home",
+            links=[f"cal?day={i}" for i in range(12)]
+            + [f"tag/{i}/view" for i in range(12)],
+        )
+    ]
+    pages += [FakePage(name=f"cal?day={i}") for i in range(12)]
+    pages += [FakePage(name=f"tag/{i}/view") for i in range(12)]
+    web, seeds = web_table(pages), [page_url("home")]
+    spec = CrawlSpec(trap_guard=4, delay=0.05)
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)
+    counts = _skeleton_counts(handle)
+    assert counts["/cal?day"] == 4 and counts["/tag/D/view"] == 4
+    # and on the distributed planner
+    res2 = crawl_oracle(web, seeds, spec)
+    h2 = crawl(web, seeds, spec, str(tmp_path / "d"), small_wave_threshold=0)
+    assert_parity(res2, h2)
 
 
 def test_trap_guard_parity_local_planner(ray_session, tmp_path):
