@@ -357,22 +357,47 @@ def _page_dict(p: FetchedPage, ex, seq: int, wave: int, t_ms: int, ua: str) -> d
 _SITEMAP_LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
 
 
+_SITEMAP_DIRECTIVE_RE = re.compile(r"^\s*sitemap\s*:\s*(\S+)", re.IGNORECASE | re.MULTILINE)
+MAX_SITEMAP_FETCHES = 100  # per host, incl. nested index files
+
+
 def expand_seeds_with_sitemaps(net, seeds: list[str]) -> list[str]:
     """Sitemap seeding (target-side addition; no reference analog): for each
-    unique seed host in seed order, fetch http://host/sitemap.xml and append
-    its <loc> URLs after the user seeds in document order. Duplicates are
-    left to the planner's wave-0 dedup (first-(parent_seq, ordinal) wins, so
-    user seeds always claim their URL). Shared verbatim by the engine and
-    the oracle — driver-side, bounded by seed hosts × sitemap entries."""
+    unique seed host in seed order, discover its sitemaps — the robots.txt
+    ``Sitemap:`` directives when present (the sitemaps.org discovery
+    protocol), else the http://host/sitemap.xml convention — fetch them in
+    declaration order, recurse one queue through ``<sitemapindex>`` files
+    (breadth-first, capped at MAX_SITEMAP_FETCHES per host), and append the
+    page ``<loc>`` URLs after the user seeds in document order. Duplicates
+    are left to the planner's wave-0 dedup (first-(parent_seq, ordinal)
+    wins, so user seeds always claim their URL). Shared verbatim by the
+    engine and the oracle — driver-side, bounded by seed hosts × the cap ×
+    sitemap entries."""
+    from collections import deque
+
     from .canon import host_of
 
     out = list(seeds)
     for host in dict.fromkeys(host_of(u) for u in seeds):
-        row = net.lookup(f"http://{host}/sitemap.xml")
-        if row is None or row["status"] != 200:
-            continue
-        body = (row["body"] or b"").decode("utf-8", "ignore")
-        out.extend(m.strip() for m in _SITEMAP_LOC_RE.findall(body) if m.strip())
+        declared: list[str] = []
+        robots = net.lookup(f"http://{host}/robots.txt")
+        if robots is not None and robots["status"] == 200:
+            rbody = (robots["body"] or b"").decode("utf-8", "ignore")
+            declared = [m.strip() for m in _SITEMAP_DIRECTIVE_RE.findall(rbody)]
+        queue = deque(declared or [f"http://{host}/sitemap.xml"])
+        fetched = 0
+        while queue and fetched < MAX_SITEMAP_FETCHES:
+            sm_url = queue.popleft()
+            fetched += 1
+            row = net.lookup(sm_url)
+            if row is None or row["status"] != 200:
+                continue
+            body = (row["body"] or b"").decode("utf-8", "ignore")
+            locs = [m.strip() for m in _SITEMAP_LOC_RE.findall(body) if m.strip()]
+            if "<sitemapindex" in body.lower():
+                queue.extend(locs)  # nested sitemap files, not page URLs
+            else:
+                out.extend(locs)
     return out
 
 

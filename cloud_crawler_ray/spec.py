@@ -101,10 +101,13 @@ class CrawlSpec:
     # (matching the admission-side robots model).
     obey_crawl_delay: bool = False
     # Sitemap seeding (target-side addition): when True, each unique seed
-    # host's /sitemap.xml <loc> URLs append to the seed list after the user
-    # seeds, in document order (wave-0 dedup keeps the first claimant).
-    # Applies to list seeds against a materialized web table; Dataset seed
-    # frontiers (huge curl lists) skip expansion.
+    # host's sitemaps — robots.txt `Sitemap:` directives when present (the
+    # sitemaps.org discovery protocol), else /sitemap.xml by convention —
+    # expand into seeds after the user seeds, in document order (wave-0
+    # dedup keeps the first claimant). <sitemapindex> files recurse
+    # breadth-first, capped per host. Applies to list seeds against a
+    # materialized web table; Dataset seed frontiers (huge curl lists)
+    # skip expansion.
     use_sitemaps: bool = False
     # Optional frontier priority (the north-rule "priority queue" surface):
     # a callable over the candidate row dict {url, referer, depth,

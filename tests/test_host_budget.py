@@ -190,3 +190,54 @@ def test_sitemaps_off_by_default(ray_session, tmp_path):
     assert_parity(res, handle)
     urls = {r["url"] for r in handle.crawl_order().take_all()}
     assert not any("orphan" in u for u in urls)
+
+
+def _robots_sitemap_web():
+    """robots.txt Sitemap: directives point at a sitemap INDEX whose parts
+    list the real pages; the /sitemap.xml convention file is a decoy that
+    must be ignored when directives exist."""
+    from tests.webs import FakePage, page_url, web_table
+
+    host = "s.example.com"
+    pages = [
+        FakePage(name="p0", host=host, links=[]),
+        FakePage(name="a", host=host, links=[]),
+        FakePage(name="b", host=host, links=[]),
+        FakePage(name="decoy", host=host, links=[]),
+        FakePage(
+            name="maps/index.xml", host=host, content_type="application/xml",
+            body=(
+                "<sitemapindex>"
+                f"<sitemap><loc>http://{host}/maps/part1.xml</loc></sitemap>"
+                f"<sitemap><loc>http://{host}/maps/part2.xml</loc></sitemap>"
+                f"<sitemap><loc>http://{host}/maps/index.xml</loc></sitemap>"
+                "</sitemapindex>"
+            ).encode(),
+        ),
+        FakePage(
+            name="maps/part1.xml", host=host, content_type="application/xml",
+            body=f"<urlset><url><loc>{page_url('a', host)}</loc></url></urlset>".encode(),
+        ),
+        FakePage(
+            name="maps/part2.xml", host=host, content_type="application/xml",
+            body=f"<urlset><url><loc>{page_url('b', host)}</loc></url></urlset>".encode(),
+        ),
+    ]
+    robots = {host: f"User-agent: *\nAllow: /\nSitemap: http://{host}/maps/index.xml\n"}
+    sitemaps = {host: f"<urlset><url><loc>{page_url('decoy', host)}</loc></url></urlset>"}
+    return (
+        web_table(pages, robots=robots, sitemaps=sitemaps),
+        [page_url("p0", host)],
+    )
+
+
+def test_robots_sitemap_directive_and_index(ray_session, tmp_path):
+    # Sitemap: directives win over the /sitemap.xml convention; index files
+    # recurse (self-reference bounded by the per-host fetch cap)
+    web, seeds = _robots_sitemap_web()
+    spec = CrawlSpec(use_sitemaps=True, delay=0.05)
+    res, handle = run_both(web, seeds, spec, tmp_path)
+    assert_parity(res, handle)
+    urls = {r["url"].rsplit("/", 1)[1] for r in handle.crawl_order().take_all()}
+    assert {"a", "b", "p0"} <= urls
+    assert "decoy" not in urls  # convention file ignored when declared
