@@ -1384,3 +1384,80 @@ def _crawl_inner(
     )
     write_json(os.path.join(out_dir, "hook_counters.json"), hook_counters)
     return handle
+
+
+def crawl_diff(old: CrawlHandle, new: CrawlHandle) -> rd.Dataset:
+    """Change report between two crawls of the same seed list: one row per
+    canonical URL with status ``added`` (only in *new*), ``removed`` (only
+    in *old*), ``changed`` (both, different content ETag) or ``unchanged``
+    (both, same ETag — including 304 revalidations, whose echoed etag IS the
+    content validator). The freshness-monitoring surface of the incremental
+    recrawl: diff(v1 crawl, v2 recrawl) lists exactly what moved.
+
+    Distributed shape: project each side to (canonical_url, etag) of
+    fetched pages, tag, hash-shard by URL, per-shard vectorized first-run
+    dedup + side comparison — two fixed-width columns shuffle once."""
+    import numpy as np
+
+    from ..stages.frontier_ops import _cluster_shards, _first_of_run_mask
+    from ..state.shards import shards_of
+
+    n_shards = _cluster_shards()
+
+    def project(side: int):
+        def go(t: pa.Table) -> pa.Table:
+            t = t.filter(t.column("fetched"))
+            sh = shards_of(t.column("canonical_url").to_pylist(), n_shards)
+            return pa.table(
+                {
+                    "url": t.column("canonical_url"),
+                    "etag": t.column("etag"),
+                    "_shard": pa.array(sh, pa.int64()),
+                    "_side": pa.array(np.full(t.num_rows, side, np.int8)),
+                }
+            )
+
+        return go
+
+    both = old.pages().map_batches(project(0), batch_format="pyarrow").union(
+        new.pages().map_batches(project(1), batch_format="pyarrow")
+    )
+
+    def compare(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g, sort_keys=[("url", "ascending"), ("_side", "ascending")]
+        )
+        g = g.take(order)
+        # keep one row per (url, side): redirect chains can repeat a url
+        keys = pc.binary_join_element_wise(
+            g.column("url"), pc.cast(g.column("_side"), pa.string()), "\x1f"
+        )
+        g = g.filter(_first_of_run_mask(keys))
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {"url": pa.array([], pa.string()), "status": pa.array([], pa.string())}
+            )
+        # vectorized run pairing: after the (url, side) dedup each url has
+        # 1 row (one side) or 2 rows (both sides, old first)
+        first = np.asarray(_first_of_run_mask(g.column("url")))
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, n))
+        urls = np.array(g.column("url").to_pylist(), dtype=object)
+        sides = np.asarray(g.column("_side").to_pylist(), dtype=np.int8)
+        etags = np.array(g.column("etag").to_pylist(), dtype=object)
+        out_u = urls[starts]
+        out_s = np.where(sides[starts] == 0, "removed", "added").astype(object)
+        pairs = lens == 2
+        pi = starts[pairs]
+        out_s[pairs] = np.where(
+            etags[pi] == etags[pi + 1], "unchanged", "changed"
+        )
+        return pa.table(
+            {
+                "url": pa.array(list(out_u), pa.string()),
+                "status": pa.array(list(out_s), pa.string()),
+            }
+        )
+
+    return both.groupby("_shard").map_groups(compare, batch_format="pyarrow")

@@ -568,19 +568,15 @@ def q_crawl_host_stats(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
-def q_recrawl_status(sf_dir: str):
-    """Incremental recrawl (conditional GET) over a deterministically
-    mutated next version of a skewed synthetic web: crawl v1, recrawl v2
-    with prior_dir — every unchanged page revalidates (304, no
-    re-extraction, prior links replayed), the changed ~1/7 refetch (200).
-    Returns per-status-code page counts. No SQL oracle (crawl-derived
-    input); conditional-GET semantics are oracle-pinned by
-    tests/test_recrawl.py."""
+def _recrawl_fixture(sf_dir: str) -> tuple[str, str]:
+    """Cached v1-crawl + v2-recrawl pair over a deterministically mutated
+    skewed web (mutate_web changes ~1/7 of page bodies) — shared by
+    recrawl_status and crawl_diff."""
     import json
 
     from ..spec import CrawlSpec
     from ..synthweb import make_skewed_web, mutate_web
-    from .crawl import _committed_waves, crawl, open_crawl
+    from .crawl import _committed_waves, crawl
 
     sf = _sf_of(sf_dir)
     n = max(300, _SF_PAGES.get(sf, 4000) // 16)
@@ -601,6 +597,20 @@ def q_recrawl_status(sf_dir: str):
         from ..storage import write_json
 
         write_json(vfile, {"version": CACHE_VERSION})
+    return out1, out2
+
+
+def q_recrawl_status(sf_dir: str):
+    """Incremental recrawl (conditional GET) over a deterministically
+    mutated next version of a skewed synthetic web: crawl v1, recrawl v2
+    with prior_dir — every unchanged page revalidates (304, no
+    re-extraction, prior links replayed), the changed ~1/7 refetch (200).
+    Returns per-status-code page counts. No SQL oracle (crawl-derived
+    input); conditional-GET semantics are oracle-pinned by
+    tests/test_recrawl.py."""
+    from .crawl import open_crawl
+
+    _, out2 = _recrawl_fixture(sf_dir)
     pages = open_crawl(out2).pages()
 
     def partial(t: pa.Table) -> pa.Table:
@@ -617,6 +627,31 @@ def q_recrawl_status(sf_dir: str):
     out = parts.groupby("code", as_index=False)["n_pages"].sum()
     out["n_pages"] = out["n_pages"].astype("int64")
     return out.sort_values("code").reset_index(drop=True)
+
+
+def q_crawl_diff(sf_dir: str):
+    """Freshness report between the recrawl fixture's two crawls: one row
+    per status (added/changed/unchanged) with URL counts — 304
+    revalidations prove equality through the echoed ETag. No SQL oracle
+    (crawl-derived input); diff semantics pinned vs a Python reference in
+    tests/test_recrawl.py::test_crawl_diff."""
+    from .crawl import crawl_diff, open_crawl
+
+    out1, out2 = _recrawl_fixture(sf_dir)
+    d = crawl_diff(open_crawl(out1), open_crawl(out2))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            t.select(["status"])
+            .group_by("status")
+            .aggregate([([], "count_all")])
+            .rename_columns(["status", "n_urls"])
+        )
+
+    parts = d.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("status", as_index=False)["n_urls"].sum()
+    out["n_urls"] = out["n_urls"].astype("int64")
+    return out.sort_values("status").reset_index(drop=True)
 
 
 def q_canonical_alias_dedup(sf_dir: str):
@@ -5280,6 +5315,7 @@ QUERIES = {
     "monthly_orders": q_monthly_orders,
     "crawl_host_stats": q_crawl_host_stats,
     "recrawl_status": q_recrawl_status,
+    "crawl_diff": q_crawl_diff,
     "canonical_alias_dedup": q_canonical_alias_dedup,
     "user_type_pivot": q_user_type_pivot,
     "customer_order_years": q_customer_order_years,

@@ -167,3 +167,42 @@ def test_first_crawl_unaffected(ray_session, tmp_path):
     pages = h1.pages().take_all()
     assert all(not r["not_modified"] for r in pages)
     assert all(r["etag"].startswith('W/"') for r in pages if r["code"] == 200)
+
+
+def test_crawl_diff(ray_session, tmp_path):
+    from cloud_crawler_ray.pipelines.crawl import crawl_diff
+
+    v1, v2, seeds = versioned_webs()
+    spec = CrawlSpec(delay=0.05)
+    out1, out2 = str(tmp_path / "one"), str(tmp_path / "two")
+    h1 = crawl(v1, seeds, spec, out1)
+    h2 = crawl(v2, seeds, spec, out2, prior_dir=out1)
+    got = {r["url"].rsplit("/", 1)[1]: r["status"] for r in crawl_diff(h1, h2).take_all()}
+    assert got == {
+        "home": "unchanged",
+        "a": "unchanged",
+        "b": "unchanged",   # 304-revalidated: echoed etag proves equality
+        "a1": "changed",
+        "c": "changed",
+        "d": "added",
+    }
+    # python reference over the same pages tables
+    def emap(h):
+        return {
+            r["canonical_url"]: r["etag"]
+            for r in h.pages().take_all()
+            if r["fetched"]
+        }
+    e1, e2 = emap(h1), emap(h2)
+    expect = {}
+    for u in set(e1) | set(e2):
+        if u not in e2:
+            expect[u] = "removed"
+        elif u not in e1:
+            expect[u] = "added"
+        else:
+            expect[u] = "unchanged" if e1[u] == e2[u] else "changed"
+    assert {f"http://www.example.com/{k}": v for k, v in got.items()} == expect
+    # removal: crawl v1 against v2's output reversed
+    rev = {r["url"].rsplit("/", 1)[1]: r["status"] for r in crawl_diff(h2, h1).take_all()}
+    assert rev["d"] == "removed"
