@@ -226,6 +226,7 @@ class CrawlHandle:
                     "n_raw_rows": met.get("n_raw_rows", -1),
                     "n_fetched": met.get("n_fetched", -1),
                     "n_failed": met.get("n_failed", -1),
+                    "n_not_modified": met.get("n_not_modified", 0),
                     "spilled": bool(met.get("spilled", False)),
                 }
             )
@@ -233,7 +234,7 @@ class CrawlHandle:
             rows,
             columns=[
                 "wave", "n_jobs", "total_jobs", "n_raw_rows",
-                "n_fetched", "n_failed", "spilled",
+                "n_fetched", "n_failed", "n_not_modified", "spilled",
             ],
         )
 
@@ -1284,15 +1285,19 @@ def _crawl_inner(
         # monitored crawl reads without touching the data): raw row count
         # from parquet FOOTERS (no data read) + fetched count from a single
         # bool column — bounded cost at any wave size
-        n_raw_rows, n_fetched = 0, 0
+        n_raw_rows, n_fetched, n_not_modified = 0, 0, 0
         for part_file in sorted(glob.glob(os.path.join(raw_dir, "*.parquet"))):
-            # one ParquetFile handle per part (footer + the bool column);
+            # one ParquetFile handle per part (footer + two bool columns);
             # NOT read_table: the wave=N dir name would be hive-parsed into
             # a dictionary column clashing with the in-file int32 "wave"
             pf = pq.ParquetFile(part_file)
             n_raw_rows += pf.metadata.num_rows
-            fcol = pf.read(columns=["fetched"]).column("fetched")
+            cols_nm = pf.read(columns=["fetched", "not_modified"])
+            fcol = cols_nm.column("fetched")
             n_fetched += int(pc.sum(pc.cast(fcol, pa.int64())).as_py() or 0)
+            n_not_modified += int(
+                pc.sum(pc.cast(cols_nm.column("not_modified"), pa.int64())).as_py() or 0
+            )
         _prof(f"w{wave} wave_metrics")
         write_json(
             os.path.join(out_dir, "lineage", f"wave={wave:05d}.json"),
@@ -1305,6 +1310,7 @@ def _crawl_inner(
                     "n_raw_rows": n_raw_rows,
                     "n_fetched": n_fetched,
                     "n_failed": n_raw_rows - n_fetched,
+                    "n_not_modified": n_not_modified,
                     "spilled": bool(spilled),
                 },
                 "hook_counters": dict(hook_counters),

@@ -134,3 +134,17 @@ def test_adaptive_crawl_example(ray_session):
     # authority-guided ordering: the first half of the crawl averages at
     # least as high an authority tier as the second half
     assert out["mean_tier_first_half"] >= out["mean_tier_second_half"]
+
+
+def test_freshness_recrawl_example(ray_session):
+    from examples.freshness_recrawl import main
+
+    report, revalidated, docs = main()
+    statuses = dict((u.rsplit("/", 1)[1], s) for u, s in report)
+    assert statuses["news"] == "changed"
+    assert statuses["story-new"] == "added"
+    assert statuses["about"] == "unchanged"
+    assert revalidated >= 4  # home/about/catalog/item1/item2 validate
+    # 304 documents filled from the prior crawl
+    assert any("item one" in s["text"]
+               for s in docs["http://www.example.com/item1"])
