@@ -43,10 +43,9 @@ def read_table(path: str, columns: list[str] | None = None) -> rd.Dataset:
     if HAVE_LANCE and os.path.isdir(path) and any(
         n.endswith(".lance") or n == "_versions" for n in os.listdir(path)
     ):
-        import lance
-
-        t = lance.dataset(path).to_table(columns=columns)
-        return rd.from_arrow(t)
+        # streaming fragment-parallel read (never .to_table() — a Lance
+        # corpus at 100 TB must enter as blocks, not one driver table)
+        return rd.read_lance(path, columns=columns)
     return rd.read_parquet(path, columns=columns)
 
 
