@@ -287,3 +287,112 @@ def hll_distinct_by(
         )
         .to_pandas()
     )
+
+
+# ---- KMV / theta set-operation sketches ------------------------------------
+# Bottom-k minimum hash values (Beyer et al., "On Synopses for Distinct-Value
+# Estimation Under Multiset Operations", SIGMOD 2007; the DataSketches theta
+# family). Where HLL answers |A|, KMV answers SET OPERATIONS between streams
+# that never materialize: θ = k-th smallest hash of the UNION; every sketch
+# member below θ is a uniform sample of the union, so
+#   |A ∩ B| ≈ |{h < θ : h ∈ sk(A) ∧ h ∈ sk(B)}| / θ.
+# Partials are bounded (k values per block per side), merge = k smallest of
+# the concatenation (associative/commutative/idempotent — re-execution safe).
+
+_KMV_MULT = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 multiplier
+
+
+def _kmv_hash(values: np.ndarray) -> np.ndarray:
+    """uint64 hash stream: strings via crc-pair (NUL-safe), ints via a
+    splitmix64 round — deterministic across processes."""
+    if values.dtype.kind in ("i", "u"):
+        x = values.astype(np.uint64)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return x ^ (x >> np.uint64(31))
+    import zlib
+
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        b = str(v).encode("utf-8")
+        out[i] = (zlib.crc32(b) << 32) | zlib.crc32(b[::-1])
+    return (out * _KMV_MULT) ^ (out >> np.uint64(29))
+
+
+def kmv_partial(values: np.ndarray, k: int) -> np.ndarray:
+    """Bottom-k distinct hashes of one block — the mergeable partial."""
+    h = np.unique(_kmv_hash(values))
+    return h[:k]
+
+
+def kmv_merge(parts: list[np.ndarray], k: int) -> np.ndarray:
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))[:k]
+
+
+def kmv_set_estimates(a: np.ndarray, b: np.ndarray, k: int) -> dict:
+    """Distinct-count estimates for A, B, A∪B, A∩B from two merged KMV
+    sketches. Exact (sketch IS the set) when a side saw < k distinct."""
+    union = np.unique(np.concatenate([a, b]))[:k]
+    two64 = float(1 << 64)
+
+    def card(sk: np.ndarray) -> float:
+        if len(sk) < k:
+            return float(len(sk))  # exact: sketch holds every distinct hash
+        theta = float(sk[k - 1]) / two64
+        return (k - 1) / theta
+
+    if len(union) < k:
+        inter = float(len(np.intersect1d(a, b)))
+    else:
+        theta_u = float(union[k - 1]) / two64
+        below = union[: k - 1]  # strictly below the union threshold
+        inter = (
+            len(np.intersect1d(np.intersect1d(below, a), b)) / theta_u
+        )
+    return {
+        "a": card(a),
+        "b": card(b),
+        "union": card(union),
+        "intersection": inter,
+    }
+
+
+def kmv_intersection(
+    ds: rd.Dataset, label_col: str, value_col: str,
+    label_a: str, label_b: str, k: int = 1024,
+) -> dict:
+    """Approximate |A|, |B|, |A∪B|, |A∩B| where A/B are the distinct
+    *value_col* sets of rows labeled *label_a*/*label_b* — e.g. users who
+    viewed vs users who purchased, without materializing either id set.
+
+    Distributed shape: each block emits ≤ 2k fixed-width hash rows (its
+    bottom-k per side); the driver merges k smallest per side. The exact
+    twin (SQL INTERSECT / funnel queries) is the oracle-checkable pair at
+    test scale; this is the 100-TB path when the id sets are unbounded."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_side, out_hash = [], []
+        for side, lbl in ((0, label_a), (1, label_b)):
+            vals = t.filter(pc.equal(t.column(label_col), lbl)).column(
+                value_col
+            ).to_numpy(zero_copy_only=False)
+            if len(vals):
+                hs = kmv_partial(vals, k)
+                out_side.extend([side] * len(hs))
+                out_hash.extend(hs.tolist())
+        return pa.table(
+            {
+                "side": pa.array(out_side, pa.int8()),
+                "h": pa.array(np.array(out_hash, dtype=np.uint64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sks = []
+    for side in (0, 1):
+        hs = parts[parts["side"] == side]["h"].to_numpy().astype(np.uint64)
+        sks.append(np.unique(hs)[:k])
+    return kmv_set_estimates(sks[0], sks[1], k)

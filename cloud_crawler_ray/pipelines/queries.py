@@ -4821,6 +4821,28 @@ def q_dominant_suppliers(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_event_overlap_kmv(sf_dir: str):
+    """KMV/theta set-operation sketch over the events stream: estimated
+    distinct viewers, purchasers, their union and INTERSECTION, without
+    materializing either id set (ops/sketches.py kmv_intersection; bounded
+    2k-hash partials per block). Exact below k distinct per side; error-band
+    + partition-invariance pytest in tests/test_sketches.py. No SQL oracle
+    (approximate); the exact INTERSECT twin is repeat_customers /
+    funnel_conversion."""
+    from ..ops.sketches import kmv_intersection
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    est = kmv_intersection(ev, "event_type", "user_id", "view", "purchase")
+    return pd.DataFrame(
+        {
+            "metric": ["viewers", "purchasers", "union", "intersection"],
+            "estimate": [est["a"], est["b"], est["union"], est["intersection"]],
+        }
+    )
+
+
 def q_event_users_hll(sf_dir: str):
     """Approximate distinct users per event type via grouped HyperLogLog
     (ops/sketches.py hll_distinct_by): one mergeable 2^12-byte register row
@@ -5354,6 +5376,7 @@ QUERIES = {
     "segment_dedup": q_segment_dedup,
     "forward_fill": q_forward_fill,
     "event_users_hll": q_event_users_hll,
+    "event_overlap_kmv": q_event_overlap_kmv,
     "dominant_suppliers": q_dominant_suppliers,
     "media_phash_dups": q_media_phash_dups,
     "value_outliers": q_value_outliers,
