@@ -70,6 +70,12 @@ FETCH_OUT_SCHEMA = pa.schema(
 )
 
 
+# wall-clock politeness map for real-socket nets (stages/httpnet.py): host →
+# earliest next fetch start, per worker process (shared across waves and
+# across the cached/actor fetchers in this process)
+_NEXT_OK_WALL: dict[str, float] = {}
+
+
 class FetchExtract:
     def __init__(self, web_ref, spec: CrawlSpec, wave: int, cookie_hdrs: dict | None = None):
         payload = ray.get(web_ref)
@@ -89,6 +95,12 @@ class FetchExtract:
         # wave-committed per-host Cookie headers (set by the driver per wave;
         # read-only here, so fetch stays deterministic in task mode too)
         self.cookie_hdrs: dict[str, str] = cookie_hdrs or {}
+        # real-socket backend (stages/httpnet.py HttpNet): the net fetches
+        # over the wire via its own chain() and politeness is enforced on
+        # the WALL clock here (reference sleeps between same-host requests,
+        # dsl_core.rb delay; the synthetic path records virtual slots only)
+        self._real_chain = getattr(self.net, "chain", None)
+        self._realtime = bool(getattr(self.net, "realtime", False))
 
 
 
@@ -123,10 +135,37 @@ class FetchExtract:
             req_cookies = request_cookie_header(
                 spec.cookies, self.cookie_hdrs.get(host, ""), spec.accept_cookies
             )
-            chain = fetch_chain(
-                self.net, url, depth, referer, spec.redirect_limit,
-                cookie_header=req_cookies, prior_etag=pe or "",
-            )
+            if self._real_chain is not None:
+                if self._realtime and spec.delay > 0:
+                    # per-host spacing on the WALL clock (the virtual slot
+                    # plan spaces jobs too, but a real network's latency is
+                    # unknowable in advance): same-host jobs are co-located
+                    # in one politeness lane (one block → serial in one
+                    # worker), and the per-process next-allowed map keyed by
+                    # host enforces delay between a fetch END and the next
+                    # same-host START, whatever the real response times do.
+                    # Cross-wave, worker reuse (_PROC_CACHE) keeps the map
+                    # warm; a host migrating to a cold worker between waves
+                    # is additionally spaced by the wave-planning barrier.
+                    import time as _time
+
+                    wait = _NEXT_OK_WALL.get(host, 0.0) - _time.monotonic()
+                    if wait > 0:
+                        _time.sleep(wait)
+                chain = self._real_chain(
+                    url, depth, referer, spec.redirect_limit,
+                    cookie_header=req_cookies, prior_etag=pe or "",
+                    user_agent=ua,
+                )
+                if self._realtime and spec.delay > 0:
+                    import time as _time
+
+                    _NEXT_OK_WALL[host] = _time.monotonic() + spec.delay
+            else:
+                chain = fetch_chain(
+                    self.net, url, depth, referer, spec.redirect_limit,
+                    cookie_header=req_cookies, prior_etag=pe or "",
+                )
             kept = chain if spec.keep_redirects else chain[-1:]
             ordinal_base = 0
             for pos, p in enumerate(kept):
