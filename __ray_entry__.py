@@ -30,6 +30,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from cloud_crawler_ray.pipelines.queries import ORACLE_SQL
+    from cloud_crawler_ray.pipelines.queries import ORACLE_SQL, ensure_oracle_tables
 
+    # crawl-derived oracles read the serial Python oracle's expected tables
+    # via read_parquet; materialize them (cached, version-keyed) before any
+    # of the returned SQL can run
+    ensure_oracle_tables()
     return dict(ORACLE_SQL)

@@ -5229,6 +5229,133 @@ def q_pii_redact(sf_dir: str):
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
+def q_crawl_spans(sf_dir: str):
+    """Flagship documents flattened to one row per span — the SQL-checkable
+    projection of the interleaved-span invariant (kind, text, media_ref,
+    order) against the serial oracle's expected table (the BASELINE.json
+    per-row invariant, surfaced to the driver's DuckDB hash check). Zero-copy
+    Arrow flatten (list_flatten + list_parent_indices), never pandas."""
+    import pyarrow.compute as pc
+
+    docs = crawl_handle_for(sf_dir).documents()
+
+    def flat(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        f = pc.list_flatten(spans)
+        parents = pc.list_parent_indices(spans)
+        return pa.table(
+            {
+                "doc_id": pc.take(t.column("doc_id"), parents),
+                "kind": pc.struct_field(f, "kind"),
+                "text": pc.struct_field(f, "text"),
+                "media_ref": pc.struct_field(f, "media_ref"),
+                "offset": pc.struct_field(f, "offset"),
+            }
+        )
+
+    return docs.map_batches(flat, batch_format="pyarrow")
+
+
+# ---------------- serial-oracle expected tables (DuckDB-readable) ----------
+#
+# The crawl-derived queries (crawl_order, crawl_pages, crawl_spans,
+# hook_counters, anchor_texts, crawl_host_stats) have no closed-form SQL over
+# the testdata views — their ground truth is the serial Python oracle
+# (oracle.crawl_oracle, reference semantics) over the SAME deterministic
+# synthetic web the flagship crawl runs on. ensure_oracle_tables()
+# materializes the oracle's expected tables once under /tmp (version-keyed
+# like the engine's crawl cache) so ORACLE_SQL can read them with DuckDB
+# read_parquet(); __ray_entry__.oracle_sql() calls it before returning the
+# dict, so the files exist whenever the SQL can run. The paths are pinned to
+# sf0.01 — the one scale the driver and test suite evaluate SQL at.
+
+ORACLE_TABLE_DIR = "/tmp/ccray_oracle_sf0.01"
+
+
+def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import json
+
+    from ..oracle import crawl_oracle
+    from ..storage import write_json
+
+    sf = _sf_of(sf_dir)
+    out = f"/tmp/ccray_oracle_sf{sf}"
+    vfile = os.path.join(out, "cache_version.json")
+    try:
+        with open(vfile) as f:
+            if json.load(f)["version"] == CACHE_VERSION:
+                return out
+    except (OSError, KeyError, ValueError):
+        pass
+    n_pages = _SF_PAGES.get(sf, 4000)
+    web, seeds = make_skewed_web(n_pages, n_hosts=max(8, n_pages // 250), seed=42)
+    spec = CrawlSpec(
+        delay=0.02,
+        on_every_page=_flagship_on_page,
+        before_crawl=_flagship_before_crawl,
+        before_batch=_flagship_before_batch,
+        after_crawl=_flagship_after_crawl,
+    )
+    res = crawl_oracle(web, seeds, spec)
+    os.makedirs(out, exist_ok=True)
+
+    order = pa.table(
+        {
+            "wave": pa.array([w for w, _, _ in res.crawl_order], pa.int32()),
+            "seq": pa.array([s for _, s, _ in res.crawl_order], pa.int64()),
+            "url": pa.array([u for _, _, u in res.crawl_order], pa.string()),
+        }
+    )
+    pq.write_table(order, os.path.join(out, "crawl_order.parquet"))
+
+    from ..stages.fetch import FETCH_OUT_SCHEMA
+    from .crawl import META_COLS
+
+    pages = pa.table(
+        {
+            c: pa.array(
+                [p[c] for p in res.pages], FETCH_OUT_SCHEMA.field(c).type
+            )
+            for c in META_COLS
+        }
+    )
+    pq.write_table(pages, os.path.join(out, "pages.parquet"))
+
+    di: list[str] = []
+    ki: list[str] = []
+    te: list[str] = []
+    mr: list[str] = []
+    of: list[int] = []
+    for d in res.documents:
+        for s in d["spans"]:
+            di.append(d["doc_id"])
+            ki.append(s["kind"])
+            te.append(s["text"])
+            mr.append(s["media_ref"])
+            of.append(s["offset"])
+    spans = pa.table(
+        {
+            "doc_id": pa.array(di, pa.string()),
+            "kind": pa.array(ki, pa.string()),
+            "text": pa.array(te, pa.string()),
+            "media_ref": pa.array(mr, pa.string()),
+            "offset": pa.array(of, pa.int32()),
+        }
+    )
+    pq.write_table(spans, os.path.join(out, "spans.parquet"))
+
+    keys = sorted(res.counters)
+    counters = pa.table(
+        {
+            "key": pa.array(keys, pa.string()),
+            "count": pa.array([int(res.counters[k]) for k in keys], pa.int64()),
+        }
+    )
+    pq.write_table(counters, os.path.join(out, "counters.parquet"))
+    write_json(vfile, {"version": CACHE_VERSION})
+    return out
+
+
 QUERIES = {
     "word_count": q_word_count,
     "token_count": q_token_count,
@@ -6695,6 +6822,60 @@ ORACLE_SQL = {
         FROM s ORDER BY c_custkey
     """,
 }
+
+QUERIES["crawl_spans"] = q_crawl_spans
+
+# Crawl-derived queries vs the serial oracle's expected tables (see
+# ensure_oracle_tables above — __ray_entry__.oracle_sql() materializes the
+# parquet before any of these strings can run; paths pinned to sf0.01, the
+# scale the driver and suite evaluate SQL at).
+ORACLE_SQL.update(
+    {
+        "crawl_order": f"""
+        SELECT wave, seq, url
+        FROM read_parquet('{ORACLE_TABLE_DIR}/crawl_order.parquet')
+        ORDER BY seq
+    """,
+        "crawl_pages": f"""
+        SELECT * FROM read_parquet('{ORACLE_TABLE_DIR}/pages.parquet')
+        ORDER BY seq, url
+    """,
+        "crawl_spans": f"""
+        SELECT doc_id, kind, text, media_ref, "offset"
+        FROM read_parquet('{ORACLE_TABLE_DIR}/spans.parquet')
+        ORDER BY doc_id, "offset"
+    """,
+        "hook_counters": f"""
+        SELECT key, "count"
+        FROM read_parquet('{ORACLE_TABLE_DIR}/counters.parquet')
+        ORDER BY key
+    """,
+        "anchor_texts": f"""
+        WITH l AS (
+          SELECT media_ref AS target, text AS anchor, doc_id
+          FROM read_parquet('{ORACLE_TABLE_DIR}/spans.parquet')
+          WHERE kind = 'link'
+        )
+        SELECT target,
+               COUNT(DISTINCT doc_id)::BIGINT AS n_refs,
+               string_agg(DISTINCT anchor, chr(31) ORDER BY anchor) AS anchors
+        FROM l GROUP BY target ORDER BY target
+    """,
+        "crawl_host_stats": f"""
+        WITH p AS (
+          SELECT lower(regexp_extract(canonical_url, '^[a-z]+://([^/:]+)', 1))
+                   AS host,
+                 fetched, fetch_time_ms
+          FROM read_parquet('{ORACLE_TABLE_DIR}/pages.parquet')
+        )
+        SELECT host,
+               COUNT(*)::BIGINT AS n_pages,
+               SUM(CASE WHEN fetched THEN 0 ELSE 1 END)::BIGINT AS n_failed,
+               SUM(fetch_time_ms)::BIGINT AS fetch_ms
+        FROM p GROUP BY host ORDER BY host
+    """,
+    }
+)
 
 # The grading driver's correctness window covers the first 50 registry
 # entries; enumerate the DuckDB-hash-checked queries first (stable order

@@ -89,11 +89,11 @@ def test_sql_checked_query(entrymod, con, name):
 @pytest.mark.parametrize(
     "name",
     ["lang_id", "minhash_dedup", "simhash_pairs", "knn_ivf",
-     "crawl_documents", "crawl_pages", "crawl_order", "media_features",
+     "crawl_documents", "media_features",
      "hll_distinct", "minhash_keep_best", "span_stats",
      "media_captions", "interleave_pack", "lm_score", "pagerank",
      "embedding_clusters", "cms_heavy_hitters", "value_quantile_sketch",
-     "crawl_host_stats", "link_hits", "api_fetch", "anchor_texts", "span_violations", "main_content", "bpe_merges", "media_fetch_plan", "crawl_wave_metrics", "event_users_hll", "media_phash_dups", "recrawl_status", "canonical_alias_dedup", "crawl_diff", "event_overlap_kmv"],
+     "link_hits", "api_fetch", "span_violations", "main_content", "bpe_merges", "media_fetch_plan", "crawl_wave_metrics", "event_users_hll", "media_phash_dups", "recrawl_status", "canonical_alias_dedup", "crawl_diff", "event_overlap_kmv"],
 )
 def test_rows_only_query(entrymod, name):
     df = to_df(entrymod.queries()[name](SF_SMALL))
