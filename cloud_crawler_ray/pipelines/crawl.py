@@ -42,7 +42,14 @@ from ..spec import CrawlSpec
 from ..state.shards import ShardedState
 from ..storage import read_json, read_table, write_json
 from ..stages.fetch import FetchExtract, make_fetch_fn
-from ..stages.frontier_ops import dedup_candidates, explode_children, filter_unseen
+from ..stages.frontier_ops import (
+    ClaimChildren,
+    admit_frontier,
+    claim_candidates,
+    dedup_candidates,
+    explode_children,
+    filter_unseen,
+)
 from ..stages.indexing import zip_with_index
 from ..stages.politeness import assign_slots, build_chain_latency_index
 
@@ -754,14 +761,21 @@ def _passthrough_part_writer(dirpath: str, project=None):
     return write
 
 
-def _spill_split_writer(spill_dir: str, cutoff: int):
+def _spill_split_writer(
+    spill_dir: str, cutoff: int, claim_shards: list | None = None,
+    claim_wave: int | None = None,
+):
     """map_batches stage fusing the job_limit spill into the wave plan: rows
     with seq >= cutoff are written to *spill_dir* (sans seq — re-assigned
     when they re-enter a wave plan, landing on the same value because
     spilled rows sort before any newer children) and the sub-cutoff head is
     passed on. One pass over the stamped blocks instead of a separate
     tail-write execution. Part naming and retry-idempotence as in
-    _passthrough_part_writer (min seq is globally unique per wave)."""
+    _passthrough_part_writer (min seq is globally unique per wave).
+
+    With *claim_shards*, spilled rows also register next-wave first-wins
+    claims (they re-enter wave *claim_wave*'s candidate pool alongside that
+    wave's children; idempotent min-merge, so retries are safe)."""
     import pyarrow.parquet as pq
 
     def split(t: pa.Table) -> pa.Table:
@@ -773,6 +787,16 @@ def _spill_split_writer(spill_dir: str, cutoff: int):
                 tail.drop_columns(["seq"]),
                 os.path.join(spill_dir, f"part-{lo:012d}.parquet"),
             )
+            if claim_shards is not None:
+                from ..stages.frontier_ops import _claim_to_shards
+
+                _claim_to_shards(
+                    claim_shards,
+                    claim_wave,
+                    tail.column("canonical_url").to_pylist(),
+                    tail.column("parent_seq").to_numpy(zero_copy_only=False),
+                    tail.column("ordinal").to_numpy(zero_copy_only=False),
+                )
         return t.filter(pc.less(t.column("seq"), cutoff))
 
     return split
@@ -930,7 +954,7 @@ def _crawl_inner(
         if spec.follow_links:
             raw_prev = _wave_dir(out_dir, "raw", start_wave - 1)
             fr_ds = rd.read_parquet(
-                raw_prev, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
+                raw_prev, columns=["url", "seq", "depth", "child_urls", "child_canonical_urls", "child_hosts", "child_ordinal_base"]
             ).map_batches(explode_children, batch_format="pyarrow")
             if spill_ds is not None:
                 fr_ds = fr_ds.union(spill_ds)
@@ -949,6 +973,12 @@ def _crawl_inner(
             {"event": "before_crawl", "total_jobs": 0, "counters": dict(hook_counters)},
             hook_counters,
         )
+
+    # claim-based in-wave dedup (default; CCRAY_DEDUP=shuffle forces the
+    # legacy groupby path). claims_ready: wave W's candidates were claimed by
+    # wave W-1's execution — False for the first planned wave (seeds, resume)
+    claims_mode = os.environ.get("CCRAY_DEDUP", "claims") != "shuffle"
+    claims_ready = False
 
     wave = start_wave
     while True:
@@ -979,6 +1009,15 @@ def _crawl_inner(
                 spilled = True
                 os.makedirs(spill_dir, exist_ok=True)
                 pq.write_table(spill_tbl, os.path.join(spill_dir, "part-0.parquet"))
+                if claims_mode and spec.follow_links:
+                    # spilled rows re-enter the next wave's candidate pool;
+                    # claim them now in case that wave plans distributed
+                    state.claim_frontier(
+                        wave + 1,
+                        spill_tbl.column("canonical_url").to_pylist(),
+                        spill_tbl.column("parent_seq").to_pylist(),
+                        spill_tbl.column("ordinal").to_pylist(),
+                    )
             os.makedirs(fdir, exist_ok=True)
             pq.write_table(fm_tbl, os.path.join(fdir, "part-0.parquet"))
             _prof(f"w{wave} frontier_write")
@@ -993,8 +1032,21 @@ def _crawl_inner(
         else:
             f = fr_ds
             if spec.follow_links:
-                f = dedup_candidates(f)
-                f = filter_unseen(f, state)
+                if not claims_mode:
+                    # legacy shuffle path (CCRAY_DEDUP=shuffle): hash-shard
+                    # groupby dedup + separate seen RPC filter
+                    f = dedup_candidates(f)
+                    f = filter_unseen(f, state)
+                else:
+                    # claim path (default): candidates were claimed by their
+                    # PRODUCING execution (fetch tasks / spill writer); the
+                    # in-wave dedup + seen anti-join is one map-side RPC
+                    # filter — no shuffle. Seed waves and resume replans had
+                    # no producing execution → fallback claim pass (its
+                    # materialize is the registration barrier).
+                    if not claims_ready:
+                        f = claim_candidates(f, state, wave)
+                    f = admit_frontier(f, state, wave)
             _prof("pre")
             if spec.priority_fn is not None:
                 pf = spec.priority_fn
@@ -1046,7 +1098,11 @@ def _crawl_inner(
                 # into the wave execution (no separate tail-write execution)
                 spilled = True
                 f = f.map_batches(
-                    _spill_split_writer(spill_dir, next_seq + spec.job_limit),
+                    _spill_split_writer(
+                        spill_dir, next_seq + spec.job_limit,
+                        claim_shards=state.shards if claims_mode else None,
+                        claim_wave=wave + 1,
+                    ),
                     batch_format="pyarrow",
                 )
                 n_jobs = spec.job_limit
@@ -1109,7 +1165,15 @@ def _crawl_inner(
             driver_fx.wave = wave
             driver_fx.cookie_hdrs = cookie_hdrs
             os.makedirs(raw_dir, exist_ok=True)
-            pq.write_table(driver_fx(fetch_tbl), os.path.join(raw_dir, "part-0.parquet"))
+            out_tbl = driver_fx(fetch_tbl)
+            pq.write_table(out_tbl, os.path.join(raw_dir, "part-0.parquet"))
+            if claims_mode and spec.follow_links:
+                # register next-wave claims for the children (the driver IS
+                # this wave's producing execution)
+                from ..stages.frontier_ops import _flat_children
+
+                flat, pseqs, ords, _ = _flat_children(out_tbl)
+                state.claim_frontier(wave + 1, flat.to_pylist(), pseqs, ords)
         else:
             if fetch_mode == "tasks":
                 raw = fetch_in.map_batches(
@@ -1124,6 +1188,13 @@ def _crawl_inner(
                     batch_format="pyarrow",
                     batch_size=fetch_batch_size,
                     concurrency=fetch_concurrency,
+                )
+            if claims_mode and spec.follow_links:
+                # next-wave first-wins claims registered inside this wave's
+                # execution (its completion is the planning barrier) — the
+                # wave after this one needs no dedup shuffle
+                raw = raw.map_batches(
+                    ClaimChildren(state.shards, wave + 1), batch_format="pyarrow"
                 )
             if not local and spec.follow_links:
                 # fuse the raw write with the seen-commit: the fetch stage
@@ -1336,6 +1407,13 @@ def _crawl_inner(
             },
         )
         committed.append(read_json(os.path.join(out_dir, "lineage", f"wave={wave:05d}.json")))
+        if claims_mode:
+            # this wave's claims were consumed by its plan; free the shard
+            # memory. Claims for wave+1 (registered by this wave's fetch /
+            # spill writers) are now complete — the next plan skips the
+            # fallback claim pass.
+            state.clear_claims(wave)
+            claims_ready = spec.follow_links
 
         if not spec.follow_links and not spilled:
             wave += 1
@@ -1345,7 +1423,7 @@ def _crawl_inner(
         if local:
             if spec.follow_links:
                 raw_children = pq.read_table(
-                    raw_dir, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
+                    raw_dir, columns=["url", "seq", "depth", "child_urls", "child_canonical_urls", "child_hosts", "child_ordinal_base"]
                 )
                 fr_tbl = explode_children(raw_children)
                 if spill_tbl is not None and spill_tbl.num_rows:
@@ -1368,7 +1446,7 @@ def _crawl_inner(
             )
             if spec.follow_links:
                 fr_ds = rd.read_parquet(
-                    raw_dir, columns=["url", "seq", "depth", "child_urls", "child_ordinal_base"]
+                    raw_dir, columns=["url", "seq", "depth", "child_urls", "child_canonical_urls", "child_hosts", "child_ordinal_base"]
                 ).map_batches(explode_children, batch_format="pyarrow")
                 if spill_ds is not None:
                     fr_ds = fr_ds.union(spill_ds)

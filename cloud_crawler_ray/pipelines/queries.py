@@ -38,7 +38,7 @@ def _emb(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
-CACHE_VERSION = 7  # bump when the raw/frontier schema or flagship spec changes
+CACHE_VERSION = 8  # bump when the raw/frontier schema or flagship spec changes
 
 
 def _flagship_on_page(p: dict) -> dict:

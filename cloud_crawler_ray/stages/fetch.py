@@ -53,6 +53,12 @@ FETCH_OUT_SCHEMA = pa.schema(
         ("job_end_ms", pa.int64()),
         ("spans", pa.list_(SPAN_TYPE)),
         ("child_urls", pa.list_(pa.string())),
+        # canonical form + politeness host of each child, computed ONCE here
+        # (admitted children only): explode_children and the claim
+        # registration consume these columns zero-copy instead of re-running
+        # the canonicalization string loop per wave
+        ("child_canonical_urls", pa.list_(pa.string())),
+        ("child_hosts", pa.list_(pa.string())),
         ("child_ordinal_base", pa.int64()),
         ("user_agent", pa.string()),
         ("counter_keys", pa.list_(pa.string())),
@@ -245,6 +251,10 @@ class FetchExtract:
                 cols["user_agent"].append(ua)
                 cols["spans"].append(page_dict["spans"])
                 cols["child_urls"].append(children)
+                from ..canon import canonical_urls, hosts_of
+
+                cols["child_canonical_urls"].append(canonical_urls(children))
+                cols["child_hosts"].append(hosts_of(children))
                 cols["child_ordinal_base"].append(ordinal_base)
                 cols["counter_keys"].append(ckeys)
                 cols["counter_vals"].append(cvals)

@@ -96,7 +96,8 @@ def dedup_candidates(ds: rd.Dataset, n_shards: int | None = None) -> rd.Dataset:
 class SeenFilter:
     """map_batches callable: drop rows whose canonical_url is in the
     committed seen set. Handles are cloudpickled into the closure; calls are
-    batched per shard (never per URL)."""
+    batched per shard (never per URL) and all shard RPCs resolve in one
+    ray.get (total wait = the slowest shard, never a serial sum)."""
 
     def __init__(self, shards: list):
         self.shards = shards
@@ -109,13 +110,13 @@ class SeenFilter:
         if not keys:
             return batch
         groups = group_indices_by_shard(keys, self.n)
-        futs = {
-            sid: self.shards[sid].check.remote([keys[i] for i in idxs])
+        futs = [
+            self.shards[sid].check.remote([keys[i] for i in idxs])
             for sid, idxs in groups.items()
-        }
+        ]
         mask = np.zeros(len(keys), dtype=bool)
-        for sid, idxs in groups.items():
-            mask[idxs] = ray.get(futs[sid])
+        for (sid, idxs), res in zip(groups.items(), ray.get(futs)):
+            mask[idxs] = res
         return batch.filter(pa.array(mask))
 
 
@@ -123,20 +124,160 @@ def filter_unseen(ds: rd.Dataset, state) -> rd.Dataset:
     return ds.map_batches(SeenFilter(state.shards), batch_format="pyarrow")
 
 
+# ---- claim-based in-wave dedup (no shuffle) --------------------------------
+#
+# The dedup groupby above moves every candidate row through an all-to-all
+# hash shuffle each wave. The claim protocol removes it: whoever PRODUCES a
+# candidate (the fetch task emitting children, the spill writer, the seeds
+# pass) registers a first-wins claim — canonical_url → min (parent_seq,
+# ordinal) — on the same state shards that hold the seen set (idempotent
+# min-merge, so task retries are safe). The producing wave's execution is
+# the barrier: by the time wave W+1 plans, every claim for it is committed.
+# Planning then needs only a map-side filter (`admit_frontier`) that asks
+# each key's shard "am I the claim winner, and is the key unseen?" — the
+# in-wave dedup and the cross-wave anti-join in ONE batched RPC per shard
+# per block, moving (key, 2 ints) instead of whole frontier rows.
+
+
+def _flat_children(batch: pa.Table):
+    """(flat canonical, parent_seq, ordinal) numpy triples from a raw fetch
+    block's child columns — shared by claim registration and explode."""
+    batch = batch.combine_chunks()
+    kids = batch.column("child_canonical_urls")
+    if isinstance(kids, pa.ChunkedArray):
+        kids = kids.combine_chunks()
+    flat = pc.list_flatten(kids)
+    counts = pc.list_value_length(kids).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(counts).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return flat, np.empty(0, np.int64), np.empty(0, np.int64), counts
+    seqs = batch.column("seq").to_numpy(zero_copy_only=False).astype(np.int64)
+    bases = (
+        batch.column("child_ordinal_base").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    ordinals = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(offsets, counts)
+        + np.repeat(bases, counts)
+    )
+    return flat, np.repeat(seqs, counts), ordinals, counts
+
+
+def _claim_to_shards(shards, wave: int, keys: list, pseqs, ords) -> None:
+    """Register claims, batched per shard, resolved in one ray.get (the
+    registration must be DONE when this call returns — the enclosing task's
+    completion is the planning barrier)."""
+    from ..state.shards import group_indices_by_shard
+
+    if not keys:
+        return
+    groups = group_indices_by_shard(keys, len(shards))
+    ray.get(
+        [
+            shards[sid].claim_frontier.remote(
+                wave,
+                [keys[i] for i in idxs],
+                [int(pseqs[i]) for i in idxs],
+                [int(ords[i]) for i in idxs],
+            )
+            for sid, idxs in groups.items()
+        ]
+    )
+
+
+class ClaimChildren:
+    """map_batches passthrough over raw fetch blocks: registers next-wave
+    claims for every admitted child (canonical, parent seq, ordinal)."""
+
+    def __init__(self, shards: list, next_wave: int):
+        self.shards = shards
+        self.next_wave = next_wave
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, pseqs, ords, _ = _flat_children(batch)
+        _claim_to_shards(self.shards, self.next_wave, flat.to_pylist(), pseqs, ords)
+        return batch
+
+
+def claim_candidates(ds: rd.Dataset, state, wave: int) -> rd.Dataset:
+    """Fallback claim pass over already-exploded candidate rows (seed waves
+    and resume replans, where no producing execution registered claims):
+    partial in-batch dedup → claim RPCs → materialize (the barrier)."""
+
+    shards = state.shards
+
+    def claim(batch: pa.Table) -> pa.Table:
+        batch = _dedup_batch(batch)
+        _claim_to_shards(
+            shards,
+            wave,
+            batch.column("canonical_url").to_pylist(),
+            batch.column("parent_seq").to_numpy(zero_copy_only=False),
+            batch.column("ordinal").to_numpy(zero_copy_only=False),
+        )
+        return batch
+
+    return ds.map_batches(claim, batch_format="pyarrow").materialize()
+
+
+class AdmitFrontier:
+    """map_batches callable: keep a candidate row iff it is its key's claim
+    winner AND the key is not in the committed seen set — the in-wave dedup
+    and the seen anti-join fused into one batched RPC per shard per block."""
+
+    def __init__(self, shards: list, wave: int):
+        self.shards = shards
+        self.wave = wave
+        self.n = len(shards)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..state.shards import group_indices_by_shard
+
+        batch = _dedup_batch(batch)  # in-batch partial: shrink the RPCs
+        keys = batch.column("canonical_url").to_pylist()
+        if not keys:
+            return batch
+        pseqs = batch.column("parent_seq").to_numpy(zero_copy_only=False)
+        ords = batch.column("ordinal").to_numpy(zero_copy_only=False)
+        groups = group_indices_by_shard(keys, self.n)
+        futs = [
+            self.shards[sid].admit_frontier.remote(
+                self.wave,
+                [keys[i] for i in idxs],
+                [int(pseqs[i]) for i in idxs],
+                [int(ords[i]) for i in idxs],
+            )
+            for sid, idxs in groups.items()
+        ]
+        mask = np.zeros(len(keys), dtype=bool)
+        for (sid, idxs), res in zip(groups.items(), ray.get(futs)):
+            mask[idxs] = res
+        return batch.filter(pa.array(mask))
+
+
+def admit_frontier(ds: rd.Dataset, state, wave: int) -> rd.Dataset:
+    return ds.map_batches(AdmitFrontier(state.shards, wave), batch_format="pyarrow")
+
+
 def explode_children(batch: pa.Table) -> pa.Table:
-    """Fetch output rows → next-wave frontier candidates, vectorized: Arrow
-    list_flatten for the URLs, numpy repeat/arange for parent columns and
+    """Fetch output rows → next-wave frontier candidates, pure Arrow/numpy:
+    list_flatten for the URL/canonical/host lists (the canonical form and
+    politeness host were computed ONCE by the fetch stage and stored as
+    parallel list columns), numpy repeat/arange for parent columns and
     ordinals. Child ordinals were numbered per job by the fetch stage
     (child_ordinal_base), so (parent_seq, ordinal) is a strict total order
-    within a wave even when a job's kept pages split across blocks. Only the
-    per-child canonicalization remains a Python string loop."""
+    within a wave even when a job's kept pages split across blocks. No
+    Python loop remains."""
     batch = batch.combine_chunks()
+    flat_canon, pseqs, ordinals, counts = _flat_children(batch)
     kids_col = batch.column("child_urls")
     if isinstance(kids_col, pa.ChunkedArray):
         kids_col = kids_col.combine_chunks()
-    flat = pc.list_flatten(kids_col)
-    counts = pc.list_value_length(kids_col).to_numpy(zero_copy_only=False)
-    counts = np.nan_to_num(counts).astype(np.int64)
+    hosts_col = batch.column("child_hosts")
+    if isinstance(hosts_col, pa.ChunkedArray):
+        hosts_col = hosts_col.combine_chunks()
     total = int(counts.sum())
     if total == 0:
         return pa.table(
@@ -150,26 +291,17 @@ def explode_children(batch: pa.Table) -> pa.Table:
                 "ordinal": pa.array([], pa.int32()),
             }
         )
-    seqs = batch.column("seq").to_numpy(zero_copy_only=False).astype(np.int64)
     depths = batch.column("depth").to_numpy(zero_copy_only=False).astype(np.int64)
-    bases = (
-        batch.column("child_ordinal_base").to_numpy(zero_copy_only=False).astype(np.int64)
-    )
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    ordinals = np.arange(total, dtype=np.int64) - np.repeat(offsets, counts) + np.repeat(
-        bases, counts
-    )
-    from ..canon import canonical_urls, hosts_of
-
-    urls = flat.to_pylist()
     return pa.table(
         {
-            "url": flat,
-            "canonical_url": pa.array(canonical_urls(urls), pa.string()),
-            "host": pa.array(hosts_of(urls), pa.string()),
-            "referer": pc.take(batch.column("url"), pa.array(np.repeat(np.arange(len(seqs)), counts))),
+            "url": pc.list_flatten(kids_col),
+            "canonical_url": flat_canon,
+            "host": pc.list_flatten(hosts_col),
+            "referer": pc.take(
+                batch.column("url"), pa.array(np.repeat(np.arange(len(depths)), counts))
+            ),
             "depth": pa.array(np.repeat(depths + 1, counts).astype(np.int32)),
-            "parent_seq": pa.array(np.repeat(seqs, counts)),
+            "parent_seq": pa.array(pseqs),
             "ordinal": pa.array(ordinals.astype(np.int32)),
         }
     )

@@ -77,6 +77,13 @@ class StateShard:
         # per-host observed-latency (sum_ms, n_jobs) for adaptive politeness;
         # same partitioning and commit discipline as the clocks
         self.lat: dict[str, tuple[int, int]] = {}
+        # transient per-wave first-wins claims (in-wave dedup without a
+        # shuffle): wave → {canonical_url: min (parent_seq, ordinal)}.
+        # Registered by candidate PRODUCERS (fetch tasks / spill writer /
+        # seeds pass), consumed by admit_frontier during the next wave's
+        # planning, cleared at that wave's commit. Never checkpointed — a
+        # resumed plan re-registers via the fallback claim pass.
+        self.claims: dict[int, dict[str, tuple[int, int]]] = {}
 
     # ---- membership (the Redis bloom analog) ----
     def check(self, keys: list[str]) -> list[bool]:
@@ -107,6 +114,39 @@ class StateShard:
 
     def seen_count(self) -> int:
         return len(self.seen)
+
+    # ---- in-wave frontier claims (dedup without a shuffle) ----
+    def claim_frontier(
+        self, wave: int, keys: list[str], pseqs: list[int], ords: list[int]
+    ) -> None:
+        """First-wins claim registration: per key keep the min (parent_seq,
+        ordinal). Idempotent min-merge — task retries and duplicate
+        registration converge to the same winner."""
+        claims = self.claims.setdefault(wave, {})
+        for k, p, o in zip(keys, pseqs, ords):
+            cur = claims.get(k)
+            if cur is None or (p, o) < cur:
+                claims[k] = (p, o)
+
+    def admit_frontier(
+        self, wave: int, keys: list[str], pseqs: list[int], ords: list[int]
+    ) -> list[bool]:
+        """True = this row is its key's claim winner AND the key is unseen —
+        the in-wave first-wins dedup and the cross-wave anti-join in one
+        batched call. A key with no registered claim was never contested
+        (degenerate single-producer case): seen check only."""
+        claims = self.claims.get(wave, {})
+        out = []
+        for k, p, o in zip(keys, pseqs, ords):
+            c = claims.get(k)
+            if c is not None and c != (p, o):
+                out.append(False)
+            else:
+                out.append(not (k in self.bloom and k in self.seen))
+        return out
+
+    def clear_claims(self, wave: int) -> None:
+        self.claims.pop(wave, None)
 
     # ---- politeness clocks ----
     def advance_clocks(self, updates: dict[str, int]) -> None:
@@ -250,6 +290,25 @@ class ShardedState:
 
     def seen_count(self) -> int:
         return sum(ray.get([s.seen_count.remote() for s in self.shards]))
+
+    def claim_frontier(
+        self, wave: int, keys: list[str], pseqs: list[int], ords: list[int]
+    ) -> None:
+        groups = self._group(keys)
+        ray.get(
+            [
+                self.shards[sid].claim_frontier.remote(
+                    wave,
+                    [keys[i] for i in idxs],
+                    [int(pseqs[i]) for i in idxs],
+                    [int(ords[i]) for i in idxs],
+                )
+                for sid, idxs in groups.items()
+            ]
+        )
+
+    def clear_claims(self, wave: int) -> None:
+        ray.get([s.clear_claims.remote(wave) for s in self.shards])
 
     def snapshots(self) -> list[bytes]:
         return ray.get([s.snapshot.remote() for s in self.shards])
