@@ -5270,6 +5270,7 @@ def q_crawl_spans(sf_dir: str):
 # sf0.01 — the one scale the driver and test suite evaluate SQL at.
 
 ORACLE_TABLE_DIR = "/tmp/ccray_oracle_sf0.01"
+_ORACLE_TABLES_VERSION = 2  # bump when the expected-table set/shape changes
 
 
 def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -5283,7 +5284,8 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
     vfile = os.path.join(out, "cache_version.json")
     try:
         with open(vfile) as f:
-            if json.load(f)["version"] == CACHE_VERSION:
+            v = json.load(f)
+            if v["version"] == CACHE_VERSION and v.get("tables") == _ORACLE_TABLES_VERSION:
                 return out
     except (OSError, KeyError, ValueError):
         pass
@@ -5352,7 +5354,65 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
         }
     )
     pq.write_table(counters, os.path.join(out, "counters.parquet"))
-    write_json(vfile, {"version": CACHE_VERSION})
+
+    # recrawl twin (matches _recrawl_fixture exactly): serial v1 crawl →
+    # prior index → serial conditional-GET recrawl of the mutated web;
+    # expected per-code counts and v1-vs-v2 freshness-status counts
+    from ..oracle import prior_from_result
+    from ..synthweb import mutate_web
+
+    n_r = max(300, _SF_PAGES.get(sf, 4000) // 16)
+    web_r, seeds_r = make_skewed_web(n_r, n_hosts=max(4, n_r // 250), seed=137)
+    spec_r = CrawlSpec(delay=0.02)
+    res1 = crawl_oracle(web_r, seeds_r, spec_r)
+    res2 = crawl_oracle(
+        mutate_web(web_r), seeds_r, spec_r, prior=prior_from_result(res1)
+    )
+    codes: dict[int, int] = {}
+    for p in res2.pages:
+        codes[int(p["code"])] = codes.get(int(p["code"]), 0) + 1
+    ck = sorted(codes)
+    pq.write_table(
+        pa.table(
+            {
+                "code": pa.array(ck, pa.int32()),
+                "n_pages": pa.array([codes[c] for c in ck], pa.int64()),
+            }
+        ),
+        os.path.join(out, "recrawl_status.parquet"),
+    )
+
+    def _etags(res) -> dict[str, str]:
+        m: dict[str, str] = {}
+        for p in res.pages:
+            if p["fetched"] and p.get("etag") and p["code"] in (200, 304):
+                m.setdefault(p["canonical_url"], p["etag"])
+        return m
+
+    e1, e2 = _etags(res1), _etags(res2)
+    diff: dict[str, int] = {}
+    for c, e in e2.items():
+        if c not in e1:
+            s = "added"
+        elif e1[c] == e:
+            s = "unchanged"
+        else:
+            s = "changed"
+        diff[s] = diff.get(s, 0) + 1
+    for c in e1:
+        if c not in e2:
+            diff["removed"] = diff.get("removed", 0) + 1
+    dk = sorted(diff)
+    pq.write_table(
+        pa.table(
+            {
+                "status": pa.array(dk, pa.string()),
+                "n_urls": pa.array([diff[s] for s in dk], pa.int64()),
+            }
+        ),
+        os.path.join(out, "crawl_diff.parquet"),
+    )
+    write_json(vfile, {"version": CACHE_VERSION, "tables": _ORACLE_TABLES_VERSION})
     return out
 
 
@@ -6860,6 +6920,23 @@ ORACLE_SQL.update(
                COUNT(DISTINCT doc_id)::BIGINT AS n_refs,
                string_agg(DISTINCT anchor, chr(31) ORDER BY anchor) AS anchors
         FROM l GROUP BY target ORDER BY target
+    """,
+        "recrawl_status": f"""
+        SELECT code, n_pages
+        FROM read_parquet('{ORACLE_TABLE_DIR}/recrawl_status.parquet')
+        ORDER BY code
+    """,
+        "crawl_diff": f"""
+        SELECT status, n_urls
+        FROM read_parquet('{ORACLE_TABLE_DIR}/crawl_diff.parquet')
+        ORDER BY status
+    """,
+        "span_stats": f"""
+        SELECT kind,
+               COUNT(*)::BIGINT AS n_spans,
+               COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM read_parquet('{ORACLE_TABLE_DIR}/spans.parquet')
+        GROUP BY kind ORDER BY kind
     """,
         "crawl_host_stats": f"""
         WITH p AS (
