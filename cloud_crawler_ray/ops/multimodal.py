@@ -1,12 +1,17 @@
 """Multimodal column plumbing: opaque binary media payloads with typed
 metadata, decoded / feature-extracted by actor-pool map_batches stages.
 
-The image/audio libraries are not in this container, so the DECODE KERNEL is
-stubbed: ``DecodeBackend`` tries to import PIL; absent that it uses a
-clearly-marked deterministic fake (payload-hash-derived dimensions and mean
-color). Everything Ray-side is real and tested — the media table schema, the
-small-batch actor pool (binary payloads → small batch_size), init-once
-backend loading, and the feature output layout.
+``DecodeBackend`` gates the pixel work behind an import-try (the Lance
+pattern): with a PIL wheel, image payloads decode for REAL — dims, channel
+means, 32×32 luma grids for pHash, PNG thumbnails; without one (this
+container) a clearly-marked deterministic fake (payload-hash-derived) runs
+instead, and every output row records which path produced it in its
+``backend`` column. Video frame extraction stays the deterministic stub
+either way (PIL is not a video decoder). Everything Ray-side is real and
+tested — the media table schema, the small-batch actor pool (binary
+payloads → small batch_size), init-once backend loading, the DCT pHash
+math, and the feature output layout; the PIL path has skip-gated tests
+(tests/test_ops.py) that run the day a wheel appears.
 """
 
 from __future__ import annotations
@@ -51,24 +56,54 @@ def synth_payload(media_ref: str, kind: str) -> bytes:
 
 
 class DecodeBackend:
-    """Decode kernel behind an import-try. With PIL present this would open
-    the image and compute real dims/means; in this container it is the
-    deterministic fake (STUB — clearly marked via the ``backend`` column)."""
+    """Decode kernel behind an import-try (the same gate pattern as the
+    Lance writer, storage.py). With a PIL wheel present, image payloads
+    decode for REAL (dims, channel means, frame count, luma grids,
+    thumbnails); bytes PIL cannot open — e.g. the synthetic fixtures'
+    hash-derived payloads — fall back to the deterministic fake, and every
+    output row says which path produced it via the ``backend`` column.
+    Video decode stays the deterministic stub either way (PIL is not a
+    video decoder; an av/ffmpeg wheel would slot in the same way)."""
 
     def __init__(self):
         try:  # pragma: no cover - PIL absent in this sandbox
-            from PIL import Image  # noqa: F401
+            from PIL import Image
 
+            self._Image = Image
             self.name = "pil"
         except ImportError:
+            self._Image = None
             self.name = "fake"
 
+    # ---- real pixel paths (exercised when a PIL wheel exists) ------------
+    def _open(self, payload: bytes):  # pragma: no cover - PIL absent
+        import io
+
+        try:
+            img = self._Image.open(io.BytesIO(payload))
+            img.load()
+            return img
+        except Exception:
+            return None  # undecodable bytes → caller falls back to fake
+
     def decode(self, payload: bytes, kind: str) -> dict:
-        if self.name == "pil":  # pragma: no cover
-            raise NotImplementedError(
-                "real decode not wired in this sandbox; fake backend is the "
-                "deterministic stand-in"
-            )
+        if self._Image is not None and kind == "image":  # pragma: no cover
+            img = self._open(payload)
+            if img is not None:
+                small = np.asarray(
+                    img.convert("RGB").resize((16, 16)), dtype=np.float64
+                )
+                means = small.mean(axis=(0, 1))
+                return {
+                    "width": int(img.width),
+                    "height": int(img.height),
+                    "n_bytes": len(payload),
+                    "mean_r": int(means[0]),
+                    "mean_g": int(means[1]),
+                    "mean_b": int(means[2]),
+                    "n_frames": int(getattr(img, "n_frames", 1)),
+                    "backend": "pil",
+                }
         h = hashlib.blake2b(payload, digest_size=16).digest()
         return {
             "width": 64 + h[0] % 192,
@@ -78,7 +113,50 @@ class DecodeBackend:
             "mean_g": h[3],
             "mean_b": h[4],
             "n_frames": 1 if kind == "image" else 1 + h[5] % 16,
+            "backend": "fake",
         }
+
+    def luma_grid(self, payload: bytes, n: int = 32) -> tuple[np.ndarray, str]:
+        """n×n grayscale grid for perceptual hashing: real pixels under PIL,
+        else a deterministic pseudo-luma expansion of the payload hash."""
+        if self._Image is not None:  # pragma: no cover - PIL absent
+            img = self._open(payload)
+            if img is not None:
+                return (
+                    np.asarray(
+                        img.convert("L").resize((n, n)), dtype=np.float64
+                    ),
+                    "pil",
+                )
+        raw = hashlib.blake2b(payload, digest_size=64).digest()
+        expanded = np.frombuffer(
+            b"".join(
+                hashlib.blake2b(raw, digest_size=64, salt=bytes([i])).digest()
+                for i in range(n * n // 64)
+            ),
+            dtype=np.uint8,
+        )
+        return expanded.reshape(n, n).astype(np.float64), "fake"
+
+    def thumbnail(
+        self, payload: bytes, nw: int, nh: int
+    ) -> tuple[bytes, str]:
+        """Resized bytes: a real PNG thumbnail under PIL, else the
+        deterministic hash-derived stand-in."""
+        if self._Image is not None:  # pragma: no cover - PIL absent
+            img = self._open(payload)
+            if img is not None:
+                import io
+
+                buf = io.BytesIO()
+                img.convert("RGB").resize((nw, nh)).save(buf, format="PNG")
+                return buf.getvalue(), "pil"
+        return (
+            hashlib.blake2b(
+                payload + bytes([nw & 0xFF, nh & 0xFF]), digest_size=32
+            ).digest(),
+            "fake",
+        )
 
 
 class MediaFeatureExtractor:
@@ -101,7 +179,7 @@ class MediaFeatureExtractor:
             cols["kind"].append(kind)
             for key in ("width", "height", "n_bytes", "mean_r", "mean_g", "mean_b", "n_frames"):
                 cols[key].append(f[key])
-            cols["backend"].append(self.backend.name)
+            cols["backend"].append(f["backend"])
         return pa.table(cols, schema=FEATURE_SCHEMA)
 
 
@@ -128,10 +206,11 @@ FRAME_SCHEMA = pa.schema(
 
 
 class MediaResizer:
-    """Actor-pool resize stage: aspect-preserving fit into max_dim. The
-    pixel work is the stubbed backend (PIL absent — thumbnail bytes are
-    hash-derived and deterministic); the Ray plumbing (init-once backend,
-    small binary batches, typed output schema) is real."""
+    """Actor-pool resize stage: aspect-preserving fit into max_dim. With a
+    PIL wheel the thumbnail bytes are real PNGs; without one (this sandbox)
+    they are the deterministic hash-derived stand-in, per-row surfaced in
+    the backend column. The Ray plumbing (init-once backend, small binary
+    batches, typed output schema) is real either way."""
 
     def __init__(self, max_dim: int = 64):
         self.backend = DecodeBackend()
@@ -148,15 +227,13 @@ class MediaResizer:
             w, h = f["width"], f["height"]
             scale = min(1.0, self.max_dim / max(w, h))
             nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-            thumb = hashlib.blake2b(
-                payload + bytes([nw & 0xFF, nh & 0xFF]), digest_size=32
-            ).digest()
+            thumb, backend = self.backend.thumbnail(payload, nw, nh)
             cols["media_id"].append(mid)
             cols["kind"].append(kind)
             cols["width"].append(nw)
             cols["height"].append(nh)
             cols["payload"].append(thumb)
-            cols["backend"].append(self.backend.name)
+            cols["backend"].append(backend)
         return pa.table(cols, schema=THUMB_SCHEMA)
 
 
@@ -180,7 +257,8 @@ class FrameSampler:
         ):
             if kind != "video":
                 continue
-            n = self.backend.decode(payload, kind)["n_frames"]
+            f = self.backend.decode(payload, kind)
+            n = f["n_frames"]
             idxs = list(range(0, n, self.every_n))[: self.max_frames]
             for i in idxs:
                 frame = hashlib.blake2b(
@@ -190,7 +268,10 @@ class FrameSampler:
                 cols["frame_idx"].append(i)
                 cols["ts_ms"].append(i * 1000 // self.fps)
                 cols["payload"].append(frame)
-                cols["backend"].append(self.backend.name)
+                # frame EXTRACTION stays the deterministic stub either way
+                # (PIL is not a video decoder); the metadata (n_frames) may
+                # still come from a real decode of multi-frame images
+                cols["backend"].append("fake")
         return pa.table(cols, schema=FRAME_SCHEMA)
 
 
@@ -684,45 +765,31 @@ def phash64(grid: np.ndarray) -> int:
 
 
 class MediaPhasher:
-    """Actor-pool stage: payload → 64-bit perceptual hash. With PIL the
-    grid would be the decoded image resized to 32×32 grayscale; the fake
-    backend derives a deterministic pseudo-luma grid from the payload
-    bytes (identical payloads ⇒ identical grids ⇒ identical hashes, which
-    is exactly what the synthetic fixtures can exercise — near-identical
-    PIXELS need a real decoder, so that property is documented, not
-    faked). DCT basis built once per actor."""
+    """Actor-pool stage: payload → 64-bit perceptual hash. With a PIL wheel
+    the grid IS the decoded image resized to 32×32 grayscale (real pHash);
+    the fake backend derives a deterministic pseudo-luma grid from the
+    payload bytes (identical payloads ⇒ identical grids ⇒ identical hashes,
+    which is what the synthetic fixtures can exercise — near-identical
+    PIXELS need the real decoder). DCT basis built once per actor; the
+    per-row backend column says which path ran."""
 
     def __init__(self):
         self.backend = DecodeBackend()
 
-    def _grid(self, payload: bytes) -> np.ndarray:
-        if self.backend.name == "pil":  # pragma: no cover - PIL absent
-            raise NotImplementedError(
-                "real decode not wired in this sandbox; fake backend is the "
-                "deterministic stand-in"
-            )
-        raw = hashlib.blake2b(payload, digest_size=64).digest()
-        expanded = np.frombuffer(
-            b"".join(
-                hashlib.blake2b(raw, digest_size=64, salt=bytes([i])).digest()
-                for i in range(16)
-            ),
-            dtype=np.uint8,
-        )
-        return expanded.reshape(_PHASH_N, _PHASH_N).astype(np.float64)
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
         kinds = batch.column("kind").to_pylist()
-        hashes = [
-            phash64(self._grid(p)) for p in batch.column("payload").to_pylist()
-        ]
+        hashes, backends = [], []
+        for p in batch.column("payload").to_pylist():
+            grid, backend = self.backend.luma_grid(p, _PHASH_N)
+            hashes.append(phash64(grid))
+            backends.append(backend)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.string()),
                 "kind": pa.array(kinds, pa.string()),
                 "phash": pa.array(hashes, pa.uint64()),
-                "backend": pa.array([self.backend.name] * len(ids), pa.string()),
+                "backend": pa.array(backends, pa.string()),
             },
             schema=PHASH_SCHEMA,
         )

@@ -589,7 +589,10 @@ def crawl_oracle(
                 if spec.accept_cookies and p.set_cookie and p.fetched:
                     wave_cookies.append((seq, pos, host_of(p.url), p.set_cookie))
                 _run_hooks(spec, pd, res.counters)
+                full_spans = pd["spans"]
                 if spec.discard_page:
+                    # discard affects STORED output only — focus_crawl below
+                    # still sees the full spans (matches the engine stage)
                     pd["spans"] = []
                 if p.fetched:
                     res.pages.append({k: v for k, v in pd.items() if k not in ("spans", "links")})
@@ -622,7 +625,9 @@ def crawl_oracle(
                             elif ex.nofollow:
                                 links = [l for l in links if l not in ex.nofollow]
                         if spec.focus_crawl is not None:
-                            links = spec.focus_crawl(pd, links)
+                            links = spec.focus_crawl(
+                                {**pd, "spans": full_spans}, links
+                            )
                     admitted = [
                         ln for ln in links if adm.admit(ln, p.url, p.depth)
                     ]

@@ -5270,7 +5270,7 @@ def q_crawl_spans(sf_dir: str):
 # sf0.01 — the one scale the driver and test suite evaluate SQL at.
 
 ORACLE_TABLE_DIR = "/tmp/ccray_oracle_sf0.01"
-_ORACLE_TABLES_VERSION = 2  # bump when the expected-table set/shape changes
+_ORACLE_TABLES_VERSION = 3  # bump when the expected-table set/shape changes
 
 
 def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -5411,6 +5411,31 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
             }
         ),
         os.path.join(out, "crawl_diff.parquet"),
+    )
+
+    # api doc-store twin: serial extraction over the JSON-API fixture
+    # (matches q_api_doc_store's web exactly)
+    from ..canon import canonical_url as _canon
+    from ..extract import extract_page as _extract
+    from ..synthweb import make_api_web
+
+    api_web, _ = make_api_web(max(100, _SF_PAGES.get(sf, 4000) // 10))
+    ids: list[str] = []
+    docs: list[str] = []
+    for u, b, ct in zip(
+        api_web.column("url").to_pylist(),
+        api_web.column("body").to_pylist(),
+        api_web.column("content_type").to_pylist(),
+    ):
+        ex = _extract(u, b, ct)
+        if ex is not None and ex.spans and ex.spans[0][0] == "json":
+            ids.append(_canon(u))
+            docs.append(ex.spans[0][1])
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.string()), "doc": pa.array(docs, pa.string())}
+        ),
+        os.path.join(out, "api_doc_store.parquet"),
     )
     write_json(vfile, {"version": CACHE_VERSION, "tables": _ORACLE_TABLES_VERSION})
     return out
@@ -6920,6 +6945,11 @@ ORACLE_SQL.update(
                COUNT(DISTINCT doc_id)::BIGINT AS n_refs,
                string_agg(DISTINCT anchor, chr(31) ORDER BY anchor) AS anchors
         FROM l GROUP BY target ORDER BY target
+    """,
+        "api_doc_store": f"""
+        SELECT doc_id, doc
+        FROM read_parquet('{ORACLE_TABLE_DIR}/api_doc_store.parquet')
+        ORDER BY doc_id
     """,
         "recrawl_status": f"""
         SELECT code, n_pages

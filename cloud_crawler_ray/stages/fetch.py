@@ -210,8 +210,6 @@ class FetchExtract:
                     "links": [] if ex is None else list(ex.links),
                 }
                 ckeys, cvals = self._run_hooks(page_dict)
-                if spec.discard_page:
-                    page_dict["spans"] = []
 
                 children: list[str] = []
                 if spec.follow_links and p.fetched and (ex is not None or p.not_modified):
@@ -232,6 +230,12 @@ class FetchExtract:
                         if spec.focus_crawl is not None:
                             links = spec.focus_crawl(page_dict, links)
                     children = [ln for ln in links if self.adm.admit(ln, p.url, p.depth)]
+
+                if spec.discard_page:
+                    # discard affects STORED output only (discard_page_bodies
+                    # empties the doc after processing, core.rb) — hooks and
+                    # focus_crawl above saw the full spans
+                    page_dict["spans"] = []
 
                 cols["url"].append(p.url)
                 cols["canonical_url"].append(page_dict["canonical_url"])

@@ -148,3 +148,28 @@ def test_freshness_recrawl_example(ray_session):
     # 304 documents filled from the prior crawl
     assert any("item one" in s["text"]
                for s in docs["http://www.example.com/item1"])
+
+
+def test_certs_crawl_example(ray_session):
+    """crossfit_crawl.rb literal analog (Trollop-CLI knobs): depth-2,
+    outside-domain-only focused crawl keeping anchor-matched links."""
+    from examples.certs_crawl import main
+
+    urls = main([], "/tmp/ccray_t_certs")
+    # hub + 4 gym course pages + only the Level-1 cert pages followed
+    assert "http://www.hub.example.com/" in urls
+    assert all(
+        f"http://gym{g}.example.com/courses" in urls for g in range(4)
+    )
+    assert all(
+        f"http://certs.example.com/gym{g}-level1" in urls for g in range(4)
+    )
+    assert not any("level2" in u for u in urls)
+    assert not any(u.endswith("/contact") for u in urls)
+
+    # pattern knob: Level 2 focus flips which cert pages are followed
+    urls2 = main(["--pattern", "Level 2", "-n", "certs2"], "/tmp/ccray_t_certs")
+    assert all(
+        f"http://certs.example.com/gym{g}-level2" in urls2 for g in range(4)
+    )
+    assert not any("level1" in u for u in urls2)

@@ -1501,3 +1501,47 @@ def test_pareto_front_matches_bruteforce(ray_session):
     ).repartition(16)
     out = pareto_front(ds, "id", "x", "y")
     assert out["id"].tolist() == sorted(ids[brute].tolist())
+
+
+def test_pil_decode_backend_real_pixels():
+    """Skip-gated real-pixel path (mirrors the Lance import gate): with a
+    PIL wheel, DecodeBackend decodes actual PNGs — true dims, channel
+    means, luma grids feeding the same DCT pHash, real PNG thumbnails —
+    and near-identical PIXELS (not just identical bytes) hash close."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from cloud_crawler_ray.ops.multimodal import DecodeBackend, phash64
+
+    def png(arr: np.ndarray) -> bytes:
+        buf = io.BytesIO()
+        Image.fromarray(arr.astype(np.uint8)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 255, size=(120, 80, 3))
+    b = DecodeBackend()
+    assert b.name == "pil"
+
+    f = b.decode(png(base), "image")
+    assert (f["width"], f["height"], f["backend"]) == (80, 120, "pil")
+
+    # near-identical pixels → small hamming distance; unrelated → large
+    tweaked = np.clip(base + rng.integers(-2, 3, size=base.shape), 0, 255)
+    other = rng.integers(0, 255, size=(120, 80, 3))
+    h0 = phash64(b.luma_grid(png(base))[0])
+    h1 = phash64(b.luma_grid(png(tweaked))[0])
+    h2 = phash64(b.luma_grid(png(other))[0])
+    ham = lambda a, c: bin(a ^ c).count("1")
+    assert ham(h0, h1) <= 10 < ham(h0, h2)
+
+    thumb, backend = b.thumbnail(png(base), 40, 60)
+    assert backend == "pil"
+    t = Image.open(io.BytesIO(thumb))
+    assert t.size == (40, 60)
+
+    # undecodable bytes under PIL fall back to the deterministic fake
+    assert b.decode(b"\xff\xd8 not an image", "image")["backend"] == "fake"
