@@ -31,9 +31,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from cloud_crawler_ray.pipelines.queries import ORACLE_SQL, ensure_oracle_tables
+    from cloud_crawler_ray.pipelines.serial_twins import ensure_twin_tables
 
-    # crawl-derived oracles read the serial Python oracle's expected tables
-    # via read_parquet; materialize them (cached, version-keyed) before any
-    # of the returned SQL can run
+    # crawl-derived oracles read the serial Python oracle's expected tables,
+    # and twin-backed oracles the single-threaded recomputation tables, via
+    # read_parquet; materialize both (cached, version-keyed) before any of
+    # the returned SQL can run
     ensure_oracle_tables()
+    ensure_twin_tables()
     return dict(ORACLE_SQL)

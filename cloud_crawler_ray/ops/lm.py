@@ -167,6 +167,17 @@ def train_bigram_lm(
     is_sentinel = (parts["prev"] == _TOTAL_SENTINEL) & (parts["cur"] == "")
     n_tokens = int(parts[is_sentinel]["cnt"].sum())
     parts = parts[~is_sentinel]
+    return _finalize_lm(parts, n_tokens, vocab_cap, bigram_cap)
+
+
+def _finalize_lm(
+    parts, n_tokens: int, vocab_cap: int, bigram_cap: int
+) -> BigramLM:
+    """Global top-k + array assembly from an exact (prev, cur, cnt) count
+    table (unigrams carry prev=""). Pure function of the counts — shared by
+    the distributed trainer (per-shard top-k survivors) and the serial
+    oracle twin (full exact counts), which agree because a global top-k is
+    a subset of the union of per-shard top-ks."""
     uni = parts[parts["prev"] == ""].sort_values(
         ["cnt", "cur"], ascending=[False, True], kind="stable"
     ).head(vocab_cap)
@@ -196,6 +207,41 @@ def train_bigram_lm(
     return lm
 
 
+def score_tokens(lm: BigramLM, toks: list[str]) -> float:
+    """Mean add-one-smoothed bigram log-probability of one token sequence —
+    the per-doc scoring kernel, a pure function of (model, tokens). Shared
+    by the distributed score stage and the serial oracle twin
+    (pipelines/serial_twins.py) so both produce bit-identical floats."""
+    v = lm.v
+    if not toks:
+        return 0.0
+    tid = lm.token_ids(toks)
+    if v == 0:
+        # degenerate model (empty training corpus): everything is
+        # UNK with add-one mass — uniform, no array indexing
+        return float(np.log(1.0 / (lm.n_tokens + 1.0)))
+    # unigram log P for the first token; bigram for the rest
+    u0 = lm.uni_counts[tid[0]] if tid[0] < v else 0
+    lp = np.log((u0 + 1.0) / (lm.n_tokens + v + 1.0))
+    if len(tid) > 1:
+        keys = (tid[:-1].astype(np.uint64) << np.uint64(32)) | tid[1:].astype(
+            np.uint64
+        )
+        pos = np.searchsorted(lm.bi_keys, keys)
+        pos = np.clip(pos, 0, max(len(lm.bi_keys) - 1, 0))
+        hit = (
+            lm.bi_keys[pos] == keys
+            if len(lm.bi_keys)
+            else np.zeros(len(keys), dtype=bool)
+        )
+        bc = np.where(hit, lm.bi_counts[pos] if len(lm.bi_counts) else 0, 0)
+        prev_u = np.where(
+            tid[:-1] < v, lm.uni_counts[np.minimum(tid[:-1], v - 1)], 0
+        )
+        lp += float(np.log((bc + 1.0) / (prev_u + v + 1.0)).sum())
+    return float(lp / len(toks))
+
+
 def score_documents(ds: rd.Dataset, lm_ref) -> rd.Dataset:
     """Per-doc mean add-one-smoothed bigram log-probability (natural-log).
     ``lm_ref`` is a ``ray.put(BigramLM)`` handle — workers binary-search the
@@ -204,7 +250,6 @@ def score_documents(ds: rd.Dataset, lm_ref) -> rd.Dataset:
 
     def score(t: pa.Table) -> pa.Table:
         lm: BigramLM = ray.get(lm_ref)
-        v = lm.v
         ids_out, ntoks, scores = [], [], []
         for did, txt in zip(
             t.column("doc_id").to_pylist(), t.column("text").to_pylist()
@@ -212,35 +257,7 @@ def score_documents(ds: rd.Dataset, lm_ref) -> rd.Dataset:
             toks = T.tokenize(txt or "")
             ids_out.append(did)
             ntoks.append(len(toks))
-            if not toks:
-                scores.append(0.0)
-                continue
-            tid = lm.token_ids(toks)
-            if v == 0:
-                # degenerate model (empty training corpus): everything is
-                # UNK with add-one mass — uniform, no array indexing
-                scores.append(float(np.log(1.0 / (lm.n_tokens + 1.0))))
-                continue
-            # unigram log P for the first token; bigram for the rest
-            u0 = lm.uni_counts[tid[0]] if tid[0] < v else 0
-            lp = np.log((u0 + 1.0) / (lm.n_tokens + v + 1.0))
-            if len(tid) > 1:
-                keys = (tid[:-1].astype(np.uint64) << np.uint64(32)) | tid[
-                    1:
-                ].astype(np.uint64)
-                pos = np.searchsorted(lm.bi_keys, keys)
-                pos = np.clip(pos, 0, max(len(lm.bi_keys) - 1, 0))
-                hit = (
-                    lm.bi_keys[pos] == keys
-                    if len(lm.bi_keys)
-                    else np.zeros(len(keys), dtype=bool)
-                )
-                bc = np.where(hit, lm.bi_counts[pos] if len(lm.bi_counts) else 0, 0)
-                prev_u = np.where(
-                    tid[:-1] < v, lm.uni_counts[np.minimum(tid[:-1], v - 1)], 0
-                )
-                lp += float(np.log((bc + 1.0) / (prev_u + v + 1.0)).sum())
-            scores.append(lp / len(toks))
+            scores.append(score_tokens(lm, toks))
         return pa.table(
             {
                 "doc_id": pa.array(ids_out),

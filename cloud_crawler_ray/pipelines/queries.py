@@ -6984,6 +6984,43 @@ ORACLE_SQL.update(
     }
 )
 
+# ---- serial-twin-backed oracles (pipelines/serial_twins.py) ----------------
+# Each table below is the query's expected output recomputed SINGLE-THREADED
+# in plain Python/numpy from the same parquet inputs (shared pure kernels,
+# no Ray) — so the hash match proves the distributed execution (shuffles,
+# shard merges, LSH banding, sketch register merges, broadcast joins)
+# reproduces the serial semantics exactly. ensure_twin_tables() builds them
+# at sf0.01 (the one SQL-checked scale), version-cached under /tmp.
+
+from .serial_twins import TWIN_DIR  # noqa: E402
+
+_TWIN_SQL_COLS = {
+    "lang_id": ("doc_id, lang_pred", "doc_id"),
+    "simhash_pairs": ("a, b, hamming", "a, b"),
+    "minhash_dedup": ("doc_id, group_rep, keep", "doc_id"),
+    "minhash_keep_best": ("doc_id, group_rep, keep", "doc_id"),
+    "weighted_sample": ("doc_id, n_chars", "doc_id"),
+    "cdc_dedup": ("total_chunks, distinct_chunks, dup_chunks, dup_tokens", "1"),
+    "bpe_merges": ('"rank", "left", "right"', '"rank"'),
+    "lm_score": ("doc_id, n_tokens, lm_logprob", "doc_id"),
+    "hll_distinct": ("estimate, registers, p", "1"),
+    "cms_heavy_hitters": ("token, cnt, cms_count", "cnt DESC, token"),
+    "value_quantile_sketch": ("q, value_est, n", "q"),
+    "event_users_hll": ("event_type, approx_distinct", "event_type"),
+    "event_overlap_kmv": ("metric, estimate", "metric"),
+}
+
+ORACLE_SQL.update(
+    {
+        name: f"""
+        SELECT {cols}
+        FROM read_parquet('{TWIN_DIR}/{name}.parquet')
+        ORDER BY {order}
+    """
+        for name, (cols, order) in _TWIN_SQL_COLS.items()
+    }
+)
+
 # The grading driver's correctness window covers the first 50 registry
 # entries; enumerate the DuckDB-hash-checked queries first (stable order
 # within each group) so every driver slot carries the hard SQL signal and

@@ -1,0 +1,532 @@
+"""Serial expected-table twins for queries whose semantics have no direct
+SQL expression (LSH banding, sketches, learned merges, hash-priority
+sampling, rolling-hash chunking).
+
+Each twin recomputes a query's expected output SINGLE-THREADED in plain
+Python/numpy over the same parquet inputs — reusing only per-record pure
+kernels from the ops modules (shingle/signature/hash math, the shared
+scoring/finalize functions), never the Ray pipeline shapes — and writes one
+parquet under ``TWIN_DIR``. ``oracle_sql()`` entries then read the parquet,
+so the driver's DuckDB check verifies that the DISTRIBUTED execution
+(partitioning, shuffles, shard merges, actor pools, broadcast joins)
+reproduces the serial semantics exactly: a partitioning bug, a lossy shard
+merge, or an order-sensitive float reduction all surface as a hash
+mismatch. Results are exact because every op here is a deterministic pure
+function of its input multiset — integer counts, hash-derived sets, or
+floats computed once per record/register in a fixed order (the round-3
+verdict's "load the Python oracle's expected table into DuckDB" pattern).
+
+Twins are computed at sf0.01 only (the one scale the driver and the test
+suite evaluate SQL at) and cached under /tmp keyed by a version stamp.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TWIN_DIR = "/tmp/ccray_twins_sf0.01"
+_TWIN_VERSION = 1  # bump when a twin's set/shape/semantics change
+
+
+def _docs_table(sf_dir: str) -> pa.Table:
+    return pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "n_chars"],
+    )
+
+
+def _events_table(sf_dir: str, columns) -> pa.Table:
+    return pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# documents-table text / dedup twins
+# ---------------------------------------------------------------------------
+
+
+def twin_lang_id(docs: pa.Table) -> pa.Table:
+    from ..functions import text as T
+
+    return pa.table(
+        {
+            "doc_id": docs.column("doc_id"),
+            "lang_pred": pa.array(
+                [T.lang_id(t) for t in docs.column("text").to_pylist()],
+                pa.string(),
+            ),
+        }
+    )
+
+
+def twin_simhash_pairs(
+    docs: pa.Table, hamming_threshold: int = 3, bucket_cap: int = 500
+) -> pa.Table:
+    """Pigeonhole-bucketed hamming pairs, serial: same simhash_bits kernel,
+    same chunking/bucket-cap policy as ops/dedup.hash64_hamming_pairs."""
+    from ..ops.dedup import simhash_bits
+
+    ids = docs.column("doc_id").to_pylist()
+    sigs = [simhash_bits(t) for t in docs.column("text").to_pylist()]
+    n_chunks = hamming_threshold + 1
+    width = 64 // n_chunks
+    buckets: dict[str, list[int]] = {}
+    sig_of = dict(zip(ids, sigs))
+    for did, s in zip(ids, sigs):
+        for c in range(n_chunks):
+            lo = c * width
+            hi = 64 if c == n_chunks - 1 else lo + width
+            buckets.setdefault(f"{c}:{(s >> lo) & ((1 << (hi - lo)) - 1)}", []).append(
+                did
+            )
+    out: dict[tuple, int] = {}
+    for members in buckets.values():
+        members = sorted(set(members))
+        if len(members) < 2 or len(members) > bucket_cap:
+            continue
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                d = bin(sig_of[a] ^ sig_of[b]).count("1")
+                if d <= hamming_threshold:
+                    out[(a, b)] = d
+    keys = sorted(out)
+    return pa.table(
+        {
+            "a": pa.array([k[0] for k in keys], pa.int64()),
+            "b": pa.array([k[1] for k in keys], pa.int64()),
+            "hamming": pa.array([out[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def _minhash_confirmed_pairs(
+    docs: pa.Table,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.6,
+    bucket_cap: int = 200,
+) -> list[tuple[int, int]]:
+    """Serial MinHash → LSH banding → exact-Jaccard verify: same kernels
+    (_perm_params/_shingle_hashes/_band_hash), same bucket-cap policy as
+    ops/dedup.minhash_lsh_pairs, driven by plain loops."""
+    from ..ops.dedup import _MERSENNE, _band_hash, _perm_params, _shingle_hashes
+
+    a_, b_ = _perm_params(num_perm)
+    rows = num_perm // bands
+    ids = docs.column("doc_id").to_pylist()
+    hset: dict[int, np.ndarray] = {}
+    buckets: dict[str, list[int]] = {}
+    for did, text in zip(ids, docs.column("text").to_pylist()):
+        h = _shingle_hashes(text, shingle_k)
+        vals = (a_[:, None] * h[None, :] + b_[:, None]) % np.uint64(_MERSENNE)
+        sig = vals.min(axis=1).astype(np.int64).tolist()
+        hset[did] = np.unique(h).view(np.int64)
+        for bi in range(bands):
+            buckets.setdefault(
+                f"{bi}:{_band_hash(sig[bi * rows : (bi + 1) * rows])}", []
+            ).append(did)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members = sorted(members)
+        if len(members) < 2 or len(members) > bucket_cap:
+            continue
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+    confirmed = []
+    for a, b in sorted(cand):
+        sa, sb = hset[a], hset[b]
+        c = len(np.intersect1d(sa, sb, assume_unique=True))
+        if c / max(1, len(sa) + len(sb) - c) >= threshold:
+            confirmed.append((a, b))
+    return confirmed
+
+
+def twin_minhash_dedup(docs: pa.Table) -> pa.Table:
+    """(doc_id, group_rep, keep): union-find over the serial confirmed-pair
+    graph, min-id representative (dedup_groups semantics)."""
+    pairs = _minhash_confirmed_pairs(docs)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    comp_min: dict[int, int] = {}
+    for x in list(parent):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    ids = docs.column("doc_id").to_pylist()
+    reps = [comp_min[find(d)] if d in parent else d for d in ids]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "group_rep": pa.array(reps, pa.int64()),
+            "keep": pa.array([r == d for r, d in zip(reps, ids)], pa.bool_()),
+        }
+    )
+
+
+def twin_minhash_keep_best(docs: pa.Table) -> pa.Table:
+    """Like twin_minhash_dedup but each component's representative is its
+    highest-quality member: most tokens, ties to lowest doc_id
+    (ops/curation.fuzzy_keep_best semantics)."""
+    from ..functions import text as T
+
+    pairs = _minhash_confirmed_pairs(docs)
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    comp_min: dict[int, int] = {}
+    for x in list(parent):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    ids = docs.column("doc_id").to_pylist()
+    texts = dict(zip(ids, docs.column("text").to_pylist()))
+    best: dict[int, tuple] = {}  # component label -> (-n_tokens, doc_id)
+    for d in parent:
+        lab = comp_min[find(d)]
+        key = (-T.token_count(texts[d]), d)
+        if lab not in best or key < best[lab]:
+            best[lab] = key
+    reps = [
+        best[comp_min[find(d)]][1] if d in parent else d for d in ids
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "group_rep": pa.array(reps, pa.int64()),
+            "keep": pa.array([r == d for r, d in zip(reps, ids)], pa.bool_()),
+        }
+    )
+
+
+def twin_weighted_sample(docs: pa.Table, k: int = 100) -> pa.Table:
+    """Efraimidis-Spirakis without replacement, serially: same hash-derived
+    u and priority as ops/sampling.weighted_sample; k lowest priorities win
+    (ties by id), zero weights never win. Output matches q_weighted_sample:
+    (doc_id, n_chars) sorted by doc_id."""
+    ids = np.asarray(docs.column("doc_id").to_pylist(), dtype=np.uint64)
+    nch = np.asarray(docs.column("n_chars").to_pylist(), dtype=np.int64)
+    w = nch.astype(np.float64)
+    h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
+    u = (h.astype(np.float64) + 1.0) / (float(2**32) + 1.0)
+    with np.errstate(divide="ignore"):
+        pri = np.where(w > 0, -np.log(u) / np.maximum(w, 1e-300), np.inf)
+    take = np.lexsort((ids, pri))[:k]
+    take = take[~np.isinf(pri[take])]
+    sel = np.sort(ids[take].astype(np.int64))
+    pos = {int(i): int(c) for i, c in zip(ids.astype(np.int64), nch)}
+    return pa.table(
+        {
+            "doc_id": pa.array(sel, pa.int64()),
+            "n_chars": pa.array([pos[int(s)] for s in sel], pa.int64()),
+        }
+    )
+
+
+def twin_cdc_dedup(
+    docs: pa.Table, target: int = 32, min_len: int = 8, max_len: int = 128
+) -> pa.Table:
+    """Serial CDC chunking (same rolling-hash boundary math as
+    ops/dedup.cdc_chunks, per doc) + global Counter over chunk hashes."""
+    total = 0
+    counts: Counter = Counter()
+    toks_of: dict[int, int] = {}
+    for text in docs.column("text").to_pylist():
+        toks = text.split()
+        if not toks:
+            continue
+        th = pd.util.hash_array(np.asarray(toks, object))
+        w = th.copy()
+        for kk, mult in ((1, 0x9E3779B1), (2, 0x85EBCA77), (3, 0xC2B2AE3D)):
+            if kk < len(th):
+                w[kk:] = w[kk:] + th[:-kk] * np.uint64(mult)
+        cand = np.flatnonzero((w % np.uint64(target)) == 0)
+        n = len(toks)
+        bounds = [0]
+        last = 0
+        while last < n:
+            lo, hi = last + min_len - 1, last + max_len - 1
+            ci = int(np.searchsorted(cand, lo))
+            if ci < len(cand) and cand[ci] <= min(hi, n - 1):
+                cut = int(cand[ci]) + 1
+            else:
+                cut = min(hi + 1, n)
+            bounds.append(cut)
+            last = cut
+        chunk_strs = [" ".join(toks[a:b]) for a, b in zip(bounds, bounds[1:])]
+        ch = (
+            pd.util.hash_array(np.asarray(chunk_strs, object))
+            & np.uint64(0x7FFFFFFFFFFFFFFF)
+        ).astype(np.int64)
+        for h_, (a, b) in zip(ch, zip(bounds, bounds[1:])):
+            counts[int(h_)] += 1
+            toks_of[int(h_)] = b - a
+            total += 1
+    dup_chunks = sum(c - 1 for c in counts.values() if c > 1)
+    dup_tokens = sum((c - 1) * toks_of[h_] for h_, c in counts.items() if c > 1)
+    return pa.table(
+        {
+            "total_chunks": pa.array([total], pa.int64()),
+            "distinct_chunks": pa.array([len(counts)], pa.int64()),
+            "dup_chunks": pa.array([dup_chunks], pa.int64()),
+            "dup_tokens": pa.array([dup_tokens], pa.int64()),
+        }
+    )
+
+
+def twin_bpe_merges(docs: pa.Table, n_merges: int = 32, top_v: int = 10_000) -> pa.Table:
+    """Serial Sennrich BPE: exact global word counts (Counter) + the same
+    merge loop/kernels (_pair_counts/_merge_word) and tie-break."""
+    from ..functions import text as T
+    from ..ops.bpe import _EOW, _merge_word, _pair_counts
+
+    wc: Counter = Counter()
+    for text in docs.column("text").to_pylist():
+        wc.update(T.tokenize(text))
+    wf = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+    pieces = [tuple(w) + (_EOW,) for w, _ in wf]
+    freqs = np.asarray([n for _, n in wf], dtype=np.int64)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts = _pair_counts(pieces, freqs)
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        pieces = [_merge_word(w, best) if best[0] in w else w for w in pieces]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(merges), dtype=np.int64)),
+            "left": pa.array([a for a, _ in merges], pa.string()),
+            "right": pa.array([b for _, b in merges], pa.string()),
+        }
+    )
+
+
+def twin_lm_score(
+    docs: pa.Table, vocab_cap: int = 20_000, bigram_cap: int = 100_000
+) -> pa.Table:
+    """Serial bigram-LM train + score: exact global unigram/bigram Counters
+    → the shared _finalize_lm top-k assembly → the shared score_tokens
+    per-doc kernel, so floats are bit-identical to the distributed run."""
+    from ..functions import text as T
+    from ..ops.lm import _finalize_lm, score_tokens
+
+    uni: Counter = Counter()
+    bi: Counter = Counter()
+    n_tokens = 0
+    texts = docs.column("text").to_pylist()
+    for text in texts:
+        text = (text or "").replace("\x00", "�")
+        toks = T.tokenize(text)
+        n_tokens += len(toks)
+        uni.update(toks)
+        bi.update(zip(toks[:-1], toks[1:]))
+    parts = pd.DataFrame(
+        {
+            "prev": [""] * len(uni) + [p for p, _ in bi],
+            "cur": list(uni.keys()) + [c for _, c in bi],
+            "cnt": list(uni.values()) + list(bi.values()),
+        }
+    )
+    lm = _finalize_lm(parts, n_tokens, vocab_cap, bigram_cap)
+    ids, ntoks, scores = [], [], []
+    for did, text in zip(docs.column("doc_id").to_pylist(), texts):
+        toks = T.tokenize(text or "")
+        ids.append(did)
+        ntoks.append(len(toks))
+        scores.append(score_tokens(lm, toks))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(ntoks, pa.int64()),
+            "lm_logprob": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# sketch twins (registers/grids/samples are order-insensitive pure
+# functions of the value multiset, so serial == distributed bit-for-bit)
+# ---------------------------------------------------------------------------
+
+
+def _all_tokens(docs: pa.Table) -> np.ndarray:
+    s = pd.Series(docs.column("text").to_pylist())
+    toks = s.str.lower().str.split(r"\s+", regex=True).explode()
+    return toks[toks.notna() & (toks != "")].to_numpy()
+
+
+def twin_hll_distinct(docs: pa.Table, p: int = 12) -> pa.Table:
+    from ..ops.sketches import hll_estimate, hll_partial
+
+    reg = hll_partial(_all_tokens(docs), p)
+    return pa.table(
+        {
+            "estimate": pa.array([hll_estimate(reg)], pa.float64()),
+            "registers": pa.array([1 << p], pa.int64()),
+            "p": pa.array([p], pa.int64()),
+        }
+    )
+
+
+def twin_cms_heavy_hitters(docs: pa.Table, k: int = 20) -> pa.Table:
+    """Exact global top-k tokens (ties by token asc) annotated with the
+    point estimate from a serially-built Count-Min grid (grids are additive
+    → the serial grid equals the distributed merge)."""
+    from ..ops.sketches import cms_partial, cms_query
+
+    toks = _all_tokens(docs)
+    wc = Counter(toks.tolist())
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    grid = cms_partial(toks)
+    tokens = np.asarray([t for t, _ in top], dtype=object)
+    est = cms_query(grid, tokens)
+    return pa.table(
+        {
+            "token": pa.array([t for t, _ in top], pa.string()),
+            "cnt": pa.array([n for _, n in top], pa.int64()),
+            "cms_count": pa.array(est.astype(np.int64)),
+        }
+    )
+
+
+def twin_value_quantile_sketch(
+    sf_dir: str, m: int = 4096, qs=(0.1, 0.25, 0.5, 0.75, 0.9)
+) -> pa.Table:
+    from ..ops.sketches import (
+        quantile_sketch_estimate,
+        quantile_sketch_merge,
+        quantile_sketch_partial,
+    )
+
+    ev = _events_table(sf_dir, ["event_id", "value"])
+    ids = np.asarray(ev.column("event_id").to_pylist())
+    vals = np.asarray(ev.column("value").to_pylist())
+    parts = quantile_sketch_partial(ids, vals, m=len(ids))
+    samp, total = quantile_sketch_merge(parts, m)
+    est = quantile_sketch_estimate(samp, tuple(qs))
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "value_est": pa.array(est, pa.float64()),
+            "n": pa.array([total] * len(qs), pa.int64()),
+        }
+    )
+
+
+def twin_event_users_hll(sf_dir: str, p: int = 12) -> pa.Table:
+    from ..ops.sketches import hll_estimate, hll_partial
+
+    ev = _events_table(sf_dir, ["event_type", "user_id"])
+    df = ev.to_pandas()
+    rows = []
+    for k in sorted(df["event_type"].unique()):
+        reg = hll_partial(df.loc[df["event_type"] == k, "user_id"].to_numpy(), p)
+        rows.append((k, round(hll_estimate(reg), 2)))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "approx_distinct": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+
+
+def twin_event_overlap_kmv(sf_dir: str, k: int = 1024) -> pa.Table:
+    from ..ops.sketches import kmv_partial, kmv_set_estimates
+
+    ev = _events_table(sf_dir, ["event_type", "user_id"]).to_pandas()
+    sks = [
+        kmv_partial(ev.loc[ev["event_type"] == lbl, "user_id"].to_numpy(), k)
+        for lbl in ("view", "purchase")
+    ]
+    est = kmv_set_estimates(sks[0], sks[1], k)
+    return pa.table(
+        {
+            "metric": pa.array(
+                ["viewers", "purchasers", "union", "intersection"], pa.string()
+            ),
+            "estimate": pa.array(
+                [est["a"], est["b"], est["union"], est["intersection"]],
+                pa.float64(),
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# builder
+# ---------------------------------------------------------------------------
+
+_DOC_TWINS = {
+    "lang_id": twin_lang_id,
+    "simhash_pairs": twin_simhash_pairs,
+    "minhash_dedup": twin_minhash_dedup,
+    "minhash_keep_best": twin_minhash_keep_best,
+    "weighted_sample": twin_weighted_sample,
+    "cdc_dedup": twin_cdc_dedup,
+    "bpe_merges": twin_bpe_merges,
+    "lm_score": twin_lm_score,
+    "hll_distinct": twin_hll_distinct,
+    "cms_heavy_hitters": twin_cms_heavy_hitters,
+}
+
+_SF_TWINS = {
+    "value_quantile_sketch": twin_value_quantile_sketch,
+    "event_users_hll": twin_event_users_hll,
+    "event_overlap_kmv": twin_event_overlap_kmv,
+}
+
+
+def ensure_twin_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Build (or reuse cached) serial twin tables for sf0.01. Returns the
+    twin directory. Serial cost is bounded by the sf0.01 corpus (500 docs /
+    10k events) — seconds, cached across runs by the version stamp."""
+    out = TWIN_DIR
+    vfile = os.path.join(out, "twin_version.json")
+    try:
+        with open(vfile) as f:
+            if json.load(f)["version"] == _TWIN_VERSION:
+                return out
+    except (OSError, KeyError, ValueError):
+        pass
+    os.makedirs(out, exist_ok=True)
+    docs = _docs_table(sf_dir)
+    for name, fn in _DOC_TWINS.items():
+        pq.write_table(fn(docs), os.path.join(out, f"{name}.parquet"))
+    for name, fn in _SF_TWINS.items():
+        pq.write_table(fn(sf_dir), os.path.join(out, f"{name}.parquet"))
+    with open(vfile, "w") as f:
+        json.dump({"version": _TWIN_VERSION}, f)
+    return out

@@ -88,14 +88,12 @@ def test_sql_checked_query(entrymod, con, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["lang_id", "minhash_dedup", "simhash_pairs", "knn_ivf",
-     "crawl_documents", "media_features",
-     "hll_distinct", "minhash_keep_best",
-     "media_captions", "interleave_pack", "lm_score", "pagerank",
-     "embedding_clusters", "cms_heavy_hitters", "value_quantile_sketch",
-     "link_hits", "api_fetch", "span_violations", "main_content", "bpe_merges",
-     "media_fetch_plan", "crawl_wave_metrics", "event_users_hll",
-     "media_phash_dups", "canonical_alias_dedup", "event_overlap_kmv"],
+    ["knn_ivf", "crawl_documents", "media_features",
+     "media_captions", "interleave_pack", "pagerank",
+     "embedding_clusters",
+     "link_hits", "api_fetch", "span_violations", "main_content",
+     "media_fetch_plan", "crawl_wave_metrics",
+     "media_phash_dups", "canonical_alias_dedup"],
 )
 def test_rows_only_query(entrymod, name):
     df = to_df(entrymod.queries()[name](SF_SMALL))
