@@ -14,6 +14,7 @@ import os
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import ray
 import ray.data as rd
 
 from ..spec import CrawlSpec
@@ -654,6 +655,41 @@ def q_crawl_diff(sf_dir: str):
     return out.sort_values("status").reset_index(drop=True)
 
 
+def _alias_fixture_pages(n_articles: int):
+    """The rel=canonical alias fixture: every article has a print variant
+    (and every other article an amp variant) declaring the article
+    canonical. Shared by q_canonical_alias_dedup and its serial twin
+    (pipelines/serial_twins.py) so both crawl the identical web."""
+    from ..synthweb import FakePage
+
+    pages = [
+        FakePage(
+            name="home",
+            links=[f"art{i}" for i in range(n_articles)]
+            + [f"art{i}-print" for i in range(n_articles)]
+            + [f"art{i}-amp" for i in range(0, n_articles, 2)],
+        )
+    ]
+    for i in range(n_articles):
+        pages.append(FakePage(name=f"art{i}", texts=[f"article {i} body"]))
+        pages.append(
+            FakePage(
+                name=f"art{i}-print",
+                texts=[f"article {i} body"],
+                canonical=f"art{i}",
+            )
+        )
+        if i % 2 == 0:
+            pages.append(
+                FakePage(
+                    name=f"art{i}-amp",
+                    texts=[f"article {i} body amp"],
+                    canonical=f"art{i}",
+                )
+            )
+    return pages
+
+
 def q_canonical_alias_dedup(sf_dir: str):
     """rel=canonical alias collapse over a crawled web where every article
     has a print/amp alias variant declaring it canonical: crawl → alias
@@ -680,32 +716,12 @@ def q_canonical_alias_dedup(sf_dir: str):
     except (OSError, KeyError, ValueError):
         pass
     if not (version_ok and _committed_waves(out)):
-        pages = [
-            FakePage(
-                name="home",
-                links=[f"art{i}" for i in range(n_articles)]
-                + [f"art{i}-print" for i in range(n_articles)]
-                + [f"art{i}-amp" for i in range(0, n_articles, 2)],
-            )
-        ]
-        for i in range(n_articles):
-            pages.append(FakePage(name=f"art{i}", texts=[f"article {i} body"]))
-            pages.append(
-                FakePage(
-                    name=f"art{i}-print",
-                    texts=[f"article {i} body"],
-                    canonical=f"art{i}",
-                )
-            )
-            if i % 2 == 0:
-                pages.append(
-                    FakePage(
-                        name=f"art{i}-amp",
-                        texts=[f"article {i} body amp"],
-                        canonical=f"art{i}",
-                    )
-                )
-        crawl(web_table(pages), [page_url("home")], CrawlSpec(delay=0.02), out)
+        crawl(
+            web_table(_alias_fixture_pages(n_articles)),
+            [page_url("home")],
+            CrawlSpec(delay=0.02),
+            out,
+        )
         from ..storage import write_json
 
         write_json(vfile, {"version": CACHE_VERSION})
@@ -1045,21 +1061,40 @@ def q_media_features(sf_dir: str):
     return extract_media_features(media_table_from_documents(docs))
 
 
+def _hex_payload(ds):
+    """Project the binary payload column to lowercase hex for the registry
+    surface only (drivers hash/sort result values; raw BLOBs round-trip as
+    unhashable bytearrays through DuckDB). The ops themselves keep emitting
+    real binary — pytest covers that path."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("payload")
+        return t.set_column(
+            i,
+            "payload",
+            pa.array([p.hex() for p in t.column("payload").to_pylist()], pa.string()),
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_media_frames(sf_dir: str):
     """Video frame sampling over the crawl's media table (actor pool; the
-    decode is the documented deterministic stub, plumbing is real)."""
+    decode is the documented deterministic stub, plumbing is real).
+    Registry surface carries the frame payload hex-encoded (_hex_payload)."""
     from ..ops.multimodal import media_table_from_documents, sample_frames
 
     docs = crawl_handle_for(sf_dir).documents()
-    return sample_frames(media_table_from_documents(docs))
+    return _hex_payload(sample_frames(media_table_from_documents(docs)))
 
 
 def q_media_thumbnails(sf_dir: str):
-    """Aspect-preserving resize of the crawl's media into 64px thumbnails."""
+    """Aspect-preserving resize of the crawl's media into 64px thumbnails.
+    Registry surface carries the thumbnail bytes hex-encoded (_hex_payload)."""
     from ..ops.multimodal import media_table_from_documents, resize_media
 
     docs = crawl_handle_for(sf_dir).documents()
-    return resize_media(media_table_from_documents(docs), max_dim=64)
+    return _hex_payload(resize_media(media_table_from_documents(docs), max_dim=64))
 
 
 def q_media_phash_dups(sf_dir: str):
@@ -1068,16 +1103,43 @@ def q_media_phash_dups(sf_dir: str):
     stub's deterministic luma grid — DC-invariant, unit-pinned) → the
     shared 64-bit hamming pair core (pigeonhole buckets + in-bucket
     verify). The dedup-images-before-training step at 100 TB: signatures
-    are 8 bytes/item, candidate generation sub-quadratic. No SQL oracle
-    (hash semantics); exact-dup pairing and DCT properties are
-    pytest-pinned."""
+    are 8 bytes/item, candidate generation sub-quadratic.
+
+    The crawl's synthetic media payloads are all distinct, so the corpus is
+    augmented with deterministic planted duplicates (the 10 lexicographically
+    first media rows re-emitted under `dup:`-prefixed ids — identical
+    payload ⇒ identical luma grid ⇒ hamming 0); the result is the recovered
+    planted pair set, serial-twin hash-checked via DuckDB
+    (pipelines/serial_twins.py twin_media_phash_dups)."""
     import numpy as np
 
     from ..ops.multimodal import media_phash_pairs, media_table_from_documents
 
     docs = crawl_handle_for(sf_dir).documents()
+    media = media_table_from_documents(docs).materialize()  # consumed twice
+
+    def block_head(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.take(pc.sort_indices(t, sort_keys=[("media_id", "ascending")])[:10])
+
+    # global lexicographic-min 10 via bounded partials: per-block min-10 →
+    # driver min-10 (≤ 10×blocks rows on the driver, never the media table)
+    import pyarrow.compute as pc
+
+    heads = pa.concat_tables(
+        ray.get(media.map_batches(block_head, batch_format="pyarrow").to_arrow_refs())
+    ).combine_chunks()
+    heads = heads.take(
+        pc.sort_indices(heads, sort_keys=[("media_id", "ascending")])[:10]
+    )
+    dup = heads.set_column(
+        heads.schema.get_field_index("media_id"),
+        "media_id",
+        pa.array([f"dup:{m}" for m in heads.column("media_id").to_pylist()]),
+    )
     pairs = media_phash_pairs(
-        media_table_from_documents(docs), hamming_threshold=4
+        media.union(rd.from_arrow(dup)), hamming_threshold=4
     ).to_pandas()
     pairs["hamming"] = pairs["hamming"].astype(np.int64)
     return pairs.sort_values(["a", "b"]).reset_index(drop=True)
@@ -6981,6 +7043,76 @@ ORACLE_SQL.update(
                SUM(fetch_time_ms)::BIGINT AS fetch_ms
         FROM p GROUP BY host ORDER BY host
     """,
+        # per-wave telemetry recomputed from the oracle pages table: every
+        # kept page is one job/raw row; failures and 304s are page flags
+        "crawl_wave_metrics": f"""
+        WITH g AS (
+          SELECT wave::BIGINT AS wave, COUNT(*)::BIGINT AS n_jobs,
+                 COUNT(*)::BIGINT AS n_raw_rows,
+                 SUM(CASE WHEN fetched THEN 1 ELSE 0 END)::BIGINT AS n_fetched,
+                 SUM(CASE WHEN fetched THEN 0 ELSE 1 END)::BIGINT AS n_failed,
+                 SUM(CASE WHEN not_modified THEN 1 ELSE 0 END)::BIGINT AS n_not_modified
+          FROM read_parquet('{ORACLE_TABLE_DIR}/pages.parquet') GROUP BY 1)
+        SELECT wave, n_jobs,
+               (SUM(n_jobs) OVER (ORDER BY wave))::BIGINT AS total_jobs,
+               n_raw_rows, n_fetched, n_failed, n_not_modified,
+               FALSE AS spilled
+        FROM g ORDER BY wave
+    """,
+        # spans-derived ops recomputed in PURE SQL over the serial oracle's
+        # exploded spans table (offset = dense in-document span order, so
+        # ORDER BY offset reconstructs the sequence the engine operates on)
+        "media_captions": f"""
+        WITH s AS (SELECT doc_id, kind, text, media_ref, "offset"
+                   FROM read_parquet('{ORACLE_TABLE_DIR}/spans.parquet')),
+        w AS (SELECT *, last_value(CASE WHEN kind='text' THEN text END IGNORE NULLS)
+                OVER (PARTITION BY doc_id ORDER BY "offset"
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cap
+              FROM s)
+        SELECT doc_id, media_ref, kind, "offset", COALESCE(cap,'') AS caption
+        FROM w WHERE kind IN ('image','video') ORDER BY doc_id, "offset"
+    """,
+        "media_fetch_plan": f"""
+        WITH s AS (SELECT doc_id, kind, media_ref
+                   FROM read_parquet('{ORACLE_TABLE_DIR}/spans.parquet')
+                   WHERE kind IN ('image','video'))
+        SELECT media_ref, MIN(kind) AS kind,
+               COUNT(DISTINCT doc_id)::BIGINT AS n_refs,
+               MIN(doc_id) AS first_doc
+        FROM s GROUP BY media_ref ORDER BY media_ref
+    """,
+        "span_violations": f"""
+        WITH s AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "offset") - 1 AS pos
+                   FROM read_parquet('{ORACLE_TABLE_DIR}/spans.parquet')),
+        t AS (SELECT
+          COALESCE(SUM(CASE WHEN "offset" != pos THEN 1 ELSE 0 END),0)::BIGINT AS offset_not_dense,
+          COALESCE(SUM(CASE WHEN kind IN ('image','video','link') AND media_ref='' THEN 1 ELSE 0 END),0)::BIGINT AS media_missing_ref,
+          COALESCE(SUM(CASE WHEN kind='text' AND text='' THEN 1 ELSE 0 END),0)::BIGINT AS text_missing_text,
+          COALESCE(SUM(CASE WHEN kind NOT IN ('text','image','video','link','json') THEN 1 ELSE 0 END),0)::BIGINT AS unknown_kind
+          FROM s)
+        SELECT v.violation, CASE v.violation
+          WHEN 'offset_not_dense' THEN t.offset_not_dense
+          WHEN 'media_missing_ref' THEN t.media_missing_ref
+          WHEN 'text_missing_text' THEN t.text_missing_text
+          ELSE t.unknown_kind END AS n
+        FROM (VALUES ('media_missing_ref'),('offset_not_dense'),
+                     ('text_missing_text'),('unknown_kind')) v(violation), t
+        ORDER BY violation
+    """,
+        "main_content": f"""
+        WITH s AS (SELECT doc_id, kind, text, "offset"
+                   FROM read_parquet('{ORACLE_TABLE_DIR}/spans.parquet')),
+        x AS (SELECT *, (kind='text' AND length(text) >= 20) AS long,
+                COALESCE(lag(kind='text' AND length(text)>=20) OVER w, FALSE) AS prev_long,
+                COALESCE(lead(kind='text' AND length(text)>=20) OVER w, FALSE) AS next_long
+              FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY "offset")),
+        k AS (SELECT *, (kind='text' AND (long OR prev_long OR next_long)) AS keep FROM x)
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN keep THEN text END, ' ' ORDER BY "offset"), '') AS main_text,
+               COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END),0)::BIGINT AS n_kept,
+               COALESCE(SUM(CASE WHEN kind='text' AND NOT keep THEN 1 ELSE 0 END),0)::BIGINT AS n_dropped
+        FROM k GROUP BY doc_id ORDER BY doc_id
+    """,
     }
 )
 
@@ -7008,6 +7140,22 @@ _TWIN_SQL_COLS = {
     "value_quantile_sketch": ("q, value_est, n", "q"),
     "event_users_hll": ("event_type, approx_distinct", "event_type"),
     "event_overlap_kmv": ("metric, estimate", "metric"),
+    "api_fetch": ("url, ok, code, json", "url"),
+    "media_features": (
+        "media_id, kind, width, height, n_bytes, mean_r, mean_g, mean_b, n_frames, backend",
+        "media_id",
+    ),
+    "media_thumbnails": (
+        "media_id, kind, width, height, lower(hex(payload)) AS payload, backend",
+        "media_id",
+    ),
+    "media_frames": (
+        "media_id, frame_idx, ts_ms, lower(hex(payload)) AS payload, backend",
+        "media_id, frame_idx",
+    ),
+    "media_phash_dups": ("a, b, hamming", "a, b"),
+    "interleave_pack": ("doc_id, n_tokens, n_media, tok_offset, seq_id", "doc_id"),
+    "canonical_alias_dedup": ("n_docs, n_alias_edges, n_collapsed_docs", "1"),
 }
 
 ORACLE_SQL.update(

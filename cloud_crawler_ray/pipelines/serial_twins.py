@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 1  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 2  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -486,6 +486,237 @@ def twin_event_overlap_kmv(sf_dir: str, k: int = 1024) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# crawl-derived twins (inputs = the serial crawl oracle's expected tables in
+# ORACLE_TABLE_DIR, so the chain checked is engine-crawl + distributed-op vs
+# oracle-crawl + serial-op)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_spans() -> pa.Table:
+    """The serial crawl oracle's exploded spans table (built/cached by
+    queries.ensure_oracle_tables; function-level import avoids the module
+    cycle — queries imports TWIN_DIR from here)."""
+    from .queries import ORACLE_TABLE_DIR, ensure_oracle_tables
+
+    ensure_oracle_tables()
+    return pq.read_table(os.path.join(ORACLE_TABLE_DIR, "spans.parquet"))
+
+
+def _serial_media_table() -> pa.Table:
+    """media_table_from_documents semantics, serially from the oracle spans
+    table: one row per image/video span, synthesized payload."""
+    from ..ops.multimodal import MEDIA_SCHEMA, synth_payload
+
+    s = _oracle_spans()
+    rows = {name: [] for name in MEDIA_SCHEMA.names}
+    for did, kind, ref, off in zip(
+        s.column("doc_id").to_pylist(),
+        s.column("kind").to_pylist(),
+        s.column("media_ref").to_pylist(),
+        s.column("offset").to_pylist(),
+    ):
+        if kind in ("image", "video"):
+            rows["media_id"].append(f"{did}#{off}")
+            rows["doc_id"].append(did)
+            rows["kind"].append(kind)
+            rows["media_ref"].append(ref)
+            rows["payload"].append(synth_payload(ref, kind))
+            rows["content_type"].append(
+                "image/png" if kind == "image" else "video/mp4"
+            )
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def twin_media_features() -> pa.Table:
+    """One serial single-batch invocation of the feature kernel — verifies
+    the distributed actor-pool batching changes nothing."""
+    from ..ops.multimodal import MediaFeatureExtractor
+
+    return MediaFeatureExtractor()(_serial_media_table())
+
+
+def twin_media_thumbnails() -> pa.Table:
+    from ..ops.multimodal import MediaResizer
+
+    return MediaResizer(max_dim=64)(_serial_media_table())
+
+
+def twin_media_frames() -> pa.Table:
+    from ..ops.multimodal import FrameSampler
+
+    return FrameSampler(every_n=4, max_frames=4)(_serial_media_table())
+
+
+def _hamming_pairs_serial(
+    ids: list, sigs: list[int], hamming_threshold: int, bucket_cap: int = 500
+) -> pa.Table:
+    """Serial pigeonhole-bucketed hamming pairs (the hash64_hamming_pairs
+    policy: chunk buckets, cap, exact verify, keep a<b sorted)."""
+    n_chunks = hamming_threshold + 1
+    width = 64 // n_chunks
+    sig_of = dict(zip(ids, sigs))
+    buckets: dict[str, list] = {}
+    for did, s in zip(ids, sigs):
+        for c in range(n_chunks):
+            lo = c * width
+            hi = 64 if c == n_chunks - 1 else lo + width
+            buckets.setdefault(
+                f"{c}:{(s >> lo) & ((1 << (hi - lo)) - 1)}", []
+            ).append(did)
+    out: dict[tuple, int] = {}
+    for members in buckets.values():
+        members = sorted(set(members))
+        if len(members) < 2 or len(members) > bucket_cap:
+            continue
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                d = bin(sig_of[a] ^ sig_of[b]).count("1")
+                if d <= hamming_threshold:
+                    out[(a, b)] = d
+    keys = sorted(out)
+    return pa.table(
+        {
+            "a": pa.array([k[0] for k in keys]),
+            "b": pa.array([k[1] for k in keys]),
+            "hamming": pa.array([out[k] for k in keys], pa.int64()),
+        }
+    )
+
+
+def twin_media_phash_dups() -> pa.Table:
+    """Serial pHash + planted duplicates (the 10 lexicographically first
+    media rows re-emitted under dup: ids — mirrors q_media_phash_dups)."""
+    from ..ops.multimodal import MediaPhasher, phash64, _PHASH_N
+
+    media = _serial_media_table()
+    ids = media.column("media_id").to_pylist()
+    payloads = media.column("payload").to_pylist()
+    order = np.argsort(np.asarray(ids, dtype=object), kind="stable")[:10]
+    all_ids = list(ids) + [f"dup:{ids[i]}" for i in order]
+    all_payloads = list(payloads) + [payloads[i] for i in order]
+    backend = MediaPhasher().backend
+    sigs = [phash64(backend.luma_grid(p, _PHASH_N)[0]) for p in all_payloads]
+    return _hamming_pairs_serial(all_ids, sigs, hamming_threshold=4)
+
+
+def twin_interleave_pack(seq_tokens: int = 512) -> pa.Table:
+    """Serial token-budget packing over the oracle docs: same token-cost
+    rule (1 per media span, whitespace count otherwise), same hash order
+    (siphash of doc_id, ties by id), serial exclusive prefix sum."""
+    from ..functions import text as T
+
+    s = _oracle_spans()
+    per_doc: dict[str, list] = {}
+    for did, kind, text in zip(
+        s.column("doc_id").to_pylist(),
+        s.column("kind").to_pylist(),
+        s.column("text").to_pylist(),
+    ):
+        per_doc.setdefault(did, []).append((kind, text))
+    ids = list(per_doc)
+    ntok = np.array(
+        [
+            sum(
+                1 if k in ("image", "video") else T.token_count(x or "")
+                for k, x in per_doc[d]
+            )
+            for d in ids
+        ],
+        dtype=np.int64,
+    )
+    nmedia = np.array(
+        [
+            sum(1 for k, _ in per_doc[d] if k in ("image", "video"))
+            for d in ids
+        ],
+        dtype=np.int64,
+    )
+    h = pd.util.hash_array(np.asarray(ids, dtype=object)).astype(np.int64)
+    order = np.lexsort((np.asarray(ids, dtype=object), h))
+    ids_o = [ids[i] for i in order]
+    ntok_o, nmedia_o = ntok[order], nmedia[order]
+    off = np.concatenate([[0], np.cumsum(ntok_o[:-1])]).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids_o, pa.string()),
+            "n_tokens": pa.array(ntok_o),
+            "n_media": pa.array(nmedia_o),
+            "tok_offset": pa.array(off),
+            "seq_id": pa.array(off // seq_tokens),
+        }
+    )
+
+
+def twin_api_fetch(sf_dir: str) -> pa.Table:
+    """Serial single-process ApiClient sweep of the JSON-API fixture —
+    the (url, ok, code, json) rows the actor pool must reproduce."""
+    import json as _json
+
+    from ..stages.api_client import ApiClient, _ok
+    from ..oracle import SyntheticNet
+    from ..synthweb import make_api_web
+
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    n = max(100, {"0.001": 1000, "0.01": 4000, "0.1": 40000}.get(sf, 4000) // 10)
+    web, urls = make_api_web(n)
+    client = ApiClient(SyntheticNet(web))
+    out = {"url": [], "ok": [], "code": [], "json": []}
+    for url in urls:
+        page = client._fetch(url)
+        code = int(page.code) if page is not None else 0
+        doc = client.fetch_result(url) if _ok(page) else {}
+        out["url"].append(url)
+        out["ok"].append(_ok(page) and bool(doc))
+        out["code"].append(code)
+        out["json"].append(_json.dumps(doc, sort_keys=True))
+    return pa.table(
+        {
+            "url": pa.array(out["url"], pa.string()),
+            "ok": pa.array(out["ok"], pa.bool_()),
+            "code": pa.array(out["code"], pa.int32()),
+            "json": pa.array(out["json"], pa.string()),
+        }
+    )
+
+
+def twin_canonical_alias_dedup() -> pa.Table:
+    """Serial oracle crawl of the shared alias fixture → (n_docs,
+    n_alias_edges, n_collapsed_docs): edges from fetched pages' canonical
+    declarations (self-edges dropped), collapse = distinct final ids."""
+    from ..canon import canonical_url
+    from ..oracle import crawl_oracle
+    from ..spec import CrawlSpec
+    from ..synthweb import page_url, web_table
+    from .queries import _alias_fixture_pages
+
+    n_articles = max(30, 4000 // 64)  # sf0.01 sizing (q_canonical_alias_dedup)
+    res = crawl_oracle(
+        web_table(_alias_fixture_pages(n_articles)),
+        [page_url("home")],
+        CrawlSpec(delay=0.02),
+    )
+    edges: dict[str, str] = {}
+    n_edges = 0
+    for p in res.pages:
+        decl = p.get("canonical_decl") or ""
+        if p["fetched"] and decl:
+            dst = canonical_url(decl)
+            if dst != p["canonical_url"]:
+                edges[p["canonical_url"]] = dst
+                n_edges += 1
+    doc_ids = [d["doc_id"] for d in res.documents]
+    collapsed = {edges.get(d, d) for d in doc_ids}
+    return pa.table(
+        {
+            "n_docs": pa.array([len(doc_ids)], pa.int64()),
+            "n_alias_edges": pa.array([n_edges], pa.int64()),
+            "n_collapsed_docs": pa.array([len(collapsed)], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # builder
 # ---------------------------------------------------------------------------
 
@@ -506,6 +737,16 @@ _SF_TWINS = {
     "value_quantile_sketch": twin_value_quantile_sketch,
     "event_users_hll": twin_event_users_hll,
     "event_overlap_kmv": twin_event_overlap_kmv,
+    "api_fetch": twin_api_fetch,
+}
+
+_NOARG_TWINS = {
+    "media_features": twin_media_features,
+    "media_thumbnails": twin_media_thumbnails,
+    "media_frames": twin_media_frames,
+    "media_phash_dups": twin_media_phash_dups,
+    "interleave_pack": twin_interleave_pack,
+    "canonical_alias_dedup": twin_canonical_alias_dedup,
 }
 
 
@@ -527,6 +768,8 @@ def ensure_twin_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
         pq.write_table(fn(docs), os.path.join(out, f"{name}.parquet"))
     for name, fn in _SF_TWINS.items():
         pq.write_table(fn(sf_dir), os.path.join(out, f"{name}.parquet"))
+    for name, fn in _NOARG_TWINS.items():
+        pq.write_table(fn(), os.path.join(out, f"{name}.parquet"))
     with open(vfile, "w") as f:
         json.dump({"version": _TWIN_VERSION}, f)
     return out

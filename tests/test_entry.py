@@ -88,12 +88,8 @@ def test_sql_checked_query(entrymod, con, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["knn_ivf", "crawl_documents", "media_features",
-     "media_captions", "interleave_pack", "pagerank",
-     "embedding_clusters",
-     "link_hits", "api_fetch", "span_violations", "main_content",
-     "media_fetch_plan", "crawl_wave_metrics",
-     "media_phash_dups", "canonical_alias_dedup"],
+    ["knn_ivf", "crawl_documents", "pagerank",
+     "embedding_clusters", "link_hits"],
 )
 def test_rows_only_query(entrymod, name):
     df = to_df(entrymod.queries()[name](SF_SMALL))
