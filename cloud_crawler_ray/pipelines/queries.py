@@ -420,7 +420,38 @@ def q_knn_ivf(sf_dir: str):
 
 
 def q_crawl_documents(sf_dir: str):
-    return crawl_handle_for(sf_dir).documents()
+    """The flagship interleaved-documents output, spans serialized to
+    compact JSON on the registry surface (nested list<struct> columns are
+    unhashable through pandas/DuckDB result frames) — hash-checked against
+    the serial crawl oracle's spans table reassembled with DuckDB to_json,
+    so the FULL flagship content (every span's kind/text/media_ref/offset
+    in document order) is driver-verified, not just row counts."""
+    import json as _json
+
+    def to_json(t: pa.Table) -> pa.Table:
+        spans = [
+            _json.dumps(
+                [
+                    {
+                        "kind": s["kind"],
+                        "text": s["text"],
+                        "media_ref": s["media_ref"],
+                        "offset": s["offset"],
+                    }
+                    for s in sp
+                ],
+                separators=(",", ":"),
+                ensure_ascii=False,
+            )
+            for sp in t.column("spans").to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "spans": pa.array(spans, pa.string())}
+        )
+
+    return crawl_handle_for(sf_dir).documents().map_batches(
+        to_json, batch_format="pyarrow"
+    )
 
 
 def q_crawl_pages(sf_dir: str):
@@ -7059,6 +7090,17 @@ ORACLE_SQL.update(
                FALSE AS spilled
         FROM g ORDER BY wave
     """,
+        # the flagship documents themselves: oracle spans reassembled into
+        # per-doc compact-JSON span lists (document order = offset order)
+        "crawl_documents": f"""
+        SELECT doc_id,
+               COALESCE(to_json(list(struct_pack(
+                   kind := kind, text := text,
+                   media_ref := media_ref, "offset" := "offset"
+               ) ORDER BY "offset")), '[]') AS spans
+        FROM read_parquet('{ORACLE_TABLE_DIR}/spans.parquet')
+        GROUP BY doc_id ORDER BY doc_id
+    """,
         # spans-derived ops recomputed in PURE SQL over the serial oracle's
         # exploded spans table (offset = dense in-document span order, so
         # ORDER BY offset reconstructs the sequence the engine operates on)
@@ -7156,6 +7198,9 @@ _TWIN_SQL_COLS = {
     "media_phash_dups": ("a, b, hamming", "a, b"),
     "interleave_pack": ("doc_id, n_tokens, n_media, tok_offset, seq_id", "doc_id"),
     "canonical_alias_dedup": ("n_docs, n_alias_edges, n_collapsed_docs", "1"),
+    "part_k_core": ("part_a, part_b", "part_a, part_b"),
+    "graph_walks": ("walk_id, start, walk_str", "walk_id"),
+    "embedding_neardup_lsh": ("a, b", "a, b"),
 }
 
 ORACLE_SQL.update(

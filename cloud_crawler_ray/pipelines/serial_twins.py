@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 2  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 3  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -717,6 +717,151 @@ def twin_canonical_alias_dedup() -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# graph / embedding twins
+# ---------------------------------------------------------------------------
+
+
+def _strong_part_edges_serial(sf_dir: str) -> pd.DataFrame:
+    """Serial twin of queries._strong_part_edges: distinct (order, part)
+    pairs → within-order part pairs (a < b) → co-occurrence count ≥ 2."""
+    li = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    ).to_pandas()
+    g = li.drop_duplicates(["l_orderkey", "l_partkey"])
+    m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+    m = m[m["l_partkey_a"] < m["l_partkey_b"]]
+    n = m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
+    n = n[n["size"] >= 2]
+    return n.rename(columns={"l_partkey_a": "a", "l_partkey_b": "b"})[["a", "b"]]
+
+
+def twin_part_k_core(sf_dir: str, k: int = 2) -> pa.Table:
+    """Serial iterative peel: drop nodes with degree < k (and their edges)
+    until fixpoint; output surviving edges as (part_a, part_b)."""
+    e = _strong_part_edges_serial(sf_dir)
+    while True:
+        deg = Counter(e["a"].tolist()) + Counter(e["b"].tolist())
+        peel = {n for n, d in deg.items() if d < k}
+        if not peel:
+            break
+        e = e[~(e["a"].isin(peel) | e["b"].isin(peel))]
+    e = e.sort_values(["a", "b"])
+    return pa.table(
+        {
+            "part_a": pa.array(e["a"].to_numpy().astype(np.int64)),
+            "part_b": pa.array(e["b"].to_numpy().astype(np.int64)),
+        }
+    )
+
+
+def twin_graph_walks(
+    sf_dir: str, walk_len: int = 8, walks_per_node: int = 1, seed: int = 7
+) -> pa.Table:
+    """Serial CSR walk with the same counter-based neighbor hash as
+    ops/graph.random_walks — walks are a pure function of (edges, seed)."""
+    e = _strong_part_edges_serial(sf_dir)
+    a = e["a"].to_numpy().astype(np.int64)
+    b = e["b"].to_numpy().astype(np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    nodes = np.unique(src)
+    indptr = np.append(np.searchsorted(src, nodes, side="left"), len(src))
+    K1, K2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
+
+    def pick(walk_id: int, step: int, deg: int) -> int:
+        with np.errstate(over="ignore"):  # deliberate uint64 wraparound
+            h = (np.uint64(walk_id) + np.uint64(seed)) * K1
+            h ^= h >> np.uint64(29)
+            h = (h + np.uint64(step)) * K2
+            h ^= h >> np.uint64(32)
+            return int(h % np.uint64(max(deg, 1)))
+
+    rows = {"walk_id": [], "start": [], "walk_str": []}
+    for node in nodes:
+        for copy in range(walks_per_node):
+            wid = int(node) * walks_per_node + copy
+            cur, path = int(node), [int(node)]
+            for step in range(1, walk_len):
+                pos = int(np.searchsorted(nodes, cur))
+                if pos >= len(nodes) or nodes[pos] != cur:
+                    break
+                lo, hi = int(indptr[pos]), int(indptr[pos + 1])
+                if hi <= lo:
+                    break
+                cur = int(dst[lo + pick(wid, step, hi - lo)])
+                path.append(cur)
+            rows["walk_id"].append(wid)
+            rows["start"].append(int(node))
+            rows["walk_str"].append("-".join(map(str, path)))
+    return pa.table(
+        {
+            "walk_id": pa.array(rows["walk_id"], pa.int64()),
+            "start": pa.array(rows["start"], pa.int64()),
+            "walk_str": pa.array(rows["walk_str"], pa.string()),
+        }
+    )
+
+
+def twin_embedding_neardup_lsh(
+    sf_dir: str,
+    threshold: float = 0.9,
+    n_planes: int = 14,
+    n_tables: int = 8,
+    seed: int = 13,
+    bucket_cap: int = 2000,
+) -> pa.Table:
+    """Serial hyperplane-LSH near-dup over the augmented corpus (the same
+    20 planted noisy near-dups q_embedding_neardup_lsh unions in): same
+    planes (rng seed 13), same sign-byte bucket codes, same bucket cap,
+    exact cosine verify — output the recovered (a, b) pair set."""
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    M = np.asarray([list(v) for v in emb["embedding"]], dtype=np.float64)
+    planted_src = emb[emb["vec_id"] < 20].sort_values("vec_id")
+    rng = np.random.default_rng(17)
+    p_ids, p_vecs = [], []
+    for vid, vec in zip(planted_src["vec_id"], planted_src["embedding"]):
+        v = np.asarray(list(vec), dtype=np.float64)
+        p_ids.append(int(vid) + 1_000_000)
+        p_vecs.append(v + 0.03 * rng.standard_normal(v.size))
+    all_ids = np.concatenate([ids, np.asarray(p_ids, np.int64)])
+    A = np.vstack([M, np.asarray(p_vecs)])
+    rngp = np.random.default_rng(seed)
+    planes = rngp.standard_normal((n_tables, n_planes, A.shape[1]))
+    n_bytes = (n_planes + 7) // 8
+    byte_shifts = (np.arange(n_bytes, dtype=np.int64) * 8)[None, :]
+    vec_of = {int(i): A[r] for r, i in enumerate(all_ids)}
+    buckets: dict[str, list[int]] = {}
+    for ti in range(n_tables):
+        bits = (A @ planes[ti].T) > 0
+        keys = np.packbits(bits, axis=1, bitorder="little")[:, :n_bytes]
+        codes = (keys.astype(np.int64) << byte_shifts).sum(axis=1)
+        for i, c in zip(all_ids, codes):
+            buckets.setdefault(f"{ti}:{c}", []).append(int(i))
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members = sorted(set(members))
+        if len(members) < 2 or len(members) > bucket_cap:
+            continue
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+    out_a, out_b = [], []
+    for x, y in sorted(cand):
+        va, vb = vec_of[x], vec_of[y]
+        den = max(np.linalg.norm(va) * np.linalg.norm(vb), 1e-12)
+        if float(va @ vb) / den >= threshold:
+            out_a.append(x)
+            out_b.append(y)
+    return pa.table(
+        {"a": pa.array(out_a, pa.int64()), "b": pa.array(out_b, pa.int64())}
+    )
+
+
+# ---------------------------------------------------------------------------
 # builder
 # ---------------------------------------------------------------------------
 
@@ -738,6 +883,9 @@ _SF_TWINS = {
     "event_users_hll": twin_event_users_hll,
     "event_overlap_kmv": twin_event_overlap_kmv,
     "api_fetch": twin_api_fetch,
+    "part_k_core": twin_part_k_core,
+    "graph_walks": twin_graph_walks,
+    "embedding_neardup_lsh": twin_embedding_neardup_lsh,
 }
 
 _NOARG_TWINS = {
