@@ -172,6 +172,12 @@ def pagerank(
         )
         src = inv[: len(ed)]
         dst = inv[len(ed):]
+        # canonical edge order: float accumulation (np.add.at) follows array
+        # order, so sort edges by (dst, src) to make every rank bit a pure
+        # function of the edge SET — identical under any partitioning of the
+        # upstream Dataset (and to the serial oracle twin)
+        order = np.lexsort((src, dst))
+        src, dst = src[order], dst[order]
         n = len(nodes)
         deg = np.bincount(src, minlength=n).astype(np.int64)
         safe_deg = np.where(deg > 0, deg, 1)
@@ -490,6 +496,10 @@ def hits(
         )
         src = inv[: len(ed)]
         dst = inv[len(ed):]
+        # canonical edge order (see pagerank): bit-stable under any input
+        # partitioning — np.add.at accumulates in array order
+        order = np.lexsort((src, dst))
+        src, dst = src[order], dst[order]
         hub, auth = _iterate(src, dst, len(nodes))
         return rd.from_arrow(
             pa.table(

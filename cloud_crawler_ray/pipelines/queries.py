@@ -5363,7 +5363,7 @@ def q_crawl_spans(sf_dir: str):
 # sf0.01 — the one scale the driver and test suite evaluate SQL at.
 
 ORACLE_TABLE_DIR = "/tmp/ccray_oracle_sf0.01"
-_ORACLE_TABLES_VERSION = 3  # bump when the expected-table set/shape changes
+_ORACLE_TABLES_VERSION = 4  # bump when the expected-table set/shape changes
 
 
 def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -5504,6 +5504,25 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
             }
         ),
         os.path.join(out, "crawl_diff.parquet"),
+    )
+
+    # distinct link edges of the flagship crawl (canonical src → canonical
+    # dst over each page's admitted children) — the pagerank/HITS twin input
+    from ..canon import canonical_url as _canon_url
+
+    edge_set: set[tuple[str, str]] = set()
+    for cu, kids in res.children.items():
+        for kid in kids:
+            edge_set.add((cu, _canon_url(kid)))
+    edge_list = sorted(edge_set)
+    pq.write_table(
+        pa.table(
+            {
+                "src": pa.array([a for a, _ in edge_list], pa.string()),
+                "dst": pa.array([b for _, b in edge_list], pa.string()),
+            }
+        ),
+        os.path.join(out, "link_edges.parquet"),
     )
 
     # api doc-store twin: serial extraction over the JSON-API fixture
@@ -7201,6 +7220,8 @@ _TWIN_SQL_COLS = {
     "part_k_core": ("part_a, part_b", "part_a, part_b"),
     "graph_walks": ("walk_id, start, walk_str", "walk_id"),
     "embedding_neardup_lsh": ("a, b", "a, b"),
+    "pagerank": ('node, "rank"', "node"),
+    "link_hits": ("node, hub, authority", "node"),
 }
 
 ORACLE_SQL.update(

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 3  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 4  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -861,6 +861,78 @@ def twin_embedding_neardup_lsh(
     )
 
 
+def _oracle_link_edges() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(nodes, src_ids, dst_ids) of the flagship crawl's distinct link-edge
+    set (the oracle's link_edges table), int-mapped and lexsorted (dst, src)
+    — the canonical edge order both graph driver paths accumulate in."""
+    from .queries import ORACLE_TABLE_DIR, ensure_oracle_tables
+
+    ensure_oracle_tables()
+    e = pq.read_table(os.path.join(ORACLE_TABLE_DIR, "link_edges.parquet"))
+    s = np.asarray(e.column("src").to_pylist(), dtype=object)
+    d = np.asarray(e.column("dst").to_pylist(), dtype=object)
+    nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    src = inv[: len(s)]
+    dst = inv[len(s):]
+    order = np.lexsort((src, dst))
+    return nodes, src[order], dst[order]
+
+
+def twin_pagerank(n_iter: int = 8, d: float = 0.85, k: int = 20) -> pa.Table:
+    """Serial PageRank over the oracle link edges — the same power
+    iteration (uniform dangling redistribution) in the same canonical edge
+    order as ops/graph.pagerank's driver path, so every rank bit matches."""
+    nodes, src, dst = _oracle_link_edges()
+    n = len(nodes)
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+    safe_deg = np.where(deg > 0, deg, 1)
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - d) / n
+    for _ in range(n_iter):
+        dangling = float(rank[deg == 0].sum())
+        contrib = rank / safe_deg
+        sums = np.zeros(n)
+        np.add.at(sums, dst, contrib[src])
+        rank = base + d * dangling / n + d * sums
+    top = pd.DataFrame({"node": nodes, "rank": rank}).sort_values(
+        ["rank", "node"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return pa.table(
+        {
+            "node": pa.array(top["node"].tolist(), pa.string()),
+            "rank": pa.array(top["rank"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+def twin_link_hits(n_iter: int = 16, k: int = 10) -> pa.Table:
+    """Serial HITS over the oracle link edges (same iteration and edge
+    order as ops/graph.hits' driver path); top-k authorities."""
+    nodes, src, dst = _oracle_link_edges()
+    n = len(nodes)
+    hub = np.full(n, 1.0)
+    auth = np.full(n, 1.0)
+    for _ in range(n_iter):
+        new_auth = np.zeros(n)
+        np.add.at(new_auth, dst, hub[src])
+        na = np.linalg.norm(new_auth)
+        auth = new_auth / na if na > 0 else new_auth
+        new_hub = np.zeros(n)
+        np.add.at(new_hub, src, auth[dst])
+        nh = np.linalg.norm(new_hub)
+        hub = new_hub / nh if nh > 0 else new_hub
+    top = pd.DataFrame({"node": nodes, "hub": hub, "authority": auth}).sort_values(
+        ["authority", "node"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return pa.table(
+        {
+            "node": pa.array(top["node"].tolist(), pa.string()),
+            "hub": pa.array(top["hub"].to_numpy(), pa.float64()),
+            "authority": pa.array(top["authority"].to_numpy(), pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # builder
 # ---------------------------------------------------------------------------
@@ -895,6 +967,8 @@ _NOARG_TWINS = {
     "media_phash_dups": twin_media_phash_dups,
     "interleave_pack": twin_interleave_pack,
     "canonical_alias_dedup": twin_canonical_alias_dedup,
+    "pagerank": twin_pagerank,
+    "link_hits": twin_link_hits,
 }
 
 

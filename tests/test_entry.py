@@ -88,7 +88,7 @@ def test_sql_checked_query(entrymod, con, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["knn_ivf", "pagerank", "embedding_clusters", "link_hits"],
+    ["knn_ivf", "embedding_clusters"],
 )
 def test_rows_only_query(entrymod, name):
     df = to_df(entrymod.queries()[name](SF_SMALL))
