@@ -358,6 +358,22 @@ def q_lang_id(sf_dir: str):
     return lang_id(_docs(sf_dir))
 
 
+def q_nb_classify(sf_dir: str):
+    """Hashed-feature multinomial Naive Bayes (ops/classify.py): train on
+    the documents table's (text, lang) labels — map-side partial counts →
+    one bounded (class, bucket) groupby — then score every document with
+    the broadcast model matrix. The fastText/CCNet-style quality/domain
+    classifier step of a training-data pipeline. Hash-checked against the
+    serial twin (same kernels, one thread)."""
+    from ..ops.classify import nb_classify
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return nb_classify(docs)
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash LSH near-dup groups, corpus-side fully distributed: candidate
     generation, in-pipeline verify, and per-doc group assignment never
@@ -5574,6 +5590,7 @@ QUERIES = {
     "range_join": q_range_join,
     "session_windows": q_session_windows,
     "lang_id": q_lang_id,
+    "nb_classify": q_nb_classify,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "knn_ivf": q_knn_ivf,
@@ -7220,6 +7237,7 @@ _TWIN_SQL_COLS = {
     "part_k_core": ("part_a, part_b", "part_a, part_b"),
     "graph_walks": ("walk_id, start, walk_str", "walk_id"),
     "embedding_neardup_lsh": ("a, b", "a, b"),
+    "nb_classify": ("doc_id, lang, pred", "doc_id"),
     "pagerank": ('node, "rank"', "node"),
     "link_hits": ("node, hub, authority", "node"),
 }

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 4  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 5  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -680,6 +680,37 @@ def twin_api_fetch(sf_dir: str) -> pa.Table:
     )
 
 
+def twin_nb_classify(sf_dir: str) -> pa.Table:
+    """Serial Naive-Bayes twin: same hash/tokenize/model/score kernels as
+    ops/classify.py, counts accumulated in one thread, every document
+    scored in one call — per-doc float accumulation order (document token
+    order) matches the distributed np.bincount path bit-for-bit."""
+    from ..ops import classify as C
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    texts = [x if x is not None else "" for x in t.column("text").to_pylist()]
+    labels = t.column("lang").to_pylist()
+    label_counts = dict(Counter(labels))
+    langs = sorted(label_counts)
+    bucket_counts: Counter = Counter()
+    for lang, txt in zip(labels, texts):
+        flat, _ = C._explode_tokens([txt])
+        for b in C.hash_buckets(flat):
+            bucket_counts[(lang, int(b))] += 1
+    logp, logprior = C.nb_model(langs, bucket_counts, label_counts)
+    pred_idx = C.nb_score_batch(texts, logp, logprior)
+    return pa.table(
+        {
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "pred": pa.array([langs[i] for i in pred_idx], pa.string()),
+        }
+    )
+
+
 def twin_canonical_alias_dedup() -> pa.Table:
     """Serial oracle crawl of the shared alias fixture → (n_docs,
     n_alias_edges, n_collapsed_docs): edges from fetched pages' canonical
@@ -958,6 +989,7 @@ _SF_TWINS = {
     "part_k_core": twin_part_k_core,
     "graph_walks": twin_graph_walks,
     "embedding_neardup_lsh": twin_embedding_neardup_lsh,
+    "nb_classify": twin_nb_classify,
 }
 
 _NOARG_TWINS = {
