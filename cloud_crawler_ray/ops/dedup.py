@@ -1139,6 +1139,233 @@ def ngram_jaccard_pairs(
     return with_b.map_batches(verify_join, batch_format="pyarrow")
 
 
+def ngram_containment_pairs(
+    ds: rd.Dataset,
+    k: int = 3,
+    num: int = 4,
+    den: int = 5,
+    shingle_freq_cap: int = 1000,
+    join_broadcast_cap: int = 500_000,
+) -> rd.Dataset:
+    """EXACT directed n-gram containment: keep (a → b), a ≠ b, iff
+
+        den·|Sa ∩ Sb| ≥ num·|Sa|
+
+    i.e. at least num/den of a's word k-shingles also occur in b — the
+    asymmetric near-dup Jaccard misses (a quote, a syndicated paragraph, a
+    boilerplate block CONTAINED in a much larger page scores near-zero
+    Jaccard but containment ≈ 1). Integer arithmetic end-to-end so the
+    serial brute-force twin matches bit-for-bit.
+
+    Candidate generation prefix-filters the CONTAINED side only: C ≥ t
+    forces overlap ≥ ⌈t·n_a⌉, so a must hit a shared shingle inside its
+    rarity prefix of length n_a − ⌈t·n_a⌉ + 1 — but the containing side is
+    unbounded (nothing relates n_b to the threshold), so a-prefix
+    occurrences join against ALL occurrences of the shingle, not just
+    prefixes. That asymmetry makes containment inherently pricier than
+    PPJoin Jaccard; groups over ``shingle_freq_cap`` are skipped
+    deterministically (same guard as ngram_jaccard_pairs). Verify is an
+    exact per-pair set intersection via the same broadcast/join hybrid."""
+
+    def doc_sets(batch: pa.Table) -> pa.Table:
+        shs = [
+            sorted(T.word_shingles(t, k))
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shs": pa.array(shs, pa.list_(pa.string())),
+            }
+        )
+
+    sets = ds.map_batches(doc_sets, batch_format="pyarrow", batch_size=2048).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("shs")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.take(
+                    batch.column("doc_id"),
+                    pa.array(np.repeat(np.arange(len(counts)), counts)),
+                ),
+                "sh": pc.list_flatten(col),
+            }
+        )
+
+    sh = sets.map_batches(explode, batch_format="pyarrow")
+
+    def df_shard(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["doc_id", "sh"]].copy()
+        g["df"] = g.groupby("sh")["sh"].transform("size").astype(np.int64)
+        return g
+
+    def prefix_flag_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # keep EVERY occurrence, flag the ones inside the doc's rarity
+        # prefix (order by df asc, sh asc within doc)
+        g = g.sort_values(["doc_id", "df", "sh"], kind="stable")
+        n = g.groupby("doc_id", sort=False)["sh"].transform("size").to_numpy()
+        pos = g.groupby("doc_id", sort=False).cumcount().to_numpy()
+        ceil_tn = (num * n + den - 1) // den
+        g = g[["doc_id", "sh"]].copy()
+        g["in_prefix"] = pos < (n - ceil_tn + 1)
+        return g
+
+    def pair_gen_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("sh"):
+            if len(grp) < 2 or len(grp) > shingle_freq_cap:
+                continue
+            all_ids = sorted(grp["doc_id"].tolist())
+            pref_ids = sorted(grp.loc[grp["in_prefix"], "doc_id"].tolist())
+            for a_ in pref_ids:
+                for b_ in all_ids:
+                    if a_ != b_:
+                        out_a.append(a_)
+                        out_b.append(b_)
+        return pd.DataFrame(
+            {"a": pd.Series(out_a, dtype=object), "b": pd.Series(out_b, dtype=object)}
+        )
+
+    def dedup_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
+
+    def shard_on_pair(t: pa.Table) -> pa.Table:
+        import zlib
+
+        keys = [
+            f"{a}|{b}"
+            for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist())
+        ]
+        return t.append_column(
+            "pshard",
+            pa.array([zlib.crc32(k.encode()) % _N_SHARDS for k in keys], pa.int32()),
+        )
+
+    cand = (
+        sh.map_batches(lambda t: _add_shard(t, "sh"), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(df_shard, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "doc_id"), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(prefix_flag_shard, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "sh"), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(pair_gen_shard, batch_format="pandas")
+        .map_batches(shard_on_pair, batch_format="pyarrow")
+        .groupby("pshard")
+        .map_groups(dedup_pairs_shard, batch_format="pandas")
+        .materialize()
+    )
+
+    empty_schema = {
+        "a": None,
+        "b": None,
+        "n_common": pa.int64(),
+        "n_a": pa.int64(),
+        "n_b": pa.int64(),
+    }
+    if cand.count() == 0:
+        id_t = dict(zip(ds.schema().names, ds.schema().types))["doc_id"]
+        return rd.from_arrow(
+            pa.table(
+                {
+                    c: pa.array([], id_t if t is None else t)
+                    for c, t in empty_schema.items()
+                }
+            )
+        )
+
+    cand_ids = (
+        cand.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                    ),
+                    "m": pa.array(np.ones(2 * t.num_rows, dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(lambda t: _add_shard(t, "doc_id"), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lambda g: g.drop_duplicates("doc_id")[["doc_id", "m"]], batch_format="pandas")
+        .materialize()
+    )
+    n_cand_ids = cand_ids.count()
+    cand_sets = keyed_attach(
+        sets, cand_ids, "doc_id", ["m"],
+        right_count=n_cand_ids, broadcast_cap=join_broadcast_cap,
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("m"), 1)).drop_columns(["m"]),
+        batch_format="pyarrow",
+    )
+
+    def _verify_tbl(ab_pairs, get_a, get_b) -> pa.Table:
+        rows = {"a": [], "b": [], "n_common": [], "n_a": [], "n_b": []}
+        for i, (a_, b_) in enumerate(ab_pairs):
+            sa, sb = get_a(a_, i), get_b(b_, i)
+            c = len(sa & sb)
+            if den * c >= num * len(sa):  # directed: a contained in b
+                rows["a"].append(a_)
+                rows["b"].append(b_)
+                rows["n_common"].append(c)
+                rows["n_a"].append(len(sa))
+                rows["n_b"].append(len(sb))
+        return pa.table(
+            {
+                "a": pa.array(rows["a"]),
+                "b": pa.array(rows["b"]),
+                "n_common": pa.array(rows["n_common"], pa.int64()),
+                "n_a": pa.array(rows["n_a"], pa.int64()),
+                "n_b": pa.array(rows["n_b"], pa.int64()),
+            }
+        )
+
+    if n_cand_ids <= join_broadcast_cap:
+        set_lookup: dict = {}
+        for t in ray.get(cand_sets.to_arrow_refs()):
+            for d, ss in zip(t.column("doc_id").to_pylist(), t.column("shs").to_pylist()):
+                set_lookup[d] = frozenset(ss)
+        set_ref = ray.put(set_lookup)
+
+        def verify_bcast(t: pa.Table) -> pa.Table:
+            lk = ray.get(set_ref)
+            ab = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+            return _verify_tbl(ab, lambda x, i: lk[x], lambda y, i: lk[y])
+
+        return cand.map_batches(verify_bcast, batch_format="pyarrow")
+
+    def rename(cols: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([cols.get(n, n) for n in t.column_names])
+
+        return fn
+
+    sets_a = cand_sets.map_batches(rename({"doc_id": "a", "shs": "sh_a"}), batch_format="pyarrow")
+    sets_b = cand_sets.map_batches(rename({"doc_id": "b", "shs": "sh_b"}), batch_format="pyarrow")
+    with_b = keyed_attach(
+        keyed_attach(
+            cand, sets_a, "a", ["sh_a"],
+            right_count=n_cand_ids, broadcast_cap=join_broadcast_cap,
+        ),
+        sets_b, "b", ["sh_b"],
+        right_count=n_cand_ids, broadcast_cap=join_broadcast_cap,
+    )
+
+    def verify_join(t: pa.Table) -> pa.Table:
+        ab = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
+        ha = t.column("sh_a").to_pylist()
+        hb = t.column("sh_b").to_pylist()
+        return _verify_tbl(ab, lambda x, i: set(ha[i]), lambda y, i: set(hb[i]))
+
+    return with_b.map_batches(verify_join, batch_format="pyarrow")
+
+
 def _emb_matrix(t: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
     """(ids, L2-normalized float64 matrix) from an Arrow block, zero-copy
     flatten of the fixed-width list column."""

@@ -358,6 +358,19 @@ def q_lang_id(sf_dir: str):
     return lang_id(_docs(sf_dir))
 
 
+def q_ngram_containment(sf_dir: str):
+    """Directed n-gram containment ≥ 4/5 over the documents table
+    (ops/dedup.py ngram_containment_pairs): the asymmetric quote/boilerplate
+    near-dup Jaccard misses. Hash-checked against a brute-force all-pairs
+    serial twin, so the prefix-filter + bucket-cap pruning is proven
+    lossless at this scale."""
+    from ..ops.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(_docs(sf_dir)).select_columns(
+        ["a", "b", "n_common", "n_a", "n_b"]
+    )
+
+
 def q_nb_classify(sf_dir: str):
     """Hashed-feature multinomial Naive Bayes (ops/classify.py): train on
     the documents table's (text, lang) labels — map-side partial counts →
@@ -5591,6 +5604,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "lang_id": q_lang_id,
     "nb_classify": q_nb_classify,
+    "ngram_containment": q_ngram_containment,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "knn_ivf": q_knn_ivf,
@@ -7238,6 +7252,7 @@ _TWIN_SQL_COLS = {
     "graph_walks": ("walk_id, start, walk_str", "walk_id"),
     "embedding_neardup_lsh": ("a, b", "a, b"),
     "nb_classify": ("doc_id, lang, pred", "doc_id"),
+    "ngram_containment": ("a, b, n_common, n_a, n_b", "a, b"),
     "pagerank": ('node, "rank"', "node"),
     "link_hits": ("node, hub, authority", "node"),
 }

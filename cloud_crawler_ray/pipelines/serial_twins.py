@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 5  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 6  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -148,6 +148,40 @@ def _minhash_confirmed_pairs(
         if c / max(1, len(sa) + len(sb) - c) >= threshold:
             confirmed.append((a, b))
     return confirmed
+
+
+def twin_ngram_containment(
+    docs: pa.Table, k: int = 3, num: int = 4, den: int = 5
+) -> pa.Table:
+    """Brute-force ground truth: EVERY ordered pair's exact shingle-set
+    intersection (no prefix filter, no bucket cap) — so a hash match also
+    proves the distributed prefix/cap pruning loses nothing at this
+    scale."""
+    from ..functions import text as T
+
+    ids = docs.column("doc_id").to_pylist()
+    sets = [frozenset(T.word_shingles(t, k)) for t in docs.column("text").to_pylist()]
+    rows = {"a": [], "b": [], "n_common": [], "n_a": [], "n_b": []}
+    for i, (ai, si) in enumerate(zip(ids, sets)):
+        for j, (bj, sj) in enumerate(zip(ids, sets)):
+            if i == j:
+                continue
+            c = len(si & sj)
+            if den * c >= num * len(si):
+                rows["a"].append(ai)
+                rows["b"].append(bj)
+                rows["n_common"].append(c)
+                rows["n_a"].append(len(si))
+                rows["n_b"].append(len(sj))
+    return pa.table(
+        {
+            "a": pa.array(rows["a"]),
+            "b": pa.array(rows["b"]),
+            "n_common": pa.array(rows["n_common"], pa.int64()),
+            "n_a": pa.array(rows["n_a"], pa.int64()),
+            "n_b": pa.array(rows["n_b"], pa.int64()),
+        }
+    )
 
 
 def twin_minhash_dedup(docs: pa.Table) -> pa.Table:
@@ -972,6 +1006,7 @@ _DOC_TWINS = {
     "lang_id": twin_lang_id,
     "simhash_pairs": twin_simhash_pairs,
     "minhash_dedup": twin_minhash_dedup,
+    "ngram_containment": twin_ngram_containment,
     "minhash_keep_best": twin_minhash_keep_best,
     "weighted_sample": twin_weighted_sample,
     "cdc_dedup": twin_cdc_dedup,
