@@ -1835,54 +1835,7 @@ def semantic_dedup(
     def dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy().astype(np.int64)
         M = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(ids, kind="stable")
-        ids, M = ids[order], M[order]
-
-        rep = ids.copy()
-        depth_out = np.zeros(len(ids), np.int64)
-
-        def leaf(idx: np.ndarray, depth: int) -> None:
-            if len(idx) <= 1:
-                return
-            if len(idx) > max_cluster:
-                # deterministic hyperplane split: seed by depth only, so the
-                # same rows split the same way under any partitioning
-                plane = np.random.default_rng(1000 + depth).standard_normal(
-                    M.shape[1]
-                )
-                side = (M[idx] @ plane) >= 0.0
-                if side.all() or (~side).all():
-                    side = np.zeros(len(idx), bool)
-                    side[: len(idx) // 2] = True  # degenerate: halve by id order
-                leaf(idx[side], depth + 1)
-                leaf(idx[~side], depth + 1)
-                depth_out[idx] += 1
-                return
-            sims = M[idx] @ M[idx].T
-            ii, jj = np.where(np.triu(sims >= threshold, k=1))
-            if len(ii) == 0:
-                return
-            # union-find over in-leaf pairs; roots by position (ids sorted
-            # ascending, so min-position root == min-id representative)
-            parent = np.arange(len(idx))
-
-            def find(x: int) -> int:
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
-            for a, b in zip(ii, jj):
-                ra, rb = find(int(a)), find(int(b))
-                if ra != rb:
-                    if ra > rb:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-            roots = np.array([find(i) for i in range(len(idx))])
-            rep[idx] = ids[idx[roots]]
-
-        leaf(np.arange(len(ids)), 0)
+        ids, rep, depth_out = semdedup_members(ids, M, threshold, max_cluster)
         return pd.DataFrame(
             {
                 id_col: ids,
@@ -1895,6 +1848,63 @@ def semantic_dedup(
     return tagged.groupby("cluster").map_groups(
         lambda g: dedup_cluster(g.drop(columns=["cluster"])), batch_format="pandas"
     )
+
+
+def semdedup_members(
+    ids: np.ndarray, M: np.ndarray, threshold: float, max_cluster: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pure per-cluster SemDeDup kernel, shared by the distributed
+    map_groups above and the serial twin (serial_twins.py): normalize,
+    id-sort, recursive hyperplane split above ``max_cluster``, in-leaf
+    union-find with min-id representatives. Returns (sorted_ids, rep_ids,
+    split_depth) — a deterministic pure function of the member multiset."""
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], M[order]
+
+    rep = ids.copy()
+    depth_out = np.zeros(len(ids), np.int64)
+
+    def leaf(idx: np.ndarray, depth: int) -> None:
+        if len(idx) <= 1:
+            return
+        if len(idx) > max_cluster:
+            # deterministic hyperplane split: seed by depth only, so the
+            # same rows split the same way under any partitioning
+            plane = np.random.default_rng(1000 + depth).standard_normal(M.shape[1])
+            side = (M[idx] @ plane) >= 0.0
+            if side.all() or (~side).all():
+                side = np.zeros(len(idx), bool)
+                side[: len(idx) // 2] = True  # degenerate: halve by id order
+            leaf(idx[side], depth + 1)
+            leaf(idx[~side], depth + 1)
+            depth_out[idx] += 1
+            return
+        sims = M[idx] @ M[idx].T
+        ii, jj = np.where(np.triu(sims >= threshold, k=1))
+        if len(ii) == 0:
+            return
+        # union-find over in-leaf pairs; roots by position (ids sorted
+        # ascending, so min-position root == min-id representative)
+        parent = np.arange(len(idx))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(ii, jj):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                if ra > rb:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        roots = np.array([find(i) for i in range(len(idx))])
+        rep[idx] = ids[idx[roots]]
+
+    leaf(np.arange(len(ids)), 0)
+    return ids, rep, depth_out
 
 
 # ---------------------------------------------------------------------------

@@ -85,6 +85,148 @@ def kmeans_fit(M: np.ndarray, nlist: int, iters: int = 8, seed: int = 5) -> np.n
     return cent
 
 
+# ---------------------------------------------------------------------------
+# Shared pure kernels — used by BOTH the distributed ops below and the
+# serial twins in pipelines/serial_twins.py. Everything here is a
+# deterministic pure function of its input multiset (no RNG state beyond
+# fixed seeds, integer accumulation where summation order would otherwise
+# depend on block structure), so a DuckDB hash match against the twin
+# proves the distributed execution — partitioning, broadcast, partial
+# merges — reproduces serial semantics bit-for-bit.
+# ---------------------------------------------------------------------------
+
+# Fixed-point scale for integer-exact center reduces: components ≤1.0 →
+# per-component int ≤2^32, so int64 sums stay exact up to ~2×10^9 rows per
+# cluster; at larger cluster cardinalities drop the scale (2^24 still gives
+# 6e-8 center resolution — far below k-means' own convergence tolerance).
+_KMEANS_FP = float(1 << 32)
+
+
+def _id_hash(ids: np.ndarray) -> np.ndarray:
+    """Knuth multiplicative hash of int ids — the sampling key."""
+    return (
+        (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(2**32)
+    ).astype(np.int64)
+
+
+def hash_min_sample(
+    emb: rd.Dataset, cap: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> pd.DataFrame:
+    """Deterministic block-independent sample: the ``cap`` rows with the
+    smallest (hash(id), id). Each block prefilters to ≤cap candidates (one
+    lexsort), the driver keeps the global head — equal to the serial head
+    under ANY partitioning, because per-block (h, id) minima are a superset
+    of the global minima."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        h = _id_hash(ids)
+        take = np.lexsort((ids, h))[:cap]
+        return pd.DataFrame(
+            {
+                "h": h[take],
+                id_col: ids[take],
+                vec_col: df[vec_col].to_numpy()[take],
+            }
+        )
+
+    samp = emb.map_batches(part, batch_format="pandas").to_pandas()
+    return (
+        samp.sort_values(["h", id_col], kind="stable").head(cap).reset_index(drop=True)
+    )
+
+
+def hash_min_sample_serial(ids: np.ndarray, M: np.ndarray, cap: int) -> np.ndarray:
+    """Serial equivalent of hash_min_sample on an in-memory matrix."""
+    take = np.lexsort((ids, _id_hash(ids)))[:cap]
+    return M[take]
+
+
+def greedy_seeds(S: np.ndarray, k_eff: int) -> np.ndarray:
+    """Greedy farthest-point seeding over a (h, id)-ordered sample: first
+    seed = min-hash row, then repeatedly the point maximizing min-distance
+    to the chosen seeds, ties to the lowest (h, id) position — no RNG."""
+    chosen = [0]
+    mind = ((S - S[0]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        nxt = int(np.argmax(mind))  # ties → lowest position = lowest (h, id)
+        chosen.append(nxt)
+        mind = np.minimum(mind, ((S - S[nxt]) ** 2).sum(axis=1))
+    return S[chosen].copy()
+
+
+def lloyd_assign(M: np.ndarray, centers: np.ndarray) -> np.ndarray:
+    """argmin ||x-c||² = argmax x·c − ||c||²/2 — one matmul per call."""
+    scores = M @ centers.T - 0.5 * (centers * centers).sum(axis=1)
+    return np.argmax(scores, axis=1)
+
+
+def fp_partials(
+    M: np.ndarray, assign: np.ndarray, k_eff: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(counts, fixed-point int64 vector sums) per cluster — integer sums
+    are associative, so the reduce is exact under any block structure and
+    arrival order (the float version's summation order leaked the
+    partitioning into the result bits)."""
+    Mfp = np.rint(M * _KMEANS_FP).astype(np.int64)
+    sums = np.zeros((k_eff, M.shape[1]), np.int64)
+    np.add.at(sums, assign, Mfp)
+    counts = np.bincount(assign, minlength=k_eff).astype(np.int64)
+    return counts, sums
+
+
+def centers_from_partials(
+    centers_prev: np.ndarray, counts: np.ndarray, isums: np.ndarray
+) -> np.ndarray:
+    """Center update from exact integer partials; empty clusters keep their
+    previous center. One shared expression so twin and engine divide in
+    the same order (float division is not associative)."""
+    centers = centers_prev.copy()
+    nonempty = counts > 0
+    centers[nonempty] = isums[nonempty] / counts[nonempty, None] / _KMEANS_FP
+    return centers
+
+
+def kmeans_serial(
+    ids: np.ndarray, M: np.ndarray, k: int, n_iter: int, sample_cap: int = 4096
+) -> tuple[np.ndarray, np.ndarray]:
+    """Single-threaded twin of ``kmeans`` below: same hash-min sample, same
+    greedy seeding, same integer-exact Lloyd iterations — bit-identical
+    centers and assignments. Returns (centers, assignment)."""
+    S = hash_min_sample_serial(ids, M, max(k, sample_cap))
+    k_eff = min(k, len(S))
+    centers = greedy_seeds(S, k_eff)
+    for _ in range(n_iter):
+        assign = lloyd_assign(M, centers)
+        counts, isums = fp_partials(M, assign, k_eff)
+        centers = centers_from_partials(centers, counts, isums)
+    return centers, lloyd_assign(M, centers)
+
+
+def pq_fit_books(S: np.ndarray, m: int, n_centroids: int) -> np.ndarray:
+    """Per-subspace plain-L2 k-means on an L2-normalized, (h, id)-ordered
+    sample — deterministic seeding by sample order, empty clusters keep
+    their centers. Pure; shared by pq_train and its serial twin."""
+    dim = S.shape[1]
+    assert dim % m == 0, (dim, m)
+    dsub = dim // m
+    books = np.zeros((m, n_centroids, dsub))
+    for j in range(m):
+        sub = S[:, j * dsub : (j + 1) * dsub].copy()
+        cent = sub[: min(n_centroids, len(sub))].copy()
+        for _ in range(8):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(cent)):
+                mem = sub[assign == c]
+                if len(mem):
+                    cent[c] = mem.mean(axis=0)
+        if len(cent) < n_centroids:
+            cent = np.vstack([cent, np.zeros((n_centroids - len(cent), dsub))])
+        books[j] = cent
+    return books
+
+
 def knn_ivf(
     emb: rd.Dataset,
     queries: pd.DataFrame,
@@ -94,10 +236,11 @@ def knn_ivf(
     id_col: str = "vec_id",
     sample_rows: int = 4096,
 ) -> pa.Table:
-    """IVF approximate top-k: centroids from a driver-side sample (at scale:
-    a ds.random_sample), cluster assignment distributed, queries scan only
-    their nprobe closest clusters."""
-    sample = emb.limit(sample_rows).to_pandas()
+    """IVF approximate top-k: centroids from a driver-side deterministic
+    hash-min sample (block-independent, so the serial twin reproduces it
+    under any partitioning), cluster assignment distributed, queries scan
+    only their nprobe closest clusters."""
+    sample = hash_min_sample(emb, sample_rows, id_col=id_col)
     _, S = _matrix(sample, id_col)
     cent = kmeans_fit(S, nlist)
     cent_ref = ray.put(cent)
@@ -164,51 +307,30 @@ def kmeans(
     seeds, ties to the lowest id — no RNG state, and unlike raw hash-min it
     cannot drop two seeds into one dense blob). Each Lloyd iteration
     broadcasts the k×dim center matrix once (ray.put) and every block emits
-    k partial rows (count, vector sum per cluster) from one argmin +
-    np.add.at pass — no shuffle anywhere, driver combines k×#blocks rows
-    and holds O(k·dim) floats. Empty clusters keep their previous center.
-    Assignment pass reuses the final centers map-side."""
+    k partial rows (count, FIXED-POINT int64 vector sum per cluster) from
+    one argmin + np.add.at pass — no shuffle anywhere, driver combines
+    k×#blocks rows and holds O(k·dim) ints. Integer partials make the
+    reduce exact and order-free, so the result is bit-identical to
+    ``kmeans_serial`` under any partitioning (DuckDB-hash-checked via the
+    serial twin). Empty clusters keep their previous center. Assignment
+    pass reuses the final centers map-side."""
     emb = emb.materialize()
     sample_cap = max(k, 4096)
-
-    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].to_numpy().astype(np.uint64)
-        h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
-        take = np.argsort(h, kind="stable")[:sample_cap]
-        return pd.DataFrame(
-            {
-                "h": h[take].astype(np.int64),
-                id_col: df[id_col].to_numpy()[take],
-                vec_col: df[vec_col].to_numpy()[take],
-            }
-        )
-
-    samp = emb.map_batches(seed_partial, batch_format="pandas").to_pandas()
-    samp = samp.sort_values(["h", id_col], kind="stable").head(sample_cap)
+    samp = hash_min_sample(emb, sample_cap, id_col=id_col, vec_col=vec_col)
     S = np.stack(samp[vec_col].to_numpy()).astype(np.float64)
     k_eff = min(k, len(S))
-    chosen = [0]  # min-hash row (samp is hash-sorted)
-    mind = ((S - S[0]) ** 2).sum(axis=1)
-    for _ in range(1, k_eff):
-        nxt = int(np.argmax(mind))  # ties → lowest position = lowest (h, id)
-        chosen.append(nxt)
-        mind = np.minimum(mind, ((S - S[nxt]) ** 2).sum(axis=1))
-    centers = S[chosen].copy()
+    centers = greedy_seeds(S, k_eff)
 
     def part_sums(df: pd.DataFrame, ref) -> pd.DataFrame:
         cent = ray.get(ref)
         M = np.stack(df[vec_col].to_numpy()).astype(np.float64)
-        # argmin ||x-c||² = argmax x·c − ||c||²/2 — one matmul per block
-        scores = M @ cent.T - 0.5 * (cent * cent).sum(axis=1)
-        assign = np.argmax(scores, axis=1)
-        sums = np.zeros((k_eff, M.shape[1]))
-        np.add.at(sums, assign, M)
-        counts = np.bincount(assign, minlength=k_eff).astype(np.int64)
+        assign = lloyd_assign(M, cent)
+        counts, isums = fp_partials(M, assign, k_eff)
         return pd.DataFrame(
             {
                 "cluster": np.arange(k_eff, dtype=np.int64),
                 "n": counts,
-                "vsum": list(sums),
+                "vsum": list(isums),
             }
         )
 
@@ -218,23 +340,21 @@ def kmeans(
             lambda df, ref=ref: part_sums(df, ref), batch_format="pandas"
         ).to_pandas()
         counts = np.zeros(k_eff, np.int64)
-        sums = np.zeros_like(centers)
+        isums = np.zeros((k_eff, centers.shape[1]), np.int64)
         for c, grp in parts.groupby("cluster"):
             counts[c] = grp["n"].sum()
-            sums[c] = np.add.reduce(np.stack(grp["vsum"].to_numpy()), axis=0)
-        nonempty = counts > 0
-        centers[nonempty] = sums[nonempty] / counts[nonempty, None]
+            isums[c] = np.add.reduce(np.stack(grp["vsum"].to_numpy()), axis=0)
+        centers = centers_from_partials(centers, counts, isums)
 
     final_ref = ray.put(centers)
 
     def assign_block(df: pd.DataFrame) -> pd.DataFrame:
         cent = ray.get(final_ref)
         M = np.stack(df[vec_col].to_numpy()).astype(np.float64)
-        scores = M @ cent.T - 0.5 * (cent * cent).sum(axis=1)
         return pd.DataFrame(
             {
                 id_col: df[id_col].to_numpy(),
-                "cluster": np.argmax(scores, axis=1).astype(np.int64),
+                "cluster": lloyd_assign(M, cent).astype(np.int64),
             }
         )
 
@@ -257,45 +377,17 @@ def pq_train(
     Nearest Neighbor Search"): split the vector into ``m`` subspaces, k-means
     each subspace to ``n_centroids`` centroids. Training runs driver-side on
     a deterministic hash-min sample (≤ sample_cap rows, one map pass — the
-    knn_ivf coarse-quantizer pattern); the corpus itself never leaves its
-    blocks. Returns codebooks float64[m, n_centroids, dim/m]."""
-    def seed_partial(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df[id_col].to_numpy().astype(np.uint64)
-        h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
-        take = np.argsort(h, kind="stable")[:sample_cap]
-        return pd.DataFrame(
-            {
-                "h": h[take].astype(np.int64),
-                "embedding": df["embedding"].to_numpy()[take],
-            }
-        )
-
-    samp = emb.map_batches(seed_partial, batch_format="pandas").to_pandas()
-    samp = samp.sort_values("h", kind="stable").head(sample_cap)
+    knn_ivf coarse-quantizer pattern; (h, id)-tiebroken so the sample is
+    block-independent); the corpus itself never leaves its blocks. Returns
+    codebooks float64[m, n_centroids, dim/m]."""
+    samp = hash_min_sample(emb, sample_cap, id_col=id_col)
     S = np.stack(samp["embedding"].to_numpy()).astype(np.float64)
     # codebooks live in the L2-normalized domain — the same domain the
     # query LUTs and block scans use (cosine == dot on unit vectors)
     S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
-    dim = S.shape[1]
-    assert dim % m == 0, (dim, m)
-    dsub = dim // m
-    books = np.zeros((m, n_centroids, dsub))
-    for j in range(m):
-        sub = S[:, j * dsub : (j + 1) * dsub].copy()
-        # plain L2 k-means per subspace (subvectors are not unit-norm):
-        # deterministic seeding by hash order, empty clusters keep centers
-        cent = sub[: min(n_centroids, len(sub))].copy()
-        for _ in range(8):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
-            for c in range(len(cent)):
-                mem = sub[assign == c]
-                if len(mem):
-                    cent[c] = mem.mean(axis=0)
-        if len(cent) < n_centroids:
-            cent = np.vstack([cent, np.zeros((n_centroids - len(cent), dsub))])
-        books[j] = cent
-    return books
+    # plain L2 k-means per subspace (subvectors are not unit-norm):
+    # deterministic seeding by sample order, empty clusters keep centers
+    return pq_fit_books(S, m, n_centroids)
 
 
 def pq_encode(
@@ -407,7 +499,7 @@ def knn_ivfpq(
     a full scan ever happens. One pass assigns lists and encodes codes
     together; the scan pass touches only probed (list, code) rows. Output
     shape/tie-breaks match knn_brute (recall pinned by pytest)."""
-    sample = emb.limit(sample_rows).to_pandas()
+    sample = hash_min_sample(emb, sample_rows, id_col=id_col)
     _, S = _matrix(sample, id_col)
     cent = kmeans_fit(S, nlist)
     books = pq_train(emb, m=m, n_centroids=n_centroids, id_col=id_col)

@@ -522,28 +522,28 @@ def q_pagerank(sf_dir: str):
 
 def q_embedding_clusters(sf_dir: str):
     """Corpus clustering: distributed Lloyd's k-means over the embeddings
-    table (k=10, deterministic hash-min seeding), reported as per-cluster
-    sizes. No SQL oracle (iterative float algorithm); pinned by planted-blob
-    purity + partition-invariance pytests (tests/test_ops.py)."""
+    table (k=10, deterministic hash-min seeding, integer-exact fixed-point
+    center reduces), reported as the full per-vector assignment.
+    DuckDB-hash-checked against kmeans_serial (the single-threaded twin
+    sharing the same pure kernels) — a partitioning-dependent float
+    reduction, a lost partial, or a seeding drift all flip the hash. Also
+    pinned by planted-blob purity + partition-invariance pytests."""
     import numpy as np
 
     from ..ops.similarity import kmeans
 
     _, assign = kmeans(_emb(sf_dir), k=10, n_iter=10)
 
-    def sizes(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["cluster"].value_counts()
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "cluster": vc.index.to_numpy().astype(np.int64),
-                "n_vecs": vc.to_numpy().astype(np.int64),
+                "vec_id": df["vec_id"].to_numpy().astype(np.int64),
+                "cluster": df["cluster"].to_numpy().astype(np.int64),
             }
         )
 
-    parts = assign.map_batches(sizes, batch_format="pandas").to_pandas()
-    out = parts.groupby("cluster", as_index=False)["n_vecs"].sum()
-    out["n_vecs"] = out["n_vecs"].astype(np.int64)
-    return out.sort_values("cluster").reset_index(drop=True)
+    out = assign.map_batches(fix, batch_format="pandas").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def q_cms_heavy_hitters(sf_dir: str):
@@ -4137,35 +4137,30 @@ def q_semantic_dedup(sf_dir: str):
     within clusters only (0.5 is the corpus's planted near-dup band — the
     same threshold the exact embedding_neardup query uses), keep the
     lowest-id representative per group.
-    Reported as the per-cluster keep/drop tally plus the global totals row
-    (cluster = -1). No SQL oracle (iterative k-means decides the search
-    neighborhoods); pinned by planted-pair, forced-split and
-    partition-invariance pytests (tests/test_ops.py)."""
+    Reported as the full per-vector mark table (vec_id, rep_id, keep,
+    split_depth). DuckDB-hash-checked against the serial twin (same
+    kmeans_serial centers + semdedup_members kernel run cluster by
+    cluster), so the k-means reduce, the cluster groupby routing, AND the
+    per-cluster union-find all verify; planted-pair, forced-split and
+    partition-invariance pytests pin the semantics besides."""
     import numpy as np
 
     from ..ops.dedup import semantic_dedup
 
     marks = semantic_dedup(_emb(sf_dir), threshold=0.5, k=10, n_iter=8)
 
-    def tally(df: pd.DataFrame) -> pd.DataFrame:
-        kept = df.groupby("keep").size()
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "n_kept": [int(kept.get(True, 0))],
-                "n_dropped": [int(kept.get(False, 0))],
+                "vec_id": df["vec_id"].to_numpy().astype(np.int64),
+                "rep_id": df["rep_id"].to_numpy().astype(np.int64),
+                "keep": df["keep"].to_numpy().astype(bool),
+                "split_depth": df["split_depth"].to_numpy().astype(np.int64),
             }
         )
 
-    parts = marks.map_batches(tally, batch_format="pandas").to_pandas()
-    out = pd.DataFrame(
-        {
-            "n_kept": [int(parts["n_kept"].sum())],
-            "n_dropped": [int(parts["n_dropped"].sum())],
-        }
-    )
-    out["n_kept"] = out["n_kept"].astype(np.int64)
-    out["n_dropped"] = out["n_dropped"].astype(np.int64)
-    return out
+    out = marks.map_batches(fix, batch_format="pandas").to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
 
 
 def q_first_last_event(sf_dir: str):
@@ -7255,6 +7250,11 @@ _TWIN_SQL_COLS = {
     "ngram_containment": ("a, b, n_common, n_a, n_b", "a, b"),
     "pagerank": ('node, "rank"', "node"),
     "link_hits": ("node, hub, authority", "node"),
+    "knn_ivf": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
+    "knn_pq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
+    "knn_ivfpq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
+    "embedding_clusters": ("vec_id, cluster", "vec_id"),
+    "semantic_dedup": ("vec_id, rep_id, keep, split_depth", "vec_id"),
 }
 
 ORACLE_SQL.update(

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 6  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 7  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -926,6 +926,228 @@ def twin_embedding_neardup_lsh(
     )
 
 
+# ---------------------------------------------------------------------------
+# kmeans / ANN twins — shared pure kernels from ops/similarity.py run
+# single-threaded over the whole embeddings table. The distributed side is
+# bit-deterministic by construction (hash-min samples are block-independent,
+# Lloyd reduces are fixed-point int64, every driver-side matrix expression
+# is identical code), so a hash match verifies sampling, broadcast,
+# partial-merge and scan partitioning end-to-end.
+# ---------------------------------------------------------------------------
+
+
+def _emb_frame(sf_dir: str) -> pd.DataFrame:
+    return pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+
+
+def _emb_ids_matrix(emb: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    ids = emb["vec_id"].to_numpy().astype(np.int64)
+    M = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    return ids, M
+
+
+def _knn_output(
+    per_query: dict[int, list[tuple[float, int]]], k: int
+) -> pa.Table:
+    rows = {"query_id": [], "neighbor_id": [], "rank": []}
+    for qid in sorted(per_query):
+        cand = per_query[qid]
+        cos = np.array([c for c, _ in cand])
+        nid = np.array([i for _, i in cand], dtype=np.int64)
+        order = np.lexsort((nid, -cos))[:k]
+        for r, j in enumerate(order, 1):
+            rows["query_id"].append(int(qid))
+            rows["neighbor_id"].append(int(nid[j]))
+            rows["rank"].append(r)
+    return pa.table(
+        {
+            "query_id": pa.array(rows["query_id"], pa.int64()),
+            "neighbor_id": pa.array(rows["neighbor_id"], pa.int64()),
+            "rank": pa.array(rows["rank"], pa.int64()),
+        }
+    )
+
+
+def _hash_min_frame(emb: pd.DataFrame, cap: int) -> pd.DataFrame:
+    """Serial mirror of similarity.hash_min_sample on a whole-table frame."""
+    from ..ops.similarity import _id_hash
+
+    ids = emb["vec_id"].to_numpy()
+    h = _id_hash(ids)
+    take = np.lexsort((ids, h))[:cap]
+    return emb.iloc[take].reset_index(drop=True)
+
+
+def twin_knn_ivf(
+    sf_dir: str, k: int = 10, nlist: int = 16, nprobe: int = 4,
+    sample_rows: int = 4096,
+) -> pa.Table:
+    """Serial IVF top-k: same hash-min coarse sample, same seeded
+    kmeans_fit centroids, same probe lists, exact scan of the probed
+    clusters only — mirrors ops/similarity.knn_ivf's candidate set and
+    (cos desc, id asc) tie-breaks."""
+    from ..ops.similarity import _matrix, kmeans_fit
+
+    emb = _emb_frame(sf_dir)
+    _, S = _matrix(_hash_min_frame(emb, sample_rows), "vec_id")
+    cent = kmeans_fit(S, nlist)
+    qdf = emb[emb["vec_id"] < 5]
+    qids, Q = _matrix(qdf, "vec_id")
+    bids, B = _matrix(emb, "vec_id")
+    qprobe = np.argsort(-(Q @ cent.T), axis=1)[:, :nprobe]
+    assign = np.argmax(B @ cent.T, axis=1)
+    per_query: dict[int, list] = {int(q): [] for q in qids}
+    for qi in range(len(qids)):
+        for c in qprobe[qi]:
+            mask = assign == c
+            sub_ids, sub = bids[mask], B[mask]
+            sims = Q[qi][None, :] @ sub.T
+            for j in range(len(sub_ids)):
+                if sub_ids[j] != qids[qi]:
+                    per_query[int(qids[qi])].append(
+                        (float(sims[0, j]), int(sub_ids[j]))
+                    )
+    return _knn_output(per_query, k)
+
+
+def twin_knn_pq(
+    sf_dir: str, k: int = 10, m: int = 8, n_centroids: int = 256
+) -> pa.Table:
+    """Serial PQ ADC top-k: same hash-min training sample → pq_fit_books,
+    same per-row code argmax, same LUT-gather score accumulation order."""
+    from ..ops.similarity import _matrix, pq_fit_books
+
+    emb = _emb_frame(sf_dir)
+    samp = _hash_min_frame(emb, 4096)
+    S = np.stack(samp["embedding"].to_numpy()).astype(np.float64)
+    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    books = pq_fit_books(S, m, n_centroids)
+    dsub = books.shape[2]
+
+    bids, B = _matrix(emb, "vec_id")
+    codes = np.zeros((len(B), m), np.int64)
+    for j in range(m):
+        sub = B[:, j * dsub : (j + 1) * dsub]
+        d = sub @ books[j].T - 0.5 * (books[j] * books[j]).sum(axis=1)
+        codes[:, j] = np.argmax(d, axis=1)
+
+    qdf = emb[emb["vec_id"] < 5]
+    qids, Q = _matrix(qdf, "vec_id")
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), books)
+    scores = np.zeros((len(qids), len(bids)))
+    for j in range(m):
+        scores += lut[:, j, :][:, codes[:, j]]
+    per_query: dict[int, list] = {}
+    for qi in range(len(qids)):
+        per_query[int(qids[qi])] = [
+            (float(scores[qi, j]), int(bids[j]))
+            for j in range(len(bids))
+            if bids[j] != qids[qi]
+        ]
+    return _knn_output(per_query, k)
+
+
+def twin_knn_ivfpq(
+    sf_dir: str, k: int = 10, nlist: int = 16, nprobe: int = 4,
+    m: int = 8, n_centroids: int = 256, sample_rows: int = 4096,
+) -> pa.Table:
+    """Serial IVF-PQ: coarse centroids + codebooks from the same hash-min
+    samples, PQ scores accumulated in the same subspace order, scan limited
+    to each query's probed lists."""
+    from ..ops.similarity import _matrix, kmeans_fit, pq_fit_books
+
+    emb = _emb_frame(sf_dir)
+    _, Sc = _matrix(_hash_min_frame(emb, sample_rows), "vec_id")
+    cent = kmeans_fit(Sc, nlist)
+    samp = _hash_min_frame(emb, 4096)
+    S = np.stack(samp["embedding"].to_numpy()).astype(np.float64)
+    S /= np.maximum(np.linalg.norm(S, axis=1, keepdims=True), 1e-12)
+    books = pq_fit_books(S, m, n_centroids)
+    dsub = books.shape[2]
+
+    bids, B = _matrix(emb, "vec_id")
+    assign = np.argmax(B @ cent.T, axis=1)
+    codes = np.zeros((len(B), m), np.int64)
+    for j in range(m):
+        sub = B[:, j * dsub : (j + 1) * dsub]
+        d = sub @ books[j].T - 0.5 * (books[j] * books[j]).sum(axis=1)
+        codes[:, j] = np.argmax(d, axis=1)
+
+    qdf = emb[emb["vec_id"] < 5]
+    qids, Q = _matrix(qdf, "vec_id")
+    qprobe = np.argsort(-(Q @ cent.T), axis=1)[:, :nprobe]
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), books)
+    per_query: dict[int, list] = {int(q): [] for q in qids}
+    for qi in range(len(qids)):
+        for c in qprobe[qi]:
+            mask = assign == c
+            sub_ids, sub_codes = bids[mask], codes[mask]
+            scores = np.zeros((1, len(sub_ids)))
+            for j in range(m):
+                scores += lut[qi : qi + 1, j, :][:, sub_codes[:, j]]
+            for j in range(len(sub_ids)):
+                if sub_ids[j] != qids[qi]:
+                    per_query[int(qids[qi])].append(
+                        (float(scores[0, j]), int(sub_ids[j]))
+                    )
+    return _knn_output(per_query, k)
+
+
+def twin_embedding_clusters(sf_dir: str, k: int = 10, n_iter: int = 10) -> pa.Table:
+    """Serial Lloyd's k-means assignment via similarity.kmeans_serial —
+    bit-identical to the distributed integer-exact reduce."""
+    from ..ops.similarity import kmeans_serial
+
+    ids, M = _emb_ids_matrix(_emb_frame(sf_dir))
+    _, assign = kmeans_serial(ids, M, k=k, n_iter=n_iter)
+    order = np.argsort(ids, kind="stable")
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cluster": pa.array(assign[order].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def twin_semantic_dedup(
+    sf_dir: str, threshold: float = 0.5, k: int = 10, n_iter: int = 8,
+    max_cluster: int = 8192,
+) -> pa.Table:
+    """Serial SemDeDup: kmeans_serial centers → cosine-argmax cluster
+    assignment (normalized rows × normalized centers, the tag() expression)
+    → semdedup_members per cluster — the same pure kernel the distributed
+    map_groups calls."""
+    from ..ops.dedup import semdedup_members
+    from ..ops.similarity import kmeans_serial
+
+    ids, M = _emb_ids_matrix(_emb_frame(sf_dir))
+    centers, _ = kmeans_serial(ids, M, k=k, n_iter=n_iter)
+    cent = centers / np.maximum(
+        np.linalg.norm(centers, axis=1, keepdims=True), 1e-12
+    )
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(Mn @ cent.T, axis=1)
+    out_id, out_rep, out_depth = [], [], []
+    for c in np.unique(assign):
+        mask = assign == c
+        sids, srep, sdepth = semdedup_members(ids[mask], M[mask], threshold, max_cluster)
+        out_id.append(sids)
+        out_rep.append(srep)
+        out_depth.append(sdepth)
+    ids_c = np.concatenate(out_id)
+    rep_c = np.concatenate(out_rep)
+    dep_c = np.concatenate(out_depth)
+    order = np.argsort(ids_c, kind="stable")
+    return pa.table(
+        {
+            "vec_id": pa.array(ids_c[order], pa.int64()),
+            "rep_id": pa.array(rep_c[order], pa.int64()),
+            "keep": pa.array((rep_c == ids_c)[order], pa.bool_()),
+            "split_depth": pa.array(dep_c[order], pa.int64()),
+        }
+    )
+
+
 def _oracle_link_edges() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(nodes, src_ids, dst_ids) of the flagship crawl's distinct link-edge
     set (the oracle's link_edges table), int-mapped and lexsorted (dst, src)
@@ -1025,6 +1247,12 @@ _SF_TWINS = {
     "graph_walks": twin_graph_walks,
     "embedding_neardup_lsh": twin_embedding_neardup_lsh,
     "nb_classify": twin_nb_classify,
+    # params mirror the registry wrappers in queries.py exactly
+    "knn_ivf": lambda sf: twin_knn_ivf(sf, k=10, nlist=16, nprobe=4),
+    "knn_pq": lambda sf: twin_knn_pq(sf, k=10, m=8),
+    "knn_ivfpq": lambda sf: twin_knn_ivfpq(sf, k=10, nlist=8, nprobe=4, m=16),
+    "embedding_clusters": twin_embedding_clusters,
+    "semantic_dedup": twin_semantic_dedup,
 }
 
 _NOARG_TWINS = {
