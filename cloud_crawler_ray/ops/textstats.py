@@ -676,3 +676,36 @@ def bm25_topk(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def compression_stats(
+    docs: rd.Dataset, level: int = 6, pct_threshold: int = 30
+) -> rd.Dataset:
+    """Compression-ratio quality signal (the zlib heuristic Gopher/CCNet-
+    style corpus filters use: highly compressible text is repetitive
+    boilerplate, near-incompressible text is noise/base64): per document,
+    the UTF-8 byte length, the zlib(level)-compressed byte length, and a
+    `repetitive` flag from INTEGER arithmetic (100·comp < pct_threshold·raw)
+    so the output carries no float. Pure map-side, one pass, no shuffle;
+    deterministic because zlib at a fixed level is a pure function of the
+    bytes (the serial twin calls the same codec — DuckDB hash-checked)."""
+    import zlib as _z
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        n_bytes = np.zeros(len(ids), np.int64)
+        n_comp = np.zeros(len(ids), np.int64)
+        for i, t in enumerate(df["text"]):
+            b = (t or "").encode("utf-8")
+            n_bytes[i] = len(b)
+            n_comp[i] = len(_z.compress(b, level))
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_bytes": n_bytes,
+                "n_comp_bytes": n_comp,
+                "repetitive": 100 * n_comp < pct_threshold * n_bytes,
+            }
+        )
+
+    return docs.map_batches(stats, batch_format="pandas")

@@ -371,6 +371,32 @@ def q_ngram_containment(sf_dir: str):
     )
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights (ops/dsir.py, Xie et al. 2023): hashed
+    unigram+bigram bag models for target (lang='en') vs raw corpus, per-doc
+    log importance weight. Integer-exact model counts + pinned per-doc sum
+    order make the distributed fit bit-identical to the serial twin
+    (DuckDB hash-checked)."""
+    from ..ops.dsir import dsir_weights
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return dsir_weights(docs, target_col="lang", target_value="en")
+
+
+def q_compression_ratio(sf_dir: str):
+    """zlib compression-ratio quality signal (ops/textstats.py
+    compression_stats): per-doc raw/compressed byte counts plus an
+    integer-arithmetic `repetitive` flag — the Gopher/CCNet-style
+    boilerplate filter. Hash-checked against a serial twin running the
+    same codec."""
+    from ..ops.textstats import compression_stats
+
+    return compression_stats(_docs(sf_dir))
+
+
 def q_nb_classify(sf_dir: str):
     """Hashed-feature multinomial Naive Bayes (ops/classify.py): train on
     the documents table's (text, lang) labels — map-side partial counts →
@@ -5600,6 +5626,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "nb_classify": q_nb_classify,
     "ngram_containment": q_ngram_containment,
+    "dsir_weights": q_dsir_weights,
+    "compression_ratio": q_compression_ratio,
     "minhash_dedup": q_minhash_dedup,
     "simhash_pairs": q_simhash_pairs,
     "knn_ivf": q_knn_ivf,
@@ -7255,6 +7283,8 @@ _TWIN_SQL_COLS = {
     "knn_ivfpq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "embedding_clusters": ("vec_id, cluster", "vec_id"),
     "semantic_dedup": ("vec_id, rep_id, keep, split_depth", "vec_id"),
+    "dsir_weights": ("doc_id, n_feats, logw", "doc_id"),
+    "compression_ratio": ("doc_id, n_bytes, n_comp_bytes, repetitive", "doc_id"),
 }
 
 ORACLE_SQL.update(

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 7  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 8  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1148,6 +1148,63 @@ def twin_semantic_dedup(
     )
 
 
+def twin_dsir_weights(sf_dir: str) -> pa.Table:
+    """Serial DSIR: same count_vector/log_ratio/doc_feature_ids kernels
+    over the whole documents table single-threaded — the integer model
+    counts and the sorted-feature-id per-doc sums make it bit-identical to
+    the distributed two-pass fit."""
+    from ..ops.dsir import count_vector, doc_feature_ids, log_ratio
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    langs = t.column("lang").to_pylist()
+    tgt = count_vector([x for x, lg in zip(texts, langs) if lg == "en"])
+    raw = count_vector(texts)
+    r = log_ratio(tgt, raw)
+    n_feats, logw = [], []
+    for x in texts:
+        fids = doc_feature_ids(x)
+        n_feats.append(len(fids))
+        logw.append(float(r[fids].sum()))
+    order = np.argsort(np.asarray(ids, np.int64), kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, np.int64)[order], pa.int64()),
+            "n_feats": pa.array(np.asarray(n_feats, np.int64)[order], pa.int64()),
+            "logw": pa.array(np.asarray(logw, np.float64)[order], pa.float64()),
+        }
+    )
+
+
+def twin_compression_ratio(
+    docs: pa.Table, level: int = 6, pct_threshold: int = 30
+) -> pa.Table:
+    """Serial zlib compression stats — same codec, same level, same
+    integer flag arithmetic."""
+    import zlib as _z
+
+    ids = docs.column("doc_id").to_pylist()
+    n_bytes, n_comp = [], []
+    for t in docs.column("text").to_pylist():
+        b = (t or "").encode("utf-8")
+        n_bytes.append(len(b))
+        n_comp.append(len(_z.compress(b, level)))
+    nb = np.asarray(n_bytes, np.int64)
+    nc = np.asarray(n_comp, np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "n_comp_bytes": pa.array(nc, pa.int64()),
+            "repetitive": pa.array(100 * nc < pct_threshold * nb, pa.bool_()),
+        }
+    )
+
+
 def _oracle_link_edges() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(nodes, src_ids, dst_ids) of the flagship crawl's distinct link-edge
     set (the oracle's link_edges table), int-mapped and lexsorted (dst, src)
@@ -1236,6 +1293,7 @@ _DOC_TWINS = {
     "lm_score": twin_lm_score,
     "hll_distinct": twin_hll_distinct,
     "cms_heavy_hitters": twin_cms_heavy_hitters,
+    "compression_ratio": twin_compression_ratio,
 }
 
 _SF_TWINS = {
@@ -1253,6 +1311,7 @@ _SF_TWINS = {
     "knn_ivfpq": lambda sf: twin_knn_ivfpq(sf, k=10, nlist=8, nprobe=4, m=16),
     "embedding_clusters": twin_embedding_clusters,
     "semantic_dedup": twin_semantic_dedup,
+    "dsir_weights": twin_dsir_weights,
 }
 
 _NOARG_TWINS = {

@@ -1545,3 +1545,49 @@ def test_pil_decode_backend_real_pixels():
 
     # undecodable bytes under PIL fall back to the deterministic fake
     assert b.decode(b"\xff\xd8 not an image", "image")["backend"] == "fake"
+
+
+def test_dsir_weights_prefer_target_like_docs(ray_session):
+    """Docs drawn from the target vocabulary score higher than off-target
+    docs, and the distributed fit is partition-invariant."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dsir import dsir_weights
+
+    tgt_docs = [f"alpha beta gamma delta alpha beta {i}" for i in range(30)]
+    off_docs = [f"zeta eta theta iota kappa lambda {i}" for i in range(30)]
+    rows = [
+        {"doc_id": i, "text": t, "lang": "en" if i < 30 else "xx"}
+        for i, t in enumerate(tgt_docs + off_docs)
+    ]
+    # held-out docs: one target-like, one off-target (not in the fit sets)
+    rows.append({"doc_id": 100, "text": "alpha beta gamma delta", "lang": "xx"})
+    rows.append({"doc_id": 101, "text": "zeta eta theta iota", "lang": "xx"})
+
+    out = dsir_weights(rd.from_items(rows), target_col="lang", target_value="en")
+    w = dict(zip(out["doc_id"], out["logw"]))
+    assert w[100] > w[101]
+
+    out2 = dsir_weights(
+        rd.from_items(rows).repartition(7), target_col="lang", target_value="en"
+    )
+    assert (out["logw"].to_numpy() == out2["logw"].to_numpy()).all()
+
+
+def test_compression_stats_flags_repetitive(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.textstats import compression_stats
+
+    rows = [
+        {"doc_id": 0, "text": "spam " * 500},  # highly compressible
+        {"doc_id": 1, "text": " ".join(f"w{i}x{i*7%13}" for i in range(500))},
+    ]
+    out = (
+        compression_stats(rd.from_items(rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(out.loc[0, "repetitive"]) and not bool(out.loc[1, "repetitive"])
+    assert out.loc[0, "n_comp_bytes"] < out.loc[0, "n_bytes"] * 0.1
