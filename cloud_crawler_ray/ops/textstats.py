@@ -41,11 +41,12 @@ def word_count(ds: rd.Dataset) -> rd.Dataset:
 
 def token_counts(ds: rd.Dataset) -> rd.Dataset:
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.split(r"\s+", regex=True)
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": toks.map(lambda ts: sum(1 for t in ts if t)),
+                # #(\S+ runs) == #(non-empty \s+-split tokens), counted at
+                # C level instead of a Python loop over token lists
+                "n_tokens": batch["text"].str.count(r"\S+").astype(np.int64),
             }
         )
 
@@ -341,8 +342,7 @@ def token_count_quantiles_by(
     import math
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.split(r"\s+", regex=True)
-        n = toks.map(lambda ts: sum(1 for t in ts if t))
+        n = batch["text"].str.count(r"\S+").astype(np.int64)
         g = (
             pd.DataFrame({group: batch[group], "n_tokens": n})
             .groupby([group, "n_tokens"], as_index=False)
@@ -585,8 +585,7 @@ def bm25_topk(
         )
         # dl for EVERY doc, including zero-token ones (they count toward N
         # and L exactly as the oracle's len(tokens) does)
-        splits = batch["text"].str.lower().str.split(r"\s+", regex=True)
-        dlv = splits.map(lambda ts: sum(1 for t in ts if t))
+        dlv = batch["text"].str.count(r"\S+").astype(np.int64)
         out = pd.DataFrame(
             {
                 "doc_id": batch["doc_id"].to_numpy(),
