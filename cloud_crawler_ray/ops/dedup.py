@@ -1427,6 +1427,10 @@ def embedding_neardup_lsh(
     vectors attached via the size-gated keyed join. Over-cap buckets are
     skipped and COUNTED (no silent drops). Returns (pairs, stats); recall
     vs the exact op is pinned in tests."""
+    # materialize once: the input chain feeds four consumers below
+    # (bucketize, count, both keyed_attach sides) — without this each
+    # consumer re-executes the whole upstream pipeline
+    emb = emb.materialize()
     first = emb.limit(1).take_all()
     if not first:
         return (
@@ -1450,16 +1454,20 @@ def embedding_neardup_lsh(
     def bucketize(t: pa.Table) -> pa.Table:
         P = ray.get(planes_ref)
         ids, M = _emb_matrix(t, id_col)
+        ids64 = ids.astype(np.int64)
         out_ids, out_buckets = [], []
         for ti in range(n_tables):
             bits = (M @ P[ti].T) > 0  # (n, n_planes) sign pattern
             keys = np.packbits(bits, axis=1, bitorder="little")[:, :n_bytes]
             codes = (keys.astype(np.int64) << byte_shifts).sum(axis=1)
-            out_ids.extend(int(i) for i in ids)
-            out_buckets.extend(f"{ti}:{c}" for c in codes)
+            out_ids.append(ids64)
+            # int64 bucket key (table index in the top byte — codes fit 56
+            # bits): same grouping as the old "ti:code" strings, no per-row
+            # Python string formatting
+            out_buckets.append((np.int64(ti) << np.int64(56)) | codes)
         return pa.table(
-            {"doc_id": pa.array(out_ids, pa.int64()),
-             "bucket": pa.array(out_buckets, pa.string())}
+            {"doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+             "bucket": pa.array(np.concatenate(out_buckets), pa.int64())}
         )
 
     def bucket_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -1487,7 +1495,9 @@ def embedding_neardup_lsh(
             return pd.DataFrame(
                 {"a": pd.Series([], dtype=np.int64), "b": pd.Series([], dtype=np.int64)}
             )
-        return pd.concat(frames, ignore_index=True)
+        # shard-local pre-dedup (a pair recurs across buckets of the same
+        # shard) — shrinks the pair shuffle before the global dedup
+        return pd.concat(frames, ignore_index=True).drop_duplicates(["a", "b"])
 
     def dedup_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
