@@ -135,6 +135,41 @@ def _node_ids(edges: rd.Dataset) -> tuple[rd.Dataset, int]:
     return zip_with_index(nodes, ["node"], col="nid", with_count=True)
 
 
+def _teleport_vector(nodes: np.ndarray, seeds: list[str] | None) -> np.ndarray | None:
+    """Personalized-PageRank teleport vector over the sorted node array:
+    uniform mass 1/|seeds∩nodes| on the seed nodes, 0 elsewhere. None when
+    seeds is None (classic uniform teleport keeps its historical float
+    expression). Raises if no seed appears in the graph — a personalized
+    walk with an empty restart set is undefined."""
+    if seeds is None:
+        return None
+    hit = np.isin(nodes, np.asarray(list(seeds), dtype=object))
+    k = int(hit.sum())
+    if k == 0:
+        raise ValueError("personalized pagerank: no seed URL appears in the edge set")
+    tvec = np.zeros(len(nodes), np.float64)
+    tvec[hit] = 1.0 / k
+    return tvec
+
+
+def _seed_nids(nodemap: rd.Dataset, seeds: list[str]) -> np.ndarray:
+    """Sorted int ids of the seed nodes present in the graph — the seed set
+    is small by definition (a focused crawl's restart pages), so the lookup
+    is a broadcast membership filter over the nodemap with only the matching
+    rows (≤ |seeds|) ever reaching the driver."""
+    import pyarrow.compute as pc
+
+    vals = pa.array(sorted(set(seeds)), pa.string())
+    hits = nodemap.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("node"), value_set=vals)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    ids = np.sort(hits["nid"].to_numpy().astype(np.int64))
+    if len(ids) == 0:
+        raise ValueError("personalized pagerank: no seed URL appears in the edge set")
+    return ids
+
+
 def pagerank(
     edges: rd.Dataset,
     n_iter: int = 8,
@@ -142,8 +177,17 @@ def pagerank(
     dense_cap: int = 1_000_000,
     join_broadcast_cap: int = 500_000,
     driver_cap: int = 2_000_000,
+    seeds: list[str] | None = None,
 ) -> rd.Dataset:
     """PageRank over a (src, dst) edge Dataset; returns (node, rank).
+
+    With ``seeds`` set this is PERSONALIZED PageRank (teleport restricted
+    to the seed set — random-surfer restarts land uniformly on the seeds,
+    and dangling mass returns to them): rank becomes crawl-relevance from
+    those pages, the focused-crawl prioritization signal. Update per
+    iteration: rank = ((1-d) + d·dangling)·t + d·Aᵀ(rank/deg), start at t,
+    t = 1/|seeds∩nodes| on seeds. seeds=None keeps the classic uniform
+    teleport (and its exact historical float expression — hash-pinned).
 
     Fixed ``n_iter`` power iterations with uniform dangling-mass
     redistribution (ranks sum to 1 every iteration). Three size-gated
@@ -181,14 +225,18 @@ def pagerank(
         n = len(nodes)
         deg = np.bincount(src, minlength=n).astype(np.int64)
         safe_deg = np.where(deg > 0, deg, 1)
-        rank = np.full(n, 1.0 / n)
+        tvec = _teleport_vector(nodes, seeds)
+        rank = np.full(n, 1.0 / n) if tvec is None else tvec.copy()
         base = (1.0 - d) / n
         for _ in range(n_iter):
             dangling = float(rank[deg == 0].sum())
             contrib = rank / safe_deg
             sums = np.zeros(n)
             np.add.at(sums, dst, contrib[src])
-            rank = base + d * dangling / n + d * sums
+            if tvec is None:
+                rank = base + d * dangling / n + d * sums
+            else:
+                rank = ((1.0 - d) + d * dangling) * tvec + d * sums
         return rd.from_arrow(
             pa.table({"node": pa.array(nodes, pa.string()), "rank": pa.array(rank)})
         )
@@ -227,13 +275,19 @@ def pagerank(
         )
         return tt.group_by("src_id").aggregate([("c", "sum")])
 
+    sid = _seed_nids(nodemap, seeds) if seeds is not None else None
+
     if n <= dense_cap:
         degp = e.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
         deg = np.zeros(n, np.int64)
         if len(degp):
             dsum = degp.groupby("src_id")["c_sum"].sum()
             deg[dsum.index.to_numpy()] = dsum.to_numpy()
-        rank = np.full(n, 1.0 / n)
+        tvec = None
+        if sid is not None:
+            tvec = np.zeros(n, np.float64)
+            tvec[sid] = 1.0 / len(sid)
+        rank = np.full(n, 1.0 / n) if tvec is None else tvec.copy()
         base = (1.0 - d) / n
         safe_deg = np.where(deg > 0, deg, 1)
         for _ in range(n_iter):
@@ -258,7 +312,10 @@ def pagerank(
                 )
 
             parts = e.map_batches(contrib, batch_format="pyarrow").to_pandas()
-            new = np.full(n, base + d * dangling / n)
+            if tvec is None:
+                new = np.full(n, base + d * dangling / n)
+            else:
+                new = ((1.0 - d) + d * dangling) * tvec
             if len(parts):
                 s = parts.groupby("dst_id")["m"].sum()
                 new[s.index.to_numpy()] += d * s.to_numpy()
@@ -301,11 +358,18 @@ def pagerank(
         import pyarrow.compute as pc
 
         deg = pc.fill_null(t.column("deg"), 0)
+        if sid is None:
+            r0 = np.full(t.num_rows, 1.0 / n)
+        else:
+            # seed-id array is tiny (the restart set) and rides the closure
+            r0 = np.where(
+                np.isin(t.column("nid").to_numpy(), sid), 1.0 / len(sid), 0.0
+            )
         return pa.table(
             {
                 "nid": t.column("nid"),
                 "deg": pc.cast(deg, pa.int64()),
-                "rank": pa.array(np.full(t.num_rows, 1.0 / n)),
+                "rank": pa.array(r0),
             }
         )
 
@@ -380,14 +444,21 @@ def pagerank(
             broadcast_cap=0,
         )
         add = base + d * dangling / n
+        seed_add = None if sid is None else ((1.0 - d) + d * dangling) / len(sid)
 
-        def step(t: pa.Table, add=add) -> pa.Table:
+        def step(t: pa.Table, add=add, seed_add=seed_add) -> pa.Table:
             s = pc.fill_null(t.column("s"), 0.0)
+            if seed_add is None:
+                teleport = add
+            else:
+                teleport = pa.array(
+                    np.where(np.isin(t.column("nid").to_numpy(), sid), seed_add, 0.0)
+                )
             return pa.table(
                 {
                     "nid": t.column("nid"),
                     "deg": t.column("deg"),
-                    "rank": pc.add(pc.multiply(s, d), add),
+                    "rank": pc.add(pc.multiply(s, d), teleport),
                 }
             )
 

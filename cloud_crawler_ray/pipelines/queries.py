@@ -546,6 +546,40 @@ def q_pagerank(sf_dir: str):
     return topk(parts).reset_index(drop=True)
 
 
+def q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank — teleport restricted to a seed set, the
+    focused-crawl relevance signal (rank = crawl-worthiness from the seed
+    pages) — over the flagship crawl's link graph. Seeds are the 3
+    lexicographically-smallest source pages (bounded per-block min
+    partials, never O(nodes) driver-side); output is the top-20 pages by
+    personalized rank. DuckDB-hash-checked against a serial numpy twin in
+    the same canonical (dst, src) edge order
+    (serial_twins.twin_pagerank_personalized), so every rank bit must
+    match; the distributed broadcast/join paths are pinned to the same
+    reference in tests/test_graph.py."""
+    import numpy as np
+
+    from ..ops.graph import pagerank
+
+    edges = crawl_handle_for(sf_dir).link_edges().materialize()
+
+    def min3(t: pa.Table) -> pa.Table:
+        src = np.unique(t.column("src").to_numpy(zero_copy_only=False))[:3]
+        return pa.table({"node": pa.array(src, pa.string())})
+
+    parts = edges.map_batches(min3, batch_format="pyarrow").to_pandas()
+    seeds = sorted(parts["node"].unique())[:3]
+    ranks = pagerank(edges, n_iter=8, seeds=list(seeds))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["rank", "node"], ascending=[False, True], kind="stable"
+        ).head(20)
+
+    tops = ranks.map_batches(topk, batch_format="pandas").to_pandas()
+    return topk(tops).reset_index(drop=True)
+
+
 def q_embedding_clusters(sf_dir: str):
     """Corpus clustering: distributed Lloyd's k-means over the embeddings
     table (k=10, deterministic hash-min seeding, integer-exact fixed-point
@@ -5700,6 +5734,7 @@ QUERIES = {
     "doc_deciles": q_doc_deciles,
     "per_key_sample": q_per_key_sample,
     "pagerank": q_pagerank,
+    "pagerank_personalized": q_pagerank_personalized,
     "winsorized_stats": q_winsorized_stats,
     "value_histogram": q_value_histogram,
     "order_top_line": q_order_top_line,
@@ -7277,6 +7312,7 @@ _TWIN_SQL_COLS = {
     "nb_classify": ("doc_id, lang, pred", "doc_id"),
     "ngram_containment": ("a, b, n_common, n_a, n_b", "a, b"),
     "pagerank": ('node, "rank"', "node"),
+    "pagerank_personalized": ('node, "rank"', "node"),
     "link_hits": ("node, hub, authority", "node"),
     "knn_ivf": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_pq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 8  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 9  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1249,6 +1249,38 @@ def twin_pagerank(n_iter: int = 8, d: float = 0.85, k: int = 20) -> pa.Table:
     )
 
 
+def twin_pagerank_personalized(
+    n_iter: int = 8, d: float = 0.85, k: int = 20, n_seeds: int = 3
+) -> pa.Table:
+    """Serial personalized PageRank over the oracle link edges — teleport
+    uniform on the 3 lexicographically-smallest source nodes (ids into the
+    sorted node array, so smallest ids == smallest names), same float
+    expression and canonical edge order as ops/graph.pagerank(seeds=...)."""
+    nodes, src, dst = _oracle_link_edges()
+    n = len(nodes)
+    seed_ids = np.unique(src)[:n_seeds]
+    tvec = np.zeros(n)
+    tvec[seed_ids] = 1.0 / len(seed_ids)
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+    safe_deg = np.where(deg > 0, deg, 1)
+    rank = tvec.copy()
+    for _ in range(n_iter):
+        dangling = float(rank[deg == 0].sum())
+        contrib = rank / safe_deg
+        sums = np.zeros(n)
+        np.add.at(sums, dst, contrib[src])
+        rank = ((1.0 - d) + d * dangling) * tvec + d * sums
+    top = pd.DataFrame({"node": nodes, "rank": rank}).sort_values(
+        ["rank", "node"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return pa.table(
+        {
+            "node": pa.array(top["node"].tolist(), pa.string()),
+            "rank": pa.array(top["rank"].to_numpy(), pa.float64()),
+        }
+    )
+
+
 def twin_link_hits(n_iter: int = 16, k: int = 10) -> pa.Table:
     """Serial HITS over the oracle link edges (same iteration and edge
     order as ops/graph.hits' driver path); top-k authorities."""
@@ -1322,6 +1354,7 @@ _NOARG_TWINS = {
     "interleave_pack": twin_interleave_pack,
     "canonical_alias_dedup": twin_canonical_alias_dedup,
     "pagerank": twin_pagerank,
+    "pagerank_personalized": twin_pagerank_personalized,
     "link_hits": twin_link_hits,
 }
 

@@ -80,6 +80,62 @@ def test_pagerank_join_path_matches_numpy(ray_session):
     assert abs(g.sum() - 1.0) < 1e-9
 
 
+def _ref_personalized(n_iter: int, seed_ids: list[int], d: float = 0.85) -> np.ndarray:
+    deg = np.zeros(N)
+    for a, _ in EDGES:
+        deg[a] += 1
+    t = np.zeros(N)
+    t[seed_ids] = 1.0 / len(seed_ids)
+    r = t.copy()
+    for _ in range(n_iter):
+        dangling = r[deg == 0].sum()
+        new = ((1 - d) + d * dangling) * t
+        for a, b in EDGES:
+            new[b] += d * r[a] / deg[a]
+        r = new
+    return r
+
+
+SEEDS = [0, 4]
+
+
+def _seed_urls():
+    names = _names()
+    return [names[i] for i in SEEDS]
+
+
+@pytest.mark.parametrize("repart", [1, 3])
+def test_personalized_pagerank_driver_path(ray_session, repart):
+    g = _got_vector(pagerank(_edges_ds(repart), n_iter=8, seeds=_seed_urls()))
+    exp = _ref_personalized(8, SEEDS)
+    assert np.allclose(g, exp, atol=1e-12)
+    assert abs(g.sum() - 1.0) < 1e-9  # restarts + dangling return to seeds
+    # mass concentrates near the restart set vs the uniform walk
+    uni = _ref_pagerank(8)
+    assert g[0] > uni[0]
+
+
+def test_personalized_pagerank_dense_broadcast_path(ray_session):
+    g = _got_vector(pagerank(_edges_ds(), n_iter=8, driver_cap=0, seeds=_seed_urls()))
+    exp = _ref_personalized(8, SEEDS)
+    assert np.allclose(g, exp, atol=1e-12)
+    assert abs(g.sum() - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_join_path(ray_session):
+    g = _got_vector(
+        pagerank(_edges_ds(), n_iter=3, dense_cap=0, driver_cap=0, seeds=_seed_urls())
+    )
+    exp = _ref_personalized(3, SEEDS)
+    assert np.allclose(g, exp, atol=1e-12)
+    assert abs(g.sum() - 1.0) < 1e-9
+
+
+def test_personalized_pagerank_unknown_seed_raises(ray_session):
+    with pytest.raises(ValueError):
+        pagerank(_edges_ds(), n_iter=2, seeds=["http://nowhere.example.com/"])
+
+
 def test_link_edges_dedup_and_canonicalize(ray_session):
     raw = pa.table(
         {
