@@ -117,6 +117,51 @@ def consistent_sample(
     return tops.drop(columns=["h", "shard"]).reset_index(drop=True)
 
 
+def group_quota(
+    ds: rd.Dataset,
+    group: str,
+    value_col: str,
+    key: str = "doc_id",
+    k: int = 100,
+    n_shards: int = 64,
+) -> rd.Dataset:
+    """Per-group quota cap: keep the k best rows of each group
+    (``value_col`` DESC, ``key`` ASC tie-break) — the domain-balancing step
+    of corpus assembly (cap documents per host/source so no single domain
+    dominates the training mix). Deterministic and resume/repartition-stable
+    (membership is a pure function of each group's row set), and
+    SQL-expressible (a ROW_NUMBER window) for the oracle.
+
+    Per-block per-group partial top-k (vectorized sort + groupby head; each
+    block emits ≤ k rows per group it contains) → hash-shard by group →
+    exact per-group top-k inside each shard, so every group is finalized by
+    exactly one shard task and the result STAYS a Dataset — the corpus never
+    funnels through the driver."""
+    from .dedup import _add_shard
+
+    cols = [key, group, value_col]
+    by = [group, value_col, key]
+    asc = [True, False, True]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(cols).to_pandas()
+        df = df.sort_values(by, ascending=asc, kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby(group, sort=False).head(k), preserve_index=False
+        )
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["shard"]).sort_values(by, ascending=asc, kind="stable")
+        return g.groupby(group, sort=False).head(k)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, group, n_shards), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_topk, batch_format="pandas")
+    )
+
+
 def weighted_sample(
     ds: rd.Dataset,
     key: str,

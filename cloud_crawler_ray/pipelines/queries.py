@@ -4427,6 +4427,30 @@ def q_customers_no_orders(sf_dir: str):
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
+def q_domain_quota(sf_dir: str):
+    """Domain-balancing quota (ops/sampling.py group_quota): keep the 10
+    longest documents per source (n_chars DESC, doc_id ASC tie-break) — the
+    cap-per-domain step of corpus assembly. Per-block per-group partials →
+    co-shard exact per-group top-k; DuckDB-checked against the equivalent
+    ROW_NUMBER window."""
+    from ..ops.sampling import group_quota
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    out = group_quota(
+        docs, group="source", value_col="n_chars", key="doc_id", k=10
+    ).to_pandas()
+    return (
+        out.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True],
+            kind="stable",
+        )
+        .reset_index(drop=True)[["doc_id", "source", "n_chars"]]
+    )
+
+
 def q_part_reach(sf_dir: str):
     """Multi-source BFS hop distances over the strong-tie part graph from
     its 5 lowest-id nodes — the first iterative graph query here with an
@@ -5783,6 +5807,7 @@ QUERIES = {
     "concurrent_sessions": q_concurrent_sessions,
     "knn_ivfpq": q_knn_ivfpq,
     "weighted_sample": q_weighted_sample,
+    "domain_quota": q_domain_quota,
     "part_reach": q_part_reach,
     "customers_no_orders": q_customers_no_orders,
     "priority_cube": q_priority_cube,
@@ -5822,6 +5847,16 @@ ORACLE_SQL = {
                len(list_filter({_TOKENS},
                                t -> t IN ('the','a','of','and','to','in')))::BIGINT AS n_stopwords
         FROM documents
+    """,
+    "domain_quota": """
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id
+                 ) AS rn
+          FROM documents)
+        WHERE rn <= 10
+        ORDER BY source, n_chars DESC, doc_id
     """,
     "doc_fingerprint": """
         SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp

@@ -104,3 +104,68 @@ def test_weighted_sample_exact_vs_numpy(ray_session):
     assert 7 not in expect
     heavy = sum(1 for i in expect if i % 10 == 0)
     assert heavy > 120  # 10% of rows carry 50x weight -> dominate the sample
+
+
+def test_group_quota_exact_and_partition_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.sampling import group_quota
+
+    rng = np.random.default_rng(7)
+    n = 600
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "source": [f"s{int(i)}" for i in rng.integers(0, 7, n)],
+            # heavy ties so the doc_id tie-break is actually exercised
+            "n_chars": rng.integers(0, 5, n).astype(np.int64),
+        }
+    )
+    exp = (
+        df.sort_values(
+            ["source", "n_chars", "doc_id"], ascending=[True, False, True],
+            kind="stable",
+        )
+        .groupby("source", sort=False)
+        .head(10)
+        .reset_index(drop=True)
+    )
+    for repart in (1, 5, 40):
+        ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+        if repart > 1:
+            ds = ds.repartition(repart)
+        got = (
+            group_quota(ds, group="source", value_col="n_chars", k=10)
+            .to_pandas()
+            .sort_values(
+                ["source", "n_chars", "doc_id"], ascending=[True, False, True],
+                kind="stable",
+            )
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "source", "n_chars"]],
+            exp[["doc_id", "source", "n_chars"]],
+        )
+
+
+def test_group_quota_small_groups_survive_whole(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.sampling import group_quota
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "source": ["a", "a", "b", "b", "b", "c"],
+            "n_chars": np.array([5, 1, 9, 9, 2, 4], dtype=np.int64),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3)
+    got = group_quota(ds, group="source", value_col="n_chars", k=2).to_pandas()
+    # groups at-or-under quota keep every row; over-quota keeps best-2
+    assert sorted(got[got["source"] == "a"]["doc_id"]) == [0, 1]
+    assert sorted(got[got["source"] == "b"]["doc_id"]) == [2, 3]  # ties → low id
+    assert sorted(got[got["source"] == "c"]["doc_id"]) == [5]
