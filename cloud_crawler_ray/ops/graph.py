@@ -39,7 +39,14 @@ import ray.data as rd
 from ..canon import canonical_urls
 from .dedup import _add_shard, cluster_shards, keyed_attach
 
-__all__ = ["link_edges", "pagerank", "hits", "connected_components"]
+__all__ = [
+    "link_edges",
+    "pagerank",
+    "hits",
+    "connected_components",
+    "label_propagation",
+    "lpa_iterations",
+]
 
 
 def link_edges(raw: rd.Dataset) -> rd.Dataset:
@@ -241,6 +248,9 @@ def pagerank(
             pa.table({"node": pa.array(nodes, pa.string()), "rank": pa.array(rank)})
         )
 
+    # normalize to Arrow blocks: link_edges ends in a pandas map_groups, and
+    # keyed_attach needs Arrow schema types (same pattern as _node_ids)
+    edges = edges.map_batches(lambda t: t, batch_format="pyarrow")
     nodemap, n = _node_ids(edges)
     if n == 0:
         return rd.from_arrow(
@@ -514,6 +524,182 @@ def connected_components(edges: rd.Dataset, driver_pair_cap: int = 1_000_000) ->
                 "component": pa.array([labels[n] for n in nodes], pa.string()),
             }
         )
+    )
+
+
+def lpa_iterations(n: int, u: np.ndarray, v: np.ndarray, n_iter: int) -> np.ndarray:
+    """Pure synchronous label-propagation kernel (Raghavan et al. 2007,
+    "Near linear time algorithm to detect community structures") over an
+    undirected int edge list (``u → v`` must cover BOTH directions, self
+    loops removed, pairs distinct): ``n_iter`` rounds of
+    label(v) = most frequent label among v's neighbors, ties → smallest
+    label, all nodes updated simultaneously. Integer counts + min tie-break
+    make the result a pure function of the edge SET — partitioning-free, so
+    the distributed path and the serial oracle twin run THIS same code."""
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(n_iter):
+        lab = labels[u]
+        key = v.astype(np.int64) * np.int64(n) + lab
+        uk, cnt = np.unique(key, return_counts=True)
+        vv = (uk // n).astype(np.int64)
+        ll = (uk % n).astype(np.int64)
+        order = np.lexsort((ll, -cnt, vv))
+        vv_o = vv[order]
+        first = np.ones(len(vv_o), bool)
+        first[1:] = vv_o[1:] != vv_o[:-1]
+        new = labels.copy()
+        new[vv_o[first]] = ll[order][first]
+        labels = new
+    return labels
+
+
+def label_propagation(
+    edges: rd.Dataset,
+    n_iter: int = 5,
+    driver_cap: int = 2_000_000,
+    join_broadcast_cap: int = 500_000,
+) -> rd.Dataset:
+    """Community detection by synchronous label propagation over a directed
+    (src, dst) edge Dataset, treated undirected; returns (node,
+    community:int64) where the community id is the sorted-node rank (nid)
+    the label converged to — identical between paths because both use the
+    same sorted-node id space. Deterministic (integer counts, min-label
+    ties, fixed ``n_iter``) under any partitioning.
+
+    Two size-gated paths, the hybrid-planner pattern used across this repo:
+    * edges ≤ driver_cap: edge list crosses the wire once, kernel runs in
+      numpy driver-side;
+    * above: per iteration ONE keyed join (neighbor labels onto the
+      undirected edge list) + per-block (v, label) count partials + ONE
+      co-shard argmax — labels stay a Dataset end to end; per-iteration
+      lineage severed via materialize + _rebase so round cost stays flat."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"node": pa.array([], pa.string()), "community": pa.array([], pa.int64())}
+            )
+        )
+    if n_edges <= driver_cap:
+        ed = edges.to_pandas()
+        nodes, inv = np.unique(
+            np.concatenate([ed["src"].to_numpy(), ed["dst"].to_numpy()]),
+            return_inverse=True,
+        )
+        m = len(ed)
+        n = len(nodes)
+        u0 = np.concatenate([inv[:m], inv[m:]])
+        v0 = np.concatenate([inv[m:], inv[:m]])
+        keep = u0 != v0
+        key = u0[keep].astype(np.int64) * np.int64(n) + v0[keep]
+        uniq = np.unique(key)
+        u, v = (uniq // n).astype(np.int64), (uniq % n).astype(np.int64)
+        labels = lpa_iterations(n, u, v, n_iter)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, pa.string()),
+                    "community": pa.array(labels, pa.int64()),
+                }
+            )
+        )
+
+    # ---- at-scale path ----
+    # normalize to Arrow blocks (pandas-born upstreams lack Arrow types)
+    edges = edges.map_batches(lambda t: t, batch_format="pyarrow")
+    nodemap, n = _node_ids(edges)
+    nodemap = nodemap.materialize()
+    n_sh = cluster_shards()
+
+    src_map = nodemap.map_batches(
+        lambda t: t.rename_columns(["src", "src_id"]), batch_format="pyarrow"
+    )
+    dst_map = nodemap.map_batches(
+        lambda t: t.rename_columns(["dst", "dst_id"]), batch_format="pyarrow"
+    )
+    e = keyed_attach(
+        edges, src_map, "src", ["src_id"], right_count=n,
+        broadcast_cap=max(join_broadcast_cap, 1),
+    )
+    e = keyed_attach(
+        e, dst_map, "dst", ["dst_id"], right_count=n,
+        broadcast_cap=max(join_broadcast_cap, 1),
+    )
+
+    def undirect(t: pa.Table) -> pa.Table:
+        a = t.column("src_id").to_numpy()
+        b = t.column("dst_id").to_numpy()
+        uu = np.concatenate([a, b])
+        vv = np.concatenate([b, a])
+        keep = uu != vv
+        return pa.table(
+            {
+                "u": pa.array(uu[keep], pa.int64()),
+                "v": pa.array(vv[keep], pa.int64()),
+            }
+        )
+
+    und = _rebase(
+        e.map_batches(undirect, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "v", n_sh), batch_format="pyarrow")
+        # same (u,v) always shards by v → per-shard distinct is globally exact
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"]).drop_duplicates(["u", "v"]),
+            batch_format="pandas",
+        )
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+
+    labels = _rebase(
+        nodemap.map_batches(
+            lambda t: pa.table({"nid": t.column("nid"), "lab": t.column("nid")}),
+            batch_format="pyarrow",
+        ).materialize()
+    )
+    for _ in range(n_iter):
+        lab_u = labels.map_batches(
+            lambda t: t.rename_columns(["u", "lab"]), batch_format="pyarrow"
+        )
+        tagged = keyed_attach(und, lab_u, "u", ["lab"], right_count=n, broadcast_cap=0)
+        counts = tagged.map_batches(
+            lambda t: pa.table(
+                {
+                    "v": t.column("v"),
+                    "lab": t.column("lab"),
+                    "c": pa.array(np.ones(len(t), np.int64)),
+                }
+            ).group_by(["v", "lab"]).aggregate([("c", "sum")]),
+            batch_format="pyarrow",
+        )
+
+        def argmax(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby(["v", "lab"], as_index=False)["c_sum"].sum()
+            s = s.sort_values(
+                ["v", "c_sum", "lab"], ascending=[True, False, True], kind="stable"
+            )
+            out = s.groupby("v", sort=False).head(1)
+            return out[["v", "lab"]].rename(columns={"v": "nid"})
+
+        new_labels = (
+            counts.map_batches(lambda t: _add_shard(t, "v", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: argmax(g.drop(columns=["shard"])), batch_format="pandas"
+            )
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+        # every node from the edge set appears as some v in the undirected
+        # list, so the argmax covers the full label vector each round
+        labels = _rebase(new_labels.materialize())
+    out = keyed_attach(nodemap, labels, "nid", ["lab"], right_count=n, broadcast_cap=0)
+    return out.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node"), "community": t.column("lab")}
+        ),
+        batch_format="pyarrow",
     )
 
 

@@ -580,6 +580,21 @@ def q_pagerank_personalized(sf_dir: str):
     return topk(tops).reset_index(drop=True)
 
 
+def q_link_communities(sf_dir: str):
+    """Community detection over the flagship crawl's link graph
+    (ops/graph.py label_propagation — synchronous LPA, 5 rounds, min-label
+    ties): the full (node, community) assignment. DuckDB-hash-checked
+    against a serial twin running the SAME pure kernel (lpa_iterations)
+    over the oracle's link-edge table, so a partitioning-dependent count,
+    a lost join row, or an id-space drift all flip the hash."""
+    from ..ops.graph import label_propagation
+
+    edges = crawl_handle_for(sf_dir).link_edges()
+    out = label_propagation(edges, n_iter=5).to_pandas()
+    out["community"] = out["community"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)[["node", "community"]]
+
+
 def q_embedding_clusters(sf_dir: str):
     """Corpus clustering: distributed Lloyd's k-means over the embeddings
     table (k=10, deterministic hash-min seeding, integer-exact fixed-point
@@ -5759,6 +5774,7 @@ QUERIES = {
     "per_key_sample": q_per_key_sample,
     "pagerank": q_pagerank,
     "pagerank_personalized": q_pagerank_personalized,
+    "link_communities": q_link_communities,
     "winsorized_stats": q_winsorized_stats,
     "value_histogram": q_value_histogram,
     "order_top_line": q_order_top_line,
@@ -7348,6 +7364,7 @@ _TWIN_SQL_COLS = {
     "ngram_containment": ("a, b, n_common, n_a, n_b", "a, b"),
     "pagerank": ('node, "rank"', "node"),
     "pagerank_personalized": ('node, "rank"', "node"),
+    "link_communities": ("node, community", "node"),
     "link_hits": ("node, hub, authority", "node"),
     "knn_ivf": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_pq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),

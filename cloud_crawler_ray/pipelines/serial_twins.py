@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 9  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 10  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1281,6 +1281,34 @@ def twin_pagerank_personalized(
     )
 
 
+def twin_link_communities(n_iter: int = 5) -> pa.Table:
+    """Serial LPA over the oracle link edges — runs the SAME pure kernel
+    (ops/graph.lpa_iterations) the distributed paths use, over the same
+    sorted-node id space, so the full assignment must hash-match."""
+    from ..ops.graph import lpa_iterations
+
+    nodes, src, dst = _oracle_link_edges()
+    n = len(nodes)
+    keep = src != dst
+    key = np.unique(
+        np.concatenate(
+            [
+                src[keep].astype(np.int64) * np.int64(n) + dst[keep],
+                dst[keep].astype(np.int64) * np.int64(n) + src[keep],
+            ]
+        )
+    )
+    u, v = (key // n).astype(np.int64), (key % n).astype(np.int64)
+    labels = lpa_iterations(n, u, v, n_iter)
+    order = np.argsort(nodes, kind="stable")
+    return pa.table(
+        {
+            "node": pa.array(nodes[order], pa.string()),
+            "community": pa.array(labels[order], pa.int64()),
+        }
+    )
+
+
 def twin_link_hits(n_iter: int = 16, k: int = 10) -> pa.Table:
     """Serial HITS over the oracle link edges (same iteration and edge
     order as ops/graph.hits' driver path); top-k authorities."""
@@ -1355,6 +1383,7 @@ _NOARG_TWINS = {
     "canonical_alias_dedup": twin_canonical_alias_dedup,
     "pagerank": twin_pagerank,
     "pagerank_personalized": twin_pagerank_personalized,
+    "link_communities": twin_link_communities,
     "link_hits": twin_link_hits,
 }
 

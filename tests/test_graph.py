@@ -534,3 +534,71 @@ def test_bfs_distances_vs_brute(ray_session):
         got2 = bfs_distances(rd.from_arrow(tbl), seeds, max_depth=2, driver_cap=cap).to_pandas()
         expect2 = {n: dd for n, dd in dist.items() if dd <= 2}
         assert dict(zip(got2["node"], got2["dist"])) == expect2, cap
+
+
+def _community_edges_ds(repart: int = 3) -> rd.Dataset:
+    # two 4-cliques bridged by one edge — LPA must find both communities
+    names = {i: f"http://c.example.com/n{i}" for i in range(8)}
+    pairs = []
+    for grp in (range(0, 4), range(4, 8)):
+        grp = list(grp)
+        for i in grp:
+            for j in grp:
+                if i < j:
+                    pairs.append((i, j))
+    pairs.append((3, 4))  # bridge
+    tbl = pa.table(
+        {
+            "src": [names[a] for a, b in pairs],
+            "dst": [names[b] for a, b in pairs],
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    return ds.repartition(repart) if repart > 1 else ds
+
+
+def _lpa_expected(n_iter: int) -> dict:
+    from cloud_crawler_ray.ops.graph import lpa_iterations
+
+    names = sorted(f"http://c.example.com/n{i}" for i in range(8))
+    pairs = []
+    for grp in (range(0, 4), range(4, 8)):
+        grp = list(grp)
+        for i in grp:
+            for j in grp:
+                if i < j:
+                    pairs.append((i, j))
+    pairs.append((3, 4))
+    idx = {u: i for i, u in enumerate(names)}
+    und = set()
+    for a, b in pairs:
+        ua, ub = idx[f"http://c.example.com/n{a}"], idx[f"http://c.example.com/n{b}"]
+        und.add((ua, ub))
+        und.add((ub, ua))
+    uv = np.array(sorted(und), dtype=np.int64)
+    labels = lpa_iterations(8, uv[:, 0], uv[:, 1], n_iter)
+    return dict(zip(names, labels))
+
+
+@pytest.mark.parametrize("repart", [1, 4])
+def test_label_propagation_driver_path(ray_session, repart):
+    from cloud_crawler_ray.ops.graph import label_propagation
+
+    got = label_propagation(_community_edges_ds(repart), n_iter=5).to_pandas()
+    exp = _lpa_expected(5)
+    assert dict(zip(got["node"], got["community"])) == exp
+    # the two planted cliques land in two distinct communities
+    comm = dict(zip(got["node"], got["community"]))
+    left = {comm[f"http://c.example.com/n{i}"] for i in range(4)}
+    right = {comm[f"http://c.example.com/n{i}"] for i in range(4, 8)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_label_propagation_join_path_matches_driver(ray_session):
+    from cloud_crawler_ray.ops.graph import label_propagation
+
+    got = label_propagation(
+        _community_edges_ds(), n_iter=5, driver_cap=0, join_broadcast_cap=0
+    ).to_pandas()
+    exp = _lpa_expected(5)
+    assert dict(zip(got["node"], got["community"])) == exp
