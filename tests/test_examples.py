@@ -136,6 +136,17 @@ def test_adaptive_crawl_example(ray_session):
     assert out["mean_tier_first_half"] >= out["mean_tier_second_half"]
 
 
+def test_focused_recrawl_example(ray_session):
+    from examples.focused_recrawl import main
+
+    out = main("/tmp/ccray_example_focused_test")
+    assert out["n_fetched"] > 0
+    # seed-personalized ordering: the first half of the crawl averages at
+    # least as much seed-relevance as the second half
+    assert out["mean_ppr_first_half"] >= out["mean_ppr_second_half"]
+    assert len(out["top_pages"]) == 5
+
+
 def test_freshness_recrawl_example(ray_session):
     from examples.freshness_recrawl import main
 
