@@ -124,6 +124,22 @@ def q_quality_score(sf_dir: str):
     )
 
 
+def q_source_zscore(sf_dir: str):
+    """Per-source z-score of document length (ops/curation.py group_zscore)
+    — the cross-source feature-scaling step before thresholding a quality
+    signal. Exact int64 per-block partials → arbitrary-precision driver
+    combine → one broadcast float expression mirrored token-for-token by
+    the oracle SQL, so the hash check is bit-exact."""
+    from ..ops.curation import group_zscore
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    out = group_zscore(docs, group="source", value_col="n_chars").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_fingerprint(sf_dir: str):
     from ..ops.textstats import fingerprints
 
@@ -5824,6 +5840,7 @@ QUERIES = {
     "knn_ivfpq": q_knn_ivfpq,
     "weighted_sample": q_weighted_sample,
     "domain_quota": q_domain_quota,
+    "source_zscore": q_source_zscore,
     "part_reach": q_part_reach,
     "customers_no_orders": q_customers_no_orders,
     "priority_cube": q_priority_cube,
@@ -5863,6 +5880,21 @@ ORACLE_SQL = {
                len(list_filter({_TOKENS},
                                t -> t IN ('the','a','of','and','to','in')))::BIGINT AS n_stopwords
         FROM documents
+    """,
+    "source_zscore": """
+        WITH st AS (
+          SELECT source, SUM(n_chars) AS s,
+                 SUM(n_chars * n_chars) AS ss, COUNT(*) AS c
+          FROM documents GROUP BY source)
+        SELECT d.doc_id, d.source, d.n_chars,
+               CASE WHEN (st.ss::DOUBLE / st.c
+                          - (st.s::DOUBLE / st.c) * (st.s::DOUBLE / st.c)) > 0
+                    THEN (d.n_chars - (st.s::DOUBLE / st.c))
+                         / sqrt(st.ss::DOUBLE / st.c
+                                - (st.s::DOUBLE / st.c) * (st.s::DOUBLE / st.c))
+                    ELSE 0.0 END AS z
+        FROM documents d JOIN st USING (source)
+        ORDER BY d.doc_id
     """,
     "domain_quota": """
         SELECT doc_id, source, n_chars FROM (
