@@ -708,3 +708,250 @@ def compression_stats(
         )
 
     return docs.map_batches(stats, batch_format="pandas")
+
+
+def pmi_collocations(
+    ds: rd.Dataset,
+    min_count: int = 5,
+    k: int = 50,
+    scale: int = 1_000_000,
+    n_shards: int | None = None,
+) -> pd.DataFrame:
+    """Top-k adjacent-bigram collocations by integer-scaled PMI — the
+    collocation-mining pass of tokenizer/vocab work ("new york" should be
+    one unit). Score = (c_xy · N · scale) // (c_x · c_y), i.e. the PMI
+    ratio without the log (log is monotone, so the RANKING is identical)
+    kept in exact integer arithmetic so the DuckDB oracle hash-matches.
+
+    Shape (two shuffles, nothing driver-sized):
+      1. map-side partials emit (route_token, pair, partial) rows — unigram
+         partials routed by the token itself, bigram partials by the LEFT
+         token — then hash-shard by route_token and total shard-locally:
+         every partial of token t and of pair (t, *) lands in shard
+         hash(t), so unigram totals and left-attach both complete locally
+         (the tfidf_top_terms trick: no df table, no join). Pairs below
+         min_count die here, before the second exchange.
+      2. surviving pairs re-shard by their RIGHT token together with the
+         shard-local unigram tables (same hash ⇒ same shard), attach c_y,
+         score, and keep a local top-k; the driver merges n_shards × k
+         rows. N (total tokens) crosses stages as one sentinel row per
+         shard — n_shards ints on the driver.
+
+    int64 score arithmetic bounds c_xy·N·scale < 2^63 (~9.2e12 token-pair
+    product at scale=1e6); at 100-TB corpus sizes swap the score column to
+    the 128-bit object-int path the gram-key ops document."""
+    from .dedup import _add_shard, cluster_shards
+
+    n_sh = n_shards or cluster_shards()
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(batch["text"])
+        vals = toks.to_numpy()
+        idx = toks.index.to_numpy()
+        uni = pd.Series(vals).value_counts()
+        route = [list(uni.index.astype(str))]
+        pair = [[""] * len(uni)]
+        cnt = [uni.to_numpy(np.int64)]
+        if len(vals) >= 2:
+            same = idx[1:] == idx[:-1]
+            left, right = vals[:-1][same], vals[1:][same]
+            if len(left):
+                pv = (pd.Series(left) + " " + pd.Series(right)).value_counts()
+                keys = pv.index.astype(str)
+                route.append(list(pd.Series(keys).str.split(" ", n=1).str[0]))
+                pair.append(list(keys))
+                cnt.append(pv.to_numpy(np.int64))
+        return pd.DataFrame(
+            {
+                "route": np.concatenate([np.asarray(r, object) for r in route]),
+                "pair": np.concatenate([np.asarray(p, object) for p in pair]),
+                "partial": np.concatenate(cnt),
+            }
+        )
+
+    sharded = ds.map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    ).map_batches(lambda t: _add_shard(t, "route", n_sh), batch_format="pyarrow")
+
+    _SENT = "\x01total"  # never a token: tokens are whitespace-split text
+
+    def stage_left(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["route", "pair"], as_index=False)["partial"].sum()
+        uni = tot[tot["pair"] == ""]
+        cx = dict(zip(uni["route"], uni["partial"]))
+        pairs = tot[tot["pair"] != ""]
+        pairs = pairs[pairs["partial"] >= min_count]
+        right = pairs["pair"].str.split(" ", n=1).str[1]
+        out = pd.DataFrame(
+            {
+                "route": np.concatenate([uni["route"].to_numpy(object),
+                                         right.to_numpy(object),
+                                         np.array([_SENT], object)]),
+                "pair": np.concatenate([np.full(len(uni), "", object),
+                                        pairs["pair"].to_numpy(object),
+                                        np.array([""], object)]),
+                "c_xy": np.concatenate([np.zeros(len(uni), np.int64),
+                                        pairs["partial"].to_numpy(np.int64),
+                                        np.array([0], np.int64)]),
+                "c_x": np.concatenate([uni["partial"].to_numpy(np.int64),
+                                       pairs["route"].map(cx).to_numpy(np.int64),
+                                       np.array([int(uni["partial"].sum())],
+                                                np.int64)]),
+            }
+        )
+        return out
+
+    left_done = (
+        sharded.groupby("shard").map_groups(stage_left, batch_format="pandas")
+    ).materialize()
+
+    import pyarrow.compute as _pc
+
+    sent = left_done.map_batches(
+        lambda t: t.filter(_pc.equal(t.column("route"), _SENT)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_total = int(sent["c_x"].sum())
+
+    resharded = left_done.map_batches(
+        lambda t: _add_shard(
+            t.filter(_pc.not_equal(t.column("route"), _SENT)), "route", n_sh
+        ),
+        batch_format="pyarrow",
+    )
+
+    def stage_right(g: pd.DataFrame) -> pd.DataFrame:
+        uni = g[g["pair"] == ""]
+        cy = dict(zip(uni["route"], uni["c_x"]))
+        pairs = g[g["pair"] != ""]
+        if pairs.empty:
+            return pd.DataFrame(
+                {"pair": pd.Series([], dtype=object),
+                 "c_xy": pd.Series([], dtype=np.int64),
+                 "pmi_score": pd.Series([], dtype=np.int64)}
+            )
+        c_xy = pairs["c_xy"].to_numpy(np.int64)
+        c_x = pairs["c_x"].to_numpy(np.int64)
+        c_y = pairs["route"].map(cy).to_numpy(np.int64)
+        score = (c_xy * n_total * scale) // (c_x * c_y)
+        out = pd.DataFrame(
+            {"pair": pairs["pair"].to_numpy(object), "c_xy": c_xy,
+             "pmi_score": score}
+        )
+        return out.sort_values(
+            ["pmi_score", "pair"], ascending=[False, True], kind="stable"
+        ).head(k)
+
+    tops = (
+        resharded.groupby("shard")
+        .map_groups(stage_right, batch_format="pandas")
+        .to_pandas()
+    )
+    return (
+        tops.sort_values(["pmi_score", "pair"], ascending=[False, True],
+                         kind="stable")
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def source_vocab_jaccard(
+    ds: rd.Dataset, scale: int = 1_000_000, n_shards: int | None = None
+) -> pd.DataFrame:
+    """Pairwise Jaccard similarity of SOURCE vocabularies (distinct-token
+    sets) — the corpus-overlap audit behind mixing-weight decisions (two
+    near-identical sources shouldn't both get full weight). Output one row
+    per source pair with inter > 0: (source_a, source_b, n_a, n_b, inter,
+    jaccard_ppm = inter·scale // (n_a + n_b − inter)), exact integers.
+
+    ONE shuffle: per-block distinct (token, source-bit) partials OR-merge
+    shard-locally after hash-sharding by token (every duplicate of a
+    (token, source) pair meets in shard hash(token), so the local OR is the
+    global source mask for that token). Each shard then counts, for its own
+    tokens, the per-source set sizes and the per-pair intersections with
+    vectorized bit tests — sources² numbers per shard to the driver, never
+    token-sized. Source→bit mapping comes from a per-block distinct pass
+    (sources are bounded by definition); masks are int64, so ≤63 sources —
+    beyond that, split the mask into words (documented, not silent)."""
+    from .dedup import _add_shard, cluster_shards
+
+    n_sh = n_shards or cluster_shards()
+
+    def src_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": batch["source"].unique()})
+
+    sources = sorted(
+        ds.map_batches(src_partial, batch_format="pandas")
+        .to_pandas()["source"]
+        .unique()
+    )
+    if len(sources) > 63:
+        raise NotImplementedError(
+            "int64 source mask supports ≤63 sources; split into mask words"
+        )
+    bit = {s: 1 << i for i, s in enumerate(sources)}
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(batch["text"])
+        srcbits = batch["source"].map(bit).to_numpy(np.int64)
+        rows = (
+            batch.index.get_indexer(toks.index)
+            if len(toks)
+            else np.array([], np.int64)
+        )
+        df = pd.DataFrame({"token": toks.to_numpy(object), "m": srcbits[rows]})
+        # block-local OR per token: each (token, bit) row is a single
+        # distinct bit after drop_duplicates, so sum of distinct bits == OR
+        dedup = df.drop_duplicates()
+        return dedup.groupby("token", as_index=False)["m"].sum()
+
+    sharded = ds.map_batches(
+        partial, batch_format="pandas", batch_size=4096
+    ).map_batches(lambda t: _add_shard(t, "token", n_sh), batch_format="pyarrow")
+
+    npairs = [(i, j) for i in range(len(sources)) for j in range(len(sources)) if i < j]
+
+    def shard_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # cross-block OR: sum of per-block masks double-counts shared bits,
+        # so OR per token via sort + bitwise_or.reduceat (no per-group apply)
+        g2 = g.sort_values("token", kind="stable")
+        toks = g2["token"].to_numpy(object)
+        ms = g2["m"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, toks[1:] != toks[:-1]])
+        masks = np.bitwise_or.reduceat(ms, starts) if len(ms) else ms
+        sizes = [(i, int(((masks >> i) & 1).sum())) for i in range(len(sources))]
+        inters = [
+            (i, j, int((((masks >> i) & (masks >> j)) & 1).sum())) for i, j in npairs
+        ]
+        return pd.DataFrame(
+            {
+                "i": [s[0] for s in sizes] + [p[0] for p in inters],
+                "j": [-1] * len(sizes) + [p[1] for p in inters],
+                "cnt": [s[1] for s in sizes] + [p[2] for p in inters],
+            }
+        )
+
+    parts = (
+        sharded.groupby("shard")
+        .map_groups(shard_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    tot = parts.groupby(["i", "j"], as_index=False)["cnt"].sum()
+    size = dict(zip(tot[tot["j"] == -1]["i"], tot[tot["j"] == -1]["cnt"]))
+    rows = []
+    for _, r in tot[tot["j"] >= 0].iterrows():
+        i, j, inter = int(r["i"]), int(r["j"]), int(r["cnt"])
+        if inter == 0:
+            continue
+        na, nb = int(size[i]), int(size[j])
+        rows.append(
+            (sources[i], sources[j], na, nb, inter,
+             (inter * scale) // (na + nb - inter))
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["source_a", "source_b", "n_a", "n_b", "inter", "jaccard_ppm"],
+    )
+    for c in ("n_a", "n_b", "inter", "jaccard_ppm"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)

@@ -140,6 +140,33 @@ def q_source_zscore(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_pmi_collocations(sf_dir: str):
+    """Top-50 adjacent-bigram collocations by integer-scaled PMI
+    (ops/textstats.py pmi_collocations): two token-hash shuffles, left-
+    then right-unigram attach in the shard that already holds the counts,
+    shard-local top-k, n_shards x k rows to the driver. Score is the PMI
+    ratio without the log (monotone, same ranking) in exact ints so the
+    DuckDB oracle hash-matches."""
+    from ..ops.textstats import pmi_collocations
+
+    return pmi_collocations(_docs(sf_dir), min_count=5, k=50)
+
+
+def q_source_vocab_jaccard(sf_dir: str):
+    """Pairwise source-vocabulary Jaccard overlap (ops/textstats.py
+    source_vocab_jaccard) — the corpus-overlap audit behind mixing-weight
+    decisions. One token-hash shuffle of (token, source-bitmask) partials;
+    per-shard vectorized bit tests reduce to sources^2 integers on the
+    driver."""
+    from ..ops.textstats import source_vocab_jaccard
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+    return source_vocab_jaccard(docs)
+
+
 def q_doc_fingerprint(sf_dir: str):
     from ..ops.textstats import fingerprints
 
@@ -5841,6 +5868,8 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "domain_quota": q_domain_quota,
     "source_zscore": q_source_zscore,
+    "pmi_collocations": q_pmi_collocations,
+    "source_vocab_jaccard": q_source_vocab_jaccard,
     "part_reach": q_part_reach,
     "customers_no_orders": q_customers_no_orders,
     "priority_cube": q_priority_cube,
@@ -5880,6 +5909,42 @@ ORACLE_SQL = {
                len(list_filter({_TOKENS},
                                t -> t IN ('the','a','of','and','to','in')))::BIGINT AS n_stopwords
         FROM documents
+    """,
+    "pmi_collocations": f"""
+        WITH toks AS (SELECT {_TOKENS} AS tk FROM documents),
+        uni AS (SELECT unnest(tk) AS token FROM toks),
+        uc AS (SELECT token, count(*)::BIGINT AS c FROM uni GROUP BY token),
+        n AS (SELECT count(*)::BIGINT AS n FROM uni),
+        pairs AS (
+          SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i + 1])) AS pair
+          FROM toks),
+        pc AS (SELECT pair, count(*)::BIGINT AS c_xy FROM pairs
+               GROUP BY pair HAVING count(*) >= 5)
+        SELECT pc.pair, pc.c_xy,
+               ((pc.c_xy * (SELECT n FROM n) * 1000000)
+                // (ux.c * uy.c))::BIGINT AS pmi_score
+        FROM pc
+        JOIN uc ux ON ux.token = split_part(pc.pair, ' ', 1)
+        JOIN uc uy ON uy.token = split_part(pc.pair, ' ', 2)
+        ORDER BY pmi_score DESC, pc.pair
+        LIMIT 50
+    """,
+    "source_vocab_jaccard": f"""
+        WITH ts AS (SELECT DISTINCT source, token FROM
+          (SELECT source, unnest({_TOKENS}) AS token FROM documents)),
+        sz AS (SELECT source, count(*)::BIGINT AS n FROM ts GROUP BY source),
+        iv AS (SELECT a.source AS source_a, b.source AS source_b,
+                      count(*)::BIGINT AS inter
+               FROM ts a JOIN ts b USING (token)
+               WHERE a.source < b.source GROUP BY 1, 2)
+        SELECT source_a, source_b, x.n AS n_a, y.n AS n_b, iv.inter,
+               ((iv.inter * 1000000) // (x.n + y.n - iv.inter))::BIGINT
+                 AS jaccard_ppm
+        FROM iv
+        JOIN sz x ON x.source = source_a
+        JOIN sz y ON y.source = source_b
+        ORDER BY source_a, source_b
     """,
     "source_zscore": """
         WITH st AS (
