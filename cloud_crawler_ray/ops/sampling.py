@@ -209,3 +209,46 @@ def weighted_sample(
     tops = tops.sort_values(["pri", key], kind="stable").head(k)
     tops = tops[~np.isinf(tops["pri"])]
     return tops.drop(columns=["pri", "shard"]).reset_index(drop=True)
+
+
+def leak_safe_split(
+    ds: rd.Dataset, train_pct: int = 90, key: str = "doc_id"
+) -> rd.Dataset:
+    """Contamination-safe train/test split: the split is a pure hash of the
+    DOCUMENT FINGERPRINT (md5 of whitespace/case-normalized text), not of
+    the row key — so every exact duplicate of a document lands in the SAME
+    split and a test document can never leak into train via a trivially
+    reformatted copy (the split-level complement of decontaminate). Pure
+    map-side, no shuffle, no state; stable under re-runs, resume, and
+    repartitioning because membership depends only on the text bytes.
+    For NEAR-dup safety, split on the alias/minhash component id instead
+    (collapse_alias_docs / minhash groups) — same one-line hash, group key
+    swapped."""
+    from ..functions import text as T
+
+    def assign(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        texts = t.column("text").to_pylist()
+        buckets = np.fromiter(
+            (
+                int(
+                    hashlib.md5(T.normalize_text(x or "").encode("utf-8"))
+                    .hexdigest()[:8],
+                    16,
+                )
+                % 100
+                for x in texts
+            ),
+            np.int64,
+            len(texts),
+        )
+        split = np.where(buckets < train_pct, "train", "test")
+        return pa.table(
+            {
+                key: t.column(key),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -167,6 +167,18 @@ def q_source_vocab_jaccard(sf_dir: str):
     return source_vocab_jaccard(docs)
 
 
+def q_leak_safe_split(sf_dir: str):
+    """Contamination-safe train/test split keyed by the document
+    FINGERPRINT (ops/sampling.py leak_safe_split): exact duplicates of a
+    document always land in the same split, so a test doc cannot leak into
+    train as a reformatted copy. Map-side only; the oracle spells the same
+    md5-prefix bucket in SQL."""
+    from ..ops.sampling import leak_safe_split
+
+    out = leak_safe_split(_docs(sf_dir), train_pct=90).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_doc_fingerprint(sf_dir: str):
     from ..ops.textstats import fingerprints
 
@@ -5979,6 +5991,7 @@ QUERIES = {
     "source_vocab_jaccard": q_source_vocab_jaccard,
     "funnel_counts": q_funnel_counts,
     "retention_cohorts": q_retention_cohorts,
+    "leak_safe_split": q_leak_safe_split,
     "part_reach": q_part_reach,
     "customers_no_orders": q_customers_no_orders,
     "priority_cube": q_priority_cube,
@@ -6054,6 +6067,15 @@ ORACLE_SQL = {
         JOIN sz x ON x.source = source_a
         JOIN sz y ON y.source = source_b
         ORDER BY source_a, source_b
+    """,
+    "leak_safe_split": """
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5(trim(regexp_replace(
+                            lower(text), '\\s+', ' ', 'g'))), 1, 8))::UBIGINT
+                          % 100 < 90
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+        ORDER BY doc_id
     """,
     "funnel_counts": """
         WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
