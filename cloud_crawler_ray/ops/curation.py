@@ -12,8 +12,6 @@ n_strata x k rows; repetition stats are pure map-side.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -196,70 +194,6 @@ def quality_gate(ds: rd.Dataset, q: float = 0.10) -> rd.Dataset:
 
     return token_counts(ds).map_batches(keep, batch_format="pyarrow")
 
-
-def group_zscore(
-    ds: rd.Dataset,
-    group: str,
-    value_col: str,
-    key: str = "doc_id",
-) -> rd.Dataset:
-    """Per-group z-score normalization of an INTEGER column — the feature
-    scaling step before thresholding a quality signal across heterogeneous
-    sources (a 900-char doc is long for tweets, short for papers).
-
-    Bit-deterministic under any partitioning: per-block partials are exact
-    int64 (sum, sum-of-squares, count per group), the driver combines them
-    in arbitrary-precision Python ints (no overflow at any scale; the
-    int64 risk is only within a block — ~1e16 per block is fine for any
-    real document-length column), and the float expression
-    ``z = (x - s/c) / sqrt(ss/c - (s/c)²)`` is evaluated in the same IEEE
-    op order the oracle SQL spells out with its own exact HUGEINT sums —
-    so the hash check proves the partial/merge plumbing exactly.
-    Zero-variance groups get z = 0 (both sides guard on var > 0). The
-    per-group stats table is the small side by definition (one row per
-    group) and broadcasts via closure; rows never leave their block."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "g": t.column(group).to_pandas(),
-                "x": t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64),
-            }
-        )
-        df["xx"] = df["x"] * df["x"]
-        out = df.groupby("g", as_index=False).agg(
-            s=("x", "sum"), ss=("xx", "sum"), c=("x", "count")
-        )
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    stats: dict = {}
-    for g, s, ss, c in parts.itertuples(index=False):
-        ps, pss, pc = stats.get(g, (0, 0, 0))
-        stats[g] = (ps + int(s), pss + int(ss), pc + int(c))
-    params = {}
-    for g, (s, ss, c) in stats.items():
-        mean = float(s) / c
-        var = float(ss) / c - mean * mean
-        params[g] = (mean, math.sqrt(var)) if var > 0 else (mean, 0.0)
-
-    def score(t: pa.Table) -> pa.Table:
-        gvals = t.column(group).to_pylist()
-        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        mean = np.array([params[g][0] for g in gvals])
-        std = np.array([params[g][1] for g in gvals])
-        with np.errstate(invalid="ignore"):
-            z = np.where(std > 0, (x - mean) / std, 0.0)
-        return pa.table(
-            {
-                key: t.column(key),
-                group: t.column(group),
-                value_col: t.column(value_col),
-                "z": pa.array(z, pa.float64()),
-            }
-        )
-
-    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def dedup_keep_best(

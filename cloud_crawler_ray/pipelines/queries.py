@@ -124,22 +124,6 @@ def q_quality_score(sf_dir: str):
     )
 
 
-def q_source_zscore(sf_dir: str):
-    """Per-source z-score of document length (ops/curation.py group_zscore)
-    — the cross-source feature-scaling step before thresholding a quality
-    signal. Exact int64 per-block partials → arbitrary-precision driver
-    combine → one broadcast float expression mirrored token-for-token by
-    the oracle SQL, so the hash check is bit-exact."""
-    from ..ops.curation import group_zscore
-
-    docs = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "source", "n_chars"],
-    )
-    out = group_zscore(docs, group="source", value_col="n_chars").to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
-
-
 def q_pmi_collocations(sf_dir: str):
     """Top-50 adjacent-bigram collocations by integer-scaled PMI
     (ops/textstats.py pmi_collocations): two token-hash shuffles, left-
@@ -4331,113 +4315,6 @@ def q_first_last_event(sf_dir: str):
     return parts.sort_values("user_id").reset_index(drop=True)
 
 
-def q_funnel_counts(sf_dir: str):
-    """Strict-order conversion funnel (view → click → purchase): a user
-    completes step i at the EARLIEST event of that type strictly after
-    their step-(i−1) completion time. The product-analytics primitive
-    sessionized windows don't cover. One hash(user) shuffle of only the
-    funnel-relevant events (map-side type filter), then each shard runs the
-    whole per-user chain vectorized (users land whole in one shard: a
-    Series map carries t_prev into each step's candidate frame, groupby-min
-    closes the step); shards emit 3 partial counts each, the driver sums
-    ≤ 3·n_shards ints. SQL-checked against the chained min-after-join CTE."""
-    import numpy as np
-
-    from ..ops.dedup import _add_shard, cluster_shards
-
-    steps = ["view", "click", "purchase"]
-    ev = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-    n_sh = cluster_shards()
-
-    def keep_steps(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return _add_shard(
-            t.filter(pc.is_in(t.column("event_type"), pa.array(steps))),
-            "user_id",
-            n_sh,
-        )
-
-    def shard_funnel(g: pd.DataFrame) -> pd.DataFrame:
-        cur = g[g["event_type"] == steps[0]].groupby("user_id")["ts"].min()
-        counts = [len(cur)]
-        for s in steps[1:]:
-            cand = g[g["event_type"] == s]
-            prev = cand["user_id"].map(cur)
-            ok = cand[prev.notna().to_numpy() & (cand["ts"].to_numpy() > prev.to_numpy())]
-            cur = ok.groupby("user_id")["ts"].min()
-            counts.append(len(cur))
-        return pd.DataFrame(
-            {
-                "step_idx": np.arange(1, len(steps) + 1, dtype=np.int64),
-                "step": steps,
-                "n_users": np.asarray(counts, np.int64),
-            }
-        )
-
-    parts = (
-        ev.map_batches(keep_steps, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(
-            lambda g: shard_funnel(g.drop(columns=["shard"])), batch_format="pandas"
-        )
-        .to_pandas()
-    )
-    out = parts.groupby(["step_idx", "step"], as_index=False)["n_users"].sum()
-    return out.sort_values("step_idx").reset_index(drop=True)
-
-
-def q_retention_cohorts(sf_dir: str):
-    """Retention-cohort matrix: cohort_day = a user's first active day
-    (integer days since epoch), day_offset = each later active day relative
-    to it, n_users = distinct users per cell — the growth-analytics table
-    every training-telemetry pipeline eventually wants. Map-side distinct
-    (user, day) shrinks each block before the single hash(user) shuffle;
-    per-shard transform-min + groupby-size is exact because a user's whole
-    history lands in one shard, and shard partials add exactly because no
-    user spans shards. Driver sees one ≤ days² matrix per shard."""
-    from ..ops.dedup import _add_shard, cluster_shards
-
-    ev = rd.read_parquet(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
-    n_sh = cluster_shards()
-
-    def day_partial(t: pa.Table) -> pa.Table:
-        days = t.column("ts").cast(pa.int64()).to_numpy() // 86_400_000_000
-        return _add_shard(
-            pa.table({"user_id": t.column("user_id"), "day": pa.array(days)})
-            .group_by(["user_id", "day"])
-            .aggregate([]),
-            "user_id",
-            n_sh,
-        )
-
-    def shard_cohorts(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["user_id", "day"])
-        cohort = g.groupby("user_id")["day"].transform("min")
-        cells = pd.DataFrame(
-            {"cohort_day": cohort, "day_offset": g["day"] - cohort}
-        )
-        out = cells.groupby(["cohort_day", "day_offset"], as_index=False).size()
-        return out.rename(columns={"size": "n_users"})
-
-    parts = (
-        ev.map_batches(day_partial, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(
-            lambda g: shard_cohorts(g.drop(columns=["shard"])), batch_format="pandas"
-        )
-        .to_pandas()
-    )
-    out = parts.groupby(["cohort_day", "day_offset"], as_index=False)["n_users"].sum()
-    out["n_users"] = out["n_users"].astype("int64")
-    return out.sort_values(["cohort_day", "day_offset"]).reset_index(drop=True)
-
-
 def _strong_part_edges(sf_dir: str) -> rd.Dataset:
     """Distinct 'ordered together at least twice' part pairs (a < b) — the
     shared edge derivation for part_triangles and part_k_core: block-level
@@ -5986,11 +5863,8 @@ QUERIES = {
     "knn_ivfpq": q_knn_ivfpq,
     "weighted_sample": q_weighted_sample,
     "domain_quota": q_domain_quota,
-    "source_zscore": q_source_zscore,
     "pmi_collocations": q_pmi_collocations,
     "source_vocab_jaccard": q_source_vocab_jaccard,
-    "funnel_counts": q_funnel_counts,
-    "retention_cohorts": q_retention_cohorts,
     "leak_safe_split": q_leak_safe_split,
     "part_reach": q_part_reach,
     "customers_no_orders": q_customers_no_orders,
@@ -6076,51 +5950,6 @@ ORACLE_SQL = {
                     THEN 'train' ELSE 'test' END AS split
         FROM documents
         ORDER BY doc_id
-    """,
-    "funnel_counts": """
-        WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
-                    WHERE event_type = 'view' GROUP BY user_id),
-        s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-               JOIN s1 USING (user_id)
-               WHERE e.event_type = 'click' AND e.ts > s1.t
-               GROUP BY e.user_id),
-        s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
-               JOIN s2 USING (user_id)
-               WHERE e.event_type = 'purchase' AND e.ts > s2.t
-               GROUP BY e.user_id)
-        SELECT * FROM (
-          SELECT 1::BIGINT AS step_idx, 'view' AS step,
-                 count(*)::BIGINT AS n_users FROM s1
-          UNION ALL
-          SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM s2
-          UNION ALL
-          SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM s3)
-        ORDER BY step_idx
-    """,
-    "retention_cohorts": """
-        WITH ua AS (SELECT DISTINCT user_id,
-                           epoch_us(ts) // 86400000000 AS day FROM events),
-        f AS (SELECT user_id, min(day) AS cohort_day FROM ua GROUP BY user_id)
-        SELECT f.cohort_day, ua.day - f.cohort_day AS day_offset,
-               count(*)::BIGINT AS n_users
-        FROM ua JOIN f USING (user_id)
-        GROUP BY 1, 2
-        ORDER BY 1, 2
-    """,
-    "source_zscore": """
-        WITH st AS (
-          SELECT source, SUM(n_chars) AS s,
-                 SUM(n_chars * n_chars) AS ss, COUNT(*) AS c
-          FROM documents GROUP BY source)
-        SELECT d.doc_id, d.source, d.n_chars,
-               CASE WHEN (st.ss::DOUBLE / st.c
-                          - (st.s::DOUBLE / st.c) * (st.s::DOUBLE / st.c)) > 0
-                    THEN (d.n_chars - (st.s::DOUBLE / st.c))
-                         / sqrt(st.ss::DOUBLE / st.c
-                                - (st.s::DOUBLE / st.c) * (st.s::DOUBLE / st.c))
-                    ELSE 0.0 END AS z
-        FROM documents d JOIN st USING (source)
-        ORDER BY d.doc_id
     """,
     "domain_quota": """
         SELECT doc_id, source, n_chars FROM (
