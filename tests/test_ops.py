@@ -1591,3 +1591,59 @@ def test_compression_stats_flags_repetitive(ray_session):
     )
     assert bool(out.loc[0, "repetitive"]) and not bool(out.loc[1, "repetitive"])
     assert out.loc[0, "n_comp_bytes"] < out.loc[0, "n_bytes"] * 0.1
+
+
+def test_pmi_collocations_partition_invariance(ray_session, docs):
+    """The two-stage shard plumbing (left-attach, sentinel N, right-attach)
+    must be a pure function of the corpus: different shard counts and
+    block sizes produce the identical top-k table."""
+    from cloud_crawler_ray.ops.textstats import pmi_collocations
+
+    a = pmi_collocations(docs, min_count=3, k=30, n_shards=4)
+    b = pmi_collocations(docs.repartition(7), min_count=3, k=30, n_shards=19)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["c_xy"] >= 3).all()
+
+
+def test_source_vocab_jaccard_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.textstats import source_vocab_jaccard
+
+    ds = rd.read_parquet(
+        f"{SF}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    a = source_vocab_jaccard(ds, n_shards=4)
+    b = source_vocab_jaccard(ds.repartition(7), n_shards=19)
+    pd.testing.assert_frame_equal(a, b)
+    # Jaccard bounds: inter <= min(n_a, n_b), ppm in [0, 1e6]
+    assert (a["inter"] <= a[["n_a", "n_b"]].min(axis=1)).all()
+    assert a["jaccard_ppm"].between(0, 1_000_000).all()
+
+
+def test_leak_safe_split_groups_exact_dups_together(ray_session):
+    """Reformatted copies of the same text (case/whitespace changes) must
+    land in the same split — the property train_test_split (row-key hash)
+    does NOT provide."""
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.sampling import leak_safe_split
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": [
+                "The  quick\tbrown fox",
+                "the quick brown FOX",
+                "something else entirely",
+                "SOMETHING   else\nentirely",
+            ],
+        }
+    )
+    out = (
+        leak_safe_split(rd.from_arrow(tbl), train_pct=50)
+        .to_pandas()
+        .set_index("doc_id")["split"]
+    )
+    assert out[1] == out[2]
+    assert out[3] == out[4]
