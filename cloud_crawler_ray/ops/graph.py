@@ -1517,3 +1517,109 @@ def bfs_distances(
         labels = _rebase(labels.union(new_labels).materialize())
 
     return labels
+
+
+def scc_coloring(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Pure strongly-connected-components kernel over a DIRECTED int edge
+    list — iterative forward-min coloring + same-color backward confirmation
+    (the FW-BW/coloring scheme of Orzan 2004 / Slota et al. 2014, built
+    from the one primitive that distributes: min-label propagation to
+    fixpoint). Returns scc[v] = the smallest member id of v's SCC, a pure
+    function of the edge SET (min-propagation is order- and
+    partitioning-free), so the distributed wrapper and the serial oracle
+    twin run THIS same code and must agree bit-for-bit.
+
+    Per outer round over the still-active subgraph:
+      1. f = forward min propagation to fixpoint: f(v) = min id that
+         reaches v within the active subgraph. Standard property: f(v)=r
+         implies an r→v path whose every vertex has color r.
+      2. backward reachability restricted to SAME-COLOR edges from each
+         color root r (f(r)=r): v confirmed iff v reaches its root inside
+         its color class — exactly SCC(r), whose minimum id is r.
+      3. settle confirmed nodes, shrink the active set. Every round
+         settles every current color root's whole SCC, so the loop
+         terminates in ≤ #SCC rounds (few, in practice, for web graphs).
+    """
+    scc = np.full(n, -1, np.int64)
+    if n == 0:
+        return scc
+    active = np.ones(n, bool)
+    ids = np.arange(n, dtype=np.int64)
+    while active.any():
+        m = active[src] & active[dst]
+        s, d = src[m], dst[m]
+        f = ids.copy()
+        while True:
+            before = f[d].min() if len(d) else 0, f.sum()
+            np.minimum.at(f, d, f[s])
+            if (f[d].min() if len(d) else 0, f.sum()) == before:
+                break
+        same = f[s] == f[d]
+        s2, d2 = s[same], d[same]
+        reach = np.zeros(n, bool)
+        reach[active & (f == ids)] = True
+        while True:
+            before = int(reach.sum())
+            np.logical_or.at(reach, s2, reach[d2])
+            if int(reach.sum()) == before:
+                break
+        settled = active & reach
+        scc[settled] = f[settled]
+        active &= ~settled
+    return scc
+
+
+def strongly_connected_components(
+    edges: rd.Dataset, driver_edge_cap: int = 2_000_000
+) -> rd.Dataset:
+    """SCC of the directed (src, dst) link graph — the web-graph bowtie
+    primitive (mutually-reachable URL clusters: navigation cores, redirect
+    rings, link farms). Returns (node, scc) where scc is the
+    lexicographically smallest member URL, matching connected_components'
+    labeling convention.
+
+    Same analysis-scale contract as connected_components
+    (graph.py:484): the distinct edge list collects to the driver under
+    ``driver_edge_cap`` (loud ValueError above it — never a silent
+    truncation) and the shared pure kernel runs once. The at-scale
+    composition is documented by construction: both kernel primitives —
+    forward min-label propagation to fixpoint and same-color backward
+    reachability — are the per-round sharded min-joins label_propagation /
+    _components_label_prop already execute distributed; an at-scale caller
+    iterates those rounds with the (f, settled) state kept as a Dataset."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    empty = pa.table(
+        {"node": pa.array([], pa.string()), "scc": pa.array([], pa.string())}
+    )
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+    if n_edges > driver_edge_cap:
+        raise ValueError(
+            f"strongly_connected_components: {n_edges} edges exceeds "
+            f"driver_edge_cap={driver_edge_cap}; raise the cap or run the "
+            "documented distributed composition (per-round min-label joins)"
+        )
+    tbl = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in edges.select_columns(["src", "dst"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    )
+    s = np.asarray(tbl.column("src").to_pylist(), dtype=object)
+    d = np.asarray(tbl.column("dst").to_pylist(), dtype=object)
+    nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    src = inv[: len(s)].astype(np.int64)
+    dst = inv[len(s):].astype(np.int64)
+    order = np.lexsort((src, dst))  # canonical edge order (twin parity)
+    labels = scc_coloring(len(nodes), src[order], dst[order])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.string()),
+                "scc": pa.array(nodes[labels], pa.string()),
+            }
+        )
+    )

@@ -634,6 +634,19 @@ def q_link_communities(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)[["node", "community"]]
 
 
+def q_link_scc(sf_dir: str):
+    """Strongly connected components of the flagship crawl's DIRECTED link
+    graph (ops/graph.py scc_coloring — iterative FW-BW-min coloring): the
+    web-bowtie primitive (mutually-reachable URL cores, redirect rings).
+    DuckDB-hash-checked against a serial twin running the SAME pure kernel
+    over the oracle's link-edge table in the same canonical edge order."""
+    from ..ops.graph import strongly_connected_components
+
+    edges = crawl_handle_for(sf_dir).link_edges()
+    out = strongly_connected_components(edges).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)[["node", "scc"]]
+
+
 def q_embedding_clusters(sf_dir: str):
     """Corpus clustering: distributed Lloyd's k-means over the embeddings
     table (k=10, deterministic hash-min seeding, integer-exact fixed-point
@@ -5814,6 +5827,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "pagerank_personalized": q_pagerank_personalized,
     "link_communities": q_link_communities,
+    "link_scc": q_link_scc,
     "winsorized_stats": q_winsorized_stats,
     "value_histogram": q_value_histogram,
     "order_top_line": q_order_top_line,
@@ -7453,6 +7467,7 @@ _TWIN_SQL_COLS = {
     "pagerank_personalized": ('node, "rank"', "node"),
     "link_communities": ("node, community", "node"),
     "link_hits": ("node, hub, authority", "node"),
+    "link_scc": ("node, scc", "node"),
     "knn_ivf": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_pq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_ivfpq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 10  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 11  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1374,6 +1374,23 @@ _SF_TWINS = {
     "dsir_weights": twin_dsir_weights,
 }
 
+def twin_link_scc() -> pa.Table:
+    """Serial SCC over the oracle link edges — runs the SAME pure kernel
+    (ops/graph.scc_coloring) in the same canonical (dst, src) edge order
+    over the same sorted-node id space, so the full (node, scc) assignment
+    must hash-match the distributed wrapper."""
+    from ..ops.graph import scc_coloring
+
+    nodes, src, dst = _oracle_link_edges()
+    labels = scc_coloring(len(nodes), src, dst)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.string()),
+            "scc": pa.array(nodes[labels], pa.string()),
+        }
+    )
+
+
 _NOARG_TWINS = {
     "media_features": twin_media_features,
     "media_thumbnails": twin_media_thumbnails,
@@ -1385,6 +1402,7 @@ _NOARG_TWINS = {
     "pagerank_personalized": twin_pagerank_personalized,
     "link_communities": twin_link_communities,
     "link_hits": twin_link_hits,
+    "link_scc": twin_link_scc,
 }
 
 

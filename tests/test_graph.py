@@ -602,3 +602,50 @@ def test_label_propagation_join_path_matches_driver(ray_session):
     ).to_pandas()
     exp = _lpa_expected(5)
     assert dict(zip(got["node"], got["community"])) == exp
+
+
+def test_scc_kernel_matches_bruteforce_closure():
+    """scc_coloring vs an O(n^3) transitive-closure oracle on random
+    digraphs, plus the planted two-cycle/bridge/DAG-tail shape."""
+    from cloud_crawler_ray.ops.graph import scc_coloring
+
+    # cycle A 0->1->2->0, cycle B 3->4->3, one-way bridge 2->3, tail 4->5
+    src = np.array([0, 1, 2, 3, 4, 2, 4], np.int64)
+    dst = np.array([1, 2, 0, 4, 3, 3, 5], np.int64)
+    assert scc_coloring(6, src, dst).tolist() == [0, 0, 0, 3, 3, 5]
+
+    rng = np.random.default_rng(42)
+    for _ in range(25):
+        n = int(rng.integers(2, 14))
+        m = int(rng.integers(1, 40))
+        s = rng.integers(0, n, m).astype(np.int64)
+        d = rng.integers(0, n, m).astype(np.int64)
+        reach = np.eye(n, dtype=bool)
+        adj = np.zeros((n, n), bool)
+        adj[s, d] = True
+        for _ in range(n):
+            reach = reach | (reach @ adj)
+        mutual = reach & reach.T
+        expect = np.array([np.flatnonzero(mutual[i])[0] for i in range(n)])
+        assert np.array_equal(scc_coloring(n, s, d), expect)
+
+
+def test_scc_wrapper_labels_and_cap(ray_session):
+    from cloud_crawler_ray.ops.graph import strongly_connected_components
+
+    edges = pa.table(
+        {
+            "src": ["a", "b", "c", "x", "y"],
+            "dst": ["b", "a", "a", "y", "x"],
+        }
+    )
+    out = (
+        strongly_connected_components(rd.from_arrow(edges))
+        .to_pandas()
+        .set_index("node")["scc"]
+    )
+    assert out["a"] == out["b"] == "a"
+    assert out["c"] == "c"  # one-way into the cycle: singleton
+    assert out["x"] == out["y"] == "x"
+    with pytest.raises(ValueError, match="driver_edge_cap"):
+        strongly_connected_components(rd.from_arrow(edges), driver_edge_cap=2)
