@@ -1546,6 +1546,23 @@ def scc_coloring(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     active = np.ones(n, bool)
     ids = np.arange(n, dtype=np.int64)
     while active.any():
+        # TRIM (Multistep): a node with no incoming or no outgoing edge
+        # inside the active subgraph is a singleton SCC — peeling these
+        # iteratively resolves the acyclic regions in O(longest path)
+        # rounds instead of one coloring round per settled root (a DAG
+        # chain would otherwise cost O(n) rounds). Pure peeling: the
+        # result is unchanged, only the round count.
+        while True:
+            m = active[src] & active[dst] & (src != dst)
+            indeg = np.bincount(dst[m], minlength=n)
+            outdeg = np.bincount(src[m], minlength=n)
+            trivial = active & ((indeg == 0) | (outdeg == 0))
+            if not trivial.any():
+                break
+            scc[trivial] = ids[trivial]
+            active &= ~trivial
+        if not active.any():
+            break
         m = active[src] & active[dst]
         s, d = src[m], dst[m]
         f = ids.copy()
@@ -1578,15 +1595,13 @@ def strongly_connected_components(
     lexicographically smallest member URL, matching connected_components'
     labeling convention.
 
-    Same analysis-scale contract as connected_components
-    (graph.py:484): the distinct edge list collects to the driver under
-    ``driver_edge_cap`` (loud ValueError above it — never a silent
-    truncation) and the shared pure kernel runs once. The at-scale
-    composition is documented by construction: both kernel primitives —
-    forward min-label propagation to fixpoint and same-color backward
-    reachability — are the per-round sharded min-joins label_propagation /
-    _components_label_prop already execute distributed; an at-scale caller
-    iterates those rounds with the (f, settled) state kept as a Dataset."""
+    Size-gated like the rest of the graph family: under ``driver_edge_cap``
+    the distinct edge list collects once and the shared pure kernel runs on
+    the driver; above it (or test-forced with driver_edge_cap=0) the
+    at-scale path runs — _scc_distributed, the same trim + FW-BW-min
+    coloring as per-round sharded min/max joins with every label table and
+    the settled set kept as Datasets (driver sees changed counts only).
+    Both are pure functions of the edge set, so they agree bit-for-bit."""
     edges = edges.materialize()
     n_edges = edges.count()
     empty = pa.table(
@@ -1595,11 +1610,7 @@ def strongly_connected_components(
     if n_edges == 0:
         return rd.from_arrow(empty)
     if n_edges > driver_edge_cap:
-        raise ValueError(
-            f"strongly_connected_components: {n_edges} edges exceeds "
-            f"driver_edge_cap={driver_edge_cap}; raise the cap or run the "
-            "documented distributed composition (per-round min-label joins)"
-        )
+        return _scc_distributed(edges)
     tbl = pa.concat_tables(
         [
             pa.table(b)
@@ -1623,3 +1634,323 @@ def strongly_connected_components(
             }
         )
     )
+
+
+def _scc_distributed(
+    edges: rd.Dataset,
+    max_outer: int = 64,
+    max_inner: int = 512,
+    join_broadcast_cap: int = 500_000,
+) -> rd.Dataset:
+    """Fully distributed SCC — the same trim + FW-BW-min coloring as
+    scc_coloring, expressed as per-round sharded min/max joins (the LPA /
+    components machinery): node-label tables and the settled set stay
+    Datasets end-to-end, the driver sees per-round CHANGED COUNTS only.
+    Both paths are pure functions of the edge set, so their (node, scc)
+    outputs are identical (pinned by tests on planted graphs and the real
+    crawl graph).
+
+    Per outer round: (1) distributed TRIM to fixpoint — nodes missing from
+    the active edge list's src side (no out-edge) or dst side (no in-edge)
+    are singleton SCCs, peeled via two distinct-side joins per round;
+    (2) forward min-label propagation to fixpoint (attach f to edges by
+    src, sharded per-dst min merge); (3) backward reach restricted to
+    same-color edges (attach reach by dst, sharded per-src max merge);
+    (4) reached nodes settle as their color, edges touching them drop.
+    ``max_inner`` caps each propagation (diameter bound), ``max_outer``
+    the settle rounds (#SCCs bound after trim) — both warn loudly."""
+    import warnings
+
+    import pyarrow.compute as pc
+
+    from .dedup import _add_shard, keyed_attach
+
+    edges = edges.select_columns(["src", "dst"]).materialize()
+    n_edges = edges.count()
+    n_sh = max(8, min(64, n_edges // 50_000 + 8))
+    jcap = join_broadcast_cap
+
+    def _shard_distinct(ds: rd.Dataset, col: str, out_cols) -> rd.Dataset:
+        return (
+            ds.map_batches(lambda t: _add_shard(t, col, n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: g.drop_duplicates(col)[out_cols],
+                batch_format="pandas",
+            )
+            # normalize pandas-born blocks to Arrow: keyed_attach derives
+            # its output schema from block types (see the R148 fix)
+            .map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")
+        )
+
+    def _rename(ds: rd.Dataset, names: list[str]) -> rd.Dataset:
+        return ds.map_batches(
+            lambda t: t.rename_columns(names), batch_format="pyarrow"
+        )
+
+    def _attach(
+        left: rd.Dataset, right: rd.Dataset, key: str, cols: list[str]
+    ) -> rd.Dataset:
+        """keyed_attach with the right-side count supplied: small label /
+        flag tables (≤ join_broadcast_cap rows) take the one-object-store
+        broadcast probe instead of a shuffle — the difference between a
+        map-only round and an all-to-all per iteration. Counting is cheap:
+        every right side here is already materialized. Above the cap the
+        sharded join path engages automatically (the at-scale route)."""
+        right = right.materialize()
+        return keyed_attach(
+            left,
+            right,
+            key,
+            cols,
+            n_shards=n_sh,
+            right_count=right.count(),
+            broadcast_cap=jcap,
+        )
+
+    def _minmax_rounds(
+        labels: rd.Dataset, ed: rd.Dataset, key_from: str, key_to: str, how: str
+    ) -> rd.Dataset:
+        """Propagate labels along ed (key_from → key_to) to fixpoint with a
+        per-node min (how='min') or max ('max') sharded merge per round."""
+        for _ in range(max_inner):
+            prop = _attach(
+                ed,
+                _rename(labels, [key_from, "lab"]),
+                key_from,
+                ["lab"],
+            ).map_batches(
+                lambda t: pa.table(
+                    {"node": t.column(key_to), "lab": t.column("lab"), "old": pa.array(np.zeros(t.num_rows, np.int8))}
+                ),
+                batch_format="pyarrow",
+            )
+            olds = labels.map_batches(
+                lambda t: t.append_column("old", pa.array(np.ones(t.num_rows, np.int8))),
+                batch_format="pyarrow",
+            )
+
+            def merge(g: pd.DataFrame, how=how) -> pd.DataFrame:
+                agg = g.groupby("node")["lab"].agg(how)
+                base = g[g["old"] == 1].set_index("node")["lab"]
+                new = agg.loc[base.index]
+                chg = (new != base).to_numpy()
+                out = pd.DataFrame({"node": base.index.to_numpy(object), "lab": new.to_numpy(object)})
+                out["chg"] = chg.astype(np.int64)
+                return out
+
+            merged = (
+                olds.union(_rename(prop, ["node", "lab", "old"]))
+                .map_batches(lambda t: _add_shard(t, "node", n_sh), batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(
+                    lambda g: merge(g.drop(columns=["shard"])), batch_format="pandas"
+                )
+                .materialize()
+            )
+            changed = merged.sum("chg") or 0
+            labels = _rebase(
+                merged.map_batches(
+                    lambda t: t.select(["node", "lab"]), batch_format="pyarrow"
+                ).materialize()
+            ).materialize()
+            if changed == 0:
+                break
+        else:
+            warnings.warn(
+                f"_scc_distributed: propagation hit max_inner={max_inner} "
+                "without fixpoint — result may split SCCs",
+                stacklevel=2,
+            )
+        return labels
+
+    active_edges = edges
+    active_nodes = _shard_distinct(
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            t.column("src").combine_chunks(),
+                            t.column("dst").combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "node",
+        ["node"],
+    ).materialize()
+    settled: list[rd.Dataset] = []
+
+    def _drop_settled_edges(ed: rd.Dataset, gone: rd.Dataset) -> rd.Dataset:
+        """Remove edges with either endpoint in *gone* (node-keyed)."""
+        gmark = gone.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "gone": pa.array(np.ones(t.num_rows, np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        ed = _attach(
+            ed,
+            _rename(gmark, ["src", "gone_s"]),
+            "src",
+            ["gone_s"],
+        )
+        ed = _attach(
+            ed,
+            _rename(gmark, ["dst", "gone_d"]),
+            "dst",
+            ["gone_d"],
+        )
+        return ed.map_batches(
+            lambda t: t.filter(
+                pc.and_(
+                    pc.is_null(t.column("gone_s")), pc.is_null(t.column("gone_d"))
+                )
+            ).select(["src", "dst"]),
+            batch_format="pyarrow",
+        ).materialize()
+
+    for _outer in range(max_outer):
+        if active_nodes.count() == 0:
+            break
+        # ---- TRIM to fixpoint
+        while True:
+            nonself = active_edges.map_batches(
+                lambda t: t.filter(pc.not_equal(t.column("src"), t.column("dst"))),
+                batch_format="pyarrow",
+            )
+            outs = _shard_distinct(
+                nonself.map_batches(
+                    lambda t: pa.table({"node": t.column("src")}), batch_format="pyarrow"
+                ),
+                "node",
+                ["node"],
+            ).map_batches(
+                lambda t: t.append_column("has_out", pa.array(np.ones(t.num_rows, np.int8))),
+                batch_format="pyarrow",
+            )
+            ins = _shard_distinct(
+                nonself.map_batches(
+                    lambda t: pa.table({"node": t.column("dst")}), batch_format="pyarrow"
+                ),
+                "node",
+                ["node"],
+            ).map_batches(
+                lambda t: t.append_column("has_in", pa.array(np.ones(t.num_rows, np.int8))),
+                batch_format="pyarrow",
+            )
+            flagged = _attach(
+                keyed_attach(
+                    active_nodes, outs, "node", ["has_out"]
+                ),
+                ins,
+                "node",
+                ["has_in"],
+            ).materialize()
+            trivial = flagged.map_batches(
+                lambda t: (
+                    lambda tt: pa.table(
+                        {"node": tt.column("node"), "scc": tt.column("node")}
+                    )
+                )(
+                    t.filter(
+                        pc.or_(
+                            pc.is_null(t.column("has_out")),
+                            pc.is_null(t.column("has_in")),
+                        )
+                    )
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+            if trivial.count() == 0:
+                break
+            settled.append(trivial)
+            active_nodes = _rebase(
+                flagged.map_batches(
+                    lambda t: t.filter(
+                        pc.and_(
+                            pc.is_valid(t.column("has_out")),
+                            pc.is_valid(t.column("has_in")),
+                        )
+                    ).select(["node"]),
+                    batch_format="pyarrow",
+                ).materialize()
+            ).materialize()
+            active_edges = _drop_settled_edges(active_edges, trivial.select_columns(["node"]))
+            if active_nodes.count() == 0:
+                break
+        if active_nodes.count() == 0:
+            break
+        # ---- forward min to fixpoint
+        f = active_nodes.map_batches(
+            lambda t: pa.table({"node": t.column("node"), "lab": t.column("node")}),
+            batch_format="pyarrow",
+        ).materialize()
+        f = _minmax_rounds(f, active_edges, "src", "dst", "min")
+        # ---- same-color edges
+        ce = _attach(
+            active_edges, _rename(f, ["src", "f_s"]), "src", ["f_s"]
+        )
+        ce = _attach(
+            ce, _rename(f, ["dst", "f_d"]), "dst", ["f_d"]
+        )
+        ce = ce.map_batches(
+            lambda t: t.filter(pc.equal(t.column("f_s"), t.column("f_d"))).select(
+                ["src", "dst"]
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        # ---- backward reach (labels "1"/"0" as strings, max-merge)
+        r = f.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("node"),
+                    "lab": pc.if_else(
+                        pc.equal(t.column("node"), t.column("lab")), "1", "0"
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        r = _minmax_rounds(r, ce, "dst", "src", "max")
+        # ---- settle reached nodes as their color
+        fr = _attach(
+            f, _rename(r, ["node", "r"]), "node", ["r"]
+        ).materialize()
+        new_settled = fr.map_batches(
+            lambda t: (
+                lambda tt: pa.table({"node": tt.column("node"), "scc": tt.column("lab")})
+            )(t.filter(pc.equal(t.column("r"), "1"))),
+            batch_format="pyarrow",
+        ).materialize()
+        settled.append(new_settled)
+        active_nodes = _rebase(
+            fr.map_batches(
+                lambda t: t.filter(pc.not_equal(t.column("r"), "1")).select(["node"]),
+                batch_format="pyarrow",
+            ).materialize()
+        ).materialize()
+        active_edges = _drop_settled_edges(
+            active_edges, new_settled.select_columns(["node"])
+        )
+    else:
+        if active_nodes.count() > 0:
+            warnings.warn(
+                f"_scc_distributed: {active_nodes.count()} nodes unsettled "
+                f"after max_outer={max_outer} rounds",
+                stacklevel=2,
+            )
+    if not settled:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "scc": pa.array([], pa.string())})
+        )
+    out = settled[0]
+    for s in settled[1:]:
+        out = out.union(s)
+    return out

@@ -647,5 +647,41 @@ def test_scc_wrapper_labels_and_cap(ray_session):
     assert out["a"] == out["b"] == "a"
     assert out["c"] == "c"  # one-way into the cycle: singleton
     assert out["x"] == out["y"] == "x"
-    with pytest.raises(ValueError, match="driver_edge_cap"):
+    # over-cap: the distributed path engages and must agree exactly
+    dist = (
         strongly_connected_components(rd.from_arrow(edges), driver_edge_cap=2)
+        .to_pandas()
+        .set_index("node")["scc"]
+    )
+    assert dist.sort_index().equals(out.sort_index())
+
+
+def test_scc_distributed_path_matches_driver(ray_session):
+    """Test-force the at-scale SCC path (driver_edge_cap=0 → per-round
+    broadcast/sharded min-max joins, labels stay Datasets) and pin it to
+    the driver kernel on a cyclic graph and a pure chain (trim path)."""
+    from cloud_crawler_ray.ops.graph import strongly_connected_components
+
+    cyc = pa.table(
+        {
+            "src": ["a", "b", "c", "d", "e", "c", "e"],
+            "dst": ["b", "c", "a", "e", "d", "d", "f"],
+        }
+    )
+    chain = pa.table(
+        {"src": [f"n{i}" for i in range(4)], "dst": [f"n{i+1}" for i in range(4)]}
+    )
+    for edges in (cyc, chain):
+        drv = (
+            strongly_connected_components(rd.from_arrow(edges))
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        dist = (
+            strongly_connected_components(rd.from_arrow(edges), driver_edge_cap=0)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert drv.equals(dist)
