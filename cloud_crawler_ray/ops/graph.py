@@ -1954,3 +1954,91 @@ def _scc_distributed(
     for s in settled[1:]:
         out = out.union(s)
     return out
+
+
+def bowtie_kernel(n: int, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+    """Pure bowtie-decomposition kernel (Broder et al. 2000, "Graph
+    structure in the web") over a directed int edge list: classify every
+    node relative to the LARGEST SCC (ties → smallest scc label) as
+      CORE (in the giant SCC), IN (reaches the core), OUT (reached from
+      the core), OTHER (tendrils/tubes/disconnected — neither).
+    Deterministic pure function of the edge set: the SCC labels come from
+    scc_coloring and the two reachability closures are boolean fixpoints.
+    (IN ∩ OUT is provably empty outside the core — mutual reachability
+    with the core would put the node in the core SCC — so the class
+    assignment needs no precedence rule.)
+    Returns an int8 class array: 0=CORE 1=IN 2=OUT 3=OTHER."""
+    cls = np.full(n, 3, np.int8)
+    if n == 0:
+        return cls
+    scc = scc_coloring(n, src, dst)
+    labs, cnt = np.unique(scc, return_counts=True)
+    core_lab = labs[np.lexsort((labs, -cnt))[0]]
+    core = scc == core_lab
+    fwd = core.copy()  # reached FROM the core
+    while True:
+        before = int(fwd.sum())
+        np.logical_or.at(fwd, dst, fwd[src])
+        if int(fwd.sum()) == before:
+            break
+    bwd = core.copy()  # reaches the core
+    while True:
+        before = int(bwd.sum())
+        np.logical_or.at(bwd, src, bwd[dst])
+        if int(bwd.sum()) == before:
+            break
+    cls[fwd & ~core] = 2
+    cls[bwd & ~core] = 1
+    cls[core] = 0
+    return cls
+
+
+_BOWTIE_NAMES = np.array(["CORE", "IN", "OUT", "OTHER"], dtype=object)
+
+
+def bowtie_classes(
+    edges: rd.Dataset, driver_edge_cap: int = 2_000_000
+) -> rd.Dataset:
+    """Web-bowtie decomposition of the directed link graph → (node, cls in
+    CORE/IN/OUT/OTHER). Same analysis-scale gate as the SCC wrapper: edges
+    collect under ``driver_edge_cap`` and the pure kernel runs once; above
+    the cap, compute scc via _scc_distributed and run the two boolean
+    reachability closures as the same per-round broadcast/sharded max
+    joins (reach flags are labels under max-merge — the exact _minmax_rounds
+    primitive), seeded from the largest-SCC label. Loud ValueError until a
+    caller needs that composition wired."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "cls": pa.array([], pa.string())})
+        )
+    if n_edges > driver_edge_cap:
+        raise ValueError(
+            f"bowtie_classes: {n_edges} edges exceeds driver_edge_cap="
+            f"{driver_edge_cap}; run scc via _scc_distributed and the two "
+            "reach closures via the _minmax_rounds max-merge (documented)"
+        )
+    tbl = pa.concat_tables(
+        [
+            pa.table(b)
+            for b in edges.select_columns(["src", "dst"]).iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    )
+    s = np.asarray(tbl.column("src").to_pylist(), dtype=object)
+    d = np.asarray(tbl.column("dst").to_pylist(), dtype=object)
+    nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    src = inv[: len(s)].astype(np.int64)
+    dst = inv[len(s):].astype(np.int64)
+    order = np.lexsort((src, dst))
+    cls = bowtie_kernel(len(nodes), src[order], dst[order])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, pa.string()),
+                "cls": pa.array(_BOWTIE_NAMES[cls], pa.string()),
+            }
+        )
+    )

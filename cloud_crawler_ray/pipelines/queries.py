@@ -647,6 +647,19 @@ def q_link_scc(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)[["node", "scc"]]
 
 
+def q_link_bowtie(sf_dir: str):
+    """Bowtie decomposition of the crawl's directed link graph (Broder et
+    al. 2000; ops/graph.py bowtie_kernel): every node classified CORE / IN
+    / OUT / OTHER relative to the largest SCC. DuckDB-hash-checked against
+    a serial twin running the SAME pure kernel over the oracle edge
+    table."""
+    from ..ops.graph import bowtie_classes
+
+    edges = crawl_handle_for(sf_dir).link_edges()
+    out = bowtie_classes(edges).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)[["node", "cls"]]
+
+
 def q_embedding_clusters(sf_dir: str):
     """Corpus clustering: distributed Lloyd's k-means over the embeddings
     table (k=10, deterministic hash-min seeding, integer-exact fixed-point
@@ -5828,6 +5841,7 @@ QUERIES = {
     "pagerank_personalized": q_pagerank_personalized,
     "link_communities": q_link_communities,
     "link_scc": q_link_scc,
+    "link_bowtie": q_link_bowtie,
     "winsorized_stats": q_winsorized_stats,
     "value_histogram": q_value_histogram,
     "order_top_line": q_order_top_line,
@@ -7468,6 +7482,7 @@ _TWIN_SQL_COLS = {
     "link_communities": ("node, community", "node"),
     "link_hits": ("node, hub, authority", "node"),
     "link_scc": ("node, scc", "node"),
+    "link_bowtie": ("node, cls", "node"),
     "knn_ivf": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_pq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_ivfpq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),

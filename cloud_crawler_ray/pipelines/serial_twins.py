@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 11  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 12  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1391,6 +1391,22 @@ def twin_link_scc() -> pa.Table:
     )
 
 
+def twin_link_bowtie() -> pa.Table:
+    """Serial bowtie decomposition over the oracle link edges — the SAME
+    pure kernel (ops/graph.bowtie_kernel) in the same canonical edge order,
+    so the full (node, cls) assignment must hash-match."""
+    from ..ops.graph import _BOWTIE_NAMES, bowtie_kernel
+
+    nodes, src, dst = _oracle_link_edges()
+    cls = bowtie_kernel(len(nodes), src, dst)
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.string()),
+            "cls": pa.array(_BOWTIE_NAMES[cls], pa.string()),
+        }
+    )
+
+
 _NOARG_TWINS = {
     "media_features": twin_media_features,
     "media_thumbnails": twin_media_thumbnails,
@@ -1403,6 +1419,7 @@ _NOARG_TWINS = {
     "link_communities": twin_link_communities,
     "link_hits": twin_link_hits,
     "link_scc": twin_link_scc,
+    "link_bowtie": twin_link_bowtie,
 }
 
 

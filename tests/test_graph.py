@@ -685,3 +685,19 @@ def test_scc_distributed_path_matches_driver(ray_session):
             .reset_index(drop=True)
         )
         assert drv.equals(dist)
+
+
+def test_bowtie_kernel_classes():
+    """Planted bowtie: IN chain → 3-cycle core → OUT chain, plus a
+    disconnected pair."""
+    from cloud_crawler_ray.ops.graph import bowtie_kernel
+
+    # nodes 0..7: 0->1->2 (IN), core {2,3,4} cycle, 4->5->6 (OUT), 7 isolated edge 7->7? use 7->8
+    src = np.array([0, 1, 2, 3, 4, 4, 5, 7], np.int64)
+    dst = np.array([1, 2, 3, 4, 2, 5, 6, 8], np.int64)
+    cls = bowtie_kernel(9, src, dst)
+    # 0=CORE 1=IN 2=OUT 3=OTHER
+    assert cls[2] == cls[3] == cls[4] == 0
+    assert cls[0] == cls[1] == 1
+    assert cls[5] == cls[6] == 2
+    assert cls[7] == cls[8] == 3
