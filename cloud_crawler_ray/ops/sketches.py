@@ -396,3 +396,108 @@ def kmv_intersection(
         hs = parts[parts["side"] == side]["h"].to_numpy().astype(np.uint64)
         sks.append(np.unique(hs)[:k])
     return kmv_set_estimates(sks[0], sks[1], k)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries, "Finding repeated elements",
+# Sci. Comput. Program. 1982; mergeability per Agarwal et al., "Mergeable
+# summaries", PODS 2012). Unlike the Count-Min route above (approximate
+# counts, needs a known candidate universe to enumerate), MG gives a
+# DETERMINISTIC superset guarantee: any item with true count > N/(m+1)
+# survives every merge of size-m summaries. A second exact pass over just
+# the surviving candidates then yields the EXACT heavy-hitter set — a pure
+# function of the corpus, independent of block structure, so it is directly
+# SQL-checkable (GROUP BY ... HAVING cnt*m > N) with no twin needed.
+# ---------------------------------------------------------------------------
+
+
+def mg_reduce(tokens: np.ndarray, counts: np.ndarray, m: int) -> tuple[np.ndarray, np.ndarray]:
+    """Reduce exact (token, count) pairs to a Misra-Gries summary of ≤ m
+    entries: subtract the (m+1)-th largest count from all, keep positives.
+    Decrements total ≤ N/(m+1) per reduction, preserving the MG bound."""
+    if len(tokens) <= m:
+        return tokens, counts
+    order = np.argsort(counts)[::-1]
+    pivot = counts[order[m]]
+    keep = counts > pivot
+    return tokens[keep], counts[keep] - pivot
+
+
+def mg_heavy_hitters(ds: rd.Dataset, m: int = 64) -> pd.DataFrame:
+    """Exact tokens with count·m > N (N = total corpus tokens), found at
+    sketch cost. Two streaming passes:
+
+    pass 1 — per-block exact counts → ``mg_reduce`` to ≤ m rows per block
+    (plus one exact block-total row); summing the per-block MG lower bounds
+    per token under-counts any token by ≤ Σ_i N_i/(m+1) = N/(m+1), so
+    ``lb + N/(m+1) ≥ threshold`` is a guaranteed superset of the true
+    heavy hitters and holds ≤ ~m(m+1) candidates (each has true count
+    ≥ N/m − N/(m+1) = N/(m(m+1))).
+
+    pass 2 — the candidate set broadcasts once via ``ray.put`` (it is tiny
+    by the bound above), each block counts ONLY candidate tokens exactly,
+    and a bounded combine keeps the integer filter cnt·m > N exact.
+
+    Output = exactly {token : cnt·m > N} with exact counts — deterministic
+    under any partitioning, which is what makes it oracle-checkable. The
+    input Dataset is consumed twice (caller materializes)."""
+    import ray
+
+    from .textstats import tokenize
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(batch["text"])
+        vc = toks.value_counts()
+        n_block = int(vc.sum())
+        t, c = mg_reduce(
+            vc.index.to_numpy(dtype=object), vc.to_numpy().astype(np.int64), m
+        )
+        return pd.DataFrame(
+            {
+                "token": np.append(t, [""]),  # "" is not a token (tokenize drops it)
+                "lb": np.append(c, [0]).astype(np.int64),
+                "n": np.append(np.zeros(len(t), np.int64), [n_block]),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+        .groupby("token")
+        .sum(["lb", "n"])
+        .to_pandas()
+        .rename(columns={"sum(lb)": "lb", "sum(n)": "n"})
+    )
+    n_total = int(parts["n"].sum()) if len(parts) else 0
+    if n_total == 0:
+        return pd.DataFrame({"token": pd.Series([], dtype=object), "cnt": pd.Series([], dtype=np.int64)})
+    # integer-exact superset filter: lb + N/(m+1) ≥ N/m  ⇔  lb·m(m+1) ≥ N
+    lbs = parts["lb"].to_numpy().astype(np.int64)
+    cand = parts.loc[
+        (lbs * m * (m + 1) >= n_total) & (parts["token"] != ""), "token"
+    ].to_numpy(dtype=object)
+    if len(cand) == 0:
+        return pd.DataFrame({"token": pd.Series([], dtype=object), "cnt": pd.Series([], dtype=np.int64)})
+    cand_ref = ray.put(set(cand.tolist()))
+
+    def exact_pass(batch: pd.DataFrame) -> pd.DataFrame:
+        cset = ray.get(cand_ref)
+        toks = tokenize(batch["text"])
+        hits = toks[toks.isin(cset)]
+        vc = hits.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.to_numpy(dtype=object), "cnt": vc.to_numpy().astype(np.int64)}
+        )
+
+    exact = (
+        ds.map_batches(exact_pass, batch_format="pandas", batch_size=8192)
+        .groupby("token")
+        .sum("cnt")
+        .to_pandas()
+    )
+    exact = exact.rename(columns={"sum(cnt)": "cnt"})
+    out = exact[exact["cnt"].to_numpy().astype(np.int64) * m > n_total]
+    return (
+        out.sort_values(["cnt", "token"], ascending=[False, True])
+        .reset_index(drop=True)
+        .astype({"cnt": np.int64})
+    )

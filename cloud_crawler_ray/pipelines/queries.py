@@ -706,6 +706,21 @@ def q_cms_heavy_hitters(sf_dir: str):
     return top
 
 
+def q_mg_heavy_hitters(sf_dir: str):
+    """EXACT heavy hitters (tokens with cnt·64 > N) at sketch cost: a
+    Misra-Gries pass (per-block size-64 summaries, deterministic superset
+    guarantee per the mergeable-summaries bound) finds ≤ ~m(m+1)
+    candidates, then one exact pass over just those candidates confirms.
+    Output is a pure function of the corpus — directly SQL-checked against
+    the DuckDB GROUP BY ... HAVING cnt*m > N."""
+    from ..ops.sketches import mg_heavy_hitters
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    ).materialize()  # consumed twice: MG pass + exact confirm pass
+    return mg_heavy_hitters(docs, m=64)
+
+
 def q_value_quantile_sketch(sf_dir: str):
     """One-pass approximate quantiles of event value via the mergeable
     bottom-k sketch (ops/sketches.py) — the fixed-driver-footprint 100-TB
@@ -5851,6 +5866,7 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "embedding_clusters": q_embedding_clusters,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "mg_heavy_hitters": q_mg_heavy_hitters,
     "value_quantile_sketch": q_value_quantile_sketch,
     "rolling_sum": q_rolling_sum,
     "repeat_customers": q_repeat_customers,
@@ -6349,6 +6365,13 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY cnt DESC, token
         LIMIT 50
+    """,
+    "mg_heavy_hitters": f"""
+        WITH tk AS (SELECT unnest({_TOKENS}) AS token FROM documents),
+        tot AS (SELECT count(*)::BIGINT AS n FROM tk)
+        SELECT token, count(*)::BIGINT AS cnt
+        FROM tk, tot GROUP BY token, n HAVING count(*)*64 > n
+        ORDER BY cnt DESC, token
     """,
     "consistent_sample": """
         SELECT doc_id FROM documents

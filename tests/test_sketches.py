@@ -246,3 +246,69 @@ def test_kmv_error_band_and_partition_invariance(ray_session):
     for got, exact in ((est["a"], 30_000), (est["b"], 24_000),
                        (est["union"], 36_000), (est["intersection"], 18_000)):
         assert abs(got - exact) / exact < 0.10, (got, exact)
+
+
+def test_mg_reduce_bound_and_size():
+    from cloud_crawler_ray.ops.sketches import mg_reduce
+
+    rng = np.random.default_rng(7)
+    toks = np.array([f"t{i}" for i in range(200)], dtype=object)
+    counts = rng.integers(1, 50, 200).astype(np.int64)
+    m = 16
+    kt, kc = mg_reduce(toks, counts, m)
+    assert len(kt) <= m
+    # every kept lower bound underestimates by exactly the pivot; total
+    # decrement respects the MG bound N/(m+1) per reduction
+    orig = dict(zip(toks, counts))
+    dec = [orig[t] - c for t, c in zip(kt, kc)]
+    assert all(d >= 0 for d in dec)
+    assert (counts.sum() - kc.sum()) <= counts.sum()  # sanity
+    # any token with count > N/(m+1) must survive a single reduction
+    n = counts.sum()
+    for t, c in zip(toks, counts):
+        if c > n / (m + 1):
+            assert t in set(kt)
+
+
+def test_mg_heavy_hitters_exact_and_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.sketches import mg_heavy_hitters
+
+    # skewed corpus: a few hot tokens + a long tail
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(300):
+        hot = ["alpha"] * int(rng.integers(0, 6)) + ["beta"] * int(rng.integers(0, 4))
+        tail = [f"w{rng.integers(0, 2000)}" for _ in range(20)]
+        rows.append(" ".join(hot + tail))
+    docs = pd.DataFrame({"text": rows})
+    toks = docs["text"].str.lower().str.split(r"\s+", regex=True).explode()
+    toks = toks[toks != ""]
+    vc = toks.value_counts()
+    n = int(vc.sum())
+    m = 32
+    expected = vc[vc * m > n].sort_index()
+
+    for parts in (2, 11):
+        ds = rd.from_pandas(docs).repartition(parts).materialize()
+        out = mg_heavy_hitters(ds, m=m)
+        got = pd.Series(
+            out["cnt"].to_numpy(), index=out["token"].to_numpy()
+        ).sort_index()
+        assert (got.index == expected.index).all()
+        assert (got.to_numpy() == expected.to_numpy()).all()
+
+
+def test_mg_heavy_hitters_empty_and_uniform(ray_session):
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.sketches import mg_heavy_hitters
+
+    empty = rd.from_pandas(pd.DataFrame({"text": pd.Series([], dtype=str)})).materialize()
+    assert len(mg_heavy_hitters(empty, m=8)) == 0
+    # perfectly uniform corpus: nothing exceeds N/m for m < distinct
+    uni = rd.from_pandas(
+        pd.DataFrame({"text": [f"u{i}" for i in range(100)]})
+    ).materialize()
+    assert len(mg_heavy_hitters(uni, m=8)) == 0
