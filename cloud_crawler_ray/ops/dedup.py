@@ -2109,3 +2109,145 @@ def collapse_alias_docs(
         return pa.table({"doc_id": g.column("final_id"), "spans": g.column("spans")})
 
     return resolved.groupby("_shard2").map_groups(keep_best, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-SPAN marking + trimming (Lee et al., "Deduplicating
+# Training Data Makes Language Models Better", ACL 2022 — the ExactSubstr
+# variant, windowed to k-token grams instead of a distributed suffix
+# array). Where substring_dup_pairs above reports WHICH documents share
+# text, this reports WHERE: the maximal token spans of each document whose
+# every k-gram occurs more than once in the corpus — the spans ExactSubstr
+# would cut before training.
+# ---------------------------------------------------------------------------
+
+
+def position_grams(batch: pd.DataFrame, k: int) -> pd.DataFrame:
+    """All k-token-gram occurrences of a batch of documents as
+    (g, doc_id, pos) rows — pos is the gram's FIRST-token index in the
+    doc's whitespace token sequence. Vectorized: one explode + k-1 shifted
+    string concats per batch, no per-document Python loop. Pure (pandas in,
+    pandas out), so the serial twin runs THIS same code over the whole
+    corpus at once and must agree row-for-row."""
+    txt = batch["text"].fillna("").str.replace("\x00", "�")
+    toks = txt.str.lower().str.split(r"\s+", regex=True)
+    frame = pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].to_numpy(),
+            # row, not doc_id, scopes positions and gram windows: a corpus
+            # with a repeated doc_id must gram each ROW independently so
+            # block structure (engine) and whole-corpus frames (twin) agree
+            "row": np.arange(len(batch), dtype=np.int64),
+            "tok": toks.to_numpy(),
+        }
+    ).explode("tok", ignore_index=True)
+    frame = frame[frame["tok"].notna() & (frame["tok"] != "")]
+    if not len(frame):
+        return pd.DataFrame(
+            {
+                "g": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype=batch["doc_id"].dtype),
+                "pos": pd.Series([], dtype=np.int64),
+            }
+        )
+    frame["pos"] = frame.groupby("row", sort=False).cumcount().to_numpy()
+    g = frame["tok"].astype(object).copy()
+    for i in range(1, k):
+        g = g + " " + frame["tok"].shift(-i)
+    same_row = frame["row"].shift(-(k - 1)) == frame["row"]
+    keep = same_row & g.notna()
+    return pd.DataFrame(
+        {
+            "g": g[keep].to_numpy(dtype=object),
+            "doc_id": frame.loc[keep, "doc_id"].to_numpy(),
+            "pos": frame.loc[keep, "pos"].to_numpy().astype(np.int64),
+        }
+    )
+
+
+def dup_spans_kernel(doc_ids: np.ndarray, positions: np.ndarray, k: int) -> pd.DataFrame:
+    """Merge duplicated gram positions into maximal per-document token
+    spans: gram intervals [p, p+k) merge when overlapping or adjacent.
+    Pure numpy over (doc_id, pos) pairs — shared by the distributed
+    finalize stage and the serial twin, so span boundaries cannot drift
+    between paths. Returns (doc_id, span_start, span_end) with end
+    exclusive, sorted by (doc_id, span_start)."""
+    if not len(doc_ids):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=np.int64),
+                "span_start": pd.Series([], dtype=np.int64),
+                "span_end": pd.Series([], dtype=np.int64),
+            }
+        )
+    order = np.lexsort((positions, doc_ids))
+    d, p = doc_ids[order], positions[order]
+    brk = np.ones(len(d), dtype=bool)
+    brk[1:] = (d[1:] != d[:-1]) | (p[1:] > p[:-1] + k)
+    span_id = np.cumsum(brk) - 1
+    starts = p[brk]
+    ends = np.maximum.reduceat(p, np.flatnonzero(brk)) + k
+    return pd.DataFrame(
+        {
+            "doc_id": d[brk],
+            "span_start": starts.astype(np.int64),
+            "span_end": ends.astype(np.int64),
+        }
+    )
+
+
+def dup_span_trim(
+    ds: rd.Dataset, k: int = 8, n_shards: int | None = None
+) -> rd.Dataset:
+    """Exact duplicated-span detection over a documents Dataset: the
+    maximal token spans whose every k-gram occurs >1 time corpus-wide
+    (other document OR another position of the same document). Output
+    (doc_id, span_start, span_end) — the cut list a trimming pass applies.
+
+    Distributed shape — two linear shuffles, zero driver state:
+    1. every gram occurrence (g, doc_id, pos) hash(g)-shards; a gram's
+       postings are shard-complete, so group size IS the global count and
+       occurrences in >1-sized groups are the duplicated positions;
+    2. duplicated (doc_id, pos) rows hash(doc_id)-shard and merge into
+       maximal spans via the shared pure kernel.
+    Gram STRINGS key the shuffle for oracle-exactness; at 100 TB swap the
+    key for a 128-bit gram hash (collision-free in practice) to shrink
+    shuffle bytes ~5× — structure unchanged (the substring_dup_pairs
+    precedent). Span merging is per-doc and order-free, so the result is a
+    pure function of the corpus under any partitioning."""
+    if n_shards is None:
+        n_shards = cluster_shards()
+
+    grams = ds.map_batches(
+        lambda b, k=k: position_grams(b, k), batch_format="pandas"
+    )
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g.groupby("g", sort=False)["g"].transform("size") > 1
+        out = g.loc[dup, ["doc_id", "pos"]]
+        return out
+
+    dup_pos = (
+        grams.map_batches(
+            lambda t: _add_shard(t, "g", n_shards), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: mark_dups(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )
+
+    def finalize(g: pd.DataFrame, k=k) -> pd.DataFrame:
+        return dup_spans_kernel(
+            g["doc_id"].to_numpy(), g["pos"].to_numpy().astype(np.int64), k
+        )
+
+    return (
+        dup_pos.map_batches(
+            lambda t: _add_shard(t, "doc_id", n_shards), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: finalize(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+    )

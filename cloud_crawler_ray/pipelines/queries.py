@@ -1178,6 +1178,20 @@ def q_value_quantiles(sf_dir: str):
     return value_quantiles_by(ev, key="event_type", col="value", qs=(0.5, 0.9, 0.99))
 
 
+def q_dup_span_trim(sf_dir: str):
+    """ExactSubstr duplicate-SPAN marking (Lee et al. 2022): maximal token
+    spans whose every 8-gram occurs >1 time corpus-wide — the cut list a
+    trimming pass applies before training. DuckDB-hash-checked against a
+    serial twin running the SAME pure kernels over the whole corpus."""
+    from ..ops.dedup import dup_span_trim
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = dup_span_trim(docs, k=8).to_pandas()
+    return out.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+
+
 def q_substring_dups(sf_dir: str):
     """Exact cross-document k-token-gram duplicate pairs (the windowed
     exact-substring dedup signal), SQL-checked against the DuckDB gram
@@ -5792,6 +5806,7 @@ QUERIES = {
     "interleave_pack": q_interleave_pack,
     "lm_score": q_lm_score,
     "substring_dups": q_substring_dups,
+    "dup_span_trim": q_dup_span_trim,
     "value_quantiles": q_value_quantiles,
     "idle_customers": q_idle_customers,
     "event_transitions": q_event_transitions,
@@ -7467,6 +7482,7 @@ from .serial_twins import TWIN_DIR  # noqa: E402
 
 _TWIN_SQL_COLS = {
     "lang_id": ("doc_id, lang_pred", "doc_id"),
+    "dup_span_trim": ("doc_id, span_start, span_end", "doc_id, span_start"),
     "simhash_pairs": ("a, b, hamming", "a, b"),
     "minhash_dedup": ("doc_id, group_rep, keep", "doc_id"),
     "minhash_keep_best": ("doc_id, group_rep, keep", "doc_id"),

@@ -1647,3 +1647,75 @@ def test_leak_safe_split_groups_exact_dups_together(ray_session):
     )
     assert out[1] == out[2]
     assert out[3] == out[4]
+
+
+def test_dup_spans_kernel_merge_semantics():
+    import numpy as np
+
+    from cloud_crawler_ray.ops.dedup import dup_spans_kernel
+
+    k = 4
+    # doc 1: positions 0,1,2 overlap-chain -> [0,6); position 10 separate
+    # (gap: 10 > 2+4), position 6 is ADJACENT to [0,6) (6 == 2+4) -> merges
+    d = np.array([1, 1, 1, 1, 1, 2], dtype=np.int64)
+    p = np.array([0, 1, 2, 6, 20, 5], dtype=np.int64)
+    out = dup_spans_kernel(d, p, k)
+    rows = list(zip(out["doc_id"], out["span_start"], out["span_end"]))
+    assert rows == [(1, 0, 10), (1, 20, 24), (2, 5, 9)]
+    assert len(dup_spans_kernel(np.array([]), np.array([]), k)) == 0
+
+
+def test_dup_span_trim_planted_and_partition_invariant(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import dup_span_trim
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "unique opening words here " + shared + " unique tail one",
+                "different head entirely now " + shared + " other ending two",
+                "short doc below gram size",  # < k tokens -> no grams
+                "totally disjoint content with no repeated grams at all xyz",
+            ],
+        }
+    )
+    outs = []
+    for parts in (1, 4):
+        ds = rd.from_pandas(docs).repartition(parts)
+        out = (
+            dup_span_trim(ds, k=8)
+            .to_pandas()
+            .sort_values(["doc_id", "span_start"])
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    # only docs 1 and 2 contain duplicated 8-gram spans (the shared sentence)
+    assert set(out["doc_id"]) == {1, 2}
+    n1 = len(docs.loc[0, "text"].split())
+    # doc 1: shared sentence spans tokens [4, 4+12) -> maximal span exactly
+    r1 = out[out["doc_id"] == 1].iloc[0]
+    assert (r1["span_start"], r1["span_end"]) == (4, 4 + 12)
+    r2 = out[out["doc_id"] == 2].iloc[0]
+    assert (r2["span_start"], r2["span_end"]) == (4, 4 + 12)
+    assert r1["span_end"] <= n1
+
+
+def test_dup_span_trim_within_doc_repeat(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import dup_span_trim
+
+    # the SAME doc repeating a gram twice is duplicated (count > 1) even
+    # though no other doc shares it
+    rep = "a b c d e f g h"
+    docs = pd.DataFrame({"doc_id": [7], "text": [rep + " z z z " + rep]})
+    out = dup_span_trim(rd.from_pandas(docs), k=8).to_pandas()
+    rows = sorted(zip(out["span_start"], out["span_end"]))
+    assert rows == [(0, 8), (11, 19)]
