@@ -2042,3 +2042,270 @@ def bowtie_classes(
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate neighborhood function / effective diameter (ANF: Palmer,
+# Gibbons & Faloutsos, KDD 2002; HyperBall: Boldi & Vigna, "In-core
+# computation of geometric centralities with HyperBall", ICDM 2013 wksp).
+# N(t) = Σ_x |ball_out(x, t)| estimated by one HyperLogLog register array
+# per node that max-merges its out-neighbors' arrays each round — the
+# at-scale way to read a web graph's effective diameter without an
+# all-pairs BFS. Estimates are floored to 2^20 fixed point per node before
+# summing, so every reported value is an exact integer sum — a pure
+# function of the edge set under any partitioning (and bit-identical
+# between the driver kernel and the distributed register rounds).
+# ---------------------------------------------------------------------------
+
+_ANF_FP = 1 << 20
+
+
+def _anf_init_regs(nodes: np.ndarray, p: int) -> np.ndarray:
+    """(n, 2^p) uint8 register matrix: node x starts as the HLL of {x},
+    hashed from the node STRING (pandas fixed-key siphash — identical on
+    the driver kernel and inside any worker)."""
+    m = 1 << p
+    h = pd.util.hash_array(np.asarray(nodes, dtype=object))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    from .sketches import _clz64
+
+    rank = np.minimum(_clz64(h << np.uint64(p)) + 1, 64 - p + 1).astype(np.uint8)
+    reg = np.zeros((len(nodes), m), dtype=np.uint8)
+    if len(nodes):
+        reg[np.arange(len(nodes)), idx] = rank
+    return reg
+
+
+def _anf_est_fp(reg: np.ndarray) -> np.ndarray:
+    """Per-row HLL estimate (standard + linear-counting small range), then
+    floor to 2^20 fixed point — int64 per node, exactly summable."""
+    m = reg.shape[1]
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = np.sum(np.exp2(-reg.astype(np.float64)), axis=1)
+    est = alpha * m * m / s
+    zeros = (reg == 0).sum(axis=1)
+    lc = m * np.log(m / np.maximum(zeros, 1))
+    est = np.where((est <= 2.5 * m) & (zeros > 0), lc, est)
+    return np.floor(est * _ANF_FP).astype(np.int64)
+
+
+def anf_kernel(
+    nodes: np.ndarray, src: np.ndarray, dst: np.ndarray,
+    p: int = 6, t_max: int = 16,
+) -> pd.DataFrame:
+    """Pure HyperBall kernel over int-indexed directed edges (src→dst,
+    indices into ``nodes``): synchronous (Jacobi) rounds of
+    reg[x] ← max(reg[x], reg[y]∀ x→y) until fixpoint or ``t_max``.
+    Returns one row per radius t: (t, nf_fp, nf_est) plus the effective
+    diameter (smallest t with 10·N(t) ≥ 9·N(t_last), integer arithmetic)
+    repeated on every row. Shared by the distributed wrapper and the
+    serial oracle twin."""
+    reg = _anf_init_regs(nodes, p)
+    rows = [(0, int(_anf_est_fp(reg).sum()))]
+    for t in range(1, t_max + 1):
+        new = reg.copy()
+        if len(src):
+            np.maximum.at(new, src, reg[dst])
+        if np.array_equal(new, reg):
+            break
+        reg = new
+        rows.append((t, int(_anf_est_fp(reg).sum())))
+    nf_last = rows[-1][1]
+    eff = next(t for t, nf in rows if 10 * nf >= 9 * nf_last)
+    return pd.DataFrame(
+        {
+            "t": np.array([r[0] for r in rows], np.int64),
+            "nf_fp": np.array([r[1] for r in rows], np.int64),
+            "nf_est": np.array([r[1] / _ANF_FP for r in rows], np.float64),
+            "eff_diameter": np.full(len(rows), eff, np.int64),
+        }
+    )
+
+
+def neighborhood_function(
+    edges: rd.Dataset, p: int = 6, t_max: int = 16,
+    driver_cap: int = 2_000_000,
+) -> rd.Dataset:
+    """ANF/HyperBall over a (src, dst) string-keyed edge Dataset: the
+    neighborhood-function curve N(t) and the graph's effective diameter.
+
+    Size-gated like every graph op here: under ``driver_cap`` edges the
+    distinct edge list crosses the wire once and the kernel runs in numpy;
+    above it (test-forced via driver_cap=0) registers stay a Dataset of
+    (node, 2^p-byte) rows and each round is two co-shard exchanges —
+    (1) regs meet out-edges in hash(dst) shards, emitting (src, reg[dst]);
+    (2) candidates meet current regs in hash(node) shards for an
+    elementwise-max merge — with per-round driver traffic bounded by one
+    (changed, Σest) pair per shard. Register volume is m bytes/node
+    (p=6 → 64 B; 10^10 nodes ≈ 640 GB spread over the cluster), the real
+    HyperBall cost, and rounds stop at the fixpoint ≤ graph diameter."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    empty = pd.DataFrame(
+        {
+            "t": pd.Series([], dtype=np.int64),
+            "nf_fp": pd.Series([], dtype=np.int64),
+            "nf_est": pd.Series([], dtype=np.float64),
+            "eff_diameter": pd.Series([], dtype=np.int64),
+        }
+    )
+    if n_edges == 0:
+        return rd.from_pandas(empty)
+    if n_edges <= driver_cap:
+        ed = edges.to_pandas()
+        nodes, inv = np.unique(
+            np.concatenate([ed["src"].to_numpy(), ed["dst"].to_numpy()]),
+            return_inverse=True,
+        )
+        return rd.from_pandas(
+            anf_kernel(nodes, inv[: len(ed)], inv[len(ed):], p, t_max)
+        )
+
+    n_sh = cluster_shards()
+    edges = edges.map_batches(lambda t: t, batch_format="pyarrow")
+
+    def init_regs(t: pa.Table) -> pa.Table:
+        nodes = t.column("node").to_numpy(zero_copy_only=False)
+        reg = _anf_init_regs(nodes, p)
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "reg": pa.array([r.tobytes() for r in reg], pa.binary()),
+            }
+        )
+
+    nodemap, _n = _node_ids(edges)
+    regs = (
+        nodemap.map_batches(
+            lambda t: pa.table({"node": t.column("node")}), batch_format="pyarrow"
+        )
+        .map_batches(init_regs, batch_format="pyarrow")
+        .materialize()
+    )
+    m = 1 << p
+
+    def est_partial(t: pa.Table) -> pa.Table:
+        reg = np.stack(
+            [np.frombuffer(b, np.uint8) for b in t.column("reg").to_pylist()]
+        ) if t.num_rows else np.zeros((0, m), np.uint8)
+        return pa.table({"s": pa.array([int(_anf_est_fp(reg).sum())], pa.int64())})
+
+    def nf_of(ds: rd.Dataset) -> int:
+        parts = ds.map_batches(est_partial, batch_format="pyarrow").to_pandas()
+        return int(parts["s"].sum())
+
+    rows = [(0, nf_of(regs))]
+    for t in range(1, t_max + 1):
+        # (1) regs meet out-edges in hash(dst) shards → (src, reg[dst])
+        tagged = regs.map_batches(
+            lambda tb: pa.table(
+                {
+                    "key": tb.column("node"),
+                    "src": pa.array([""] * tb.num_rows, pa.string()),
+                    "reg": tb.column("reg"),
+                }
+            ),
+            batch_format="pyarrow",
+        ).union(
+            edges.map_batches(
+                lambda tb: pa.table(
+                    {
+                        "key": tb.column("dst"),
+                        "src": tb.column("src").cast(pa.string()),
+                        "reg": pa.array([b""] * tb.num_rows, pa.binary()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+        def emit(g: pd.DataFrame) -> pd.DataFrame:
+            have = g[g["src"] == ""]
+            lut = dict(zip(have["key"], have["reg"]))
+            ed = g[g["src"] != ""]
+            out_reg = ed["key"].map(lut)
+            keep = out_reg.notna()
+            return pd.DataFrame(
+                {"node": ed.loc[keep, "src"].to_numpy(), "reg": out_reg[keep].to_numpy()}
+            )
+
+        cands = (
+            tagged.map_batches(
+                lambda tb: _add_shard(tb, "key", n_sh), batch_format="pyarrow"
+            )
+            .groupby("shard")
+            .map_groups(lambda g: emit(g.drop(columns=["shard"])), batch_format="pandas")
+            .map_batches(lambda tb: tb, batch_format="pyarrow")
+        )
+
+        # (2) merge candidates into regs in hash(node) shards
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            order = np.argsort(g["node"].to_numpy(), kind="stable")
+            nodes_s = g["node"].to_numpy()[order]
+            mats = np.stack([np.frombuffer(b, np.uint8) for b in g["reg"].to_numpy()[order]])
+            brk = np.ones(len(nodes_s), bool)
+            brk[1:] = nodes_s[1:] != nodes_s[:-1]
+            starts = np.flatnonzero(brk)
+            merged = np.maximum.reduceat(mats, starts, axis=0)
+            # changed = merged differs from the CURRENT reg (the row that
+            # came from `regs`; candidates never cover nodes regs lacks)
+            cur = np.stack(
+                [np.frombuffer(b, np.uint8) for b in g.loc[g["is_reg"] == 1, "reg"]]
+            )
+            cur_nodes = g.loc[g["is_reg"] == 1, "node"].to_numpy()
+            cur_order = np.argsort(cur_nodes, kind="stable")
+            changed = int((merged != cur[cur_order]).any(axis=1).sum())
+            return pd.DataFrame(
+                {
+                    "node": nodes_s[brk],
+                    "reg": [r.tobytes() for r in merged],
+                    "changed": np.full(brk.sum(), 0, np.int64),
+                }
+            ).assign(changed=lambda df: df["changed"].where(df.index > 0, changed))
+
+        both = regs.map_batches(
+            lambda tb: tb.append_column("is_reg", pa.array([1] * tb.num_rows, pa.int8())),
+            batch_format="pyarrow",
+        ).union(
+            cands.map_batches(
+                lambda tb: tb.append_column("is_reg", pa.array([0] * tb.num_rows, pa.int8())),
+                batch_format="pyarrow",
+            )
+        )
+        new_regs = (
+            both.map_batches(lambda tb: _add_shard(tb, "node", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: merge(g.drop(columns=["shard"])), batch_format="pandas"
+            )
+            .materialize()
+        )
+        changed_total = int(
+            new_regs.map_batches(
+                lambda tb: pa.table(
+                    {"c": pa.array([int(np.sum(tb.column("changed").to_numpy()))], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ).to_pandas()["c"].sum()
+        )
+        regs = _rebase(
+            new_regs.map_batches(
+                lambda tb: tb.select(["node", "reg"]), batch_format="pyarrow"
+            ).materialize()
+        )
+        if changed_total == 0:
+            break
+        rows.append((t, nf_of(regs)))
+
+    nf_last = rows[-1][1]
+    eff = next(t for t, nf in rows if 10 * nf >= 9 * nf_last)
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                "t": np.array([r[0] for r in rows], np.int64),
+                "nf_fp": np.array([r[1] for r in rows], np.int64),
+                "nf_est": np.array([r[1] / _ANF_FP for r in rows], np.float64),
+                "eff_diameter": np.full(len(rows), eff, np.int64),
+            }
+        )
+    )

@@ -647,6 +647,20 @@ def q_link_scc(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)[["node", "scc"]]
 
 
+def q_link_anf(sf_dir: str):
+    """Approximate neighborhood function + effective diameter of the
+    crawl's directed link graph (ANF, Palmer et al. KDD 2002 / HyperBall,
+    Boldi & Vigna 2013): per-node HLL registers max-merge out-neighbors
+    each round; N(t) reported as exact 2^20 fixed-point integer sums.
+    DuckDB-hash-checked against a serial twin running the SAME pure
+    kernel over the oracle edge table."""
+    from ..ops.graph import neighborhood_function
+
+    edges = crawl_handle_for(sf_dir).link_edges()
+    out = neighborhood_function(edges, p=6, t_max=16).to_pandas()
+    return out.sort_values("t").reset_index(drop=True)
+
+
 def q_link_bowtie(sf_dir: str):
     """Bowtie decomposition of the crawl's directed link graph (Broder et
     al. 2000; ops/graph.py bowtie_kernel): every node classified CORE / IN
@@ -5872,6 +5886,7 @@ QUERIES = {
     "link_communities": q_link_communities,
     "link_scc": q_link_scc,
     "link_bowtie": q_link_bowtie,
+    "link_anf": q_link_anf,
     "winsorized_stats": q_winsorized_stats,
     "value_histogram": q_value_histogram,
     "order_top_line": q_order_top_line,
@@ -7522,6 +7537,7 @@ _TWIN_SQL_COLS = {
     "link_hits": ("node, hub, authority", "node"),
     "link_scc": ("node, scc", "node"),
     "link_bowtie": ("node, cls", "node"),
+    "link_anf": ("t, nf_fp, nf_est, eff_diameter", "t"),
     "knn_ivf": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_pq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_ivfpq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 13  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 14  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1427,7 +1427,19 @@ def twin_link_bowtie() -> pa.Table:
     )
 
 
+def twin_link_anf() -> pa.Table:
+    """Serial ANF/HyperBall over the oracle link edges — the SAME pure
+    kernel (ops/graph.anf_kernel: per-node HLL registers, Jacobi max-merge
+    rounds, 2^20 fixed-point estimate sums), so the full (t, nf) curve and
+    effective diameter must hash-match the distributed wrapper."""
+    from ..ops.graph import anf_kernel
+
+    nodes, src, dst = _oracle_link_edges()
+    return pa.Table.from_pandas(anf_kernel(nodes, src, dst), preserve_index=False)
+
+
 _NOARG_TWINS = {
+    "link_anf": twin_link_anf,
     "media_features": twin_media_features,
     "media_thumbnails": twin_media_thumbnails,
     "media_frames": twin_media_frames,

@@ -701,3 +701,54 @@ def test_bowtie_kernel_classes():
     assert cls[0] == cls[1] == 1
     assert cls[5] == cls[6] == 2
     assert cls[7] == cls[8] == 3
+
+
+def test_anf_kernel_sanity_and_fixpoint():
+    import numpy as np
+
+    from cloud_crawler_ray.ops.graph import anf_kernel
+
+    # directed path a->b->c->d: balls grow by one per round, fixpoint at 3
+    nodes = np.array(["a", "b", "c", "d"], dtype=object)
+    src = np.array([0, 1, 2])
+    dst = np.array([1, 2, 3])
+    out = anf_kernel(nodes, src, dst, p=6, t_max=16)
+    assert list(out["t"]) == [0, 1, 2, 3]
+    nf = out["nf_fp"].to_numpy()
+    assert (np.diff(nf) > 0).all()  # strictly growing until fixpoint
+    # with 64 registers and <=4 elements, linear counting is near-exact:
+    # true N(t) sums are 4, 7, 9, 10
+    est = out["nf_est"].to_numpy()
+    for e, true in zip(est, [4, 7, 9, 10]):
+        assert abs(e - true) / true < 0.2
+    assert out["eff_diameter"].iloc[0] == 3  # N(3)=10 needed to reach 90%
+
+    # edge order must not matter (max-merge is order-free)
+    perm = np.array([2, 0, 1])
+    out2 = anf_kernel(nodes, src[perm], dst[perm], p=6, t_max=16)
+    assert (out2["nf_fp"].to_numpy() == nf).all()
+
+
+def test_neighborhood_function_distributed_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import neighborhood_function
+
+    rng = np.random.default_rng(11)
+    n = 40
+    src = rng.integers(0, n, 120)
+    dst = rng.integers(0, n, 120)
+    keep = src != dst
+    ed = pd.DataFrame(
+        {"src": [f"u{s}" for s in src[keep]], "dst": [f"u{d}" for d in dst[keep]]}
+    ).drop_duplicates()
+    ds = rd.from_pandas(ed).repartition(4)
+    a = neighborhood_function(ds, p=6, t_max=16).to_pandas().sort_values("t")
+    b = (
+        neighborhood_function(ds, p=6, t_max=16, driver_cap=0)
+        .to_pandas()
+        .sort_values("t")
+    )
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
