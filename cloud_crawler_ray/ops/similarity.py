@@ -559,3 +559,162 @@ def knn_ivfpq(
     out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
     pdf = out.to_pandas().sort_values(["query_id", "rank"])
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Margin-based pair mining (Artetxe & Schwenk, "Margin-based parallel
+# corpus mining with multilingual sentence embeddings", ACL 2019). The
+# bitext-mining shape: between two embedding sets A and B, score candidate
+# pairs by the RATIO margin  2·cos(x,y) / (avgK(x→B) + avgK(y→A))  —
+# absolute cosine fails under hubness; the margin normalizes by each
+# side's local neighborhood density — and keep pairs that are mutual best
+# above a threshold. Margins are floored to 2^20 fixed point so outputs
+# are integer-comparable between the distributed op and the serial twin.
+# ---------------------------------------------------------------------------
+
+_MARGIN_FP = 1 << 20
+
+
+def margin_candidates(
+    aids: np.ndarray, A: np.ndarray,
+    bids: np.ndarray, B: np.ndarray,
+    bavg: np.ndarray, k: int,
+) -> pd.DataFrame:
+    """Candidate (a, b, margin_fp) rows: each a's top-k cosine neighbors in
+    B (ties → smallest b id), margin = 2·cos/(avgK(a→B) + bavg[b]).
+    Pure — the serial twin runs THIS code over the full matrices; the
+    distributed op runs it per A-block against the broadcast B (row-panel
+    matmuls produce the same per-row floats, the knn_brute precedent)."""
+    rows_a, rows_b, rows_m = [], [], []
+    if not len(aids) or not len(bids):
+        return pd.DataFrame(
+            {
+                "a": pd.Series([], dtype=np.int64),
+                "b": pd.Series([], dtype=np.int64),
+                "margin_fp": pd.Series([], dtype=np.int64),
+            }
+        )
+    sims = A @ B.T
+    ka = min(k, len(bids))
+    for i in range(len(aids)):
+        idx = np.lexsort((bids, -sims[i]))[:ka]
+        fwd_avg = float(np.mean(sims[i, idx]))
+        marg = 2.0 * sims[i, idx] / (fwd_avg + bavg[idx])
+        rows_a.extend([int(aids[i])] * ka)
+        rows_b.extend(int(bids[j]) for j in idx)
+        rows_m.extend(np.floor(marg * _MARGIN_FP).astype(np.int64).tolist())
+    return pd.DataFrame(
+        {
+            "a": np.asarray(rows_a, np.int64),
+            "b": np.asarray(rows_b, np.int64),
+            "margin_fp": np.asarray(rows_m, np.int64),
+        }
+    )
+
+
+def mutual_margin_pairs(cand: pd.DataFrame, threshold_fp: int) -> pd.DataFrame:
+    """Mutual-best filter over the candidate pair set: (a, b) survives iff
+    b is a's best candidate AND a is b's best (margin desc, id asc ties)
+    AND margin ≥ threshold. Pure pandas — shared by twin and op."""
+    if not len(cand):
+        return cand.copy()
+    fwd = (
+        cand.sort_values(["a", "margin_fp", "b"], ascending=[True, False, True])
+        .drop_duplicates("a")
+    )
+    bwd = (
+        cand.sort_values(["b", "margin_fp", "a"], ascending=[True, False, True])
+        .drop_duplicates("b")
+    )
+    out = fwd.merge(bwd[["a", "b"]], on=["a", "b"], how="inner")
+    out = out[out["margin_fp"] >= threshold_fp]
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def margin_mine(
+    emb: rd.Dataset,
+    label_a: int = 0,
+    label_b: int = 1,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Mine aligned pairs between two labeled embedding sets by the ratio
+    margin. Output (a, b, margin_fp), mutual best above threshold.
+
+    Distributed shape: side B broadcasts ONCE via ray.put (the smaller/
+    query side by convention — at 10^10×10^6 scale B is the small corpus;
+    for B beyond broadcast, shard B and merge per-a partial top-k exactly
+    as knn_brute does — structure unchanged). Two streaming passes over A:
+    (1) per-block column top-k partials → exact per-b top-k merge →
+    bavg(y→A), a |B|-row table broadcast back; (2) per-block candidate
+    generation via the shared kernel. The mutual-best reduction runs over
+    ≤ |A|·k candidate rows, never the corpus."""
+    import pyarrow.compute as pc
+    import ray
+
+    def side(lbl):
+        return emb.map_batches(
+            lambda t, lbl=lbl: t.filter(pc.equal(t.column("label"), lbl)),
+            batch_format="pyarrow",
+        )
+
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series([], dtype=np.int64),
+            "b": pd.Series([], dtype=np.int64),
+            "margin_fp": pd.Series([], dtype=np.int64),
+        }
+    )
+    b_pdf = side(label_b).to_pandas()
+    if not len(b_pdf):
+        return empty
+    bids, B = _matrix(b_pdf, id_col)
+    a_ds = side(label_a).materialize()
+    if a_ds.count() == 0:
+        return empty
+    bref = ray.put((bids, B))
+
+    def bwd_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bids_, B_ = ray.get(bref)
+        _aids, A_ = _matrix(batch, id_col)
+        sims = A_ @ B_.T  # (na_blk, nb)
+        kk = min(k, sims.shape[0])
+        # per-b top-kk cos values within this block
+        part = np.sort(sims, axis=0)[::-1][:kk]  # (kk, nb) desc
+        return pd.DataFrame(
+            {
+                "b": np.repeat(bids_, part.shape[0]).astype(np.int64),
+                "cos": part.T.reshape(-1),
+            }
+        )
+
+    def bwd_merge(g: pd.DataFrame) -> pd.DataFrame:
+        kk = min(k, len(g))
+        top = np.sort(g["cos"].to_numpy())[::-1][:kk]
+        return pd.DataFrame(
+            {"b": [int(g["b"].iloc[0])], "bavg": [float(np.mean(top))]}
+        )
+
+    bavg_pdf = (
+        a_ds.map_batches(bwd_partial, batch_format="pandas", batch_size=2048)
+        .groupby("b")
+        .map_groups(bwd_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    # align bavg to bids order
+    bavg = (
+        bavg_pdf.set_index("b").reindex(bids.astype(np.int64))["bavg"].to_numpy()
+    )
+    bref2 = ray.put((bids, B, bavg))
+
+    def fwd_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        bids_, B_, bavg_ = ray.get(bref2)
+        aids_, A_ = _matrix(batch, id_col)
+        return margin_candidates(aids_, A_, bids_, B_, bavg_, k)
+
+    cand = (
+        a_ds.map_batches(fwd_partial, batch_format="pandas", batch_size=2048)
+        .to_pandas()
+    )
+    return mutual_margin_pairs(cand, int(np.floor(threshold * _MARGIN_FP)))

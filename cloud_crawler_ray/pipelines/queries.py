@@ -507,6 +507,17 @@ def q_embedding_neardup_lsh(sf_dir: str):
     return pairs.select(["a", "b"])
 
 
+def q_margin_mine(sf_dir: str):
+    """Margin-based pair mining between two labeled embedding sets
+    (Artetxe & Schwenk 2019 ratio margin, mutual-best filter): the bitext
+    / cross-corpus alignment shape. Margins reported as 2^20 fixed-point
+    integers; DuckDB-hash-checked against a serial twin running the SAME
+    pure kernels over the full matrices."""
+    from ..ops.similarity import margin_mine
+
+    return margin_mine(_emb(sf_dir), label_a=0, label_b=1, k=4, threshold=1.0)
+
+
 def q_knn_ivf(sf_dir: str):
     from ..ops.similarity import knn_ivf
 
@@ -5935,6 +5946,7 @@ QUERIES = {
     "cdc_dedup": q_cdc_dedup,
     "concurrent_sessions": q_concurrent_sessions,
     "knn_ivfpq": q_knn_ivfpq,
+    "margin_mine": q_margin_mine,
     "weighted_sample": q_weighted_sample,
     "domain_quota": q_domain_quota,
     "pmi_collocations": q_pmi_collocations,
@@ -7544,6 +7556,7 @@ _TWIN_SQL_COLS = {
     "embedding_clusters": ("vec_id, cluster", "vec_id"),
     "semantic_dedup": ("vec_id, rep_id, keep, split_depth", "vec_id"),
     "dsir_weights": ("doc_id, n_feats, logw", "doc_id"),
+    "margin_mine": ("a, b, margin_fp", "a, b"),
     "compression_ratio": ("doc_id, n_bytes, n_comp_bytes, repetitive", "doc_id"),
 }
 

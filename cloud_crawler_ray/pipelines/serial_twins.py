@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 14  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 15  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1425,6 +1425,38 @@ def twin_link_bowtie() -> pa.Table:
             "cls": pa.array(_BOWTIE_NAMES[cls], pa.string()),
         }
     )
+
+
+def twin_margin_mine(
+    sf_dir: str, label_a: int = 0, label_b: int = 1,
+    k: int = 4, threshold: float = 1.0,
+) -> pa.Table:
+    """Serial margin-based pair mining — the SAME pure kernels
+    (ops/similarity.margin_candidates + mutual_margin_pairs) over the full
+    matrices, with bavg from one whole-matrix column top-k, so the
+    distributed broadcast/partial-merge path must reproduce every
+    fixed-point margin bit-for-bit."""
+    from ..ops.similarity import (
+        _MARGIN_FP,
+        _matrix,
+        margin_candidates,
+        mutual_margin_pairs,
+    )
+
+    emb = _emb_frame(sf_dir)
+    a_pdf = emb[emb["label"] == label_a]
+    b_pdf = emb[emb["label"] == label_b]
+    aids, A = _matrix(a_pdf, "vec_id")
+    bids, B = _matrix(b_pdf, "vec_id")
+    sims = A @ B.T
+    kk = min(k, len(aids))
+    bavg = np.mean(np.sort(sims, axis=0)[::-1][:kk], axis=0)
+    cand = margin_candidates(aids, A, bids, B, bavg, k)
+    out = mutual_margin_pairs(cand, int(np.floor(threshold * _MARGIN_FP)))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SF_TWINS["margin_mine"] = twin_margin_mine
 
 
 def twin_link_anf() -> pa.Table:

@@ -1719,3 +1719,52 @@ def test_dup_span_trim_within_doc_repeat(ray_session):
     out = dup_span_trim(rd.from_pandas(docs), k=8).to_pandas()
     rows = sorted(zip(out["span_start"], out["span_end"]))
     assert rows == [(0, 8), (11, 19)]
+
+
+def test_margin_mine_planted_pairs_and_partition_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.similarity import margin_mine
+
+    rng = np.random.default_rng(5)
+    d = 16
+    base = rng.normal(size=(12, d))
+    # side A: 12 vectors; side B: noisy copies of A[0..5] (true pairs) +
+    # 6 unrelated vectors
+    A = base
+    B = np.vstack(
+        [base[:6] + 0.01 * rng.normal(size=(6, d)), rng.normal(size=(6, d))]
+    )
+    rows = []
+    for i, v in enumerate(A):
+        rows.append({"vec_id": i, "embedding": v.tolist(), "label": 0})
+    for j, v in enumerate(B):
+        rows.append({"vec_id": 100 + j, "embedding": v.tolist(), "label": 1})
+    emb = pd.DataFrame(rows)
+    outs = []
+    for parts in (1, 5):
+        ds = rd.from_pandas(emb).repartition(parts)
+        out = margin_mine(ds, label_a=0, label_b=1, k=4, threshold=1.0)
+        outs.append(out.reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got_pairs = set(zip(outs[0]["a"], outs[0]["b"]))
+    # every planted pair recovered; no unrelated B vector matched to its
+    # planted A counterpart's slot
+    for i in range(6):
+        assert (i, 100 + i) in got_pairs
+    assert all(b - 100 < 6 or a >= 6 for a, b in got_pairs)
+
+
+def test_margin_mine_empty_sides(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.similarity import margin_mine
+
+    emb = pd.DataFrame(
+        {"vec_id": [1, 2], "embedding": [[1.0, 0.0], [0.0, 1.0]], "label": [0, 0]}
+    )
+    out = margin_mine(rd.from_pandas(emb), label_a=0, label_b=1)
+    assert len(out) == 0
