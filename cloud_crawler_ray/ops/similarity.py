@@ -718,3 +718,57 @@ def margin_mine(
         .to_pandas()
     )
     return mutual_margin_pairs(cand, int(np.floor(threshold * _MARGIN_FP)))
+
+
+def hard_negatives(
+    emb: rd.Dataset,
+    anchors: pd.DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> pa.Table:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    anchor, the top-k most-similar vectors with a DIFFERENT label — the
+    negatives that actually move a contrastive loss (random negatives are
+    too easy). Same shape as knn_brute: the small anchor side broadcasts
+    once via ray.put, the corpus STREAMS in blocks (one f64 matmul + a
+    label mask per block, per-anchor partial top-k, exact merge per
+    anchor). Output (query_id, neighbor_id, rank), ties → smallest id —
+    integer output, directly SQL-checkable. At corpus scales where even
+    per-anchor brute force is too slow, mine within IVF buckets
+    (knn_ivf's partitioning) — structure unchanged."""
+    qids = np.asarray(anchors[id_col]).astype(np.int64)
+    qlabels = np.asarray(anchors[label_col]).astype(np.int64)
+    _, Q = _matrix(anchors, id_col)
+    qref = ray.put((qids, qlabels, Q))
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qids_, qlabels_, Q_ = ray.get(qref)
+        bids, B = _matrix(batch, id_col)
+        blabels = np.asarray(batch[label_col]).astype(np.int64)
+        sims = Q_ @ B.T
+        rows = {"query_id": [], "neighbor_id": [], "cos": []}
+        for qi in range(sims.shape[0]):
+            ok = blabels != qlabels_[qi]
+            if not ok.any():
+                continue
+            cand_ids, cand_cos = bids[ok], sims[qi, ok]
+            idx = np.lexsort((cand_ids, -cand_cos))[: min(k, len(cand_ids))]
+            rows["query_id"].extend([int(qids_[qi])] * len(idx))
+            rows["neighbor_id"].extend(int(cand_ids[j]) for j in idx)
+            rows["cos"].extend(float(cand_cos[j]) for j in idx)
+        return pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
+
+    partials = emb.map_batches(partial, batch_format="pandas", batch_size=2048)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["cos", "neighbor_id"], ascending=[False, True]
+        ).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    pdf = out.to_pandas().sort_values(["query_id", "rank"])
+    return pa.Table.from_pandas(pdf, preserve_index=False)

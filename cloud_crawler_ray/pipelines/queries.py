@@ -507,6 +507,21 @@ def q_embedding_neardup_lsh(sf_dir: str):
     return pairs.select(["a", "b"])
 
 
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: for each anchor
+    (vec_id < 50), the top-5 most-cosine-similar vectors with a DIFFERENT
+    label. Anchors broadcast once, corpus streams; integer (query_id,
+    neighbor_id, rank) output — directly SQL-checked against the DuckDB
+    list_cosine_similarity window query."""
+    from ..ops.similarity import hard_negatives
+
+    emb = _emb(sf_dir)
+    anchors = (
+        emb.filter(expr="vec_id < 50").to_pandas().sort_values("vec_id")
+    )
+    return hard_negatives(emb, anchors, k=5)
+
+
 def q_margin_mine(sf_dir: str):
     """Margin-based pair mining between two labeled embedding sets
     (Artetxe & Schwenk 2019 ratio margin, mutual-best filter): the bitext
@@ -5947,6 +5962,7 @@ QUERIES = {
     "concurrent_sessions": q_concurrent_sessions,
     "knn_ivfpq": q_knn_ivfpq,
     "margin_mine": q_margin_mine,
+    "hard_negatives": q_hard_negatives,
     "weighted_sample": q_weighted_sample,
     "domain_quota": q_domain_quota,
     "pmi_collocations": q_pmi_collocations,
@@ -6106,6 +6122,19 @@ ORACLE_SQL = {
         SELECT a.vec_id AS a, b.vec_id AS b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5
+    """,
+    "hard_negatives": """
+        WITH sims AS (
+          SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                 list_cosine_similarity(q.embedding, t.embedding) AS cos
+          FROM embeddings q JOIN embeddings t ON t.label <> q.label
+          WHERE q.vec_id < 50)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id)::BIGINT AS rank
+          FROM sims) WHERE rank <= 5
+        ORDER BY query_id, rank
     """,
     "windowed_count": """
         SELECT event_type,

@@ -1768,3 +1768,41 @@ def test_margin_mine_empty_sides(ray_session):
     )
     out = margin_mine(rd.from_pandas(emb), label_a=0, label_b=1)
     assert len(out) == 0
+
+
+def test_hard_negatives_label_mask_and_partition_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.similarity import hard_negatives
+
+    rng = np.random.default_rng(9)
+    n, d = 60, 8
+    emb = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [rng.normal(size=d).tolist() for _ in range(n)],
+            "label": (np.arange(n) % 3).astype(np.int64),
+        }
+    )
+    anchors = emb.head(10)
+    outs = []
+    for parts in (1, 6):
+        ds = rd.from_pandas(emb).repartition(parts)
+        out = hard_negatives(ds, anchors, k=4).to_pandas()
+        outs.append(out.reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    out = outs[0]
+    lbl = dict(zip(emb["vec_id"], emb["label"]))
+    # never a same-label neighbor; exactly k per anchor; ranks 1..k
+    for qid, g in out.groupby("query_id"):
+        assert all(lbl[nb] != lbl[qid] for nb in g["neighbor_id"])
+        assert list(g["rank"]) == [1, 2, 3, 4]
+    # brute-force check for one anchor
+    M = np.stack(emb["embedding"].apply(np.asarray))
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M[0] @ M.T
+    cand = [(s, i) for i, s in enumerate(sims) if lbl[i] != lbl[0]]
+    exp = [i for _, i in sorted(cand, key=lambda t: (-t[0], t[1]))[:4]]
+    assert list(out[out["query_id"] == 0]["neighbor_id"]) == exp
