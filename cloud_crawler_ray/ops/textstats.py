@@ -955,3 +955,47 @@ def source_vocab_jaccard(
     for c in ("n_a", "n_b", "inter", "jaccard_ppm"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Script / charset composition — the cheap pre-language-ID signal a
+# multilingual 100-TB pipeline runs first (route documents to per-script
+# pipelines, drop mixed-garbage pages before any model sees them).
+# Pure map-side, one pass, vectorized regex counts; integer output so the
+# DuckDB regexp oracle hash-matches exactly.
+# ---------------------------------------------------------------------------
+
+_SCRIPT_CLASSES = (
+    ("n_latin", r"[A-Za-z]"),
+    ("n_digit", r"[0-9]"),
+    ("n_cjk", "[一-鿿]"),
+    ("n_cyrillic", "[Ѐ-ӿ]"),
+    ("n_arabic", "[؀-ۿ]"),
+)
+_SCRIPT_NAMES = ("latin", "digit", "cjk", "cyrillic", "arabic")
+
+
+def script_stats(ds: rd.Dataset) -> rd.Dataset:
+    """Per-document character-class counts + dominant script: Latin
+    letters, digits, CJK, Cyrillic, Arabic, total chars. Dominant = the
+    largest class count, ties broken by the fixed class order above (so
+    'none' only when every class count is zero). One vectorized
+    str.count per class per batch."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        txt = batch["text"].fillna("")
+        out = pd.DataFrame({"doc_id": batch["doc_id"].to_numpy()})
+        out["n_chars"] = txt.str.len().to_numpy().astype(np.int64)
+        counts = []
+        for col, pat in _SCRIPT_CLASSES:
+            c = txt.str.count(pat).to_numpy().astype(np.int64)
+            out[col] = c
+            counts.append(c)
+        mat = np.stack(counts)  # (classes, rows)
+        best = np.argmax(mat, axis=0)  # first max wins = fixed order
+        dom = np.array(_SCRIPT_NAMES, dtype=object)[best]
+        dom = np.where(mat.max(axis=0) == 0, "none", dom)
+        out["dominant"] = dom
+        return out
+
+    return ds.map_batches(stats, batch_format="pandas")

@@ -746,6 +746,15 @@ def q_cms_heavy_hitters(sf_dir: str):
     return top
 
 
+def q_script_stats(sf_dir: str):
+    """Per-document script/charset composition + dominant script — the
+    cheap pre-language-ID router of a multilingual pipeline. Integer
+    counts, directly SQL-checked against DuckDB regexp_extract_all."""
+    from ..ops.textstats import script_stats
+
+    return script_stats(_docs(sf_dir)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_mg_heavy_hitters(sf_dir: str):
     """EXACT heavy hitters (tokens with cnt·64 > N) at sketch cost: a
     Misra-Gries pass (per-block size-64 summaries, deterministic superset
@@ -5923,6 +5932,7 @@ QUERIES = {
     "embedding_clusters": q_embedding_clusters,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "mg_heavy_hitters": q_mg_heavy_hitters,
+    "script_stats": q_script_stats,
     "value_quantile_sketch": q_value_quantile_sketch,
     "rolling_sum": q_rolling_sum,
     "repeat_customers": q_repeat_customers,
@@ -6436,6 +6446,25 @@ ORACLE_SQL = {
         GROUP BY token
         ORDER BY cnt DESC, token
         LIMIT 50
+    """,
+    "script_stats": """
+        WITH c AS (
+          SELECT doc_id,
+                 length(text)::BIGINT AS n_chars,
+                 len(regexp_extract_all(text, '[A-Za-z]'))::BIGINT AS n_latin,
+                 len(regexp_extract_all(text, '[0-9]'))::BIGINT AS n_digit,
+                 len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]'))::BIGINT AS n_cjk,
+                 len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]'))::BIGINT AS n_cyrillic,
+                 len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]'))::BIGINT AS n_arabic
+          FROM documents)
+        SELECT doc_id, n_chars, n_latin, n_digit, n_cjk, n_cyrillic, n_arabic,
+               CASE WHEN greatest(n_latin, n_digit, n_cjk, n_cyrillic, n_arabic) = 0 THEN 'none'
+                    WHEN n_latin >= n_digit AND n_latin >= n_cjk AND n_latin >= n_cyrillic AND n_latin >= n_arabic THEN 'latin'
+                    WHEN n_digit >= n_cjk AND n_digit >= n_cyrillic AND n_digit >= n_arabic THEN 'digit'
+                    WHEN n_cjk >= n_cyrillic AND n_cjk >= n_arabic THEN 'cjk'
+                    WHEN n_cyrillic >= n_arabic THEN 'cyrillic'
+                    ELSE 'arabic' END AS dominant
+        FROM c ORDER BY doc_id
     """,
     "mg_heavy_hitters": f"""
         WITH tk AS (SELECT unnest({_TOKENS}) AS token FROM documents),

@@ -1806,3 +1806,34 @@ def test_hard_negatives_label_mask_and_partition_invariance(ray_session):
     cand = [(s, i) for i, s in enumerate(sims) if lbl[i] != lbl[0]]
     exp = [i for _, i in sorted(cand, key=lambda t: (-t[0], t[1]))[:4]]
     assert list(out[out["query_id"] == 0]["neighbor_id"]) == exp
+
+
+def test_script_stats_unicode_planted(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.textstats import script_stats
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "hello world 123",
+                "你好世界 你好",
+                "привет мир",
+                "مرحبا بالعالم",
+                "!!! ???",
+            ],
+        }
+    )
+    out = script_stats(rd.from_pandas(docs)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_latin"] == 10 and out.loc[1, "n_digit"] == 3
+    assert out.loc[1, "dominant"] == "latin"
+    assert out.loc[2, "n_cjk"] == 6 and out.loc[2, "dominant"] == "cjk"
+    assert out.loc[3, "n_cyrillic"] == 9 and out.loc[3, "dominant"] == "cyrillic"
+    assert out.loc[4, "n_arabic"] == 12 and out.loc[4, "dominant"] == "arabic"
+    assert out.loc[5, "dominant"] == "none"
+    # ties break by fixed order: equal latin and digit -> latin
+    tie = pd.DataFrame({"doc_id": [9], "text": ["ab 12"]})
+    t = script_stats(rd.from_pandas(tie)).to_pandas()
+    assert t.loc[0, "dominant"] == "latin"
