@@ -2251,3 +2251,203 @@ def dup_span_trim(
             lambda g: finalize(g.drop(columns=["shard"])), batch_format="pandas"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental fuzzy dedup: a NEW document increment vs a PRIOR corpus's
+# persisted MinHash signatures — the daily-crawl shape (exact incremental
+# dedup is `q_incremental_dedup`; this is its near-duplicate complement).
+# The prior corpus is never re-shingled: its (sig, hs) table is an output
+# of the previous run. Only cross-set (new × prior) candidate pairs are
+# generated — within-set duplicates are the ordinary minhash_lsh_pairs
+# job and stay out of this op's contract.
+# ---------------------------------------------------------------------------
+
+
+def minhash_incremental(
+    new_docs: rd.Dataset,
+    prior_sigs: rd.Dataset,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.6,
+    bucket_cap: int = 200,
+    join_broadcast_cap: int = 500_000,
+) -> pa.Table:
+    """Near-duplicate matches of new documents against a prior corpus.
+
+    prior_sigs: (doc_id, sig, hs) — minhash_signatures(prior,
+    with_hashes=True) persisted by the previous run. Shape: new docs
+    signature pass → both sides band-explode with a side flag → hash(bhash)
+    shards (bucket membership is shard-complete) → per-bucket CROSS pairs
+    only, capped + counted → pair-shard dedup → exact-Jaccard verify on
+    the union'd hash sets via keyed_attach (broadcast under the cap).
+    Output (new_id, prior_id, n_common, n_new, n_prior) — integer-exact:
+    the threshold test j ≥ t is evaluated as den·c ≥ num·(n_a+n_b−c).
+    Sorted (new_id, prior_id)."""
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1000)
+    num, den = frac.numerator, frac.denominator
+    rows_per_band = num_perm // bands
+
+    new_sigs = minhash_signatures(
+        new_docs, num_perm, shingle_k, with_hashes=True
+    ).materialize()
+
+    def tag(flag: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "is_new", pa.array(np.full(t.num_rows, flag, np.int8))
+            )
+
+        return fn
+
+    sigs_all = (
+        new_sigs.map_batches(tag(1), batch_format="pyarrow")
+        .union(prior_sigs.map_batches(tag(0), batch_format="pyarrow"))
+        .materialize()
+    )
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids, bhashes, flags = [], [], []
+        for did, sig, fl in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("sig").to_pylist(),
+            batch.column("is_new").to_pylist(),
+        ):
+            for bi in range(bands):
+                ids.append(did)
+                bhashes.append(
+                    f"{bi}:{_band_hash(sig[bi * rows_per_band : (bi + 1) * rows_per_band])}"
+                )
+                flags.append(fl)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bhash": pa.array(bhashes, pa.string()),
+                "is_new": pa.array(flags, pa.int8()),
+            }
+        )
+
+    banded = sigs_all.map_batches(
+        lambda t: t.select(["doc_id", "sig", "is_new"]), batch_format="pyarrow"
+    ).map_batches(explode_bands, batch_format="pyarrow").map_batches(
+        lambda t: _add_shard(t, "bhash"), batch_format="pyarrow"
+    )
+
+    def bucket_cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out_n, out_p = [], []
+        skipped = 0
+        for _, grp in g.groupby("bhash", sort=False):
+            grp = grp.drop_duplicates("doc_id")
+            if len(grp) < 2 or len(grp) > bucket_cap:
+                skipped += int(len(grp) > bucket_cap)
+                continue
+            news = sorted(grp.loc[grp["is_new"] == 1, "doc_id"].tolist())
+            priors = sorted(grp.loc[grp["is_new"] == 0, "doc_id"].tolist())
+            for n_ in news:
+                for p_ in priors:
+                    out_n.append(n_)
+                    out_p.append(p_)
+        if skipped:
+            print(f"[minhash_incremental] skipped {skipped} over-cap buckets")
+        return pd.DataFrame(
+            {
+                "a": pd.Series(out_n, dtype=np.int64),
+                "b": pd.Series(out_p, dtype=np.int64),
+            }
+        )
+
+    cand = (
+        banded.groupby("shard")
+        .map_groups(bucket_cross_pairs, batch_format="pandas")
+        .map_batches(
+            lambda t: _add_shard(t, "a"), batch_format="pyarrow"
+        )
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop_duplicates(subset=["a", "b"])[["a", "b"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    empty = pa.table(
+        {
+            "new_id": pa.array([], pa.int64()),
+            "prior_id": pa.array([], pa.int64()),
+            "n_common": pa.array([], pa.int64()),
+            "n_new": pa.array([], pa.int64()),
+            "n_prior": pa.array([], pa.int64()),
+        }
+    )
+    if cand.count() == 0:
+        return empty
+
+    # hash-set lookup for every doc named in a candidate pair — semi-join
+    # the sig table to the candidate ids FIRST (keyed_attach, distributed),
+    # so the driver only ever collects candidate-sized hs data, never the
+    # corpus (the minhash_lsh_pairs verify pattern)
+    cand_ids = (
+        cand.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                    ),
+                    "m": pa.array(np.ones(2 * t.num_rows, dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(lambda t: _add_shard(t, "doc_id"), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop_duplicates("doc_id")[["doc_id", "m"]],
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    sets = keyed_attach(
+        sigs_all.map_batches(
+            lambda t: t.select(["doc_id", "hs"]), batch_format="pyarrow"
+        ),
+        cand_ids, "doc_id", ["m"],
+        right_count=cand_ids.count(), broadcast_cap=join_broadcast_cap,
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("m"), 1)).drop_columns(["m"]),
+        batch_format="pyarrow",
+    )
+    lk: dict[int, np.ndarray] = {}
+    for t in ray.get(sets.to_arrow_refs()):
+        for d, hs in zip(t.column("doc_id").to_pylist(), t.column("hs").to_pylist()):
+            lk[d] = np.asarray(hs, dtype=np.int64)
+    lk_ref = ray.put(lk)
+
+    def verify(t: pa.Table) -> pa.Table:
+        lk_ = ray.get(lk_ref)
+        out = {"new_id": [], "prior_id": [], "n_common": [], "n_new": [], "n_prior": []}
+        for a_, b_ in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
+            sa, sb = lk_[a_], lk_[b_]
+            c = int(len(np.intersect1d(sa, sb, assume_unique=True)))
+            if den * c >= num * (len(sa) + len(sb) - c):
+                out["new_id"].append(a_)
+                out["prior_id"].append(b_)
+                out["n_common"].append(c)
+                out["n_new"].append(len(sa))
+                out["n_prior"].append(len(sb))
+        return pa.table(
+            {
+                "new_id": pa.array(out["new_id"], pa.int64()),
+                "prior_id": pa.array(out["prior_id"], pa.int64()),
+                "n_common": pa.array(out["n_common"], pa.int64()),
+                "n_new": pa.array(out["n_new"], pa.int64()),
+                "n_prior": pa.array(out["n_prior"], pa.int64()),
+            }
+        )
+
+    pdf = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if not len(pdf):
+        return empty
+    pdf = pdf.sort_values(["new_id", "prior_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)

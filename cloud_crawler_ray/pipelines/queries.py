@@ -1227,6 +1227,30 @@ def q_value_quantiles(sf_dir: str):
     return value_quantiles_by(ev, key="event_type", col="value", qs=(0.5, 0.9, 0.99))
 
 
+def q_minhash_incremental(sf_dir: str):
+    """Incremental fuzzy dedup — the daily-crawl shape: new documents
+    (doc_id%3==0) near-dup-matched against a PRIOR corpus's persisted
+    MinHash signature table (doc_id%3!=0), cross-set candidates only,
+    integer-exact jaccard threshold. DuckDB-hash-checked against a serial
+    twin running the SAME kernels."""
+    from ..ops.dedup import minhash_incremental, minhash_signatures
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    def mod_split(keep_zero: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = df["doc_id"] % 3 == 0
+            return df[m] if keep_zero else df[~m]
+
+        return fn
+
+    prior = docs.map_batches(mod_split(False), batch_format="pandas")
+    new = docs.map_batches(mod_split(True), batch_format="pandas")
+    prior_sigs = minhash_signatures(prior, with_hashes=True).materialize()
+    return minhash_incremental(new, prior_sigs).to_pandas()
+
+
 def q_dup_span_trim(sf_dir: str):
     """ExactSubstr duplicate-SPAN marking (Lee et al. 2022): maximal token
     spans whose every 8-gram occurs >1 time corpus-wide — the cut list a
@@ -5856,6 +5880,7 @@ QUERIES = {
     "lm_score": q_lm_score,
     "substring_dups": q_substring_dups,
     "dup_span_trim": q_dup_span_trim,
+    "minhash_incremental": q_minhash_incremental,
     "value_quantiles": q_value_quantiles,
     "idle_customers": q_idle_customers,
     "event_transitions": q_event_transitions,
@@ -7568,6 +7593,10 @@ from .serial_twins import TWIN_DIR  # noqa: E402
 _TWIN_SQL_COLS = {
     "lang_id": ("doc_id, lang_pred", "doc_id"),
     "dup_span_trim": ("doc_id, span_start, span_end", "doc_id, span_start"),
+    "minhash_incremental": (
+        "new_id, prior_id, n_common, n_new, n_prior",
+        "new_id, prior_id",
+    ),
     "simhash_pairs": ("a, b, hamming", "a, b"),
     "minhash_dedup": ("doc_id, group_rep, keep", "doc_id"),
     "minhash_keep_best": ("doc_id, group_rep, keep", "doc_id"),

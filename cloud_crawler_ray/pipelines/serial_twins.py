@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 15  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 16  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -199,6 +199,67 @@ def twin_ngram_containment(
             "n_common": pa.array(rows["n_common"], pa.int64()),
             "n_a": pa.array(rows["n_a"], pa.int64()),
             "n_b": pa.array(rows["n_b"], pa.int64()),
+        }
+    )
+
+
+def twin_minhash_incremental(
+    docs: pa.Table,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.6,
+    bucket_cap: int = 200,
+) -> pa.Table:
+    """Serial incremental fuzzy dedup — same kernels and bucket-cap/cross-
+    pair policy as ops/dedup.minhash_incremental, with prior = doc_id%3!=0
+    and new = doc_id%3==0 (the query's split), driven by plain loops."""
+    from fractions import Fraction
+
+    from ..ops.dedup import _MERSENNE, _band_hash, _perm_params, _shingle_hashes
+
+    frac = Fraction(threshold).limit_denominator(1000)
+    num, den = frac.numerator, frac.denominator
+    a_, b_ = _perm_params(num_perm)
+    rows = num_perm // bands
+    ids = docs.column("doc_id").to_pylist()
+    hset: dict[int, np.ndarray] = {}
+    buckets: dict[str, list[int]] = {}
+    is_new = {did: (did % 3 == 0) for did in ids}
+    for did, text in zip(ids, docs.column("text").to_pylist()):
+        h = _shingle_hashes(text, shingle_k)
+        vals = (a_[:, None] * h[None, :] + b_[:, None]) % np.uint64(_MERSENNE)
+        sig = vals.min(axis=1).astype(np.int64).tolist()
+        hset[did] = np.unique(h).view(np.int64)
+        for bi in range(bands):
+            buckets.setdefault(
+                f"{bi}:{_band_hash(sig[bi * rows : (bi + 1) * rows])}", []
+            ).append(did)
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        members = sorted(set(members))
+        if len(members) < 2 or len(members) > bucket_cap:
+            continue
+        for n_ in (m for m in members if is_new[m]):
+            for p_ in (m for m in members if not is_new[m]):
+                cand.add((n_, p_))
+    out = {"new_id": [], "prior_id": [], "n_common": [], "n_new": [], "n_prior": []}
+    for n_, p_ in sorted(cand):
+        sa, sb = hset[n_], hset[p_]
+        c = int(len(np.intersect1d(sa, sb, assume_unique=True)))
+        if den * c >= num * (len(sa) + len(sb) - c):
+            out["new_id"].append(n_)
+            out["prior_id"].append(p_)
+            out["n_common"].append(c)
+            out["n_new"].append(len(sa))
+            out["n_prior"].append(len(sb))
+    return pa.table(
+        {
+            "new_id": pa.array(out["new_id"], pa.int64()),
+            "prior_id": pa.array(out["prior_id"], pa.int64()),
+            "n_common": pa.array(out["n_common"], pa.int64()),
+            "n_new": pa.array(out["n_new"], pa.int64()),
+            "n_prior": pa.array(out["n_prior"], pa.int64()),
         }
     )
 
@@ -1365,6 +1426,7 @@ _DOC_TWINS = {
     "dup_span_trim": twin_dup_span_trim,
     "simhash_pairs": twin_simhash_pairs,
     "minhash_dedup": twin_minhash_dedup,
+    "minhash_incremental": twin_minhash_incremental,
     "ngram_containment": twin_ngram_containment,
     "minhash_keep_best": twin_minhash_keep_best,
     "weighted_sample": twin_weighted_sample,

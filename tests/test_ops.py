@@ -1837,3 +1837,44 @@ def test_script_stats_unicode_planted(ray_session):
     tie = pd.DataFrame({"doc_id": [9], "text": ["ab 12"]})
     t = script_stats(rd.from_pandas(tie)).to_pandas()
     assert t.loc[0, "dominant"] == "latin"
+
+
+def test_minhash_incremental_planted(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.dedup import minhash_incremental, minhash_signatures
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain falls mainly on the plain and every good boy deserves fudge "
+        "seven eight nine ten eleven twelve thirteen fourteen fifteen"
+    )
+    prior = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [base, "completely different prior content " * 8],
+        }
+    )
+    new = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13],
+            "text": [
+                base + " tiny tail change",  # near-dup of prior 1
+                "novel new document with fresh content " * 6,  # no match
+                base + " another tiny edit",  # near-dup of prior 1 AND of 10
+                "novel new document with fresh content " * 6,  # dup of 11 (new x new)
+            ],
+        }
+    )
+    prior_sigs = minhash_signatures(
+        rd.from_pandas(prior).repartition(2), with_hashes=True
+    ).materialize()
+    out = minhash_incremental(
+        rd.from_pandas(new).repartition(3), prior_sigs
+    ).to_pandas()
+    pairs = set(zip(out["new_id"], out["prior_id"]))
+    assert (10, 1) in pairs and (12, 1) in pairs
+    # new x new duplicates (11, 13) and (10, 12) are NOT this op's contract
+    assert all(p in (1, 2) for p in out["prior_id"])
+    assert 11 not in set(out["new_id"]) and 13 not in set(out["new_id"])
