@@ -2309,3 +2309,220 @@ def neighborhood_function(
             }
         )
     )
+
+
+def harmonic_kernel(
+    nodes: np.ndarray, src: np.ndarray, dst: np.ndarray,
+    p: int = 6, t_max: int = 16,
+) -> np.ndarray:
+    """Pure harmonic-centrality kernel (the metric HyperBall was built
+    for — Boldi & Vigna 2013): H(y) = Σ_{x≠y} 1/d(x,y), estimated per
+    round as hc[y] += (|ball_in(y,t)| − |ball_in(y,t−1)|)/t with the ball
+    sizes in 2^20 fixed point and the division an int64 floor — so the
+    per-node result is a pure integer function of the edge set. Pass the
+    edge arrays as given (src→dst): in-balls grow by propagating registers
+    ALONG edge direction, reg[dst] ← max(reg[dst], reg[src]). Returns
+    hc_fp int64 per node (aligned with ``nodes``)."""
+    reg = _anf_init_regs(nodes, p)
+    est_prev = _anf_est_fp(reg)
+    hc = np.zeros(len(nodes), np.int64)
+    for t in range(1, t_max + 1):
+        new = reg.copy()
+        if len(src):
+            np.maximum.at(new, dst, reg[src])
+        if np.array_equal(new, reg):
+            break
+        reg = new
+        est = _anf_est_fp(reg)
+        hc += (est - est_prev) // t
+        est_prev = est
+    return hc
+
+
+def harmonic_centrality(
+    edges: rd.Dataset, p: int = 6, t_max: int = 16, k: int = 20,
+    driver_cap: int = 2_000_000,
+) -> pd.DataFrame:
+    """Top-k nodes of a (src, dst) string-keyed edge Dataset by estimated
+    harmonic centrality. Size-gated: the driver kernel under ``driver_cap``
+    edges; above it (test-forced via driver_cap=0) the SAME register
+    rounds as neighborhood_function run with the tag direction swapped
+    (registers flow src→dst) and an hc_fp column accumulated in the merge
+    shard from the per-node old/new estimates — per-block top-k partials
+    then bound the driver collect to n_blocks·k rows."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pd.DataFrame(
+            {
+                "node": pd.Series([], dtype=object),
+                "hc_fp": pd.Series([], dtype=np.int64),
+            }
+        )
+    if n_edges <= driver_cap:
+        ed = edges.to_pandas()
+        nodes, inv = np.unique(
+            np.concatenate([ed["src"].to_numpy(), ed["dst"].to_numpy()]),
+            return_inverse=True,
+        )
+        hc = harmonic_kernel(nodes, inv[: len(ed)], inv[len(ed):], p, t_max)
+        order = np.lexsort((nodes, -hc))[:k]
+        return pd.DataFrame(
+            {"node": nodes[order], "hc_fp": hc[order].astype(np.int64)}
+        ).reset_index(drop=True)
+
+    n_sh = cluster_shards()
+    edges = edges.map_batches(lambda t: t, batch_format="pyarrow")
+    m = 1 << p
+
+    def init_regs(t: pa.Table) -> pa.Table:
+        nodes = t.column("node").to_numpy(zero_copy_only=False)
+        reg = _anf_init_regs(nodes, p)
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "reg": pa.array([r.tobytes() for r in reg], pa.binary()),
+                "hc": pa.array(np.zeros(t.num_rows, np.int64)),
+            }
+        )
+
+    nodemap, _n = _node_ids(edges)
+    regs = (
+        nodemap.map_batches(
+            lambda t: pa.table({"node": t.column("node")}), batch_format="pyarrow"
+        )
+        .map_batches(init_regs, batch_format="pyarrow")
+        .materialize()
+    )
+
+    for t in range(1, t_max + 1):
+        # registers flow ALONG edges: regs meet edges in hash(src) shards,
+        # emitting (dst, reg[src])
+        tagged = regs.map_batches(
+            lambda tb: pa.table(
+                {
+                    "key": tb.column("node"),
+                    "dst": pa.array([""] * tb.num_rows, pa.string()),
+                    "reg": tb.column("reg"),
+                }
+            ),
+            batch_format="pyarrow",
+        ).union(
+            edges.map_batches(
+                lambda tb: pa.table(
+                    {
+                        "key": tb.column("src").cast(pa.string()),
+                        "dst": tb.column("dst").cast(pa.string()),
+                        "reg": pa.array([b""] * tb.num_rows, pa.binary()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+        def emit(g: pd.DataFrame) -> pd.DataFrame:
+            have = g[g["dst"] == ""]
+            lut = dict(zip(have["key"], have["reg"]))
+            ed = g[g["dst"] != ""]
+            out_reg = ed["key"].map(lut)
+            keep = out_reg.notna()
+            return pd.DataFrame(
+                {
+                    "node": ed.loc[keep, "dst"].to_numpy(),
+                    "reg": out_reg[keep].to_numpy(),
+                }
+            )
+
+        cands = (
+            tagged.map_batches(
+                lambda tb: _add_shard(tb, "key", n_sh), batch_format="pyarrow"
+            )
+            .groupby("shard")
+            .map_groups(lambda g: emit(g.drop(columns=["shard"])), batch_format="pandas")
+            .map_batches(lambda tb: tb, batch_format="pyarrow")
+        )
+
+        def merge(g: pd.DataFrame, t=t) -> pd.DataFrame:
+            order = np.argsort(g["node"].to_numpy(), kind="stable")
+            nodes_s = g["node"].to_numpy()[order]
+            mats = np.stack(
+                [np.frombuffer(b, np.uint8) for b in g["reg"].to_numpy()[order]]
+            )
+            brk = np.ones(len(nodes_s), bool)
+            brk[1:] = nodes_s[1:] != nodes_s[:-1]
+            starts = np.flatnonzero(brk)
+            merged = np.maximum.reduceat(mats, starts, axis=0)
+            cur_mask = g["is_reg"].to_numpy()[order] == 1
+            cur = mats[cur_mask]
+            est_old = _anf_est_fp(cur)
+            est_new = _anf_est_fp(merged)
+            hc_prev = g["hc"].to_numpy()[order][cur_mask].astype(np.int64)
+            hc_new = hc_prev + (est_new - est_old) // t
+            changed = int((merged != cur).any(axis=1).sum())
+            out = pd.DataFrame(
+                {
+                    "node": nodes_s[brk],
+                    "reg": [r.tobytes() for r in merged],
+                    "hc": hc_new,
+                    "changed": np.zeros(brk.sum(), np.int64),
+                }
+            )
+            if len(out):
+                out.iloc[0, out.columns.get_loc("changed")] = changed
+            return out
+
+        both = regs.map_batches(
+            lambda tb: tb.append_column("is_reg", pa.array([1] * tb.num_rows, pa.int8())),
+            batch_format="pyarrow",
+        ).union(
+            cands.map_batches(
+                lambda tb: pa.table(
+                    {
+                        "node": tb.column("node"),
+                        "reg": tb.column("reg"),
+                        "hc": pa.array(np.zeros(tb.num_rows, np.int64)),
+                        "is_reg": pa.array(np.zeros(tb.num_rows, np.int8)),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        new_regs = (
+            both.map_batches(lambda tb: _add_shard(tb, "node", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g, t=t: merge(g.drop(columns=["shard"]), t), batch_format="pandas"
+            )
+            .materialize()
+        )
+        changed_total = int(
+            new_regs.map_batches(
+                lambda tb: pa.table(
+                    {"c": pa.array([int(np.sum(tb.column("changed").to_numpy()))], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ).to_pandas()["c"].sum()
+        )
+        regs = _rebase(
+            new_regs.map_batches(
+                lambda tb: tb.select(["node", "reg", "hc"]), batch_format="pyarrow"
+            ).materialize()
+        )
+        if changed_total == 0:
+            break
+
+    def topk(tb: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "node": tb.column("node").to_numpy(zero_copy_only=False),
+                "hc_fp": tb.column("hc").to_numpy().astype(np.int64),
+            }
+        )
+        return df.sort_values(["hc_fp", "node"], ascending=[False, True]).head(k)
+
+    parts = regs.map_batches(topk, batch_format="pyarrow").to_pandas()
+    return (
+        parts.sort_values(["hc_fp", "node"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )

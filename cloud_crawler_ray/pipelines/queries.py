@@ -687,6 +687,18 @@ def q_link_anf(sf_dir: str):
     return out.sort_values("t").reset_index(drop=True)
 
 
+def q_link_harmonic(sf_dir: str):
+    """Top-20 pages of the crawl's link graph by harmonic centrality
+    (Boldi & Vigna 2013 — the metric HyperBall exists for): per-round
+    in-ball growth over t, 2^20 fixed-point integer arithmetic end to
+    end. DuckDB-hash-checked against a serial twin running the SAME pure
+    kernel over the oracle edge table."""
+    from ..ops.graph import harmonic_centrality
+
+    edges = crawl_handle_for(sf_dir).link_edges()
+    return harmonic_centrality(edges, k=20).reset_index(drop=True)
+
+
 def q_link_bowtie(sf_dir: str):
     """Bowtie decomposition of the crawl's directed link graph (Broder et
     al. 2000; ops/graph.py bowtie_kernel): every node classified CORE / IN
@@ -5947,6 +5959,7 @@ QUERIES = {
     "link_scc": q_link_scc,
     "link_bowtie": q_link_bowtie,
     "link_anf": q_link_anf,
+    "link_harmonic": q_link_harmonic,
     "winsorized_stats": q_winsorized_stats,
     "value_histogram": q_value_histogram,
     "order_top_line": q_order_top_line,
@@ -7637,6 +7650,7 @@ _TWIN_SQL_COLS = {
     "link_scc": ("node, scc", "node"),
     "link_bowtie": ("node, cls", "node"),
     "link_anf": ("t, nf_fp, nf_est, eff_diameter", "t"),
+    "link_harmonic": ("node, hc_fp", "hc_fp DESC, node"),
     "knn_ivf": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_pq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_ivfpq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 16  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 17  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1532,8 +1532,28 @@ def twin_link_anf() -> pa.Table:
     return pa.Table.from_pandas(anf_kernel(nodes, src, dst), preserve_index=False)
 
 
+def twin_link_harmonic() -> pa.Table:
+    """Serial harmonic centrality over the oracle link edges — the SAME
+    pure kernel (ops/graph.harmonic_kernel) and top-k tie policy, so the
+    distributed register rounds must reproduce every fixed-point value."""
+    import numpy as np
+
+    from ..ops.graph import harmonic_kernel
+
+    nodes, src, dst = _oracle_link_edges()
+    hc = harmonic_kernel(nodes, src, dst)
+    order = np.lexsort((nodes, -hc))[:20]
+    return pa.table(
+        {
+            "node": pa.array(nodes[order], pa.string()),
+            "hc_fp": pa.array(hc[order], pa.int64()),
+        }
+    )
+
+
 _NOARG_TWINS = {
     "link_anf": twin_link_anf,
+    "link_harmonic": twin_link_harmonic,
     "media_features": twin_media_features,
     "media_thumbnails": twin_media_thumbnails,
     "media_frames": twin_media_frames,

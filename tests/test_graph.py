@@ -752,3 +752,45 @@ def test_neighborhood_function_distributed_parity(ray_session):
         .sort_values("t")
     )
     pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+
+
+def test_harmonic_kernel_star_graph():
+    import numpy as np
+
+    from cloud_crawler_ray.ops.graph import _ANF_FP, harmonic_kernel
+
+    # star: a,b,c,d all point at z; z's in-ball grows to 5 at t=1 ->
+    # hc(z) ~ 4 (four nodes at distance 1); leaves have in-degree 0 -> 0
+    nodes = np.array(["a", "b", "c", "d", "z"], dtype=object)
+    src = np.array([0, 1, 2, 3])
+    dst = np.array([4, 4, 4, 4])
+    hc = harmonic_kernel(nodes, src, dst, p=8)
+    assert hc[4] / _ANF_FP > 3.0  # ~4 with HLL error at m=256
+    assert all(h == 0 for h in hc[:4])
+    # chain a->b->c: hc(c) ~ 1 + 1/2, hc(b) ~ 1, hc(a) = 0
+    nodes2 = np.array(["a", "b", "c"], dtype=object)
+    hc2 = harmonic_kernel(nodes2, np.array([0, 1]), np.array([1, 2]), p=8)
+    assert hc2[0] == 0
+    assert 0.6 < hc2[1] / _ANF_FP < 1.4
+    assert 1.0 < hc2[2] / _ANF_FP < 2.0
+
+
+def test_harmonic_centrality_distributed_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import harmonic_centrality
+
+    rng = np.random.default_rng(13)
+    n = 30
+    src = rng.integers(0, n, 90)
+    dst = rng.integers(0, n, 90)
+    keep = src != dst
+    ed = pd.DataFrame(
+        {"src": [f"u{s}" for s in src[keep]], "dst": [f"u{d}" for d in dst[keep]]}
+    ).drop_duplicates()
+    ds = rd.from_pandas(ed).repartition(4)
+    a = harmonic_centrality(ds, k=10)
+    b = harmonic_centrality(ds, k=10, driver_cap=0)
+    pd.testing.assert_frame_equal(a, b)
