@@ -2322,9 +2322,12 @@ def minhash_incremental(
                     f"{bi}:{_band_hash(sig[bi * rows_per_band : (bi + 1) * rows_per_band])}"
                 )
                 flags.append(fl)
+        # id-type-agnostic (crawl corpora key docs by URL string, testdata
+        # by int64): carry the input column's type through every stage
+        id_type = batch.schema.field("doc_id").type
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
+                "doc_id": pa.array(ids, id_type),
                 "bhash": pa.array(bhashes, pa.string()),
                 "is_new": pa.array(flags, pa.int8()),
             }
@@ -2352,10 +2355,13 @@ def minhash_incremental(
                     out_p.append(p_)
         if skipped:
             print(f"[minhash_incremental] skipped {skipped} over-cap buckets")
+        # dtype-preserving (the substring_dup_pairs precedent): an empty
+        # float64 [] would upcast sibling partials on concat
+        e = g["doc_id"].iloc[:0]
         return pd.DataFrame(
             {
-                "a": pd.Series(out_n, dtype=np.int64),
-                "b": pd.Series(out_p, dtype=np.int64),
+                "a": pd.Series(out_n, dtype=e.dtype) if out_n else e,
+                "b": pd.Series(out_p, dtype=e.dtype) if out_p else e.copy(),
             }
         )
 
@@ -2372,10 +2378,11 @@ def minhash_incremental(
         )
         .materialize()
     )
+    id_type = new_sigs.schema().base_schema.field("doc_id").type
     empty = pa.table(
         {
-            "new_id": pa.array([], pa.int64()),
-            "prior_id": pa.array([], pa.int64()),
+            "new_id": pa.array([], id_type),
+            "prior_id": pa.array([], id_type),
             "n_common": pa.array([], pa.int64()),
             "n_new": pa.array([], pa.int64()),
             "n_prior": pa.array([], pa.int64()),
@@ -2436,10 +2443,11 @@ def minhash_incremental(
                 out["n_common"].append(c)
                 out["n_new"].append(len(sa))
                 out["n_prior"].append(len(sb))
+        tid = t.schema.field("a").type
         return pa.table(
             {
-                "new_id": pa.array(out["new_id"], pa.int64()),
-                "prior_id": pa.array(out["prior_id"], pa.int64()),
+                "new_id": pa.array(out["new_id"], tid),
+                "prior_id": pa.array(out["prior_id"], tid),
                 "n_common": pa.array(out["n_common"], pa.int64()),
                 "n_new": pa.array(out["n_new"], pa.int64()),
                 "n_prior": pa.array(out["n_prior"], pa.int64()),

@@ -184,3 +184,15 @@ def test_certs_crawl_example(ray_session):
         f"http://certs.example.com/gym{g}-level2" in urls2 for g in range(4)
     )
     assert not any("level1" in u for u in urls2)
+
+
+def test_incremental_refresh_example(ray_session):
+    from examples.incremental_refresh import main
+
+    res = main("/tmp/ccray_t_increment")
+    assert res["day1_docs"] > 0 and res["day2_docs"] > 0
+    assert res["near_dup_matches"] > 0
+    # every matched new doc is excluded; matches may share a new id
+    assert res["admitted"] < res["day2_docs"]
+    assert res["admitted"] >= res["day2_docs"] - res["near_dup_matches"]
+    assert res["trim_spans"] > 0
