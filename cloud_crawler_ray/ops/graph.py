@@ -2526,3 +2526,134 @@ def harmonic_centrality(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+def ktruss_kernel(a: np.ndarray, b: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Pure k-truss kernel over undirected distinct a<b int edges: peel
+    edges whose support (triangles containing the edge, within the
+    CURRENT subgraph) is < k−2 until fixpoint (Cohen 2008, "Trusses:
+    cohesive subgraphs for social network analysis"). Support counting is
+    the same oriented wedge-join as `triangles` (wedges out of the lowest
+    vertex, searchsorted membership probe); the result is the canonical
+    maximal subgraph — a pure function of the edge set. Shared by the
+    distributed wrapper and the serial oracle twin."""
+    a = np.asarray(a, np.int64).copy()
+    b = np.asarray(b, np.int64).copy()
+    while len(a):
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keys = (a << np.int64(32)) | b
+        sup = np.zeros(len(a), np.int64)
+        ua, starts = np.unique(a, return_index=True)
+        bounds = np.append(starts, len(a))
+        for i in range(len(ua)):
+            s, e = bounds[i], bounds[i + 1]
+            d = e - s
+            if d < 2:
+                continue
+            nb = b[s:e]
+            ii, jj = np.triu_indices(d, k=1)
+            wk = (nb[ii] << np.int64(32)) | nb[jj]
+            pos = np.searchsorted(keys, wk)
+            hit = (pos < len(keys)) & (keys[np.minimum(pos, len(keys) - 1)] == wk)
+            if not hit.any():
+                continue
+            np.add.at(sup, pos[hit], 1)
+            np.add.at(sup, s + ii[hit], 1)
+            np.add.at(sup, s + jj[hit], 1)
+        keep = sup >= (k - 2)
+        if keep.all():
+            break
+        a, b = a[keep], b[keep]
+    return a, b
+
+
+def k_truss(
+    edges: rd.Dataset,
+    k: int,
+    driver_cap: int = 2_000_000,
+    max_iters: int = 1000,
+) -> rd.Dataset:
+    """k-truss of an undirected (a, b) edge Dataset: the edge-wise sibling
+    of k_core (triangle membership, not degree — a strictly stronger
+    cohesion signal for link-farm / community cores). Size-gated: the
+    kernel under ``driver_cap`` edges; above it (test-forced via
+    driver_cap=0) each round runs the existing distributed `triangles`
+    op on the surviving edges, folds each triangle into its three edge
+    keys (one hash(key) shard sum = per-edge support), co-shard-joins
+    support back onto the edges, and drops sup < k−2 — `_rebase` between
+    rounds keeps iteration cost flat; terminates when a round drops
+    nothing (max_iters is a loud backstop)."""
+    cur = edges.materialize()
+    empty = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+    if cur.count() == 0:
+        return rd.from_arrow(empty)
+    if cur.count() <= driver_cap:
+        ed = cur.to_pandas()
+        ka, kb = ktruss_kernel(ed["a"].to_numpy(), ed["b"].to_numpy(), k)
+        return rd.from_arrow(
+            pa.table({"a": pa.array(ka), "b": pa.array(kb)})
+        )
+
+    import pyarrow.compute as pc
+
+    n_sh = cluster_shards()
+    for _ in range(max_iters):
+        n_before = cur.count()
+        if n_before == 0:
+            break
+        tri = triangles(cur, broadcast_cap=0).materialize()
+
+        def tri_to_edges(t: pa.Table) -> pa.Table:
+            aa = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+            bb = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+            cc = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "a": pa.array(np.concatenate([aa, aa, bb])),
+                    "b": pa.array(np.concatenate([bb, cc, cc])),
+                    "sup": pa.array(np.ones(3 * len(aa), np.int64)),
+                }
+            )
+
+        sup_rows = tri.map_batches(tri_to_edges, batch_format="pyarrow")
+        tagged = cur.map_batches(
+            lambda t: pa.table(
+                {
+                    "a": t.column("a").cast(pa.int64()),
+                    "b": t.column("b").cast(pa.int64()),
+                    "sup": pa.array(np.full(t.num_rows, -1, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ).union(sup_rows)
+
+        def key_shard(t: pa.Table) -> pa.Table:
+            keys = pc.add(
+                pc.multiply(t.column("a"), np.int64(1) << np.int64(32)),
+                t.column("b"),
+            )
+            return _add_shard(t.append_column("_k", keys), "_k", n_sh).drop_columns(["_k"])
+
+        def filter_shard(g: pd.DataFrame, k=k) -> pd.DataFrame:
+            sup = g[g["sup"] > 0].groupby(["a", "b"], as_index=False)["sup"].sum()
+            ed = g.loc[g["sup"] < 0, ["a", "b"]].drop_duplicates()
+            m = ed.merge(sup, on=["a", "b"], how="left").fillna({"sup": 0})
+            keep = m[m["sup"] >= (k - 2)]
+            return keep[["a", "b"]].astype(np.int64)
+
+        new = (
+            tagged.map_batches(key_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: filter_shard(g.drop(columns=["shard"])), batch_format="pandas"
+            )
+            .materialize()
+        )
+        n_after = new.count()
+        cur = _rebase(new)
+        if n_after == n_before:
+            break
+    return cur

@@ -4537,6 +4537,25 @@ def q_part_k_core(sf_dir: str):
     )
 
 
+def q_part_k_truss(sf_dir: str):
+    """3-truss of the co-purchase part graph: peel edges in fewer than one
+    triangle (within the surviving subgraph) to fixpoint — the edge-wise
+    sibling of part_k_core, a strictly stronger cohesion cut. DuckDB-
+    hash-checked against a serial twin running the SAME pure kernel."""
+    import numpy as np
+
+    from ..ops.graph import k_truss
+
+    out = k_truss(_strong_part_edges(sf_dir), k=3).to_pandas()
+    for c in ("a", "b"):
+        out[c] = out[c].astype(np.int64)
+    return (
+        out.rename(columns={"a": "part_a", "b": "part_b"})
+        .sort_values(["part_a", "part_b"])
+        .reset_index(drop=True)
+    )
+
+
 def q_priority_cube(sf_dir: str):
     """CUBE grouping sets: order count + exact cent revenue at all four
     granularities of (priority, year) — the full CUBE, including the
@@ -6000,6 +6019,7 @@ QUERIES = {
     "knn_pq": q_knn_pq,
     "first_last_event": q_first_last_event,
     "part_k_core": q_part_k_core,
+    "part_k_truss": q_part_k_truss,
     "merge_upsert": q_merge_upsert,
     "doc_metrics_long": q_doc_metrics_long,
     "grouped_moments": q_grouped_moments,
@@ -7639,6 +7659,7 @@ _TWIN_SQL_COLS = {
     "interleave_pack": ("doc_id, n_tokens, n_media, tok_offset, seq_id", "doc_id"),
     "canonical_alias_dedup": ("n_docs, n_alias_edges, n_collapsed_docs", "1"),
     "part_k_core": ("part_a, part_b", "part_a, part_b"),
+    "part_k_truss": ("part_a, part_b", "part_a, part_b"),
     "graph_walks": ("walk_id, start, walk_str", "walk_id"),
     "embedding_neardup_lsh": ("a, b", "a, b"),
     "nb_classify": ("doc_id, lang, pred", "doc_id"),

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 17  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 18  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -900,6 +900,20 @@ def twin_part_k_core(sf_dir: str, k: int = 2) -> pa.Table:
     )
 
 
+def twin_part_k_truss(sf_dir: str, k: int = 3) -> pa.Table:
+    """Serial k-truss over the strong part edges — the SAME pure kernel
+    (ops/graph.ktruss_kernel), so the distributed triangle-support
+    peeling rounds must reproduce the exact surviving edge set."""
+    from ..ops.graph import ktruss_kernel
+
+    ed = _strong_part_edges_serial(sf_dir)
+    a, b = ktruss_kernel(ed["a"].to_numpy(), ed["b"].to_numpy(), k)
+    out = pd.DataFrame({"part_a": a, "part_b": b}).sort_values(
+        ["part_a", "part_b"]
+    )
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def twin_graph_walks(
     sf_dir: str, walk_len: int = 8, walks_per_node: int = 1, seed: int = 7
 ) -> pa.Table:
@@ -1444,6 +1458,7 @@ _SF_TWINS = {
     "event_overlap_kmv": twin_event_overlap_kmv,
     "api_fetch": twin_api_fetch,
     "part_k_core": twin_part_k_core,
+    "part_k_truss": twin_part_k_truss,
     "graph_walks": twin_graph_walks,
     "embedding_neardup_lsh": twin_embedding_neardup_lsh,
     "nb_classify": twin_nb_classify,

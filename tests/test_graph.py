@@ -794,3 +794,59 @@ def test_harmonic_centrality_distributed_parity(ray_session):
     a = harmonic_centrality(ds, k=10)
     b = harmonic_centrality(ds, k=10, driver_cap=0)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ktruss_kernel_planted():
+    import numpy as np
+
+    from cloud_crawler_ray.ops.graph import ktruss_kernel
+
+    # K4 on {0,1,2,3} (every edge in 2 triangles) + a pendant triangle
+    # {3,4,5} + a dangling edge (5,6)
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (3, 5), (4, 5), (5, 6)]
+    a = np.array([e[0] for e in edges])
+    b = np.array([e[1] for e in edges])
+    # 3-truss: every edge in >=1 triangle (within survivors) -> drops (5,6)
+    ka, kb = ktruss_kernel(a, b, 3)
+    assert set(zip(ka, kb)) == set(edges[:-1])
+    # 4-truss: every edge in >=2 triangles -> only K4 survives (the
+    # pendant triangle's edges have support 1 and peel, which then peels
+    # nothing else since K4 is self-sufficient)
+    ka, kb = ktruss_kernel(a, b, 4)
+    assert set(zip(ka, kb)) == set(edges[:6])
+    # 5-truss of K4: every edge would need 3 triangles -> empty
+    ka, kb = ktruss_kernel(a, b, 5)
+    assert len(ka) == 0
+
+
+def test_k_truss_distributed_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import k_truss
+
+    rng = np.random.default_rng(17)
+    n = 25
+    src = rng.integers(0, n, 140)
+    dst = rng.integers(0, n, 140)
+    keep = src < dst
+    ed = pd.DataFrame({"a": src[keep], "b": dst[keep]}).drop_duplicates()
+    ds = rd.from_pandas(ed).repartition(4)
+    a = (
+        k_truss(ds, k=3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    bdf = (
+        k_truss(ds, k=3, driver_cap=0)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    assert len(a) > 0  # dense random graph keeps a triangle core
+    pd.testing.assert_frame_equal(a, bdf)
