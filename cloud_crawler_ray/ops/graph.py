@@ -2657,3 +2657,186 @@ def k_truss(
         if n_after == n_before:
             break
     return cur
+
+
+_SSSP_INF = np.int64(1) << np.int64(62)
+
+
+def sssp_kernel(
+    n: int, src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+    seed_idx: np.ndarray,
+) -> np.ndarray:
+    """Pure single/multi-source shortest-path kernel over int-indexed
+    directed edges with nonnegative int64 weights: synchronous Bellman-
+    Ford relaxation (dist[dst] ← min(dist[dst], dist[src]+w)) to fixpoint
+    — min-merge is order- and partitioning-free, so the result is a pure
+    function of the weighted edge set and the distributed rounds must
+    agree bit-for-bit. Returns int64 distances, _SSSP_INF = unreachable."""
+    dist = np.full(n, _SSSP_INF, np.int64)
+    if len(seed_idx):
+        dist[seed_idx] = 0
+    while True:
+        cand = dist.copy()
+        if len(src):
+            np.minimum.at(cand, dst, dist[src] + w)
+        if np.array_equal(cand, dist):
+            return dist
+        dist = cand
+
+
+def weighted_sssp(
+    edges: rd.Dataset,
+    seeds: list[str],
+    driver_cap: int = 2_000_000,
+    max_rounds: int = 10_000,
+) -> rd.Dataset:
+    """Weighted shortest paths from a seed set over a (src, dst, w)
+    string-keyed edge Dataset with nonnegative int64 weights — for the
+    crawl graph with w = target fetch latency this is the minimum crawl
+    cost to reach every page. Returns (node, cost_ms) for reachable nodes.
+
+    Size-gated: kernel under ``driver_cap`` edges; above it (test-forced
+    via driver_cap=0) distances stay a Dataset and each round is two
+    co-shard exchanges — dist meets out-edges in hash(src) shards emitting
+    (dst, dist+w) candidates, candidates min-merge with dist in hash(node)
+    shards — driver sees one changed-count per shard per round; rounds
+    stop at the fixpoint ≤ the shortest-path tree's hop depth."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    empty = pa.table(
+        {"node": pa.array([], pa.string()), "cost_ms": pa.array([], pa.int64())}
+    )
+    if n_edges == 0 or not seeds:
+        return rd.from_arrow(empty)
+    if n_edges <= driver_cap:
+        ed = edges.to_pandas()
+        nodes, inv = np.unique(
+            np.concatenate([ed["src"].to_numpy(), ed["dst"].to_numpy()]),
+            return_inverse=True,
+        )
+        seed_arr = np.asarray(sorted(set(seeds)), dtype=object)
+        pos = np.searchsorted(nodes, seed_arr)
+        ok = (pos < len(nodes)) & (nodes[np.minimum(pos, len(nodes) - 1)] == seed_arr)
+        dist = sssp_kernel(
+            len(nodes), inv[: len(ed)], inv[len(ed):],
+            ed["w"].to_numpy().astype(np.int64), pos[ok],
+        )
+        # seeds not in the graph still label 0 (the bfs_distances policy —
+        # and what the distributed dist table does by construction)
+        reach = dist < _SSSP_INF
+        extra = ~np.isin(nodes[reach], seed_arr)
+        out_nodes = list(seed_arr) + nodes[reach][extra].tolist()
+        out_cost = [0] * len(seed_arr) + dist[reach][extra].tolist()
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(np.asarray(out_nodes, dtype=object), pa.string()),
+                    "cost_ms": pa.array(np.asarray(out_cost, np.int64)),
+                }
+            )
+        )
+
+    n_sh = cluster_shards()
+    edges = edges.map_batches(lambda t: t, batch_format="pyarrow")
+    dist = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(sorted(set(seeds)), pa.string()),
+                "cost_ms": pa.array([0] * len(set(seeds)), pa.int64()),
+            }
+        )
+    ).materialize()
+
+    for _ in range(max_rounds):
+        tagged = dist.map_batches(
+            lambda tb: pa.table(
+                {
+                    "key": tb.column("node"),
+                    "dst": pa.array([""] * tb.num_rows, pa.string()),
+                    "w": tb.column("cost_ms"),
+                }
+            ),
+            batch_format="pyarrow",
+        ).union(
+            edges.map_batches(
+                lambda tb: pa.table(
+                    {
+                        "key": tb.column("src").cast(pa.string()),
+                        "dst": tb.column("dst").cast(pa.string()),
+                        "w": tb.column("w").cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+        def relax(g: pd.DataFrame) -> pd.DataFrame:
+            have = g[g["dst"] == ""]
+            lut = dict(zip(have["key"], have["w"]))
+            ed = g[g["dst"] != ""]
+            base = ed["key"].map(lut)
+            keep = base.notna()
+            return pd.DataFrame(
+                {
+                    "node": ed.loc[keep, "dst"].to_numpy(),
+                    "cost_ms": (
+                        base[keep].to_numpy().astype(np.int64)
+                        + ed.loc[keep, "w"].to_numpy().astype(np.int64)
+                    ),
+                }
+            )
+
+        cands = (
+            tagged.map_batches(
+                lambda tb: _add_shard(tb, "key", n_sh), batch_format="pyarrow"
+            )
+            .groupby("shard")
+            .map_groups(lambda g: relax(g.drop(columns=["shard"])), batch_format="pandas")
+            .map_batches(lambda tb: tb, batch_format="pyarrow")
+        )
+
+        def min_merge(g: pd.DataFrame) -> pd.DataFrame:
+            best = g.groupby("node", as_index=False)["cost_ms"].min()
+            old = g[g["is_d"] == 1].set_index("node")["cost_ms"]
+            prev = old.reindex(best["node"]).to_numpy()
+            new = best["cost_ms"].to_numpy().astype(np.int64)
+            changed = int(np.sum(~(prev == new)))  # NaN prev (new node) counts
+            out = best.copy()
+            out["changed"] = 0
+            if len(out):
+                out.iloc[0, out.columns.get_loc("changed")] = changed
+            return out
+
+        both = dist.map_batches(
+            lambda tb: tb.append_column("is_d", pa.array([1] * tb.num_rows, pa.int8())),
+            batch_format="pyarrow",
+        ).union(
+            cands.map_batches(
+                lambda tb: tb.append_column("is_d", pa.array([0] * tb.num_rows, pa.int8())),
+                batch_format="pyarrow",
+            )
+        )
+        new_dist = (
+            both.map_batches(lambda tb: _add_shard(tb, "node", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: min_merge(g.drop(columns=["shard"])), batch_format="pandas"
+            )
+            .materialize()
+        )
+        changed_total = int(
+            new_dist.map_batches(
+                lambda tb: pa.table(
+                    {"c": pa.array([int(np.sum(tb.column("changed").to_numpy()))], pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ).to_pandas()["c"].sum()
+        )
+        dist = _rebase(
+            new_dist.map_batches(
+                lambda tb: tb.select(["node", "cost_ms"]), batch_format="pyarrow"
+            ).materialize()
+        )
+        if changed_total == 0:
+            break
+    return dist

@@ -645,6 +645,80 @@ def q_pagerank_personalized(sf_dir: str):
     return topk(tops).reset_index(drop=True)
 
 
+def q_crawl_cost(sf_dir: str):
+    """Minimum crawl cost (summed target fetch latency, ms) from the 3
+    lexicographically-smallest source pages to every reachable page —
+    weighted SSSP over the link graph with w(edge u→v) = min fetched
+    response_time_ms of v (1000 ms for never-fetched targets). Distributed
+    Bellman-Ford min-merge rounds; integer-exact. DuckDB-hash-checked
+    against a serial twin running the SAME pure kernel over the oracle
+    edge + page tables."""
+    import numpy as np
+
+    from ..ops.dedup import keyed_attach
+    from ..ops.graph import weighted_sssp
+
+    handle = crawl_handle_for(sf_dir)
+    edges = handle.link_edges().materialize()
+
+    def min3(t: pa.Table) -> pa.Table:
+        src = np.unique(t.column("src").to_numpy(zero_copy_only=False))[:3]
+        return pa.table({"node": pa.array(src, pa.string())})
+
+    parts = edges.map_batches(min3, batch_format="pyarrow").to_pandas()
+    seeds = sorted(parts["node"].unique())[:3]
+
+    from ..ops.dedup import _add_shard
+
+    def node_weight_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df["fetched"]]
+        out = df.groupby("canonical_url", as_index=False)["response_time_ms"].min()
+        return pa.Table.from_pandas(
+            out.rename(columns={"canonical_url": "dst", "response_time_ms": "w"}),
+            preserve_index=False,
+        )
+
+    weights = (
+        handle.pages()
+        .map_batches(
+            lambda t: t.select(["canonical_url", "response_time_ms", "fetched"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(node_weight_partial, batch_format="pyarrow")
+        # per-block partials → one hash(dst) shard min = the global min
+        # (a canonical_url's partials all land in one shard)
+        .map_batches(lambda t: _add_shard(t, "dst"), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"]).groupby("dst", as_index=False)["w"].min(),
+            batch_format="pandas",
+        )
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    ew = keyed_attach(
+        edges.map_batches(lambda t: t, batch_format="pyarrow"),
+        weights, "dst", ["w"], right_count=weights.count(),
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "w": pa.array(
+                    np.nan_to_num(
+                        t.column("w").to_numpy(zero_copy_only=False).astype(np.float64),
+                        nan=1000.0,
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    out = weighted_sssp(ew, list(seeds)).to_pandas()
+    return out.sort_values("node").reset_index(drop=True)
+
+
 def q_link_communities(sf_dir: str):
     """Community detection over the flagship crawl's link graph
     (ops/graph.py label_propagation — synchronous LPA, 5 rounds, min-label
@@ -5979,6 +6053,7 @@ QUERIES = {
     "link_bowtie": q_link_bowtie,
     "link_anf": q_link_anf,
     "link_harmonic": q_link_harmonic,
+    "crawl_cost": q_crawl_cost,
     "winsorized_stats": q_winsorized_stats,
     "value_histogram": q_value_histogram,
     "order_top_line": q_order_top_line,
@@ -7672,6 +7747,7 @@ _TWIN_SQL_COLS = {
     "link_bowtie": ("node, cls", "node"),
     "link_anf": ("t, nf_fp, nf_est, eff_diameter", "t"),
     "link_harmonic": ("node, hc_fp", "hc_fp DESC, node"),
+    "crawl_cost": ("node, cost_ms", "node"),
     "knn_ivf": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_pq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_ivfpq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 18  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 19  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1536,6 +1536,50 @@ def twin_margin_mine(
 _SF_TWINS["margin_mine"] = twin_margin_mine
 
 
+def twin_crawl_cost() -> pa.Table:
+    """Serial weighted SSSP over the oracle link edges with w(u→v) = min
+    fetched response_time_ms of v (1000 for never-fetched targets), seeds
+    = 3 lexicographically-smallest sources — the SAME pure kernel
+    (ops/graph.sssp_kernel) and the same seed/weight policy as
+    q_crawl_cost, so every cost must hash-match."""
+    import numpy as np
+
+    from .queries import ORACLE_TABLE_DIR, ensure_oracle_tables
+    from ..ops.graph import _SSSP_INF, sssp_kernel
+
+    ensure_oracle_tables()
+    e = pq.read_table(os.path.join(ORACLE_TABLE_DIR, "link_edges.parquet"))
+    s = np.asarray(e.column("src").to_pylist(), dtype=object)
+    d = np.asarray(e.column("dst").to_pylist(), dtype=object)
+    pages = pq.read_table(
+        os.path.join(ORACLE_TABLE_DIR, "pages.parquet"),
+        columns=["canonical_url", "response_time_ms", "fetched"],
+    ).to_pandas()
+    wmap = (
+        pages[pages["fetched"]]
+        .groupby("canonical_url")["response_time_ms"]
+        .min()
+        .to_dict()
+    )
+    nodes, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+    src = inv[: len(s)]
+    dst = inv[len(s):]
+    w = np.asarray([int(wmap.get(x, 1000)) for x in d], np.int64)
+    seeds = sorted(set(s))[:3]
+    seed_arr = np.asarray(seeds, dtype=object)
+    pos = np.searchsorted(nodes, seed_arr)
+    ok = (pos < len(nodes)) & (nodes[np.minimum(pos, len(nodes) - 1)] == seed_arr)
+    dist = sssp_kernel(len(nodes), src, dst, w, pos[ok])
+    reach = dist < _SSSP_INF
+    extra = ~np.isin(nodes[reach], seed_arr)
+    out_nodes = list(seed_arr) + nodes[reach][extra].tolist()
+    out_cost = [0] * len(seed_arr) + dist[reach][extra].tolist()
+    out = pd.DataFrame({"node": out_nodes, "cost_ms": np.asarray(out_cost, np.int64)})
+    return pa.Table.from_pandas(
+        out.sort_values("node").reset_index(drop=True), preserve_index=False
+    )
+
+
 def twin_link_anf() -> pa.Table:
     """Serial ANF/HyperBall over the oracle link edges — the SAME pure
     kernel (ops/graph.anf_kernel: per-node HLL registers, Jacobi max-merge
@@ -1569,6 +1613,7 @@ def twin_link_harmonic() -> pa.Table:
 _NOARG_TWINS = {
     "link_anf": twin_link_anf,
     "link_harmonic": twin_link_harmonic,
+    "crawl_cost": twin_crawl_cost,
     "media_features": twin_media_features,
     "media_thumbnails": twin_media_thumbnails,
     "media_frames": twin_media_frames,

@@ -850,3 +850,70 @@ def test_k_truss_distributed_parity(ray_session):
     )
     assert len(a) > 0  # dense random graph keeps a triangle core
     pd.testing.assert_frame_equal(a, bdf)
+
+
+def test_sssp_kernel_vs_floyd_warshall():
+    import numpy as np
+
+    from cloud_crawler_ray.ops.graph import _SSSP_INF, sssp_kernel
+
+    rng = np.random.default_rng(21)
+    n = 18
+    src = rng.integers(0, n, 70)
+    dst = rng.integers(0, n, 70)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.integers(1, 50, keep.sum()).astype(np.int64)
+    seeds = np.array([0, 5])
+    dist = sssp_kernel(n, src, dst, w, seeds)
+    # Floyd-Warshall reference
+    INF = 10**12
+    D = np.full((n, n), INF, np.int64)
+    np.fill_diagonal(D, 0)
+    for s, d, ww in zip(src, dst, w):
+        D[s, d] = min(D[s, d], ww)
+    for kk in range(n):
+        D = np.minimum(D, D[:, kk : kk + 1] + D[kk : kk + 1, :])
+    ref = np.minimum(D[0], D[5])
+    for i in range(n):
+        if ref[i] >= INF:
+            assert dist[i] == _SSSP_INF
+        else:
+            assert dist[i] == ref[i], (i, dist[i], ref[i])
+
+
+def test_weighted_sssp_distributed_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import weighted_sssp
+
+    rng = np.random.default_rng(23)
+    n = 25
+    src = rng.integers(0, n, 80)
+    dst = rng.integers(0, n, 80)
+    keep = src != dst
+    ed = pd.DataFrame(
+        {
+            "src": [f"u{s}" for s in src[keep]],
+            "dst": [f"u{d}" for d in dst[keep]],
+            "w": rng.integers(1, 100, int(keep.sum())).astype(np.int64),
+        }
+    ).drop_duplicates(["src", "dst"])
+    ds = rd.from_pandas(ed).repartition(4)
+    seeds = ["u0", "u1", "zzz-not-in-graph"]
+    a = (
+        weighted_sssp(ds, seeds)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    b = (
+        weighted_sssp(ds, seeds, driver_cap=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.set_index("node").loc[["u0", "u1", "zzz-not-in-graph"], "cost_ms"] == 0).all()
