@@ -7769,6 +7769,69 @@ ORACLE_SQL.update(
     }
 )
 
+def q_part_link_pred(sf_dir: str):
+    """Link prediction over the co-purchase part graph (shared edge
+    derivation with part_triangles / part_k_core): the top-30 NON-adjacent
+    part pairs most likely to co-occur next, scored by common-neighbor
+    count with the integer-exact resource-allocation index
+    (Σ floor(2^20/deg(z)) over shared neighbors z) as the tie-break —
+    the 'related items you have not linked yet' primitive (for a crawl
+    graph: which pages SHOULD link). Two hash shuffles (ops/graph.py
+    link_prediction), per-block top-k partials → driver top-30; DuckDB
+    hash-checked DIRECTLY against a wedge-join + anti-join SQL oracle."""
+    import numpy as np
+
+    from ..ops.graph import link_prediction
+
+    scored = link_prediction(_strong_part_edges(sf_dir))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["cn", "ra_fp", "x", "y"], ascending=[False, False, True, True],
+            kind="stable",
+        ).head(30)
+
+    parts = scored.map_batches(topk, batch_format="pandas").to_pandas()
+    out = topk(parts).reset_index(drop=True)
+    out = out.rename(columns={"x": "part_a", "y": "part_b"})
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+QUERIES["part_link_pred"] = q_part_link_pred
+ORACLE_SQL["part_link_pred"] = """
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1,2 HAVING count(*) >= 2
+        ),
+        und AS (SELECT pa AS z, pb AS n FROM e
+                UNION ALL SELECT pb AS z, pa AS n FROM e),
+        deg AS (SELECT z, count(*) AS d FROM und GROUP BY z),
+        wedge AS (
+          SELECT u1.n AS x, u2.n AS y, u1.z AS z
+          FROM und u1 JOIN und u2 ON u1.z = u2.z AND u1.n < u2.n
+        ),
+        cand AS (
+          SELECT x, y, count(*) AS cn, SUM(1048576 // d)::BIGINT AS ra_fp
+          FROM wedge JOIN deg ON wedge.z = deg.z
+          GROUP BY x, y
+        ),
+        nonedge AS (
+          SELECT c.* FROM cand c
+          LEFT JOIN e ON e.pa = c.x AND e.pb = c.y
+          WHERE e.pa IS NULL
+        )
+        SELECT x::BIGINT AS part_a, y::BIGINT AS part_b,
+               cn::BIGINT AS cn, ra_fp
+        FROM nonedge
+        ORDER BY cn DESC, ra_fp DESC, part_a, part_b
+        LIMIT 30
+    """
+
 # The grading driver's correctness window covers the first 50 registry
 # entries; enumerate the DuckDB-hash-checked queries first (stable order
 # within each group) so every driver slot carries the hard SQL signal and

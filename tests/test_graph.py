@@ -917,3 +917,83 @@ def test_weighted_sssp_distributed_parity(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert (a.set_index("node").loc[["u0", "u1", "zzz-not-in-graph"], "cost_ms"] == 0).all()
+
+
+def test_link_pred_kernel_brute_force():
+    """link_pred_kernel vs an itertools brute force on random undirected
+    graphs: candidates = non-adjacent pairs with >=1 common neighbor,
+    cn exact, ra_fp = sum(2^20 // deg(z)) exact."""
+    import itertools
+
+    import numpy as np
+
+    from cloud_crawler_ray.ops.graph import _RA_FP, link_pred_kernel
+
+    rng = np.random.default_rng(31)
+    for trial in range(10):
+        n = int(rng.integers(5, 20))
+        m = int(rng.integers(4, 40))
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        keep = a != b
+        lo, hi = np.minimum(a[keep], b[keep]), np.maximum(a[keep], b[keep])
+        ed = sorted(set(zip(lo.tolist(), hi.tolist())))
+        if not ed:
+            continue
+        adj: dict[int, set[int]] = {}
+        for x, y in ed:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        expect = {}
+        for x, y in itertools.combinations(sorted(adj), 2):
+            if y in adj[x]:
+                continue
+            common = adj[x] & adj[y]
+            if common:
+                expect[(x, y)] = (
+                    len(common),
+                    sum(_RA_FP // len(adj[z]) for z in common),
+                )
+        av = np.array([x for x, _ in ed], np.int64)
+        bv = np.array([y for _, y in ed], np.int64)
+        got = link_pred_kernel(av, bv)
+        got_map = {
+            (int(r.x), int(r.y)): (int(r.cn), int(r.ra_fp))
+            for r in got.itertuples()
+        }
+        assert got_map == expect, (trial, ed)
+
+
+def test_link_prediction_distributed_matches_kernel(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import link_pred_kernel, link_prediction
+
+    rng = np.random.default_rng(33)
+    a = rng.integers(0, 40, 150)
+    b = rng.integers(0, 40, 150)
+    keep = a != b
+    lo, hi = np.minimum(a[keep], b[keep]), np.maximum(a[keep], b[keep])
+    ed = (
+        pd.DataFrame({"a": lo, "b": hi})
+        .drop_duplicates()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    ds = rd.from_pandas(ed).repartition(5)
+    got = (
+        link_prediction(ds)
+        .to_pandas()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    ref = (
+        link_pred_kernel(ed["a"].to_numpy(), ed["b"].to_numpy())
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype(np.int64), ref.astype(np.int64)
+    )
