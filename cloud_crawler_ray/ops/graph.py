@@ -3009,3 +3009,170 @@ def link_prediction(edges: rd.Dataset) -> rd.Dataset:
         )
         .map_batches(lambda t: t, batch_format="pyarrow")
     )
+
+
+def graph_summary(edges: rd.Dataset) -> pd.DataFrame:
+    """Integer-exact structural summary of a DIRECTED int-keyed edge
+    Dataset (columns ``src``, ``dst``; rows distinct, no self-loops —
+    callers filter). Returns 9 (metric, v) rows; every value is an exact
+    int64 sum, so the output is a pure function of the edge set and the
+    ratios derive outside:
+
+      reciprocity        = recip_edges / m_edges       (Newman 2002)
+      assortativity r    = Pearson over per-edge (outdeg src, indeg dst)
+                           from sum_x/sum_y/sum_xy/sum_x2/sum_y2 + m
+      global clustering  = closed_wedges / wedges      (transitivity)
+
+    Shape — bounded driver traffic throughout: degree tables come from
+    per-block partials → hash(node) shard sums; the five assortativity
+    sums leave each block as 5 ints after two size-gated keyed_attach
+    joins; reciprocity + the distinct undirected edge set come from ONE
+    hash(unordered-key) shard pass; closed wedges reuse the oriented
+    wedge-join (``triangles``: closed = 3·triangle count) and the wedge
+    total is Σ C(deg,2) from the same undirected degree partials. Node ids
+    must fit int32 (the composite-key packing every graph op here uses)."""
+    edges = edges.materialize()
+    m = edges.count()
+    rows: dict[str, int] = {"m_edges": int(m)}
+    if m == 0:
+        for k in ("recip_edges", "sum_x", "sum_y", "sum_xy", "sum_x2",
+                  "sum_y2", "closed_wedges", "wedges"):
+            rows[k] = 0
+        return pd.DataFrame(
+            {"metric": sorted(rows), "v": [rows[k] for k in sorted(rows)]}
+        )
+    n_sh = cluster_shards()
+
+    # ---- reciprocity + distinct undirected edges: one unordered-key pass
+    def und_key(t: pa.Table) -> pa.Table:
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = np.minimum(s, d), np.maximum(s, d)
+        return pa.table(
+            {
+                "_k": pa.array((lo << np.int64(32)) | hi),
+                "a": pa.array(lo),
+                "b": pa.array(hi),
+                "fwd": pa.array((s < d).astype(np.int8)),
+            }
+        )
+
+    def pair_fold(g: pd.DataFrame) -> pd.DataFrame:
+        gg = g.groupby(["_k", "a", "b"], as_index=False)["fwd"].nunique()
+        recip = 2 * int((gg["fwd"] == 2).sum())
+        out = gg[["a", "b"]].copy()
+        out["recip_partial"] = 0
+        if len(out):
+            out.iloc[0, out.columns.get_loc("recip_partial")] = recip
+        return out
+
+    upairs = (
+        edges.map_batches(und_key, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "_k", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: pair_fold(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .materialize()
+    )
+    rows["recip_edges"] = int(
+        upairs.map_batches(
+            lambda t: pa.table(
+                {"r": pa.array([int(np.sum(t.column("recip_partial").to_numpy()))],
+                               pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()["r"].sum()
+    )
+    und = _rebase(
+        upairs.map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+        ).materialize()
+    )
+
+    # ---- degree tables (out-deg by src, in-deg by dst)
+    def deg_table(col: str, out_col: str) -> rd.Dataset:
+        def partial(t: pa.Table) -> pa.Table:
+            v, c = np.unique(
+                t.column(col).to_numpy(zero_copy_only=False).astype(np.int64),
+                return_counts=True,
+            )
+            return pa.table({col: pa.array(v), out_col: pa.array(c.astype(np.int64))})
+
+        return (
+            edges.map_batches(partial, batch_format="pyarrow")
+            .map_batches(lambda t: _add_shard(t, col, n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: g.drop(columns=["shard"]).groupby(col, as_index=False)[
+                    out_col
+                ].sum(),
+                batch_format="pandas",
+            )
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize()
+        )
+
+    outd = deg_table("src", "od")
+    ind = deg_table("dst", "indeg")
+    joined = keyed_attach(
+        keyed_attach(
+            edges.map_batches(lambda t: t, batch_format="pyarrow"),
+            outd, "src", ["od"], right_count=outd.count(),
+        ),
+        ind, "dst", ["indeg"], right_count=ind.count(),
+    )
+
+    def sums_partial(t: pa.Table) -> pa.Table:
+        x = t.column("od").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t.column("indeg").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "sum_x": pa.array([int(x.sum())], pa.int64()),
+                "sum_y": pa.array([int(y.sum())], pa.int64()),
+                "sum_xy": pa.array([int((x * y).sum())], pa.int64()),
+                "sum_x2": pa.array([int((x * x).sum())], pa.int64()),
+                "sum_y2": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    sp = joined.map_batches(sums_partial, batch_format="pyarrow").to_pandas()
+    for c in ("sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"):
+        rows[c] = int(sp[c].sum())
+
+    # ---- transitivity: closed wedges via the oriented wedge-join
+    rows["closed_wedges"] = 3 * int(triangles(und).count())
+
+    def wedge_partial(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        v, c = np.unique(np.concatenate([a, b]), return_counts=True)
+        return pa.table({"n": pa.array(v), "d": pa.array(c.astype(np.int64))})
+
+    wp = (
+        und.map_batches(wedge_partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "n", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: pd.DataFrame(
+                {
+                    "w": [
+                        int(
+                            (
+                                lambda d: (d * (d - 1) // 2).sum()
+                            )(
+                                g.drop(columns=["shard"])
+                                .groupby("n")["d"].sum().to_numpy()
+                            )
+                        )
+                    ]
+                }
+            ),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    rows["wedges"] = int(wp["w"].sum())
+    return pd.DataFrame(
+        {"metric": sorted(rows), "v": np.asarray([rows[k] for k in sorted(rows)], np.int64)}
+    )

@@ -7832,6 +7832,115 @@ ORACLE_SQL["part_link_pred"] = """
         LIMIT 30
     """
 
+def q_part_seq_graph_stats(sf_dir: str):
+    """Structural summary of the DIRECTED part-sequence graph (edge u→v =
+    part v follows part u inside some order, by line number; distinct, no
+    self-loops) — the graph-health audit a link-graph pipeline runs before
+    trusting downstream ranking: reciprocity, degree-assortativity
+    sufficient statistics, and transitivity, all as exact int64 sums
+    (ratios derive outside; see ops/graph.graph_summary). Edge derivation
+    is one hash(order) shard pass (an order's lines are shard-complete, so
+    consecutive pairs come from one vectorized sort + shift) + one
+    pair-key shard distinct; the summary's shuffles are documented on the
+    op. DuckDB hash-checked DIRECTLY against a LEAD-window + self-join SQL
+    oracle."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+    from ..ops.graph import graph_summary
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey"],
+    )
+    n_sh = cluster_shards()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # (orderkey, linenumber) is NOT unique in the synthetic lineitem;
+        # l_partkey completes a total order (remaining ties are identical
+        # rows, whose self-pairs the src != dst filter drops)
+        g = g.sort_values(["l_orderkey", "l_linenumber", "l_partkey"], kind="stable")
+        part = g["l_partkey"].to_numpy().astype(np.int64)
+        okey = g["l_orderkey"].to_numpy()
+        if len(part) < 2:
+            return pd.DataFrame(
+                {"src": np.array([], np.int64), "dst": np.array([], np.int64)}
+            )
+        src, dst = part[:-1], part[1:]
+        keep = (okey[:-1] == okey[1:]) & (src != dst)
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep]}).drop_duplicates()
+
+    def pair_key(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_k", pa.array((s << np.int64(32)) | d))
+
+    edges = (
+        li.map_batches(lambda t: _add_shard(t, "l_orderkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lambda g: pairs(g.drop(columns=["shard"])), batch_format="pandas")
+        .map_batches(pair_key, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "_k", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard", "_k"]).drop_duplicates(["src", "dst"]),
+            batch_format="pandas",
+        )
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    out = graph_summary(edges)
+    out["v"] = out["v"].astype(np.int64)
+    return out.sort_values("metric").reset_index(drop=True)
+
+
+QUERIES["part_seq_graph_stats"] = q_part_seq_graph_stats
+ORACLE_SQL["part_seq_graph_stats"] = """
+        WITH seq AS (
+          SELECT l_orderkey, l_partkey,
+                 LEAD(l_partkey) OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+                 ) AS nxt
+          FROM lineitem
+        ),
+        e AS (
+          SELECT l_partkey AS src, nxt AS dst
+          FROM seq WHERE nxt IS NOT NULL AND nxt <> l_partkey
+          GROUP BY 1, 2
+        ),
+        outd AS (SELECT src AS n, count(*) AS od FROM e GROUP BY 1),
+        ind  AS (SELECT dst AS n, count(*) AS indeg FROM e GROUP BY 1),
+        j AS (
+          SELECT o.od AS x, i.indeg AS y
+          FROM e JOIN outd o ON e.src = o.n JOIN ind i ON e.dst = i.n
+        ),
+        u AS (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+          FROM e GROUP BY 1, 2
+        ),
+        und AS (SELECT a AS z FROM u UNION ALL SELECT b FROM u),
+        deg AS (SELECT z, count(*) AS d FROM und GROUP BY z),
+        tri AS (
+          SELECT count(*) AS t
+          FROM u e1
+          JOIN u e2 ON e2.a = e1.b
+          JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b
+        )
+        SELECT metric, v FROM (
+          SELECT 'm_edges' AS metric, count(*)::BIGINT AS v FROM e
+          UNION ALL SELECT 'recip_edges', count(*)::BIGINT
+            FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+          UNION ALL SELECT 'sum_x', SUM(x)::BIGINT FROM j
+          UNION ALL SELECT 'sum_y', SUM(y)::BIGINT FROM j
+          UNION ALL SELECT 'sum_xy', SUM(x * y)::BIGINT FROM j
+          UNION ALL SELECT 'sum_x2', SUM(x * x)::BIGINT FROM j
+          UNION ALL SELECT 'sum_y2', SUM(y * y)::BIGINT FROM j
+          UNION ALL SELECT 'closed_wedges', (3 * t)::BIGINT FROM tri
+          UNION ALL SELECT 'wedges', SUM(d * (d - 1) // 2)::BIGINT FROM deg
+        ) ORDER BY metric
+    """
+
 # The grading driver's correctness window covers the first 50 registry
 # entries; enumerate the DuckDB-hash-checked queries first (stable order
 # within each group) so every driver slot carries the hard SQL signal and

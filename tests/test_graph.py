@@ -997,3 +997,61 @@ def test_link_prediction_distributed_matches_kernel(ray_session):
     pd.testing.assert_frame_equal(
         got.astype(np.int64), ref.astype(np.int64)
     )
+
+
+def test_graph_summary_brute_force(ray_session):
+    """graph_summary vs a dict/set brute force on random directed graphs:
+    reciprocity, assortativity sums, wedge/closed-wedge counts all exact."""
+    import itertools
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import graph_summary
+
+    rng = np.random.default_rng(41)
+    for trial in range(3):
+        n = int(rng.integers(6, 16))
+        m = int(rng.integers(8, 60))
+        s = rng.integers(0, n, m)
+        d = rng.integers(0, n, m)
+        keep = s != d
+        ed = (
+            pd.DataFrame({"src": s[keep], "dst": d[keep]})
+            .drop_duplicates()
+            .reset_index(drop=True)
+        )
+        es = set(zip(ed["src"].tolist(), ed["dst"].tolist()))
+        od: dict[int, int] = {}
+        ind: dict[int, int] = {}
+        for x, y in es:
+            od[x] = od.get(x, 0) + 1
+            ind[y] = ind.get(y, 0) + 1
+        xs = [od[x] for x, y in es]
+        ys = [ind[y] for x, y in es]
+        und = {(min(x, y), max(x, y)) for x, y in es}
+        adj: dict[int, set[int]] = {}
+        for a, b in und:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        tri = sum(
+            1
+            for a, b, c in itertools.combinations(sorted(adj), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        expect = {
+            "closed_wedges": 3 * tri,
+            "m_edges": len(es),
+            "recip_edges": sum(1 for x, y in es if (y, x) in es),
+            "sum_x": sum(xs),
+            "sum_x2": sum(v * v for v in xs),
+            "sum_xy": sum(a * b for a, b in zip(xs, ys)),
+            "sum_y": sum(ys),
+            "sum_y2": sum(v * v for v in ys),
+            "wedges": wedges,
+        }
+        got = graph_summary(rd.from_pandas(ed).repartition(4))
+        got_map = dict(zip(got["metric"], got["v"].astype(int)))
+        assert got_map == expect, (trial, got_map, expect)
