@@ -7941,6 +7941,61 @@ ORACLE_SQL["part_seq_graph_stats"] = """
         ) ORDER BY metric
     """
 
+def q_event_f2(sf_dir: str):
+    """Second frequency moment (self-join size, Σ per-user count²) of the
+    event stream — the join-planning / skew statistic a shuffle planner
+    reads before choosing a strategy — twice: exactly (per-block unique
+    counts → hash(user) shard sums → per-shard Σc² partials → driver adds
+    n_shards ints) and via the mergeable AMS tug-of-war sketch (one d×w
+    grid per block, grids ADD, upper-median row estimate; driver holds d·w
+    ints at any corpus size). The exact row is DuckDB-computed in the
+    oracle SQL; the sketch row hash-matches a serial twin running the same
+    kernel. Output: (metric, v) integer rows."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+    from ..ops.sketches import ams_f2
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    n_sh = cluster_shards()
+
+    def cpart(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table({"u": pa.array(v), "c": pa.array(c.astype(np.int64))})
+
+    def shard_f2(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("u")["c"].sum().to_numpy().astype(np.int64)
+        return pd.DataFrame({"f2": [int((tot * tot).sum())]})
+
+    parts = (
+        ev.map_batches(cpart, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "u", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_f2(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    exact = int(parts["f2"].sum())
+    est = ams_f2(ev, "user_id")
+    return pd.DataFrame(
+        {"metric": ["f2_ams", "f2_exact"], "v": np.asarray([est, exact], np.int64)}
+    )
+
+
+QUERIES["event_f2"] = q_event_f2
+ORACLE_SQL["event_f2"] = f"""
+        SELECT metric, v FROM (
+          SELECT 'f2_exact' AS metric, SUM(c * c)::BIGINT AS v
+          FROM (SELECT count(*)::BIGINT AS c FROM events GROUP BY user_id)
+          UNION ALL
+          SELECT metric, v FROM read_parquet('{TWIN_DIR}/event_f2.parquet')
+        ) ORDER BY metric
+    """
+
 # The grading driver's correctness window covers the first 50 registry
 # entries; enumerate the DuckDB-hash-checked queries first (stable order
 # within each group) so every driver slot carries the hard SQL signal and

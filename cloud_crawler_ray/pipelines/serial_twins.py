@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 19  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 20  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1652,3 +1652,23 @@ def ensure_twin_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
     with open(vfile, "w") as f:
         json.dump({"version": _TWIN_VERSION}, f)
     return out
+
+
+def twin_event_f2(sf_dir: str) -> pa.Table:
+    """Serial AMS F2 sketch over the events user_id stream — the SAME pure
+    kernel (ops/sketches.ams_partial + upper-median ams_estimate) on the
+    whole column at once, so the distributed grid merge must reproduce the
+    integer estimate exactly (grids ADD; signs/buckets are deterministic
+    hashes). The exact F2 row is computed BY DUCKDB in the oracle SQL, not
+    here — the sketch row is the only twin-backed value."""
+    from ..ops.sketches import ams_estimate, ams_partial
+
+    ev = _events_table(sf_dir, ["user_id"]).to_pandas()
+    est = ams_estimate(ams_partial(ev["user_id"].to_numpy()))
+    return pa.table(
+        {"metric": pa.array(["f2_ams"], pa.string()),
+         "v": pa.array([est], pa.int64())}
+    )
+
+
+_SF_TWINS["event_f2"] = twin_event_f2

@@ -312,3 +312,34 @@ def test_mg_heavy_hitters_empty_and_uniform(ray_session):
         pd.DataFrame({"text": [f"u{i}" for i in range(100)]})
     ).materialize()
     assert len(mg_heavy_hitters(uni, m=8)) == 0
+
+
+def test_ams_f2_error_band_and_merge_law():
+    """AMS grids merge by ADD (concat stream == summed grids, exactly) and
+    the estimate lands within a loose relative band of true F2 on a zipfish
+    stream (variance 2·F2²/w per row, w=2048, median of 4 rows)."""
+    import numpy as np
+
+    from cloud_crawler_ray.ops.sketches import ams_estimate, ams_partial
+
+    rng = np.random.default_rng(47)
+    a = rng.zipf(1.5, 20_000) % 5_000
+    b = rng.zipf(1.5, 30_000) % 5_000
+    whole = ams_partial(np.concatenate([a, b]))
+    merged = ams_partial(a) + ams_partial(b)
+    assert np.array_equal(whole, merged)
+    _, counts = np.unique(np.concatenate([a, b]), return_counts=True)
+    f2 = int((counts.astype(np.int64) ** 2).sum())
+    est = ams_estimate(merged)
+    assert abs(est - f2) <= 0.2 * f2, (est, f2)
+
+
+def test_ams_f2_deterministic():
+    import numpy as np
+
+    from cloud_crawler_ray.ops.sketches import ams_estimate, ams_partial
+
+    vals = np.arange(1000) % 37
+    g1, g2 = ams_partial(vals), ams_partial(vals.copy())
+    assert np.array_equal(g1, g2)
+    assert ams_estimate(g1) == ams_estimate(g2)
