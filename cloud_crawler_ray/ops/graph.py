@@ -3176,3 +3176,360 @@ def graph_summary(edges: rd.Dataset) -> pd.DataFrame:
     return pd.DataFrame(
         {"metric": sorted(rows), "v": np.asarray([rows[k] for k in sorted(rows)], np.int64)}
     )
+
+
+def msf_kernel(a: np.ndarray, b: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Pure minimum-spanning-forest kernel over undirected string-or-int
+    endpoint arrays with int64 weights: Kruskal with union-find over the
+    TOTAL edge order (w, a, b) — the total order makes the lexicographic
+    MSF unique, so Borůvka rounds with the same tie-break (the distributed
+    path) must produce the identical edge set. Returns the sorted indices
+    of the kept edges into the input arrays."""
+    order = np.lexsort((b, a, w))
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ua, ub = inv[: len(a)], inv[len(a):]
+    parent = np.arange(len(nodes))
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    keep = []
+    for i in order:
+        ra, rb = find(int(ua[i])), find(int(ub[i]))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            keep.append(int(i))
+    return np.sort(np.asarray(keep, np.int64))
+
+
+def minimum_spanning_forest(
+    edges: rd.Dataset,
+    driver_cap: int = 2_000_000,
+    max_rounds: int = 64,
+    max_merge_rounds: int = 64,
+) -> rd.Dataset:
+    """Minimum spanning forest of an undirected (a, b, w) string-keyed
+    edge Dataset (a < b, rows distinct, int64 weights) — for the latency-
+    weighted crawl graph this is the cheapest skeleton that keeps every
+    reachable page connected (crawl-budget planning, host backbone maps).
+    Returns (a, b, w) of the kept edges. The (w, a, b) TOTAL order makes
+    the MSF unique, so both paths agree bit-for-bit.
+
+    Size-gated: Kruskal kernel under ``driver_cap`` edges; above it
+    (test-forced via driver_cap=0) Borůvka rounds where component labels
+    stay a Dataset: per round (≤ log₂ n rounds — component count at least
+    halves) the label table attaches to both endpoints via size-gated
+    keyed_attach joins, internal edges drop, each component elects its
+    (w, a, b)-minimum cross edge in one hash(comp) shard pass, and the
+    candidate star graph merges by inner min-label rounds (Borůvka
+    candidates form pseudotrees whose cycles are 2-cycles under a total
+    order, so the inner fixpoint is O(candidate-tree depth), typically
+    1-3; a loud warning fires if ``max_merge_rounds`` is hit). Driver sees
+    per-round changed-counts only; MSF edges accumulate as a Dataset."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.string()),
+            "b": pa.array([], pa.string()),
+            "w": pa.array([], pa.int64()),
+        }
+    )
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+    if n_edges <= driver_cap:
+        ed = edges.to_pandas()
+        av = ed["a"].to_numpy()
+        bv = ed["b"].to_numpy()
+        wv = ed["w"].to_numpy().astype(np.int64)
+        keep = msf_kernel(av, bv, wv)
+        out = ed.iloc[keep].sort_values(["a", "b"]).reset_index(drop=True)
+        out["w"] = out["w"].astype(np.int64)
+        return rd.from_pandas(out[["a", "b", "w"]])
+
+    import warnings
+
+    import pyarrow.compute as pc
+
+    n_sh = cluster_shards()
+
+    # comp table: every endpoint starts as its own component
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": pa.concat_arrays(
+                [t.column("a").combine_chunks().cast(pa.string()),
+                 t.column("b").combine_chunks().cast(pa.string())]
+            )}
+        )
+
+    def shard_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["node"])
+
+    comp = (
+        edges.map_batches(node_rows, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "node", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_distinct(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .map_batches(
+            lambda t: t.append_column("comp", t.column("node")),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    live = edges
+    msf_parts: list[rd.Dataset] = []
+
+    for _round in range(max_rounds):
+        # attach comp to both endpoints (comp named per side to avoid clash)
+        cu = comp.map_batches(
+            lambda t: pa.table({"a": t.column("node"), "cu": t.column("comp")}),
+            batch_format="pyarrow",
+        ).materialize()
+        with_cu = keyed_attach(
+            live.map_batches(lambda t: t, batch_format="pyarrow"),
+            cu, "a", ["cu"], right_count=cu.count(),
+        )
+        cv = comp.map_batches(
+            lambda t: pa.table({"b": t.column("node"), "cv": t.column("comp")}),
+            batch_format="pyarrow",
+        ).materialize()
+        tagged = keyed_attach(with_cu, cv, "b", ["cv"], right_count=cv.count())
+
+        cross = tagged.map_batches(
+            lambda t: t.filter(
+                pc.not_equal(t.column("cu"), t.column("cv"))
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        n_cross = cross.count()
+        if n_cross == 0:
+            break
+        live = _rebase(
+            cross.map_batches(
+                lambda t: t.select(["a", "b", "w"]), batch_format="pyarrow"
+            ).materialize()
+        )
+
+        # each component elects its (w, a, b)-minimum cross edge
+        def both_sides(t: pa.Table) -> pa.Table:
+            base = {
+                "a": t.column("a"), "b": t.column("b"), "w": t.column("w"),
+                "cu": t.column("cu"), "cv": t.column("cv"),
+            }
+            one = pa.table({**base, "comp_key": t.column("cu")})
+            two = pa.table({**base, "comp_key": t.column("cv")})
+            return pa.concat_tables([one, two])
+
+        def elect(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["w", "a", "b"], kind="stable")
+            return g.groupby("comp_key", as_index=False).first()
+
+        cands = (
+            cross.map_batches(both_sides, batch_format="pyarrow")
+            .map_batches(lambda t: _add_shard(t, "comp_key", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: elect(g.drop(columns=["shard"])), batch_format="pandas"
+            )
+            # an edge may be elected by both endpoints: exact dedup by key
+            .map_batches(
+                lambda t: t.append_column(
+                    "_k",
+                    pc.binary_join_element_wise(
+                        t.column("a").cast(pa.string()),
+                        t.column("b").cast(pa.string()),
+                        "\x1f",
+                    ),
+                ),
+                batch_format="pyarrow",
+            )
+            .map_batches(lambda t: _add_shard(t, "_k", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: g.drop(columns=["shard", "_k", "comp_key"]).drop_duplicates(
+                    ["a", "b"]
+                ),
+                batch_format="pandas",
+            )
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize()
+        )
+        msf_parts.append(
+            _rebase(
+                cands.map_batches(
+                    lambda t: t.select(["a", "b", "w"]), batch_format="pyarrow"
+                ).materialize()
+            )
+        )
+
+        # merge components: min-label fixpoint over the candidate star graph
+        lab = (
+            cands.map_batches(
+                lambda t: pa.table(
+                    {
+                        "comp": pa.concat_arrays(
+                            [t.column("cu").combine_chunks(),
+                             t.column("cv").combine_chunks()]
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .map_batches(lambda t: _add_shard(t, "comp", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: g.drop(columns=["shard"]).drop_duplicates(["comp"]),
+                batch_format="pandas",
+            )
+            .map_batches(
+                lambda t: t.append_column("lab", t.column("comp")),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cand_edges = cands.map_batches(
+            lambda t: pa.table(
+                {
+                    "x": pa.concat_arrays(
+                        [t.column("cu").combine_chunks(), t.column("cv").combine_chunks()]
+                    ),
+                    "y": pa.concat_arrays(
+                        [t.column("cv").combine_chunks(), t.column("cu").combine_chunks()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        for _inner in range(max_merge_rounds):
+            have = lab.map_batches(
+                lambda t: pa.table(
+                    {"x": t.column("comp"), "y": pa.array([""] * t.num_rows, pa.string()),
+                     "lab": t.column("lab")}
+                ),
+                batch_format="pyarrow",
+            ).union(
+                cand_edges.map_batches(
+                    lambda t: pa.table(
+                        {"x": t.column("x"), "y": t.column("y"),
+                         "lab": pa.array([""] * t.num_rows, pa.string())}
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+
+            def push(g: pd.DataFrame) -> pd.DataFrame:
+                own = g[g["y"] == ""]
+                lut = dict(zip(own["x"], own["lab"]))
+                ed = g[g["y"] != ""]
+                vals = ed["x"].map(lut)
+                keep = vals.notna()
+                return pd.DataFrame(
+                    {"comp": ed.loc[keep, "y"].to_numpy(),
+                     "cand": vals[keep].to_numpy()}
+                )
+
+            pushed = (
+                have.map_batches(lambda t: _add_shard(t, "x", n_sh), batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(
+                    lambda g: push(g.drop(columns=["shard"])), batch_format="pandas"
+                )
+                .map_batches(lambda t: t, batch_format="pyarrow")
+            )
+
+            def min_lab(g: pd.DataFrame) -> pd.DataFrame:
+                own = g[g["cand"] == ""]
+                cand = g.groupby("comp", as_index=False)["lab2"].min()
+                old = own.set_index("comp")["lab2"]
+                prev = old.reindex(cand["comp"])
+                changed = int((prev.to_numpy() != cand["lab2"].to_numpy()).sum())
+                out = cand.rename(columns={"lab2": "lab"})
+                out["comp"] = out["comp"].astype(str)
+                out["changed"] = 0
+                if len(out):
+                    out.iloc[0, out.columns.get_loc("changed")] = changed
+                return out
+
+            both = lab.map_batches(
+                lambda t: pa.table(
+                    {"comp": t.column("comp"), "lab2": t.column("lab"),
+                     "cand": pa.array([""] * t.num_rows, pa.string())}
+                ),
+                batch_format="pyarrow",
+            ).union(
+                pushed.map_batches(
+                    lambda t: pa.table(
+                        {"comp": t.column("comp"), "lab2": t.column("cand"),
+                         "cand": pa.array(["c"] * t.num_rows, pa.string())}
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            new_lab = (
+                both.map_batches(lambda t: _add_shard(t, "comp", n_sh), batch_format="pyarrow")
+                .groupby("shard")
+                .map_groups(
+                    lambda g: min_lab(g.drop(columns=["shard"])), batch_format="pandas"
+                )
+                .materialize()
+            )
+            changed_total = int(
+                new_lab.map_batches(
+                    lambda t: pa.table(
+                        {"c": pa.array(
+                            [int(np.sum(t.column("changed").to_numpy()))], pa.int64()
+                        )}
+                    ),
+                    batch_format="pyarrow",
+                ).to_pandas()["c"].sum()
+            )
+            lab = _rebase(
+                new_lab.map_batches(
+                    lambda t: t.select(["comp", "lab"]), batch_format="pyarrow"
+                ).materialize()
+            )
+            if changed_total == 0:
+                break
+        else:
+            warnings.warn(
+                "minimum_spanning_forest: candidate merge did not converge "
+                f"within {max_merge_rounds} min-label rounds",
+                stacklevel=2,
+            )
+
+        # update the comp table: comp -> lab where present
+        lab_j = lab.map_batches(
+            lambda t: pa.table({"comp": t.column("comp"), "lab": t.column("lab")}),
+            batch_format="pyarrow",
+        ).materialize()
+        comp = _rebase(
+            keyed_attach(
+                comp.map_batches(lambda t: t, batch_format="pyarrow"),
+                lab_j, "comp", ["lab"], right_count=lab_j.count(),
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "comp": pc.coalesce(
+                            t.column("lab").cast(pa.string()), t.column("comp")
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    if not msf_parts:
+        return rd.from_arrow(empty)
+    out = msf_parts[0]
+    for part in msf_parts[1:]:
+        out = out.union(part)
+    return out

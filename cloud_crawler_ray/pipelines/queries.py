@@ -645,30 +645,18 @@ def q_pagerank_personalized(sf_dir: str):
     return topk(tops).reset_index(drop=True)
 
 
-def q_crawl_cost(sf_dir: str):
-    """Minimum crawl cost (summed target fetch latency, ms) from the 3
-    lexicographically-smallest source pages to every reachable page —
-    weighted SSSP over the link graph with w(edge u→v) = min fetched
-    response_time_ms of v (1000 ms for never-fetched targets). Distributed
-    Bellman-Ford min-merge rounds; integer-exact. DuckDB-hash-checked
-    against a serial twin running the SAME pure kernel over the oracle
-    edge + page tables."""
+def _latency_weighted_edges(handle):
+    """Directed (src, dst, w) edge Dataset over a crawl handle's link graph
+    with w(u→v) = min fetched response_time_ms of v (1000 ms for never-
+    fetched targets) — the shared derivation for q_crawl_cost (SSSP) and
+    q_crawl_mst (spanning forest). Node weights come from per-block min
+    partials → one hash(dst) shard min; the attach is a size-gated
+    keyed_attach join."""
     import numpy as np
 
-    from ..ops.dedup import keyed_attach
-    from ..ops.graph import weighted_sssp
+    from ..ops.dedup import _add_shard, keyed_attach
 
-    handle = crawl_handle_for(sf_dir)
     edges = handle.link_edges().materialize()
-
-    def min3(t: pa.Table) -> pa.Table:
-        src = np.unique(t.column("src").to_numpy(zero_copy_only=False))[:3]
-        return pa.table({"node": pa.array(src, pa.string())})
-
-    parts = edges.map_batches(min3, batch_format="pyarrow").to_pandas()
-    seeds = sorted(parts["node"].unique())[:3]
-
-    from ..ops.dedup import _add_shard
 
     def node_weight_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
@@ -697,7 +685,7 @@ def q_crawl_cost(sf_dir: str):
         .map_batches(lambda t: t, batch_format="pyarrow")
         .materialize()
     )
-    ew = keyed_attach(
+    return edges, keyed_attach(
         edges.map_batches(lambda t: t, batch_format="pyarrow"),
         weights, "dst", ["w"], right_count=weights.count(),
     ).map_batches(
@@ -715,8 +703,83 @@ def q_crawl_cost(sf_dir: str):
         ),
         batch_format="pyarrow",
     )
+
+
+def q_crawl_cost(sf_dir: str):
+    """Minimum crawl cost (summed target fetch latency, ms) from the 3
+    lexicographically-smallest source pages to every reachable page —
+    weighted SSSP over the link graph with w(edge u→v) = min fetched
+    response_time_ms of v (1000 ms for never-fetched targets). Distributed
+    Bellman-Ford min-merge rounds; integer-exact. DuckDB-hash-checked
+    against a serial twin running the SAME pure kernel over the oracle
+    edge + page tables."""
+    import numpy as np
+
+    from ..ops.graph import weighted_sssp
+
+    handle = crawl_handle_for(sf_dir)
+    edges, ew = _latency_weighted_edges(handle)
+
+    def min3(t: pa.Table) -> pa.Table:
+        src = np.unique(t.column("src").to_numpy(zero_copy_only=False))[:3]
+        return pa.table({"node": pa.array(src, pa.string())})
+
+    parts = edges.map_batches(min3, batch_format="pyarrow").to_pandas()
+    seeds = sorted(parts["node"].unique())[:3]
     out = weighted_sssp(ew, list(seeds)).to_pandas()
     return out.sort_values("node").reset_index(drop=True)
+
+
+def q_crawl_mst(sf_dir: str):
+    """Minimum spanning forest of the latency-weighted UNDIRECTED crawl
+    graph (edge weight = min over both directions of the q_crawl_cost
+    policy) — the cheapest skeleton keeping every reachable page
+    connected: crawl-budget planning, host backbone maps. The (w, a, b)
+    total order makes the forest unique, so distributed Borůvka rounds
+    (ops/graph.minimum_spanning_forest, test-forced) agree bit-for-bit
+    with the Kruskal kernel the serial twin runs. DuckDB-hash-checked
+    against that twin over the oracle edge + page tables."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+    from ..ops.graph import minimum_spanning_forest
+
+    handle = crawl_handle_for(sf_dir)
+    _, ew = _latency_weighted_edges(handle)
+    n_sh = cluster_shards()
+
+    def undirect(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(object)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(object)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        return pa.table(
+            {
+                "a": pa.array(lo, pa.string()),
+                "b": pa.array(hi, pa.string()),
+                "w": t.column("w"),
+                "_k": pa.array(
+                    np.char.add(np.char.add(lo.astype(str), "\x1f"), hi.astype(str))
+                ),
+            }
+        )
+
+    und = (
+        ew.map_batches(undirect, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "_k", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard", "_k"])
+            .groupby(["a", "b"], as_index=False)["w"].min(),
+            batch_format="pandas",
+        )
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    out = minimum_spanning_forest(und).to_pandas()
+    out["w"] = out["w"].astype(np.int64)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_link_communities(sf_dir: str):
@@ -7748,6 +7811,7 @@ _TWIN_SQL_COLS = {
     "link_anf": ("t, nf_fp, nf_est, eff_diameter", "t"),
     "link_harmonic": ("node, hc_fp", "hc_fp DESC, node"),
     "crawl_cost": ("node, cost_ms", "node"),
+    "crawl_mst": ("a, b, w", "a, b"),
     "knn_ivf": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_pq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_ivfpq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
@@ -7986,6 +8050,7 @@ def q_event_f2(sf_dir: str):
     )
 
 
+QUERIES["crawl_mst"] = q_crawl_mst
 QUERIES["event_f2"] = q_event_f2
 ORACLE_SQL["event_f2"] = f"""
         SELECT metric, v FROM (

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 20  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 21  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1672,3 +1672,46 @@ def twin_event_f2(sf_dir: str) -> pa.Table:
 
 
 _SF_TWINS["event_f2"] = twin_event_f2
+
+
+def twin_crawl_mst() -> pa.Table:
+    """Serial minimum spanning forest over the oracle link edges with the
+    SAME latency weight policy as q_crawl_mst (w(u→v) = min fetched
+    response_time_ms of v, 1000 for never-fetched; undirected weight = min
+    over both directions) and the SAME pure kernel (ops/graph.msf_kernel,
+    Kruskal over the (w, a, b) total order) — the total order makes the
+    forest unique, so the distributed Borůvka rounds must reproduce every
+    edge."""
+    import numpy as np
+
+    from .queries import ORACLE_TABLE_DIR, ensure_oracle_tables
+    from ..ops.graph import msf_kernel
+
+    ensure_oracle_tables()
+    e = pq.read_table(os.path.join(ORACLE_TABLE_DIR, "link_edges.parquet"))
+    s = np.asarray(e.column("src").to_pylist(), dtype=object)
+    d = np.asarray(e.column("dst").to_pylist(), dtype=object)
+    pages = pq.read_table(
+        os.path.join(ORACLE_TABLE_DIR, "pages.parquet"),
+        columns=["canonical_url", "response_time_ms", "fetched"],
+    ).to_pandas()
+    wmap = (
+        pages[pages["fetched"]]
+        .groupby("canonical_url")["response_time_ms"]
+        .min()
+        .to_dict()
+    )
+    w = np.asarray([int(wmap.get(x, 1000)) for x in d], np.int64)
+    lo = np.minimum(s, d)
+    hi = np.maximum(s, d)
+    und = (
+        pd.DataFrame({"a": lo, "b": hi, "w": w})
+        .groupby(["a", "b"], as_index=False)["w"].min()
+    )
+    keep = msf_kernel(und["a"].to_numpy(), und["b"].to_numpy(), und["w"].to_numpy())
+    out = und.iloc[keep].sort_values(["a", "b"]).reset_index(drop=True)
+    out["w"] = out["w"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_NOARG_TWINS["crawl_mst"] = twin_crawl_mst

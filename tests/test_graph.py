@@ -1055,3 +1055,119 @@ def test_graph_summary_brute_force(ray_session):
         got = graph_summary(rd.from_pandas(ed).repartition(4))
         got_map = dict(zip(got["metric"], got["v"].astype(int)))
         assert got_map == expect, (trial, got_map, expect)
+
+
+def _prim_reference(ed, nodes):
+    """Independent Prim with the same (w, a, b) total order, per component."""
+    import heapq
+
+    adj: dict[str, list[tuple[int, str, str, str]]] = {}
+    for a, b, w in ed:
+        adj.setdefault(a, []).append((w, a, b, b))
+        adj.setdefault(b, []).append((w, a, b, a))
+    seen: set[str] = set()
+    kept = set()
+    for start in sorted(nodes):
+        if start in seen:
+            continue
+        seen.add(start)
+        heap = list(adj.get(start, []))
+        heapq.heapify(heap)
+        while heap:
+            w, a, b, other = heapq.heappop(heap)
+            if other in seen:
+                continue
+            seen.add(other)
+            kept.add((a, b, w))
+            for item in adj.get(other, []):
+                heapq.heappush(heap, item)
+    return kept
+
+
+def test_msf_kernel_vs_prim():
+    import numpy as np
+
+    from cloud_crawler_ray.ops.graph import msf_kernel
+
+    rng = np.random.default_rng(51)
+    for trial in range(8):
+        n = int(rng.integers(4, 25))
+        m = int(rng.integers(3, 60))
+        a = rng.integers(0, n, m)
+        b = rng.integers(0, n, m)
+        keep = a != b
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        names_lo = np.array([f"n{v:03d}" for v in lo], dtype=object)
+        names_hi = np.array([f"n{v:03d}" for v in hi], dtype=object)
+        import pandas as pd
+
+        ed = (
+            pd.DataFrame(
+                {"a": names_lo, "b": names_hi,
+                 "w": rng.integers(1, 6, int(keep.sum())).astype(np.int64)}
+            )
+            .groupby(["a", "b"], as_index=False)["w"].min()
+        )
+        if not len(ed):
+            continue
+        idx = msf_kernel(
+            ed["a"].to_numpy(), ed["b"].to_numpy(), ed["w"].to_numpy()
+        )
+        got = {
+            (r.a, r.b, int(r.w)) for r in ed.iloc[idx].itertuples()
+        }
+        nodes = set(ed["a"]) | set(ed["b"])
+        ref = _prim_reference(
+            list(zip(ed["a"], ed["b"], ed["w"].astype(int))), nodes
+        )
+        assert got == ref, (trial, sorted(got), sorted(ref))
+
+
+def test_msf_distributed_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import minimum_spanning_forest
+
+    rng = np.random.default_rng(53)
+    a = rng.integers(0, 30, 120)
+    b = rng.integers(0, 30, 120)
+    keep = a != b
+    lo = np.minimum(a[keep], b[keep])
+    hi = np.maximum(a[keep], b[keep])
+    ed = (
+        pd.DataFrame(
+            {
+                "a": [f"u{v:03d}" for v in lo],
+                "b": [f"u{v:03d}" for v in hi],
+                "w": rng.integers(1, 9, int(keep.sum())).astype(np.int64),
+            }
+        )
+        .groupby(["a", "b"], as_index=False)["w"].min()
+    )
+    # add a disconnected little component
+    extra = pd.DataFrame(
+        {"a": ["z001", "z001"], "b": ["z002", "z003"], "w": np.int64([4, 2])}
+    )
+    ed = pd.concat([ed, extra], ignore_index=True)
+    ds = rd.from_pandas(ed).repartition(5)
+    fast = (
+        minimum_spanning_forest(ds)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        minimum_spanning_forest(ds, driver_cap=0)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        fast, dist[["a", "b", "w"]].astype({"w": np.int64})
+    )
+    # spanning: kept edges = nodes - components (forest property)
+    nodes = set(ed["a"]) | set(ed["b"])
+    assert len(fast) < len(nodes)
