@@ -3533,3 +3533,226 @@ def minimum_spanning_forest(
     for part in msf_parts[1:]:
         out = out.union(part)
     return out
+
+
+def densest_kernel(
+    a: np.ndarray, b: np.ndarray, num: int = 1, den: int = 10
+) -> np.ndarray:
+    """Pure densest-subgraph kernel over an undirected (a < b, distinct)
+    int edge list: Charikar greedy peeling in the (1+ε) batched form
+    (Bahmani/Kumar/Vassilvitskii, VLDB 2012), ε = num/den — each round
+    removes EVERY node with deg·n·den ≤ 2·m·(den+num), so the peel is a
+    pure function of the edge set (no per-node order dependence) and
+    terminates in O(log n) rounds; a round's snapshot is the set of nodes
+    with ≥1 alive edge (isolated leftovers — e.g. a star center after its
+    leaves peel — contribute 0 density and drop out), and the answer is
+    the snapshot with maximum density m/n, compared by integer cross-
+    multiplication (earliest round wins ties). 2(1+ε)-approximation.
+    Returns the sorted member node ids."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ua, ub = inv[: len(a)], inv[len(a):]
+    n_all = len(nodes)
+    alive_edge = np.ones(len(ua), bool)
+    best_m, best_n = -1, 1
+    best_mask = np.zeros(n_all, bool)
+    while True:
+        deg = np.bincount(ua[alive_edge], minlength=n_all) + np.bincount(
+            ub[alive_edge], minlength=n_all
+        )
+        alive = deg > 0
+        n = int(alive.sum())
+        if n == 0:
+            break
+        m = int(alive_edge.sum())
+        if m * best_n > best_m * n:
+            best_m, best_n = m, n
+            best_mask = alive.copy()
+        peel = alive & (deg * n * den <= 2 * m * (den + num))
+        alive_edge &= ~(peel[ua] | peel[ub])
+    return np.sort(nodes[best_mask])
+
+
+def densest_subgraph(
+    edges: rd.Dataset,
+    num: int = 1,
+    den: int = 10,
+    driver_cap: int = 2_000_000,
+    broadcast_cap: int = 5_000_000,
+) -> rd.Dataset:
+    """Distributed densest subgraph over an undirected (a, b) int-keyed
+    edge Dataset — the community-core / link-farm-core extractor (the
+    densest co-purchase cluster; on a link graph, the tightest spam ring).
+    Returns one sorted column ``part`` of member node ids.
+
+    Size-gated: kernel under ``driver_cap`` edges; above it (test-forced
+    via driver_cap=0) the SAME batched peeling runs distributed: per round
+    degrees come from per-block partials → hash(node) shard sums, the
+    global (m, n) pair and the integer peel threshold are driver ints, the
+    peeled-node set stays a Dataset (recorded per round — the best
+    snapshot reconstructs as the union of rounds ≥ best_r, zero driver
+    node data), and edge filtering broadcasts the peel set under
+    ``broadcast_cap`` (ray.put sorted ids + searchsorted) or anti-joins in
+    hash(endpoint) shards above it. O(log n) rounds for ε = num/den."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(pa.table({"part": pa.array([], pa.int64())}))
+    if n_edges <= driver_cap:
+        ed = edges.to_pandas()
+        members = densest_kernel(
+            ed["a"].to_numpy().astype(np.int64),
+            ed["b"].to_numpy().astype(np.int64),
+            num, den,
+        )
+        return rd.from_arrow(pa.table({"part": pa.array(members, pa.int64())}))
+
+    n_sh = cluster_shards()
+    live = edges.map_batches(
+        lambda t: pa.table(
+            {"a": t.column("a").cast(pa.int64()), "b": t.column("b").cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            np.concatenate(
+                [
+                    t.column("a").to_numpy(zero_copy_only=False),
+                    t.column("b").to_numpy(zero_copy_only=False),
+                ]
+            ),
+            return_counts=True,
+        )
+        return pa.table(
+            {"n": pa.array(v.astype(np.int64)), "d": pa.array(c.astype(np.int64))}
+        )
+
+    node_rounds: list[rd.Dataset] = []
+    round_mn: list[tuple[int, int]] = []
+    while True:
+        m = live.count()
+        deg = (
+            live.map_batches(deg_partial, batch_format="pyarrow")
+            .map_batches(lambda t: _add_shard(t, "n", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: g.drop(columns=["shard"]).groupby("n", as_index=False)["d"].sum(),
+                batch_format="pandas",
+            )
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize()
+        )
+        n = deg.count()
+        if n == 0:
+            break
+        # the deg table IS the round snapshot: every row has >=1 alive edge
+        node_rounds.append(
+            _rebase(
+                deg.map_batches(
+                    lambda t: t.select(["n"]), batch_format="pyarrow"
+                ).materialize()
+            )
+        )
+        round_mn.append((int(m), int(n)))
+        thresh = 2 * int(m) * (den + num)
+
+        def peel_fn(t: pa.Table, n=n, thresh=thresh) -> pa.Table:
+            d = t.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = d * (int(n) * den) <= thresh
+            return pa.table(
+                {
+                    "n": pa.array(
+                        t.column("n").to_numpy(zero_copy_only=False)[keep].astype(
+                            np.int64
+                        )
+                    )
+                }
+            )
+
+        peel = deg.map_batches(peel_fn, batch_format="pyarrow").materialize()
+        n_peel = peel.count()
+        if n_peel == n:
+            break
+        if n_peel <= broadcast_cap:
+            ids = np.sort(
+                np.concatenate(
+                    [
+                        pa.table(bt).column("n").to_numpy(zero_copy_only=False)
+                        for bt in peel.iter_batches(batch_format="pyarrow")
+                    ]
+                    or [np.array([], np.int64)]
+                ).astype(np.int64)
+            )
+            ref = ray.put(ids)
+
+            def drop(t: pa.Table, ref=ref) -> pa.Table:
+                gone = ray.get(ref)
+                av = t.column("a").to_numpy(zero_copy_only=False)
+                bv = t.column("b").to_numpy(zero_copy_only=False)
+
+                def hit(x: np.ndarray) -> np.ndarray:
+                    if not len(gone):
+                        return np.zeros(len(x), bool)
+                    pos = np.searchsorted(gone, x)
+                    return (pos < len(gone)) & (
+                        gone[np.minimum(pos, len(gone) - 1)] == x
+                    )
+
+                keep = ~(hit(av) | hit(bv))
+                return pa.table({"a": pa.array(av[keep]), "b": pa.array(bv[keep])})
+
+            live = _rebase(
+                live.map_batches(drop, batch_format="pyarrow").materialize()
+            )
+        else:
+            # co-shard anti-join on each endpoint in turn
+            def anti(col: str, ed: rd.Dataset) -> rd.Dataset:
+                tagged = ed.map_batches(
+                    lambda t, col=col: t.append_column(
+                        "_key", t.column(col).cast(pa.int64())
+                    ),
+                    batch_format="pyarrow",
+                ).union(
+                    peel.map_batches(
+                        lambda t: pa.table(
+                            {
+                                "a": pa.array(np.full(t.num_rows, -1, np.int64)),
+                                "b": pa.array(np.full(t.num_rows, -1, np.int64)),
+                                "_key": t.column("n").cast(pa.int64()),
+                            }
+                        ),
+                        batch_format="pyarrow",
+                    )
+                )
+
+                def drop_marked(g: pd.DataFrame) -> pd.DataFrame:
+                    gone = set(g.loc[g["a"] < 0, "_key"])
+                    keep = g[(g["a"] >= 0) & (~g["_key"].isin(gone))]
+                    return keep[["a", "b"]]
+
+                return (
+                    tagged.map_batches(
+                        lambda t: _add_shard(t, "_key", n_sh), batch_format="pyarrow"
+                    )
+                    .groupby("shard")
+                    .map_groups(
+                        lambda g: drop_marked(g.drop(columns=["shard"])),
+                        batch_format="pandas",
+                    )
+                    .map_batches(lambda t: t, batch_format="pyarrow")
+                )
+
+            live = _rebase(anti("b", anti("a", live)).materialize())
+
+    if not round_mn:
+        return rd.from_arrow(pa.table({"part": pa.array([], pa.int64())}))
+    best_r = 0
+    best_m, best_n = round_mn[0]
+    for r, (m, n) in enumerate(round_mn):
+        if m * best_n > best_m * n:
+            best_m, best_n, best_r = m, n, r
+    return node_rounds[best_r].map_batches(
+        lambda t: pa.table({"part": t.column("n").cast(pa.int64())}),
+        batch_format="pyarrow",
+    )

@@ -7812,6 +7812,7 @@ _TWIN_SQL_COLS = {
     "link_harmonic": ("node, hc_fp", "hc_fp DESC, node"),
     "crawl_cost": ("node, cost_ms", "node"),
     "crawl_mst": ("a, b, w", "a, b"),
+    "part_densest": ("part", "part"),
     "knn_ivf": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_pq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_ivfpq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
@@ -8050,6 +8051,24 @@ def q_event_f2(sf_dir: str):
     )
 
 
+def q_part_densest(sf_dir: str):
+    """Densest subgraph of the co-purchase part graph (Charikar peeling in
+    the Bahmani batched (1+ε) form, ε=0.1) — the tightest co-purchase
+    cluster; on a link graph the same op extracts link-farm cores. Every
+    peel round is a pure integer function of the edge set, so the member
+    set is deterministic. DuckDB hash-checked against a serial twin
+    running the SAME kernel; distributed peeling rounds parity-tested
+    (both edge-filter paths)."""
+    import numpy as np
+
+    from ..ops.graph import densest_subgraph
+
+    out = densest_subgraph(_strong_part_edges(sf_dir)).to_pandas()
+    out["part"] = out["part"].astype(np.int64)
+    return out.sort_values("part").reset_index(drop=True)
+
+
+QUERIES["part_densest"] = q_part_densest
 QUERIES["crawl_mst"] = q_crawl_mst
 QUERIES["event_f2"] = q_event_f2
 ORACLE_SQL["event_f2"] = f"""

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 21  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 22  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1715,3 +1715,19 @@ def twin_crawl_mst() -> pa.Table:
 
 
 _NOARG_TWINS["crawl_mst"] = twin_crawl_mst
+
+
+def twin_part_densest(sf_dir: str) -> pa.Table:
+    """Serial densest subgraph over the strong part edges — the SAME pure
+    kernel (ops/graph.densest_kernel), so the distributed peeling rounds
+    must reproduce the exact member set."""
+    from ..ops.graph import densest_kernel
+
+    ed = _strong_part_edges_serial(sf_dir)
+    members = densest_kernel(
+        ed["a"].to_numpy().astype(np.int64), ed["b"].to_numpy().astype(np.int64)
+    )
+    return pa.table({"part": pa.array(members, pa.int64())})
+
+
+_SF_TWINS["part_densest"] = twin_part_densest

@@ -1171,3 +1171,93 @@ def test_msf_distributed_parity(ray_session):
     # spanning: kept edges = nodes - components (forest property)
     nodes = set(ed["a"]) | set(ed["b"])
     assert len(fast) < len(nodes)
+
+
+def test_densest_kernel_planted_and_bound():
+    """densest_kernel recovers a planted clique exactly against sparse
+    noise, and on tiny random graphs its density meets the 2(1+eps)
+    approximation bound vs the exhaustive optimum."""
+    import itertools
+
+    import numpy as np
+
+    from cloud_crawler_ray.ops.graph import densest_kernel
+
+    # planted K6 (density 2.5) + a long path of noise (density < 1)
+    k6 = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    path = [(10 + i, 11 + i) for i in range(12)] + [(0, 10)]
+    ed = k6 + path
+    a = np.array([x for x, _ in ed], np.int64)
+    b = np.array([y for _, y in ed], np.int64)
+    got = densest_kernel(a, b)
+    assert got.tolist() == [0, 1, 2, 3, 4, 5]
+
+    rng = np.random.default_rng(61)
+    for trial in range(6):
+        n = int(rng.integers(5, 11))
+        m = int(rng.integers(4, 18))
+        aa = rng.integers(0, n, m)
+        bb = rng.integers(0, n, m)
+        keep = aa != bb
+        lo = np.minimum(aa[keep], bb[keep])
+        hi = np.maximum(aa[keep], bb[keep])
+        pairs = sorted(set(zip(lo.tolist(), hi.tolist())))
+        if not pairs:
+            continue
+        av = np.array([x for x, _ in pairs], np.int64)
+        bv = np.array([y for _, y in pairs], np.int64)
+        nodes = sorted(set(av) | set(bv))
+        # exhaustive optimum density
+        best = (0, 1)
+        for r in range(2, len(nodes) + 1):
+            for sub in itertools.combinations(nodes, r):
+                ss = set(sub)
+                mm = sum(1 for x, y in pairs if x in ss and y in ss)
+                if mm * best[1] > best[0] * r:
+                    best = (mm, r)
+        got = densest_kernel(av, bv)
+        gs = set(got.tolist())
+        gm = sum(1 for x, y in pairs if x in gs and y in gs)
+        # 2(1+eps) bound with eps=0.1: got_density * 2.2 >= opt_density
+        assert gm * best[1] * 22 >= best[0] * len(gs) * 10, (
+            trial, gm, len(gs), best,
+        )
+
+
+def test_densest_subgraph_distributed_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import densest_kernel, densest_subgraph
+
+    rng = np.random.default_rng(63)
+    a = rng.integers(0, 50, 260)
+    b = rng.integers(0, 50, 260)
+    keep = a != b
+    lo = np.minimum(a[keep], b[keep])
+    hi = np.maximum(a[keep], b[keep])
+    ed = (
+        pd.DataFrame({"a": lo, "b": hi}).drop_duplicates().reset_index(drop=True)
+    )
+    # star: center 100 with leaves — exercises the isolated-center case
+    star = pd.DataFrame({"a": [100] * 5, "b": [101, 102, 103, 104, 105]})
+    ed = pd.concat([star, ed], ignore_index=True)
+    ds = rd.from_pandas(ed).repartition(5)
+    fast = np.sort(
+        densest_subgraph(ds).to_pandas()["part"].to_numpy().astype(np.int64)
+    )
+    dist = np.sort(
+        densest_subgraph(ds, driver_cap=0).to_pandas()["part"].to_numpy().astype(np.int64)
+    )
+    ref = densest_kernel(
+        ed["a"].to_numpy().astype(np.int64), ed["b"].to_numpy().astype(np.int64)
+    )
+    assert fast.tolist() == ref.tolist()
+    assert dist.tolist() == ref.tolist()
+    # sharded anti-join path too
+    dist2 = np.sort(
+        densest_subgraph(ds, driver_cap=0, broadcast_cap=0)
+        .to_pandas()["part"].to_numpy().astype(np.int64)
+    )
+    assert dist2.tolist() == ref.tolist()
