@@ -110,3 +110,25 @@ def word_shingles(text: str, k: int = 3) -> set[str]:
     if len(toks) < k:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def change_rate_fp(n_changed, n_checked):
+    """Cho & Garcia-Molina (TOIT 2003) Poisson change-rate estimator from
+    one recheck pass: lambda-hat = -ln(1 - X/n) per unit recheck interval,
+    returned in 2^20 fixed point (int64). Vectorized over numpy arrays;
+    X == n (every recheck changed) saturates the estimator -> sentinel -1
+    (recrawl 'as often as possible'); n == 0 -> 0. Both the distributed
+    query and its serial twin call THIS function, so the fixed-point
+    floats are bit-identical by construction."""
+    import numpy as np
+
+    n_changed = np.asarray(n_changed, np.int64)
+    n_checked = np.asarray(n_checked, np.int64)
+    out = np.zeros(len(n_changed), np.int64)
+    ok = (n_checked > 0) & (n_changed < n_checked)
+    frac = np.zeros(len(out), np.float64)
+    np.divide(n_changed, n_checked, out=frac, where=n_checked > 0)
+    lam = np.floor(-np.log1p(-frac[ok]) * (1 << 20))
+    out[ok] = lam.astype(np.int64)
+    out[(n_checked > 0) & (n_changed >= n_checked)] = -1
+    return out

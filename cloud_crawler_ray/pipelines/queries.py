@@ -5821,7 +5821,7 @@ def q_crawl_spans(sf_dir: str):
 # sf0.01 — the one scale the driver and test suite evaluate SQL at.
 
 ORACLE_TABLE_DIR = "/tmp/ccray_oracle_sf0.01"
-_ORACLE_TABLES_VERSION = 4  # bump when the expected-table set/shape changes
+_ORACLE_TABLES_VERSION = 5  # bump when the expected-table set/shape changes
 
 
 def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
@@ -5942,6 +5942,7 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
 
     e1, e2 = _etags(res1), _etags(res2)
     diff: dict[str, int] = {}
+    url_status: list[tuple[str, str]] = []
     for c, e in e2.items():
         if c not in e1:
             s = "added"
@@ -5950,9 +5951,11 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
         else:
             s = "changed"
         diff[s] = diff.get(s, 0) + 1
+        url_status.append((c, s))
     for c in e1:
         if c not in e2:
             diff["removed"] = diff.get("removed", 0) + 1
+            url_status.append((c, "removed"))
     dk = sorted(diff)
     pq.write_table(
         pa.table(
@@ -5962,6 +5965,16 @@ def ensure_oracle_tables(sf_dir: str = "/root/testdata/sf0.01") -> str:
             }
         ),
         os.path.join(out, "crawl_diff.parquet"),
+    )
+    url_status.sort()
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([u for u, _ in url_status], pa.string()),
+                "status": pa.array([s for _, s in url_status], pa.string()),
+            }
+        ),
+        os.path.join(out, "diff_urls.parquet"),
     )
 
     # distinct link edges of the flagship crawl (canonical src → canonical
@@ -7813,6 +7826,10 @@ _TWIN_SQL_COLS = {
     "crawl_cost": ("node, cost_ms", "node"),
     "crawl_mst": ("a, b, w", "a, b"),
     "part_densest": ("part", "part"),
+    "recrawl_rates": (
+        "host, n_checked, n_changed, n_added, n_removed, lambda_fp",
+        "host",
+    ),
     "knn_ivf": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_pq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
     "knn_ivfpq": ('query_id, neighbor_id, "rank"', 'query_id, "rank"'),
@@ -8068,6 +8085,68 @@ def q_part_densest(sf_dir: str):
     return out.sort_values("part").reset_index(drop=True)
 
 
+def q_recrawl_rates(sf_dir: str):
+    """Per-host change-rate estimation from the recrawl fixture's two
+    crawls — the freshness model behind recrawl scheduling (Cho &
+    Garcia-Molina, TOIT 2003): a host's Poisson rate λ̂ = -ln(1 - X/n)
+    from one recheck pass (X changed of n rechecked), in 2^20 fixed point
+    via the SAME shared function the serial twin calls
+    (functions/text.change_rate_fp), so every value hash-matches. One
+    hash(host) shuffle of per-block (host, status) count partials; counts
+    are exact int64. Output: (host, n_checked, n_changed, n_added,
+    n_removed, lambda_fp) sorted by host."""
+    import numpy as np
+
+    from ..functions.text import change_rate_fp
+    from ..ops.dedup import _add_shard, cluster_shards
+    from .crawl import crawl_diff, open_crawl
+
+    out1, out2 = _recrawl_fixture(sf_dir)
+    d = crawl_diff(open_crawl(out1), open_crawl(out2))
+    n_sh = cluster_shards()
+
+    def pcount(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pd.DataFrame(
+                {"host": g["url"].str.split("/").str[2], "status": g["status"]}
+            )
+            .groupby(["host", "status"], as_index=False)
+            .size()
+        )
+        return out.rename(columns={"size": "n"})
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["host", "status"])["n"].sum().unstack(fill_value=0)
+        for c in ("changed", "unchanged", "added", "removed"):
+            if c not in tot.columns:
+                tot[c] = 0
+        out = pd.DataFrame(
+            {
+                "host": tot.index,
+                "n_checked": (tot["changed"] + tot["unchanged"]).to_numpy(np.int64),
+                "n_changed": tot["changed"].to_numpy(np.int64),
+                "n_added": tot["added"].to_numpy(np.int64),
+                "n_removed": tot["removed"].to_numpy(np.int64),
+            }
+        )
+        out["lambda_fp"] = change_rate_fp(
+            out["n_changed"].to_numpy(), out["n_checked"].to_numpy()
+        )
+        return out
+
+    parts = (
+        d.map_batches(pcount, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "host", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: finish(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return parts.sort_values("host").reset_index(drop=True)
+
+
+QUERIES["recrawl_rates"] = q_recrawl_rates
 QUERIES["part_densest"] = q_part_densest
 QUERIES["crawl_mst"] = q_crawl_mst
 QUERIES["event_f2"] = q_event_f2

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 22  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 23  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1731,3 +1731,38 @@ def twin_part_densest(sf_dir: str) -> pa.Table:
 
 
 _SF_TWINS["part_densest"] = twin_part_densest
+
+
+def twin_recrawl_rates() -> pa.Table:
+    """Serial per-host change rates over the oracle's per-URL diff table —
+    same host extraction, same exact counts, and the SAME shared
+    fixed-point estimator (functions/text.change_rate_fp) as
+    q_recrawl_rates, so every λ value must hash-match."""
+    from .queries import ORACLE_TABLE_DIR, ensure_oracle_tables
+    from ..functions.text import change_rate_fp
+
+    ensure_oracle_tables()
+    d = pq.read_table(os.path.join(ORACLE_TABLE_DIR, "diff_urls.parquet")).to_pandas()
+    d["host"] = d["url"].str.split("/").str[2]
+    tot = d.groupby(["host", "status"]).size().unstack(fill_value=0)
+    for c in ("changed", "unchanged", "added", "removed"):
+        if c not in tot.columns:
+            tot[c] = 0
+    out = pd.DataFrame(
+        {
+            "host": tot.index,
+            "n_checked": (tot["changed"] + tot["unchanged"]).to_numpy(np.int64),
+            "n_changed": tot["changed"].to_numpy(np.int64),
+            "n_added": tot["added"].to_numpy(np.int64),
+            "n_removed": tot["removed"].to_numpy(np.int64),
+        }
+    )
+    out["lambda_fp"] = change_rate_fp(
+        out["n_changed"].to_numpy(), out["n_checked"].to_numpy()
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("host").reset_index(drop=True), preserve_index=False
+    )
+
+
+_NOARG_TWINS["recrawl_rates"] = twin_recrawl_rates

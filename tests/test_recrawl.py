@@ -206,3 +206,18 @@ def test_crawl_diff(ray_session, tmp_path):
     # removal: crawl v1 against v2's output reversed
     rev = {r["url"].rsplit("/", 1)[1]: r["status"] for r in crawl_diff(h2, h1).take_all()}
     assert rev["d"] == "removed"
+
+
+def test_change_rate_fp_cases():
+    """Cho & Garcia-Molina estimator: exact fixed-point values, saturated
+    sentinel, zero-recheck zero."""
+    import numpy as np
+
+    from cloud_crawler_ray.functions.text import change_rate_fp
+
+    out = change_rate_fp(np.array([0, 1, 5, 5, 0]), np.array([10, 10, 10, 5, 0]))
+    assert out[0] == 0  # no changes -> rate 0
+    assert out[1] == int(np.floor(-np.log1p(-0.1) * (1 << 20)))
+    assert out[2] == int(np.floor(-np.log1p(-0.5) * (1 << 20)))
+    assert out[3] == -1  # saturated: every recheck changed
+    assert out[4] == 0  # nothing rechecked
