@@ -3756,3 +3756,529 @@ def densest_subgraph(
         lambda t: pa.table({"part": t.column("n").cast(pa.int64())}),
         batch_format="pyarrow",
     )
+
+
+_BC_FP = 1 << 20  # fixed-point scale for betweenness output
+
+
+def _hashmin_sample(nodes: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic pseudo-random k-sample: the k nodes with the smallest
+    splitmix64 hash of their id — unbiased w.r.t. graph structure, stable
+    under partitioning/resume (the same hash-min trick the PQ/kmeans
+    codebook samplers use). Ties impossible (hash of distinct int64 ids
+    with a bijective mixer)."""
+    v = nodes.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (v + np.uint64(0x9E3779B97F4A7C15)) * np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+    order = np.argsort(h, kind="stable")
+    return np.sort(nodes[order[:k]])
+
+
+def betweenness_kernel(
+    a: np.ndarray, b: np.ndarray, seeds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pure sampled-source betweenness kernel (Brandes 2001 dependency
+    accumulation; Bader/Kintali/Madduri/Mihail 2007 source sampling) over
+    an undirected (a < b, distinct) int edge list. Returns (nodes, bc_fp)
+    where bc_fp = floor(bc · 2^20).
+
+    Float discipline — the reason the distributed rounds can hash-match:
+    every float sum happens over a canonically ORDERED array. Per level,
+    each settled vertex u accumulates δ(u) = σ(u) · Σ_v q(v) where
+    q(v) = (1 + δ(v)) / σ(v) over its DAG successors v sorted by id, via
+    one np.add.reduceat over the (u, v)-lexsorted frontier edges — the
+    same slice contents in the same order on both paths give the same
+    IEEE result. Across sources, bc accumulates in ascending seed order.
+    σ path counts are exact int64 (overflow is a documented bound, not a
+    silent wrap, for the graph sizes this analyzes)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    n = len(nodes)
+    ua, ub = inv[: len(a)], inv[len(a):]
+    # both directions, lexsorted by (u, v) once
+    eu = np.concatenate([ua, ub])
+    ev = np.concatenate([ub, ua])
+    order = np.lexsort((ev, eu))
+    eu, ev = eu[order], ev[order]
+    seed_pos = np.searchsorted(nodes, seeds)
+    ok = (seed_pos < n) & (nodes[np.minimum(seed_pos, n - 1)] == seeds)
+    deltas: list[np.ndarray] = []
+    for s in seed_pos[ok]:
+        dist = np.full(n, -1, np.int64)
+        sigma = np.zeros(n, np.int64)
+        dist[s] = 0
+        sigma[s] = 1
+        frontier = np.array([s], np.int64)
+        levels = [frontier]
+        while True:
+            on_f = np.zeros(n, bool)
+            on_f[frontier] = True
+            m = on_f[eu] & (dist[ev] < 0)
+            nxt_v = ev[m]
+            if not len(nxt_v):
+                break
+            # sigma sums are integer and order-free
+            np.add.at(sigma, nxt_v, sigma[eu[m]])
+            frontier = np.unique(nxt_v)
+            dist[frontier] = len(levels)
+            levels.append(frontier)
+        delta = np.zeros(n, np.float64)
+        for L in range(len(levels) - 1, 0, -1):
+            # edges u -> v with dist[u] = L-1, dist[v] = L, in (u, v) order
+            m = (dist[eu] == L - 1) & (dist[ev] == L)
+            uu, vv = eu[m], ev[m]
+            if not len(uu):
+                continue
+            q = (1.0 + delta[vv]) / sigma[vv]
+            starts = np.flatnonzero(np.diff(uu, prepend=uu[0] - 1))
+            sums = np.add.reduceat(q, starts)
+            ids = uu[starts]
+            delta[ids] = sigma[ids] * sums
+        delta[s] = 0.0
+        deltas.append(delta)
+    bc = np.zeros(n, np.float64)
+    for d in deltas:  # ascending seed order — fixed accumulation order
+        bc = bc + d
+    return nodes, np.floor(bc * _BC_FP).astype(np.int64)
+
+
+def betweenness(
+    edges: rd.Dataset,
+    k: int = 8,
+    driver_cap: int = 2_000_000,
+) -> rd.Dataset:
+    """Sampled-source betweenness over an undirected (a, b) int-keyed edge
+    Dataset: the 'bridge' centrality (which pages/parts sit on the most
+    shortest paths) from k hash-min-sampled sources. Returns (node, bc_fp)
+    for every node, bc_fp = floor(bc · 2^20).
+
+    Size-gated: betweenness_kernel under ``driver_cap`` edges; above it
+    (test-forced via driver_cap=0) the SAME algorithm runs as batched
+    multi-source rounds with all per-(source, node) state held in
+    Datasets. Forward: frontier (s, u) rows meet out-edges in hash(u)
+    shards; σ candidates min... SUM-merge with the visited table in
+    hash(s, v) shards (σ sums are integers — order-free). Backward, per
+    level: settled (s, u, σ) rows of level L-1 meet edges in hash(u)
+    shards, the (s, v) successors attach q = (1+δ)/σ in hash(s⊻v) shards,
+    and each (s, u) group reduces Σ q over v-SORTED rows with one
+    np.add.reduceat — the identical slice content and order as the kernel,
+    so every IEEE float matches bit-for-bit. bc accumulates per node in
+    ascending seed order (one vectorized add per seed, kernel-identical);
+    the driver sees per-round changed-counts only. σ is exact int64 —
+    path-count overflow is a documented bound, not a silent wrap."""
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()), "bc_fp": pa.array([], pa.int64())})
+        )
+
+    # deterministic seed pick: per-block hash-min partials -> driver top-k
+    def seed_partial(t: pa.Table) -> pa.Table:
+        v = np.unique(
+            np.concatenate(
+                [
+                    t.column("a").to_numpy(zero_copy_only=False),
+                    t.column("b").to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64)
+        )
+        return pa.table({"n": pa.array(_hashmin_sample(v, k))})
+
+    cand = np.unique(
+        np.concatenate(
+            [
+                pa.table(bt).column("n").to_numpy(zero_copy_only=False)
+                for bt in edges.map_batches(seed_partial, batch_format="pyarrow")
+                .iter_batches(batch_format="pyarrow")
+            ]
+        ).astype(np.int64)
+    )
+    seeds = _hashmin_sample(cand, k)
+
+    if n_edges <= driver_cap:
+        ed = edges.to_pandas()
+        nodes, bc_fp = betweenness_kernel(
+            ed["a"].to_numpy().astype(np.int64),
+            ed["b"].to_numpy().astype(np.int64),
+            seeds,
+        )
+        return rd.from_arrow(
+            pa.table({"node": pa.array(nodes, pa.int64()), "bc_fp": pa.array(bc_fp)})
+        )
+
+    n_sh = cluster_shards()
+    eb = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "u": pa.concat_arrays(
+                    [
+                        t.column("a").cast(pa.int64()).combine_chunks(),
+                        t.column("b").cast(pa.int64()).combine_chunks(),
+                    ]
+                ),
+                "v": pa.concat_arrays(
+                    [
+                        t.column("b").cast(pa.int64()).combine_chunks(),
+                        t.column("a").cast(pa.int64()).combine_chunks(),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def sv_key(t: pa.Table, scol: str, vcol: str) -> pa.Table:
+        s = t.column(scol).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column(vcol).to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_k", pa.array((s << np.int64(32)) ^ v))
+
+    # ---- forward: state rows (s, node, dist, sigma)
+    state = rd.from_arrow(
+        pa.table(
+            {
+                "s": pa.array(seeds, pa.int64()),
+                "node": pa.array(seeds, pa.int64()),
+                "dist": pa.array(np.zeros(len(seeds), np.int64)),
+                "sigma": pa.array(np.ones(len(seeds), np.int64)),
+            }
+        )
+    ).materialize()
+    level = 0
+    while True:
+        frontier = state.map_batches(
+            lambda t, L=level: t.filter(
+                pa.compute.equal(t.column("dist"), pa.scalar(L, pa.int64()))
+            ).select(["s", "node", "sigma"]),
+            batch_format="pyarrow",
+        ).materialize()
+        if frontier.count() == 0:
+            break
+
+        # frontier meets out-edges in hash(u) shards
+        def f_tag(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "u": t.column("node"),
+                    "v": pa.array(np.full(t.num_rows, -1, np.int64)),
+                    "s": t.column("s"),
+                    "sigma": t.column("sigma"),
+                }
+            )
+
+        def e_tag(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "u": t.column("u"),
+                    "v": t.column("v"),
+                    "s": pa.array(np.full(t.num_rows, -1, np.int64)),
+                    "sigma": pa.array(np.zeros(t.num_rows, np.int64)),
+                }
+            )
+
+        def expand(g: pd.DataFrame) -> pd.DataFrame:
+            fr = g[g["v"] < 0]
+            ed = g[g["v"] >= 0]
+            if not len(fr) or not len(ed):
+                return pd.DataFrame(
+                    {
+                        "s": np.array([], np.int64),
+                        "node": np.array([], np.int64),
+                        "sigma": np.array([], np.int64),
+                    }
+                )
+            m = ed[["u", "v"]].merge(fr[["u", "s", "sigma"]], on="u")
+            out = m.groupby(["s", "v"], as_index=False)["sigma"].sum()
+            return out.rename(columns={"v": "node"})
+
+        cands = (
+            frontier.map_batches(f_tag, batch_format="pyarrow")
+            .union(eb.map_batches(e_tag, batch_format="pyarrow"))
+            .map_batches(lambda t: _add_shard(t, "u", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: expand(g.drop(columns=["shard"])), batch_format="pandas"
+            )
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+
+        # merge with visited in hash(s, v) shards: keep unvisited only
+        def merge(g: pd.DataFrame, L=level) -> pd.DataFrame:
+            seen = g[g["dist"] >= 0]
+            new = g[g["dist"] < 0]
+            if not len(new):
+                return seen[["s", "node", "dist", "sigma"]]
+            skey = set(zip(seen["s"], seen["node"]))
+            agg = new.groupby(["s", "node"], as_index=False)["sigma"].sum()
+            mask = [
+                (s, v) not in skey for s, v in zip(agg["s"], agg["node"])
+            ]
+            fresh = agg.loc[mask].copy()
+            fresh["dist"] = L + 1
+            return pd.concat(
+                [seen[["s", "node", "dist", "sigma"]],
+                 fresh[["s", "node", "dist", "sigma"]]],
+                ignore_index=True,
+            )
+
+        both = state.union(
+            cands.map_batches(
+                lambda t: t.append_column(
+                    "dist", pa.array(np.full(t.num_rows, -1, np.int64))
+                ).select(["s", "node", "dist", "sigma"]),
+                batch_format="pyarrow",
+            )
+        )
+        new_state = (
+            both.map_batches(lambda t: sv_key(t, "s", "node"), batch_format="pyarrow")
+            .map_batches(lambda t: _add_shard(t, "_k", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: merge(g.drop(columns=["shard", "_k"])),
+                batch_format="pandas",
+            )
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize()
+        )
+        grew = new_state.count() - state.count()
+        state = _rebase(new_state)
+        level += 1
+        if grew == 0:
+            break
+
+    max_level = level
+    # ---- backward: delta rows (s, node, delta) accumulate level by level
+    delta = rd.from_arrow(
+        pa.table(
+            {
+                "s": pa.array([], pa.int64()),
+                "node": pa.array([], pa.int64()),
+                "delta": pa.array([], pa.float64()),
+            }
+        )
+    ).materialize()
+    for L in range(max_level, 0, -1):
+        # q rows for level-L vertices: q = (1 + delta) / sigma
+        lvl = state.map_batches(
+            lambda t, L=L: t.filter(
+                pa.compute.equal(t.column("dist"), pa.scalar(L, pa.int64()))
+            ).select(["s", "node", "sigma"]),
+            batch_format="pyarrow",
+        )
+
+        def attach_q(g: pd.DataFrame) -> pd.DataFrame:
+            st = g[g["sigma"] > 0]
+            dl = g[g["sigma"] <= 0]
+            dmap = dict(zip(zip(dl["s"], dl["node"]), dl["delta"]))
+            dvals = np.array(
+                [dmap.get((s, v), 0.0) for s, v in zip(st["s"], st["node"])],
+                np.float64,
+            )
+            return pd.DataFrame(
+                {
+                    "s": st["s"].to_numpy(np.int64),
+                    "v": st["node"].to_numpy(np.int64),
+                    "q": (1.0 + dvals) / st["sigma"].to_numpy(np.int64),
+                }
+            )
+
+        qrows = (
+            lvl.map_batches(
+                lambda t: t.append_column(
+                    "delta", pa.array(np.zeros(t.num_rows, np.float64))
+                ),
+                batch_format="pyarrow",
+            )
+            .union(
+                delta.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "s": t.column("s"),
+                            "node": t.column("node"),
+                            "sigma": pa.array(np.zeros(t.num_rows, np.int64)),
+                            "delta": t.column("delta"),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            .map_batches(lambda t: sv_key(t, "s", "node"), batch_format="pyarrow")
+            .map_batches(lambda t: _add_shard(t, "_k", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: attach_q(g.drop(columns=["shard", "_k"])),
+                batch_format="pandas",
+            )
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize()
+        )
+
+        # level-(L-1) settled rows meet edges in hash(u) shards -> (s,u,v,sigma)
+        prev = state.map_batches(
+            lambda t, L=L: t.filter(
+                pa.compute.equal(t.column("dist"), pa.scalar(L - 1, pa.int64()))
+            ).select(["s", "node", "sigma"]),
+            batch_format="pyarrow",
+        )
+
+        def join_edges(g: pd.DataFrame) -> pd.DataFrame:
+            fr = g[g["v"] < 0]
+            ed = g[g["v"] >= 0]
+            if not len(fr) or not len(ed):
+                return pd.DataFrame(
+                    {
+                        "s": np.array([], np.int64),
+                        "u": np.array([], np.int64),
+                        "v": np.array([], np.int64),
+                        "sigma": np.array([], np.int64),
+                    }
+                )
+            m = ed[["u", "v"]].merge(fr[["u", "s", "sigma"]], on="u")
+            return m[["s", "u", "v", "sigma"]]
+
+        su_edges = (
+            prev.map_batches(f_tag, batch_format="pyarrow")
+            .union(eb.map_batches(e_tag, batch_format="pyarrow"))
+            .map_batches(lambda t: _add_shard(t, "u", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: join_edges(g.drop(columns=["shard"])), batch_format="pandas"
+            )
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+
+        # attach q on (s, v); keep only successors that ARE level L
+        def attach_and_reduce_prep(g: pd.DataFrame) -> pd.DataFrame:
+            qq = g[g["u"] < 0]
+            ee = g[g["u"] >= 0].drop(columns=["q"])  # NaN placeholder
+            m = ee.merge(qq[["s", "v", "q"]], on=["s", "v"], how="inner")
+            return m[["s", "u", "v", "sigma", "q"]]
+
+        joined = (
+            su_edges.map_batches(
+                lambda t: t.append_column(
+                    "q", pa.array(np.full(t.num_rows, np.nan, np.float64))
+                ),
+                batch_format="pyarrow",
+            )
+            .union(
+                qrows.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "s": t.column("s"),
+                            "u": pa.array(np.full(t.num_rows, -1, np.int64)),
+                            "v": t.column("v"),
+                            "sigma": pa.array(np.zeros(t.num_rows, np.int64)),
+                            "q": t.column("q"),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            .map_batches(lambda t: sv_key(t, "s", "v"), batch_format="pyarrow")
+            .map_batches(lambda t: _add_shard(t, "_k", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: attach_and_reduce_prep(g.drop(columns=["shard", "_k"])),
+                batch_format="pandas",
+            )
+            .map_batches(lambda t: t, batch_format="pyarrow")
+        )
+
+        # per (s, u): sort by v, one reduceat — kernel-identical slices
+        def reduce_delta(g: pd.DataFrame) -> pd.DataFrame:
+            if not len(g):
+                return pd.DataFrame(
+                    {
+                        "s": np.array([], np.int64),
+                        "node": np.array([], np.int64),
+                        "delta": np.array([], np.float64),
+                    }
+                )
+            g = g.sort_values(["s", "u", "v"], kind="stable")
+            su = (g["s"].to_numpy(np.int64) << np.int64(32)) ^ g["u"].to_numpy(
+                np.int64
+            )
+            starts = np.flatnonzero(np.diff(su, prepend=su[0] - 1))
+            sums = np.add.reduceat(g["q"].to_numpy(np.float64), starts)
+            return pd.DataFrame(
+                {
+                    "s": g["s"].to_numpy(np.int64)[starts],
+                    "node": g["u"].to_numpy(np.int64)[starts],
+                    "delta": g["sigma"].to_numpy(np.int64)[starts] * sums,
+                }
+            )
+
+        new_delta = (
+            joined.map_batches(lambda t: sv_key(t, "s", "u"), batch_format="pyarrow")
+            .map_batches(lambda t: _add_shard(t, "_k", n_sh), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: reduce_delta(g.drop(columns=["shard", "_k"])),
+                batch_format="pandas",
+            )
+            .map_batches(lambda t: t, batch_format="pyarrow")
+            .materialize()
+        )
+        delta = _rebase(delta.union(new_delta).materialize())
+
+    # ---- bc per node: ascending-seed-order accumulation, seeds vectorized
+    seed_list = [int(x) for x in seeds]
+
+    def fold_bc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["s"] != g["node"]]
+        piv = g.pivot_table(
+            index="node", columns="s", values="delta", aggfunc="first",
+            fill_value=0.0,
+        )
+        bc = np.zeros(len(piv), np.float64)
+        for s in seed_list:  # fixed ascending order, one vectorized add each
+            if s in piv.columns:
+                bc = bc + piv[s].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "node": piv.index.to_numpy(np.int64),
+                "bc_fp": np.floor(bc * _BC_FP).astype(np.int64),
+            }
+        )
+
+    # every visited node appears (delta rows exist only where updated;
+    # union the full node set with zero rows so unreached nodes emit 0)
+    node_zero = state.map_batches(
+        lambda t: pa.table(
+            {
+                "s": pa.array(np.full(t.num_rows, -1, np.int64)),
+                "node": t.column("node"),
+                "delta": pa.array(np.zeros(t.num_rows, np.float64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    all_nodes = eb.map_batches(
+        lambda t: pa.table(
+            {
+                "s": pa.array(
+                    np.full(len(np.unique(t.column("u").to_numpy(zero_copy_only=False))), -1, np.int64)
+                ),
+                "node": pa.array(
+                    np.unique(t.column("u").to_numpy(zero_copy_only=False)).astype(np.int64)
+                ),
+                "delta": pa.array(
+                    np.zeros(len(np.unique(t.column("u").to_numpy(zero_copy_only=False))), np.float64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return (
+        delta.union(node_zero)
+        .union(all_nodes)
+        .map_batches(lambda t: _add_shard(t, "node", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: fold_bc(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )

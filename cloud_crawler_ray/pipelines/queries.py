@@ -7826,6 +7826,7 @@ _TWIN_SQL_COLS = {
     "crawl_cost": ("node, cost_ms", "node"),
     "crawl_mst": ("a, b, w", "a, b"),
     "part_densest": ("part", "part"),
+    "part_betweenness": ("node, bc_fp", "bc_fp DESC, node"),
     "recrawl_rates": (
         "host, n_checked, n_changed, n_added, n_removed, lambda_fp",
         "host",
@@ -8146,6 +8147,35 @@ def q_recrawl_rates(sf_dir: str):
     return parts.sort_values("host").reset_index(drop=True)
 
 
+def q_part_betweenness(sf_dir: str):
+    """Sampled-source betweenness centrality over the co-purchase part
+    graph (Brandes 2001 accumulation from 8 hash-min-sampled sources) —
+    the 'bridge' score: which parts sit on the most shortest paths between
+    others (on a link graph, the pages whose removal fragments navigation).
+    Float sums happen only over canonically ordered arrays (one
+    np.add.reduceat per settled vertex per level; ascending-seed bc
+    accumulation), so the distributed rounds are bit-identical to the
+    kernel the serial twin runs — DuckDB hash-checked. Output: top-20 by
+    (bc_fp DESC, node), 2^20 fixed point."""
+    import numpy as np
+
+    from ..ops.graph import betweenness
+
+    scored = betweenness(_strong_part_edges(sf_dir))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["bc_fp", "node"], ascending=[False, True], kind="stable"
+        ).head(20)
+
+    parts = scored.map_batches(topk, batch_format="pandas").to_pandas()
+    out = topk(parts).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+QUERIES["part_betweenness"] = q_part_betweenness
 QUERIES["recrawl_rates"] = q_recrawl_rates
 QUERIES["part_densest"] = q_part_densest
 QUERIES["crawl_mst"] = q_crawl_mst

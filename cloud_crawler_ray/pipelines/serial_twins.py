@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 23  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 24  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1766,3 +1766,25 @@ def twin_recrawl_rates() -> pa.Table:
 
 
 _NOARG_TWINS["recrawl_rates"] = twin_recrawl_rates
+
+
+def twin_part_betweenness(sf_dir: str, k: int = 8) -> pa.Table:
+    """Serial sampled-source betweenness over the strong part edges — the
+    SAME pure kernel (ops/graph.betweenness_kernel) with the SAME hash-min
+    seed sample and top-20 tie policy, so the distributed rounds must
+    reproduce every fixed-point value bit-for-bit."""
+    from ..ops.graph import _hashmin_sample, betweenness_kernel
+
+    ed = _strong_part_edges_serial(sf_dir)
+    a = ed["a"].to_numpy().astype(np.int64)
+    b = ed["b"].to_numpy().astype(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    seeds = _hashmin_sample(nodes, k)
+    out_nodes, bc_fp = betweenness_kernel(a, b, seeds)
+    df = pd.DataFrame({"node": out_nodes, "bc_fp": bc_fp}).sort_values(
+        ["bc_fp", "node"], ascending=[False, True], kind="stable"
+    ).head(20)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+_SF_TWINS["part_betweenness"] = twin_part_betweenness

@@ -1261,3 +1261,110 @@ def test_densest_subgraph_distributed_parity(ray_session):
         .to_pandas()["part"].to_numpy().astype(np.int64)
     )
     assert dist2.tolist() == ref.tolist()
+
+
+def test_betweenness_kernel_brute_force():
+    """betweenness_kernel with ALL nodes as sources equals exact Brandes
+    betweenness, checked against an itertools all-shortest-paths brute
+    force (ordered-pair convention) on random graphs."""
+    import itertools
+
+    import numpy as np
+
+    from cloud_crawler_ray.ops.graph import _BC_FP, betweenness_kernel
+
+    rng = np.random.default_rng(71)
+    for trial in range(5):
+        n = int(rng.integers(5, 10))
+        m = int(rng.integers(4, 16))
+        aa = rng.integers(0, n, m)
+        bb = rng.integers(0, n, m)
+        keep = aa != bb
+        pairs = sorted(
+            set(zip(np.minimum(aa[keep], bb[keep]).tolist(),
+                    np.maximum(aa[keep], bb[keep]).tolist()))
+        )
+        if not pairs:
+            continue
+        adj: dict[int, set[int]] = {}
+        for x, y in pairs:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        nodes = sorted(adj)
+        # brute force: enumerate all shortest paths per ordered pair
+        def all_shortest(s, t):
+            best, out = None, []
+            stack = [(s, [s])]
+            while stack:
+                cur, path = stack.pop()
+                if best is not None and len(path) > best:
+                    continue
+                if cur == t:
+                    if best is None or len(path) < best:
+                        best, out = len(path), [path]
+                    elif len(path) == best:
+                        out.append(path)
+                    continue
+                for nb in adj[cur]:
+                    if nb not in path:
+                        stack.append((nb, path + [nb]))
+            return out
+
+        bc = {v: 0.0 for v in nodes}
+        for s, t in itertools.permutations(nodes, 2):
+            sp = all_shortest(s, t)
+            if not sp:
+                continue
+            sigma = len(sp)
+            for v in nodes:
+                if v in (s, t):
+                    continue
+                thru = sum(1 for p in sp if v in p)
+                bc[v] += thru / sigma
+        av = np.array([x for x, _ in pairs], np.int64)
+        bv = np.array([y for _, y in pairs], np.int64)
+        got_nodes, got_fp = betweenness_kernel(
+            av, bv, np.array(nodes, np.int64)
+        )
+        for nd, fp in zip(got_nodes, got_fp):
+            assert abs(fp / _BC_FP - bc[int(nd)]) < 1e-4, (
+                trial, nd, fp / _BC_FP, bc[int(nd)],
+            )
+
+
+def test_betweenness_distributed_bit_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import betweenness
+
+    rng = np.random.default_rng(73)
+    a = rng.integers(0, 60, 300)
+    b = rng.integers(0, 60, 300)
+    keep = a != b
+    ed = (
+        pd.DataFrame(
+            {"a": np.minimum(a[keep], b[keep]), "b": np.maximum(a[keep], b[keep])}
+        )
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    ds = rd.from_pandas(ed).repartition(6)
+    fast = (
+        betweenness(ds)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    dist = (
+        betweenness(ds, driver_cap=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    # bit-exact: identical fixed-point integers on every node
+    pd.testing.assert_frame_equal(
+        fast.astype(np.int64), dist.astype(np.int64)
+    )
+    assert (fast["bc_fp"] > 0).any()
