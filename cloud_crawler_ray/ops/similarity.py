@@ -772,3 +772,84 @@ def hard_negatives(
     out = partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
     pdf = out.to_pandas().sort_values(["query_id", "rank"])
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def mmr_kernel(
+    qv: np.ndarray,
+    ids: np.ndarray,
+    M: np.ndarray,
+    k: int = 10,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> pd.DataFrame:
+    """Pure Maximal-Marginal-Relevance kernel (Carbonell & Goldstein,
+    SIGIR 1998) over a candidate pool: greedily pick argmax of
+    λ·cos(q, d) − (1−λ)·max_{s∈selected} cos(d, s), λ = lam_num/lam_den —
+    relevance minus redundancy, the dedup-aware retrieval that picks
+    DIVERSE nearest neighbors. Candidates are given id-ASCENDING with
+    their (already normalized) vectors, so every float op runs in one
+    fixed order on both the distributed path and the serial twin;
+    ties break on the lower id. Returns (rank, vec_id)."""
+    n = len(ids)
+    k = min(k, n)
+    rel = M @ qv  # (n,)
+    red = np.full(n, -1.0, np.float64)
+    picked = np.zeros(n, bool)
+    lam = lam_num / lam_den
+    out_rank, out_id = [], []
+    for r in range(k):
+        score = lam * rel - (1.0 - lam) * np.where(red < 0.0, 0.0, red)
+        if r == 0:
+            score = lam * rel  # no redundancy term before first pick
+        score[picked] = -np.inf
+        best = int(np.argmax(score))  # argmax takes FIRST max -> lowest id
+        picked[best] = True
+        out_rank.append(r + 1)
+        out_id.append(int(ids[best]))
+        sims = M @ M[best]
+        red = np.maximum(red, sims)
+    return pd.DataFrame(
+        {"rank": np.asarray(out_rank, np.int64), "vec_id": np.asarray(out_id, np.int64)}
+    )
+
+
+def mmr_select(
+    emb: rd.Dataset,
+    query: pd.DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Distributed MMR: one streaming top-``pool`` cosine scan (per-block
+    partial top-pool against the broadcast query — the knn_brute shape,
+    driver sees ≤ pool rows+vectors per block partial merge), then the
+    pure greedy kernel over the id-sorted pool. The pool is the only
+    driver-side state — at 10^10 vectors the scan is the same one-pass
+    matmul the brute-force kNN runs."""
+    qids, Q = _matrix(query, id_col)
+    qv = Q[0]
+    qid = int(qids[0])
+    qref = ray.put(qv)
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qv_ = ray.get(qref)
+        bids, B = _matrix(batch, id_col)
+        keep = bids != qid
+        bids, B = bids[keep], B[keep]
+        cos = B @ qv_
+        idx = np.lexsort((bids, -cos))[:pool]
+        return pd.DataFrame(
+            {
+                "vec_id": bids[idx],
+                "cos": cos[idx],
+                "vec": [v.tobytes() for v in B[idx]],
+            }
+        )
+
+    parts = emb.map_batches(partial, batch_format="pandas", batch_size=2048).to_pandas()
+    idx = np.lexsort((parts["vec_id"].to_numpy(), -parts["cos"].to_numpy()))[:pool]
+    top = parts.iloc[idx]
+    order = np.argsort(top["vec_id"].to_numpy(np.int64), kind="stable")
+    ids = top["vec_id"].to_numpy(np.int64)[order]
+    M = np.stack([np.frombuffer(b, np.float64) for b in top["vec"].to_numpy()[order]])
+    return mmr_kernel(qv, ids, M, k=k)

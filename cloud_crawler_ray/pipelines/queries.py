@@ -7827,6 +7827,7 @@ _TWIN_SQL_COLS = {
     "crawl_mst": ("a, b, w", "a, b"),
     "part_densest": ("part", "part"),
     "part_betweenness": ("node, bc_fp", "bc_fp DESC, node"),
+    "mmr_diverse": ('"rank", vec_id', '"rank"'),
     "recrawl_rates": (
         "host, n_checked, n_changed, n_added, n_removed, lambda_fp",
         "host",
@@ -8174,6 +8175,225 @@ def q_part_betweenness(sf_dir: str):
         out[c] = out[c].astype(np.int64)
     return out
 
+
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth curve: cumulative distinct vocabulary
+    and token count after each decile of the doc_id-ordered corpus — the
+    'is my corpus still adding new language?' read behind dedup and
+    mixing decisions. One token-hash shuffle of per-block (token, min
+    doc_id) first-occurrence partials (a token's rows co-shard, so the
+    shard min is global); each shard collapses to a 10-int histogram over
+    the decile bounds (searchsorted), token totals bucket map-side — the
+    driver sums 10-int partials and cumsums. Integer-exact; DuckDB
+    hash-checked directly."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+    from ..ops.textstats import tokenize
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_sh = cluster_shards()
+
+    mx = docs.map_batches(
+        lambda t: pa.table(
+            {"m": pa.array([int(t.column("doc_id").to_numpy().max())], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_docs = int(mx["m"].max()) + 1
+    bounds = np.array([n_docs * d // 10 for d in range(1, 11)], np.int64)
+
+    def first_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # tokenize explodes to one token per row, index = source row; key
+        # the Series by doc_id so the index IS the doc
+        toks = tokenize(g.set_index("doc_id")["text"])
+        df = pd.DataFrame(
+            {"tok": toks.to_numpy(), "fd": toks.index.to_numpy(np.int64)}
+        )
+        return df.groupby("tok", as_index=False)["fd"].min()
+
+    def shard_hist(g: pd.DataFrame) -> pd.DataFrame:
+        fd = g.groupby("tok")["fd"].min().to_numpy(np.int64)
+        # vocab new in decile d = tokens with first doc in [bounds[d-1], bounds[d})
+        counts = np.diff(np.searchsorted(np.sort(fd), bounds, side="left"), prepend=0)
+        return pd.DataFrame({"decile": np.arange(1, 11), "new_vocab": counts})
+
+    vocab_parts = (
+        docs.map_batches(first_partial, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "tok", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_hist(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    vocab_cum = np.cumsum(
+        vocab_parts.groupby("decile")["new_vocab"].sum().reindex(
+            range(1, 11), fill_value=0
+        ).to_numpy(np.int64)
+    )
+
+    def tok_partial(g: pd.DataFrame) -> pd.DataFrame:
+        ids = tokenize(g.set_index("doc_id")["text"]).index.to_numpy(np.int64)
+        counts = np.zeros(10, np.int64)
+        d = np.searchsorted(bounds, ids, side="right")
+        np.add.at(counts, d, 1)
+        return pd.DataFrame({"decile": np.arange(1, 11), "n_tok": counts[:10]})
+
+    tok_parts = docs.map_batches(tok_partial, batch_format="pandas").to_pandas()
+    tok_cum = np.cumsum(
+        tok_parts.groupby("decile")["n_tok"].sum().reindex(
+            range(1, 11), fill_value=0
+        ).to_numpy(np.int64)
+    )
+    return pd.DataFrame(
+        {
+            "decile": np.arange(1, 11, dtype=np.int64),
+            "n_docs": bounds,
+            "n_tokens": tok_cum,
+            "vocab": vocab_cum,
+        }
+    )
+
+
+def q_ngram_novelty(sf_dir: str):
+    """Per-document 5-gram novelty of the NEW corpus increment
+    (doc_id%3==0, the minhash_incremental split) against the PRIOR corpus
+    (doc_id%3!=0): (doc_id, n_grams, n_novel) with distinct-gram counts —
+    the memorization-risk / 'is this crawl adding anything?' signal that
+    complements decontaminate (eval-set overlap) and incremental dedup
+    (near-dup pairs). Two hash shuffles, zero driver state: prior-distinct
+    grams and new (doc, gram) rows co-shard on hash(gram) for the
+    membership mark (a gram's rows are shard-complete), per-doc partials
+    co-shard on hash(doc) for exact sums. Integer-exact; DuckDB
+    hash-checked directly against a list-slicing gram oracle."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+    from ..ops.textstats import tokenize
+
+    K = 5
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_sh = cluster_shards()
+
+    def gram_rows(g: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(g.set_index("doc_id")["text"])
+        ids = toks.index.to_numpy(np.int64)
+        vals = toks.reset_index(drop=True).astype(str)
+        if len(vals) < K:
+            return pd.DataFrame(
+                {"doc_id": np.array([], np.int64), "gram": np.array([], object)}
+            )
+        n_out = len(vals) - K + 1
+        base = vals.iloc[:n_out].reset_index(drop=True)
+        shifted = [
+            vals.iloc[i : n_out + i].reset_index(drop=True) for i in range(1, K)
+        ]
+        gram = base.str.cat(shifted, sep=" ")
+        same = ids[: n_out] == ids[K - 1 :]
+        # a doc lives whole in one block, so block-local distinct is global
+        return pd.DataFrame(
+            {"doc_id": ids[:n_out][same], "gram": gram.to_numpy(object)[same]}
+        ).drop_duplicates()
+
+    grams = docs.map_batches(gram_rows, batch_format="pandas")
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        prior = set(g.loc[g["doc_id"] % 3 != 0, "gram"])
+        new = g[g["doc_id"] % 3 == 0]
+        if not len(new):
+            return pd.DataFrame(
+                {
+                    "doc_id": np.array([], np.int64),
+                    "n_grams": np.array([], np.int64),
+                    "n_novel": np.array([], np.int64),
+                }
+            )
+        novel = (~new["gram"].isin(prior)).to_numpy()
+        out = pd.DataFrame({"doc_id": new["doc_id"].to_numpy(np.int64), "novel": novel})
+        agg = out.groupby("doc_id", as_index=False).agg(
+            n_grams=("novel", "size"), n_novel=("novel", "sum")
+        )
+        return agg.astype(np.int64)
+
+    partials = (
+        grams.map_batches(lambda t: _add_shard(t, "gram", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lambda g: mark(g.drop(columns=["shard"])), batch_format="pandas")
+        .map_batches(lambda t: t, batch_format="pyarrow")
+    )
+    out = (
+        partials.map_batches(lambda t: _add_shard(t, "doc_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"])
+            .groupby("doc_id", as_index=False)[["n_grams", "n_novel"]].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_mmr_diverse(sf_dir: str):
+    """Maximal-Marginal-Relevance retrieval (Carbonell & Goldstein 1998):
+    the top-10 DIVERSE nearest neighbors of query vector 0 — relevance
+    λ·cos minus redundancy (1−λ)·max-cos-to-selected, the dedup-aware
+    retrieval a curation pipeline uses instead of plain kNN. One streaming
+    top-50 cosine scan (per-block partials against the broadcast query,
+    driver holds the pool only), then a pure greedy kernel over the
+    id-sorted pool — the SAME kernel the serial twin runs, so the ranked
+    ids hash-match."""
+    from ..ops.similarity import mmr_select
+
+    return mmr_select(_emb(sf_dir), _query_vecs(sf_dir, n=1), k=10, pool=50)
+
+
+QUERIES["mmr_diverse"] = q_mmr_diverse
+QUERIES["ngram_novelty"] = q_ngram_novelty
+ORACLE_SQL["ngram_novelty"] = f"""
+        WITH tok AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        gi AS (
+          SELECT doc_id, unnest(generate_series(0, len(toks) - 5)) AS i, toks
+          FROM tok WHERE len(toks) >= 5
+        ),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i + 1 : i + 5], ' ') AS gram
+          FROM gi
+        ),
+        newg AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 3 = 0),
+        priorg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 3 <> 0)
+        SELECT n.doc_id, count(*)::BIGINT AS n_grams,
+               SUM(CASE WHEN p.gram IS NULL THEN 1 ELSE 0 END)::BIGINT
+                 AS n_novel
+        FROM newg n LEFT JOIN priorg p USING (gram)
+        GROUP BY n.doc_id ORDER BY n.doc_id
+    """
+
+QUERIES["vocab_growth"] = q_vocab_growth
+ORACLE_SQL["vocab_growth"] = f"""
+        WITH t AS (
+          SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+        ),
+        firsts AS (SELECT tok, MIN(doc_id) AS fd FROM t GROUP BY tok),
+        n AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+        b AS (
+          SELECT d AS decile, (SELECT nd FROM n) * d // 10 AS bound
+          FROM generate_series(1, 10) AS g(d)
+        )
+        SELECT decile::BIGINT AS decile, bound::BIGINT AS n_docs,
+               (SELECT count(*) FROM t WHERE doc_id < bound)::BIGINT
+                 AS n_tokens,
+               (SELECT count(*) FROM firsts WHERE fd < bound)::BIGINT
+                 AS vocab
+        FROM b ORDER BY decile
+    """
 
 QUERIES["part_betweenness"] = q_part_betweenness
 QUERIES["recrawl_rates"] = q_recrawl_rates

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 24  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 25  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1788,3 +1788,27 @@ def twin_part_betweenness(sf_dir: str, k: int = 8) -> pa.Table:
 
 
 _SF_TWINS["part_betweenness"] = twin_part_betweenness
+
+
+def twin_mmr_diverse(sf_dir: str, k: int = 10, pool: int = 50) -> pa.Table:
+    """Serial MMR over the full embedding table — same top-pool candidate
+    order (cos DESC, id ASC) and the SAME pure greedy kernel
+    (ops/similarity.mmr_kernel) on the id-sorted pool, so the ranked ids
+    must hash-match the distributed scan."""
+    from ..ops.similarity import _matrix, mmr_kernel
+
+    df = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    qrow = df[df["vec_id"] == 0]
+    qids, Q = _matrix(qrow, "vec_id")
+    qv = Q[0]
+    cand = df[df["vec_id"] != 0]
+    ids, M = _matrix(cand, "vec_id")
+    cos = M @ qv
+    idx = np.lexsort((ids, -cos))[:pool]
+    ids, M = ids[idx], M[idx]
+    order = np.argsort(ids, kind="stable")
+    out = mmr_kernel(qv, ids[order].astype(np.int64), M[order], k=k)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SF_TWINS["mmr_diverse"] = twin_mmr_diverse

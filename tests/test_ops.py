@@ -1878,3 +1878,33 @@ def test_minhash_incremental_planted(ray_session):
     # new x new duplicates (11, 13) and (10, 12) are NOT this op's contract
     assert all(p in (1, 2) for p in out["prior_id"])
     assert 11 not in set(out["new_id"]) and 13 not in set(out["new_id"])
+
+
+def test_mmr_kernel_diversifies():
+    """MMR with planted duplicate clusters: plain top-k would pick the
+    near-duplicates of the most-relevant doc; MMR (lambda=0.7) spreads
+    across clusters. Also: rank 1 is always the plain argmax."""
+    import numpy as np
+
+    from cloud_crawler_ray.ops.similarity import mmr_kernel
+
+    rng = np.random.default_rng(81)
+    qv = np.array([1.0, 0.0, 0.0])
+    # cluster A: 5 near-copies, very relevant and mutually ~identical;
+    # cluster B: anti-correlated with A on dim 2, so after one A pick the
+    # redundancy term sinks the remaining A copies below B at lambda=0.6
+    A = np.array([[0.95, 0.31, 0.0]] * 5) + rng.normal(0, 1e-5, (5, 3))
+    B = np.array([[0.6, -0.8, 0.0]] * 3) + rng.normal(0, 1e-5, (3, 3))
+    M = np.vstack([A, B])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    ids = np.arange(8, dtype=np.int64)
+    out = mmr_kernel(qv, ids, M, k=4, lam_num=6, lam_den=10)
+    assert out["rank"].tolist() == [1, 2, 3, 4]
+    picked = set(out["vec_id"])
+    # rank 2 must leave cluster A: at least one of ids 5-7 selected
+    assert picked & {5, 6, 7}, picked
+    rel = M @ qv
+    assert out["vec_id"].iloc[0] == int(np.argmax(rel))
+    # plain top-4 by relevance would be all-A — MMR differs
+    plain = set(np.argsort(-rel)[:4].tolist())
+    assert picked != plain
