@@ -853,3 +853,52 @@ def mmr_select(
     ids = top["vec_id"].to_numpy(np.int64)[order]
     M = np.stack([np.frombuffer(b, np.float64) for b in top["vec"].to_numpy()[order]])
     return mmr_kernel(qv, ids, M, k=k)
+
+
+_JL_FP = 1 << 20  # fixed-point scale for projected coordinates
+
+
+def jl_matrix(d_in: int, d_out: int, seed: int = 97) -> np.ndarray:
+    """Deterministic Achlioptas ±1 Johnson-Lindenstrauss projection matrix
+    (Achlioptas, JCSS 2003: database-friendly random projections): entries
+    ±1/√d_out from a fixed-seed generator, so every worker regenerates the
+    IDENTICAL matrix from (d_in, d_out, seed) — nothing ships besides three
+    ints."""
+    rng = np.random.default_rng(seed)
+    signs = rng.integers(0, 2, size=(d_in, d_out)).astype(np.float64) * 2.0 - 1.0
+    return signs / np.sqrt(d_out)
+
+
+def jl_project_rows(ids: np.ndarray, M: np.ndarray, R: np.ndarray) -> pd.DataFrame:
+    """Project (already normalized) rows and emit LONG integer rows
+    (vec_id, dim, val_fp): val_fp = floor(y·2^20) — elementwise from
+    identical inputs, so distributed blocks and the serial twin agree
+    bit-for-bit. Long form keeps the oracle comparison pure int64."""
+    Y = M @ R
+    n, d = Y.shape
+    return pd.DataFrame(
+        {
+            "vec_id": np.repeat(ids.astype(np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), n),
+            "val_fp": np.floor(Y.reshape(-1) * _JL_FP).astype(np.int64),
+        }
+    )
+
+
+def jl_project(
+    emb: rd.Dataset, d_out: int = 16, seed: int = 97, id_col: str = "vec_id"
+) -> rd.Dataset:
+    """Distributed JL dimensionality reduction — the cheap pre-ANN shrink
+    (128→16 dims cuts every downstream distance scan 8×, with pairwise
+    cosine distorted by O(1/√d_out)): pure map-side, zero shuffle; each
+    block regenerates the deterministic ±1 matrix and projects with one
+    matmul. Output long-form (vec_id, dim, val_fp) int64 rows."""
+    holder: dict[int, np.ndarray] = {}
+
+    def block(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, M = _matrix(batch, id_col)
+        if M.shape[1] not in holder:
+            holder[M.shape[1]] = jl_matrix(M.shape[1], d_out, seed)
+        return jl_project_rows(ids, M, holder[M.shape[1]])
+
+    return emb.map_batches(block, batch_format="pandas")

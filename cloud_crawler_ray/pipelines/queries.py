@@ -7828,6 +7828,7 @@ _TWIN_SQL_COLS = {
     "part_densest": ("part", "part"),
     "part_betweenness": ("node, bc_fp", "bc_fp DESC, node"),
     "mmr_diverse": ('"rank", vec_id', '"rank"'),
+    "jl_projection": ("vec_id, dim, val_fp", "vec_id, dim"),
     "recrawl_rates": (
         "host, n_checked, n_changed, n_added, n_removed, lambda_fp",
         "host",
@@ -8354,6 +8355,149 @@ def q_mmr_diverse(sf_dir: str):
 
     return mmr_select(_emb(sf_dir), _query_vecs(sf_dir, n=1), k=10, pool=50)
 
+
+def q_phrase_search(sf_dir: str):
+    """Positional phrase search: find every document containing the
+    corpus's most frequent 3-gram (ties → lexicographically smallest) and
+    its exact occurrence count — the IR primitive an inverted index with
+    positions exists for. Two passes, both map-side-pruned: (1) 3-gram
+    counts → hash(gram) shard sums → per-shard top-1 partials → driver
+    top-1; (2) positional postings built ONLY for the phrase's three
+    tokens (map-side filter — the index never materializes for the rest
+    of the vocabulary), base-position-aligned triples intersect in
+    hash(doc) shards. Integer-exact; DuckDB hash-checked directly."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+    from ..ops.textstats import tokenize
+
+    K = 3
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_sh = cluster_shards()
+
+    def gram_counts(g: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(g.set_index("doc_id")["text"])
+        ids = toks.index.to_numpy(np.int64)
+        vals = toks.reset_index(drop=True).astype(str)
+        if len(vals) < K:
+            return pd.DataFrame({"gram": np.array([], object), "n": np.array([], np.int64)})
+        n_out = len(vals) - K + 1
+        base = vals.iloc[:n_out].reset_index(drop=True)
+        gram = base.str.cat(
+            [vals.iloc[i : n_out + i].reset_index(drop=True) for i in range(1, K)],
+            sep=" ",
+        )
+        same = ids[:n_out] == ids[K - 1 :]
+        df = pd.DataFrame({"gram": gram.to_numpy(object)[same]})
+        out = df.groupby("gram", as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def shard_top1(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("gram", as_index=False)["n"].sum()
+        return tot.sort_values(["n", "gram"], ascending=[False, True]).head(1)
+
+    tops = (
+        docs.map_batches(gram_counts, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "gram", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_top1(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    phrase = tops.sort_values(["n", "gram"], ascending=[False, True]).iloc[0]["gram"]
+    p_toks = phrase.split(" ")
+
+    def postings(g: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(g.set_index("doc_id")["text"])
+        ids = toks.index.to_numpy(np.int64)
+        vals = toks.to_numpy(object)
+        # positions restart per doc: cumcount within doc (docs contiguous)
+        new_doc = np.diff(ids, prepend=ids[0] - 1) != 0 if len(ids) else np.array([], bool)
+        doc_start = np.maximum.accumulate(np.where(new_doc, np.arange(len(ids)), 0))
+        pos = np.arange(len(ids)) - doc_start
+        rows = []
+        for j, tok in enumerate(p_toks):
+            m = vals == tok
+            rows.append(
+                pd.DataFrame(
+                    {"doc_id": ids[m], "base": pos[m] - j, "j": np.int64(j)}
+                )
+            )
+        return pd.concat(rows, ignore_index=True) if rows else pd.DataFrame(
+            {"doc_id": np.array([], np.int64), "base": np.array([], np.int64),
+             "j": np.array([], np.int64)}
+        )
+
+    def intersect(g: pd.DataFrame) -> pd.DataFrame:
+        hits = (
+            g.drop_duplicates(["doc_id", "base", "j"])
+            .groupby(["doc_id", "base"], as_index=False)["j"].nunique()
+        )
+        hits = hits[(hits["j"] == K)]
+        # phrase tokens may repeat (e.g. "a b a"): require base >= 0
+        hits = hits[hits["base"] >= 0]
+        out = hits.groupby("doc_id", as_index=False).size()
+        return out.rename(columns={"size": "n_hits"})
+
+    out = (
+        docs.map_batches(postings, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "doc_id", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: intersect(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["n_hits"] = out["n_hits"].astype(np.int64)
+    out["phrase"] = phrase
+    return out[["doc_id", "phrase", "n_hits"]].sort_values("doc_id").reset_index(
+        drop=True
+    )
+
+
+def q_jl_projection(sf_dir: str):
+    """Johnson-Lindenstrauss ±1 projection of the embedding table to 16
+    dims (Achlioptas 2003) — the cheap pre-ANN shrink: pure map-side, zero
+    shuffle, every block regenerates the deterministic sign matrix from
+    (d_in, d_out, seed) so nothing ships. Long-form (vec_id, dim, val_fp)
+    int64 output; DuckDB hash-checked against a serial twin running the
+    SAME kernel (identical elementwise floats ⇒ identical fixed point).
+    Cosine-preservation is pinned separately in tests/test_ops.py."""
+    import numpy as np
+
+    from ..ops.similarity import jl_project
+
+    out = jl_project(_emb(sf_dir)).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
+QUERIES["jl_projection"] = q_jl_projection
+QUERIES["phrase_search"] = q_phrase_search
+ORACLE_SQL["phrase_search"] = f"""
+        WITH tok AS (SELECT doc_id, {_TOKENS} AS toks FROM documents),
+        gi AS (
+          SELECT doc_id, unnest(generate_series(0, len(toks) - 3)) AS i, toks
+          FROM tok WHERE len(toks) >= 3
+        ),
+        g AS (
+          SELECT doc_id, array_to_string(toks[i + 1 : i + 3], ' ') AS gram
+          FROM gi
+        ),
+        top AS (
+          SELECT gram FROM g GROUP BY gram
+          ORDER BY count(*) DESC, gram LIMIT 1
+        )
+        SELECT doc_id, (SELECT gram FROM top) AS phrase,
+               count(*)::BIGINT AS n_hits
+        FROM g WHERE gram = (SELECT gram FROM top)
+        GROUP BY doc_id ORDER BY doc_id
+    """
 
 QUERIES["mmr_diverse"] = q_mmr_diverse
 QUERIES["ngram_novelty"] = q_ngram_novelty

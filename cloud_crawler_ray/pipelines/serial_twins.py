@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 25  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 26  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1812,3 +1812,22 @@ def twin_mmr_diverse(sf_dir: str, k: int = 10, pool: int = 50) -> pa.Table:
 
 
 _SF_TWINS["mmr_diverse"] = twin_mmr_diverse
+
+
+def twin_jl_projection(sf_dir: str, d_out: int = 16, seed: int = 97) -> pa.Table:
+    """Serial JL projection over the full embedding table — SAME
+    deterministic sign matrix and fixed-point kernel
+    (ops/similarity.jl_matrix / jl_project_rows), so every coordinate
+    hash-matches the distributed map."""
+    from ..ops.similarity import _matrix, jl_matrix, jl_project_rows
+
+    df = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    ids, M = _matrix(df, "vec_id")
+    out = jl_project_rows(ids, M, jl_matrix(M.shape[1], d_out, seed))
+    return pa.Table.from_pandas(
+        out.sort_values(["vec_id", "dim"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+_SF_TWINS["jl_projection"] = twin_jl_projection

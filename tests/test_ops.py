@@ -1908,3 +1908,26 @@ def test_mmr_kernel_diversifies():
     # plain top-4 by relevance would be all-A — MMR differs
     plain = set(np.argsort(-rel)[:4].tolist())
     assert picked != plain
+
+
+def test_jl_projection_preserves_cosine():
+    """JL with d_out=64 keeps pairwise cosine within a loose distortion
+    band on random unit vectors (O(1/sqrt(d_out)) theory), and the sign
+    matrix is deterministic across regenerations."""
+    import numpy as np
+
+    from cloud_crawler_ray.ops.similarity import jl_matrix
+
+    rng = np.random.default_rng(91)
+    X = rng.normal(size=(40, 128))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    R = jl_matrix(128, 64, seed=97)
+    assert np.array_equal(R, jl_matrix(128, 64, seed=97))
+    Y = X @ R
+    Yn = Y / np.linalg.norm(Y, axis=1, keepdims=True)
+    orig = X @ X.T
+    proj = Yn @ Yn.T
+    err = np.abs(orig - proj)
+    iu = np.triu_indices(40, 1)
+    assert err[iu].mean() < 0.12, err[iu].mean()
+    assert err[iu].max() < 0.45, err[iu].max()
