@@ -4282,3 +4282,215 @@ def betweenness(
         )
         .map_batches(lambda t: t, batch_format="pyarrow")
     )
+
+
+_ROBUST_FRACS = (0, 5, 10, 20, 40)  # percent of highest-degree nodes removed
+
+
+def robustness_kernel(
+    src: np.ndarray, dst: np.ndarray, fracs: tuple = _ROBUST_FRACS
+) -> pd.DataFrame:
+    """Pure targeted-attack robustness kernel (Albert/Jeong/Barabási 2000:
+    error and attack tolerance of complex networks) over a directed string
+    edge list, treated as undirected for connectivity: for each percent p,
+    remove the top-p% nodes by undirected degree (ties → smaller node id
+    removed first — a total order, so the curve is a pure function of the
+    edge set) and report surviving node/edge counts and the largest
+    weakly-connected component. The hub-removal fragmentation curve is the
+    'how dead is the crawl if the big hosts go away' read."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    u, v = inv[: len(src)], inv[len(src):]
+    n = len(nodes)
+    deg = np.bincount(u, minlength=n) + np.bincount(v, minlength=n)
+    order = np.lexsort((np.arange(n), -deg))  # deg DESC, node ASC
+    rows = []
+    for p in fracs:
+        k = n * p // 100
+        removed = np.zeros(n, bool)
+        removed[order[:k]] = True
+        keep_e = ~(removed[u] | removed[v])
+        uu, vv = u[keep_e], v[keep_e]
+        # union-find over survivors
+        parent = np.arange(n)
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(uu.tolist(), vv.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        alive = ~removed
+        if alive.any():
+            roots = np.asarray([find(int(x)) for x in np.flatnonzero(alive)])
+            largest = int(np.bincount(roots).max())
+        else:
+            largest = 0
+        rows.append(
+            {
+                "pct_removed": int(p),
+                "n_removed": int(k),
+                "n_nodes_left": int(alive.sum()),
+                "n_edges_left": int(keep_e.sum()),
+                "largest_cc": largest,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def robustness_curve(edges: rd.Dataset, driver_cap: int = 2_000_000) -> pd.DataFrame:
+    """Targeted-attack robustness over a (src, dst) edge Dataset. Like
+    connected_components, this wrapper's contract is ANALYSIS scale —
+    under ``driver_cap`` edges the kernel runs on the driver; above it
+    the degree table, removal sets and filtered edges stay Datasets
+    (hash(node) shard degree sums → metadata-only rank stamp → co-shard
+    endpoint anti-joins, the densest-subgraph filter shape) and the
+    label-propagation components path computes the largest-CC sizes —
+    at 10^10 nodes a caller consumes the per-step label Datasets
+    directly instead of the summary frame."""
+    edges = edges.materialize()
+    if edges.count() <= driver_cap:
+        ed = edges.to_pandas()
+        return robustness_kernel(
+            ed["src"].to_numpy(dtype=object), ed["dst"].to_numpy(dtype=object)
+        )
+    # distributed path (test-forced via driver_cap=0): degrees, removal
+    # sets and filtered edges stay Datasets; components reuse the
+    # size-gated connected_components wrapper per step (its own contract
+    # is analysis-scale O(nodes) labels — at 10^10 nodes a caller consumes
+    # the per-step label Datasets instead of this summary frame)
+    from ..stages.indexing import zip_with_index
+    from .dedup import _add_shard, cluster_shards
+
+    n_sh = cluster_shards()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            np.concatenate(
+                [
+                    t.column("src").to_numpy(zero_copy_only=False),
+                    t.column("dst").to_numpy(zero_copy_only=False),
+                ]
+            ),
+            return_counts=True,
+        )
+        return pa.table(
+            {"node": pa.array(v, pa.string()), "deg": pa.array(c.astype(np.int64))}
+        )
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "node", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"]).groupby("node", as_index=False)[
+                "deg"
+            ].sum(),
+            batch_format="pandas",
+        )
+        .map_batches(
+            lambda t: t.append_column(
+                "negdeg",
+                pa.array(
+                    -t.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ranked, n = zip_with_index(deg, ["negdeg", "node"], col="rank", with_count=True)
+    ranked = ranked.materialize()
+    rows = []
+    for p in _ROBUST_FRACS:
+        k = n * p // 100
+        removed = ranked.map_batches(
+            lambda t, k=k: t.filter(
+                pa.compute.less(t.column("rank"), pa.scalar(k, pa.int64()))
+            ).select(["node"]),
+            batch_format="pyarrow",
+        ).materialize()
+
+        def anti(col: str, ed: rd.Dataset) -> rd.Dataset:
+            tagged = ed.map_batches(
+                lambda t, col=col: pa.table(
+                    {
+                        "src": t.column("src"),
+                        "dst": t.column("dst"),
+                        "_key": t.column(col),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).union(
+                removed.map_batches(
+                    lambda t: pa.table(
+                        {
+                            "src": pa.array([""] * t.num_rows, pa.string()),
+                            "dst": pa.array([""] * t.num_rows, pa.string()),
+                            "_key": t.column("node"),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+
+            def drop_marked(g: pd.DataFrame) -> pd.DataFrame:
+                gone = set(g.loc[g["src"] == "", "_key"])
+                keep = g[(g["src"] != "") & (~g["_key"].isin(gone))]
+                return keep[["src", "dst"]]
+
+            return (
+                tagged.map_batches(
+                    lambda t: _add_shard(t, "_key", n_sh), batch_format="pyarrow"
+                )
+                .groupby("shard")
+                .map_groups(
+                    lambda g: drop_marked(g.drop(columns=["shard"])),
+                    batch_format="pandas",
+                )
+                .map_batches(lambda t: t, batch_format="pyarrow")
+            )
+
+        kept = anti("dst", anti("src", edges)).materialize()
+        n_edges_left = kept.count()
+        n_left = n - k
+        largest = 0
+        if n_edges_left:
+            labels = connected_components(kept)
+            largest = int(
+                labels.map_batches(
+                    lambda t: pa.table(
+                        {"component": t.column("component")}
+                    ),
+                    batch_format="pyarrow",
+                )
+                .map_batches(
+                    lambda t: _add_shard(t, "component", n_sh), batch_format="pyarrow"
+                )
+                .groupby("shard")
+                .map_groups(
+                    lambda g: pd.DataFrame(
+                        {"m": [int(g.groupby("component").size().max())]}
+                    )
+                    if len(g)
+                    else pd.DataFrame({"m": [0]}),
+                    batch_format="pandas",
+                )
+                .to_pandas()["m"].max()
+            )
+        if n_left > 0:
+            largest = max(largest, 1)  # isolated survivors are size-1 CCs
+        rows.append(
+            {
+                "pct_removed": int(p),
+                "n_removed": int(k),
+                "n_nodes_left": int(n_left),
+                "n_edges_left": int(n_edges_left),
+                "largest_cc": int(largest),
+            }
+        )
+    return pd.DataFrame(rows)

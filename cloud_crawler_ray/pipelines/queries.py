@@ -7829,6 +7829,10 @@ _TWIN_SQL_COLS = {
     "part_betweenness": ("node, bc_fp", "bc_fp DESC, node"),
     "mmr_diverse": ('"rank", vec_id', '"rank"'),
     "jl_projection": ("vec_id, dim, val_fp", "vec_id, dim"),
+    "link_robustness": (
+        "pct_removed, n_removed, n_nodes_left, n_edges_left, largest_cc",
+        "pct_removed",
+    ),
     "recrawl_rates": (
         "host, n_checked, n_changed, n_added, n_removed, lambda_fp",
         "host",
@@ -8476,6 +8480,97 @@ def q_jl_projection(sf_dir: str):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
 
+
+def q_curriculum_order(sf_dir: str):
+    """Curriculum data ordering: rank every document by length (token
+    count, doc_id tie-break), cut the ranking into 4 difficulty buckets,
+    and assign the within-bucket step — training then consumes ORDER BY
+    (step, bucket), one doc from each difficulty level per step (the
+    interleaved curriculum a data loader wants as a COLUMN, not a
+    shuffle). Global rank comes from the metadata-only zipWithIndex stamp
+    (sort + block-count prefix sum — O(blocks) driver memory); bucket and
+    step are pure integer functions of (rank, N). DuckDB hash-checked
+    directly against a window-function oracle."""
+    import numpy as np
+
+    from ..ops.textstats import tokenize
+    from ..stages.indexing import zip_with_index
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(g.set_index("doc_id")["text"])
+        n = toks.groupby(level=0).size()
+        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64)})
+        out["score"] = out["doc_id"].map(n).fillna(0).astype(np.int64)
+        return out
+
+    scored = docs.map_batches(score, batch_format="pandas").map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    ranked, total = zip_with_index(
+        scored, ["score", "doc_id"], col="rank", with_count=True
+    )
+
+    def assign(t: pa.Table, n=total) -> pa.Table:
+        r = t.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = r * 4 // n
+        start = (n * bucket + 3) // 4
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "score": t.column("score"),
+                "bucket": pa.array(bucket),
+                "step": pa.array(r - start),
+            }
+        )
+
+    out = ranked.map_batches(assign, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["step", "bucket", "doc_id"]).reset_index(drop=True)
+
+
+def q_link_robustness(sf_dir: str):
+    """Targeted-attack robustness of the crawl link graph (Albert/Jeong/
+    Barabási 2000): remove the top-{0,5,10,20,40}% highest-degree pages
+    and report surviving nodes/edges and the largest weakly-connected
+    component — 'how dead is the corpus if the big hosts vanish'.
+    Deterministic total removal order (deg DESC, node ASC); DuckDB
+    hash-checked against a serial twin running the SAME kernel over the
+    oracle edge table; the distributed path (metadata-only rank stamp +
+    co-shard endpoint anti-joins + per-step components) is parity
+    test-forced in tests/test_graph.py."""
+    import numpy as np
+
+    from ..ops.graph import robustness_curve
+
+    out = robustness_curve(crawl_handle_for(sf_dir).link_edges())
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("pct_removed").reset_index(drop=True)
+
+
+QUERIES["link_robustness"] = q_link_robustness
+QUERIES["curriculum_order"] = q_curriculum_order
+ORACLE_SQL["curriculum_order"] = f"""
+        WITH s AS (
+          SELECT doc_id, len({_TOKENS})::BIGINT AS score FROM documents
+        ),
+        r AS (
+          SELECT doc_id, score,
+                 row_number() OVER (ORDER BY score, doc_id) - 1 AS rnk,
+                 count(*) OVER () AS n
+          FROM s
+        )
+        SELECT doc_id, score,
+               (rnk * 4 // n)::BIGINT AS bucket,
+               (rnk - (n * (rnk * 4 // n) + 3) // 4)::BIGINT AS step
+        FROM r
+        ORDER BY step, bucket, doc_id
+    """
 
 QUERIES["jl_projection"] = q_jl_projection
 QUERIES["phrase_search"] = q_phrase_search

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 26  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 27  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1831,3 +1831,24 @@ def twin_jl_projection(sf_dir: str, d_out: int = 16, seed: int = 97) -> pa.Table
 
 
 _SF_TWINS["jl_projection"] = twin_jl_projection
+
+
+def twin_link_robustness() -> pa.Table:
+    """Serial targeted-attack robustness over the oracle link edges — the
+    SAME pure kernel (ops/graph.robustness_kernel) with the same removal
+    total order, so every curve point must hash-match."""
+    from .queries import ORACLE_TABLE_DIR, ensure_oracle_tables
+    from ..ops.graph import robustness_kernel
+
+    ensure_oracle_tables()
+    e = pq.read_table(os.path.join(ORACLE_TABLE_DIR, "link_edges.parquet"))
+    out = robustness_kernel(
+        np.asarray(e.column("src").to_pylist(), dtype=object),
+        np.asarray(e.column("dst").to_pylist(), dtype=object),
+    )
+    return pa.Table.from_pandas(
+        out.sort_values("pct_removed").reset_index(drop=True), preserve_index=False
+    )
+
+
+_NOARG_TWINS["link_robustness"] = twin_link_robustness

@@ -1368,3 +1368,58 @@ def test_betweenness_distributed_bit_exact(ray_session):
         fast.astype(np.int64), dist.astype(np.int64)
     )
     assert (fast["bc_fp"] > 0).any()
+
+
+def test_robustness_kernel_star_chain():
+    """Planted star+chain: removing the hub at 20% fragments the star to
+    singletons while the chain survives as the largest component."""
+    import numpy as np
+
+    from cloud_crawler_ray.ops.graph import robustness_kernel
+
+    # hub h0 with 6 leaves + disjoint 4-chain (c0-c1-c2-c3): 11 nodes
+    ed = [("h0", f"l{i}") for i in range(6)] + [
+        ("c0", "c1"), ("c1", "c2"), ("c2", "c3")
+    ]
+    src = np.array([a for a, _ in ed], object)
+    dst = np.array([b for _, b in ed], object)
+    out = robustness_kernel(src, dst)
+    r0 = out[out["pct_removed"] == 0].iloc[0]
+    assert r0["largest_cc"] == 7 and r0["n_edges_left"] == 9
+    # 20% of 11 nodes = 2 removed: hub first (deg 6), then c1 (deg 2, the
+    # lexicographically-smallest of the deg-2 ties)
+    r20 = out[out["pct_removed"] == 20].iloc[0]
+    assert r20["n_removed"] == 2
+    assert r20["largest_cc"] == 2  # c2-c3 survives as the biggest piece
+    assert r20["n_edges_left"] == 1
+
+
+def test_robustness_distributed_parity(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from cloud_crawler_ray.ops.graph import robustness_curve, robustness_kernel
+
+    rng = np.random.default_rng(77)
+    a = rng.integers(0, 30, 90)
+    b = rng.integers(0, 30, 90)
+    keep = a != b
+    ed = (
+        pd.DataFrame(
+            {
+                "src": [f"u{v:03d}" for v in a[keep]],
+                "dst": [f"u{v:03d}" for v in b[keep]],
+            }
+        )
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    ds = rd.from_pandas(ed).repartition(4)
+    fast = robustness_curve(ds).reset_index(drop=True)
+    dist = robustness_curve(ds, driver_cap=0).reset_index(drop=True)
+    ref = robustness_kernel(
+        ed["src"].to_numpy(dtype=object), ed["dst"].to_numpy(dtype=object)
+    )
+    pd.testing.assert_frame_equal(fast.astype(np.int64), ref.astype(np.int64))
+    pd.testing.assert_frame_equal(dist.astype(np.int64), ref.astype(np.int64))
