@@ -196,3 +196,24 @@ def test_incremental_refresh_example(ray_session):
     assert res["admitted"] < res["day2_docs"]
     assert res["admitted"] >= res["day2_docs"] - res["near_dup_matches"]
     assert res["trim_spans"] > 0
+
+
+def test_graph_audit_example(ray_session):
+    """Post-crawl graph-health report: structural sums present, robustness
+    curve monotone in removals, transitivity/reciprocity are percentages."""
+    from examples.graph_audit import main
+
+    report = main("/tmp/ccray_t_graphaudit")
+    s = report["summary"]
+    assert s["m_edges"] > 100
+    assert set(s) == {
+        "closed_wedges", "m_edges", "recip_edges", "sum_x", "sum_x2",
+        "sum_xy", "sum_y", "sum_y2", "wedges",
+    }
+    rb = report["robustness"]
+    assert [r["pct_removed"] for r in rb] == [0, 5, 10, 20, 40]
+    assert all(
+        rb[i]["n_edges_left"] >= rb[i + 1]["n_edges_left"]
+        for i in range(len(rb) - 1)
+    )
+    assert 0 <= report["reciprocity_pct"] <= 100
