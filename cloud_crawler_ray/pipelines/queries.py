@@ -7833,6 +7833,10 @@ _TWIN_SQL_COLS = {
         "pct_removed, n_removed, n_nodes_left, n_edges_left, largest_cc",
         "pct_removed",
     ),
+    "code_switch": (
+        "doc_id, n_segments, n_switches, dominant_lang, n_dominant",
+        "doc_id",
+    ),
     "recrawl_rates": (
         "host, n_checked, n_changed, n_added, n_removed, lambda_fp",
         "host",
@@ -8553,6 +8557,55 @@ def q_link_robustness(sf_dir: str):
     return out.sort_values("pct_removed").reset_index(drop=True)
 
 
+def q_code_switch(sf_dir: str):
+    """Per-document code-switch profile: language-ID every full 16-token
+    segment (the segment_dedup granularity) and report segment count,
+    language-switch count between adjacent segments, and the dominant
+    language with its segment count — the multilingual-curation signal
+    that catches mixed-language documents a whole-doc lang_id averages
+    away. Pure map-side (a doc lives whole in one block), zero shuffle;
+    DuckDB hash-checked against a serial twin running the SAME kernel."""
+    import numpy as np
+
+    from ..functions.text import lang_id as _lang
+    from ..ops.textstats import tokenize
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def profile(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "n_segments": [], "n_switches": [],
+                "dominant_lang": [], "n_dominant": []}
+        toks = tokenize(g.set_index("doc_id")["text"])
+        for doc_id, grp in toks.groupby(level=0):
+            vals = grp.to_numpy(object)
+            n_seg = len(vals) // 16
+            if n_seg == 0:
+                continue
+            langs = [
+                _lang(" ".join(vals[i * 16 : (i + 1) * 16])) for i in range(n_seg)
+            ]
+            switches = sum(1 for a, b in zip(langs, langs[1:]) if a != b)
+            counts: dict[str, int] = {}
+            for lg in langs:
+                counts[lg] = counts.get(lg, 0) + 1
+            dom = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            rows["doc_id"].append(int(doc_id))
+            rows["n_segments"].append(n_seg)
+            rows["n_switches"].append(switches)
+            rows["dominant_lang"].append(dom[0])
+            rows["n_dominant"].append(dom[1])
+        out = pd.DataFrame(rows)
+        for c in ("doc_id", "n_segments", "n_switches", "n_dominant"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    out = docs.map_batches(profile, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+QUERIES["code_switch"] = q_code_switch
 QUERIES["link_robustness"] = q_link_robustness
 QUERIES["curriculum_order"] = q_curriculum_order
 ORACLE_SQL["curriculum_order"] = f"""

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 27  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 28  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1852,3 +1852,41 @@ def twin_link_robustness() -> pa.Table:
 
 
 _NOARG_TWINS["link_robustness"] = twin_link_robustness
+
+
+def twin_code_switch(sf_dir: str) -> pa.Table:
+    """Serial per-doc code-switch profile — same tokenizer, same 16-token
+    segmenting, same lang_id heuristic and dominant tie policy as
+    q_code_switch, so every row hash-matches."""
+    from ..functions.text import lang_id as _lang
+    from ..ops.textstats import tokenize
+
+    df = _docs_table(sf_dir).to_pandas()
+    toks = tokenize(df.set_index("doc_id")["text"])
+    rows = {"doc_id": [], "n_segments": [], "n_switches": [],
+            "dominant_lang": [], "n_dominant": []}
+    for doc_id, grp in toks.groupby(level=0):
+        vals = grp.to_numpy(object)
+        n_seg = len(vals) // 16
+        if n_seg == 0:
+            continue
+        langs = [_lang(" ".join(vals[i * 16 : (i + 1) * 16])) for i in range(n_seg)]
+        switches = sum(1 for a, b in zip(langs, langs[1:]) if a != b)
+        counts: dict[str, int] = {}
+        for lg in langs:
+            counts[lg] = counts.get(lg, 0) + 1
+        dom = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        rows["doc_id"].append(int(doc_id))
+        rows["n_segments"].append(n_seg)
+        rows["n_switches"].append(switches)
+        rows["dominant_lang"].append(dom[0])
+        rows["n_dominant"].append(dom[1])
+    out = pd.DataFrame(rows)
+    for c in ("doc_id", "n_segments", "n_switches", "n_dominant"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(
+        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
+    )
+
+
+_SF_TWINS["code_switch"] = twin_code_switch
