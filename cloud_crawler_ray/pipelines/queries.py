@@ -8605,6 +8605,189 @@ def q_code_switch(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_basket_rules(sf_dir: str):
+    """Market-basket association rules over order co-purchases: top-20
+    directed rules a→b (support ≥ 3 orders) ranked by integer fixed-point
+    confidence n_ab·2^20//n_a, then lift n_ab·N·2^20//(n_a·n_b) — the
+    'customers who bought X also buy Y' mining classic (Agrawal/Srikant
+    1994 support-confidence frame), integer-exact end to end. Shape: one
+    hash(order) shard pass emits directed pair partials AND per-shard
+    distinct-order counts; pair totals gate on support in hash(pair)
+    shards; part counts attach by two size-gated keyed_attach joins;
+    per-block top-k partials → driver top-20. DuckDB hash-checked
+    directly."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards, keyed_attach
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_partkey"]
+    )
+    n_sh = cluster_shards()
+
+    def distinct_lp(t: pa.Table) -> pa.Table:
+        return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+    lp_sharded = (
+        li.map_batches(distinct_lp, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "l_orderkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+    )
+
+    def order_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = g.merge(g, on="l_orderkey", suffixes=("_a", "_b"))
+        m = m[m["l_partkey_a"] != m["l_partkey_b"]]
+        out = m.groupby(["l_partkey_a", "l_partkey_b"], as_index=False).size()
+        out = out.rename(columns={"l_partkey_a": "pa", "l_partkey_b": "pb", "size": "n"})
+        out["n_orders"] = 0
+        probe = pd.DataFrame(
+            {"pa": [-1], "pb": [-1], "n": [0],
+             "n_orders": [g["l_orderkey"].nunique()]}
+        )
+        return pd.concat([out, probe], ignore_index=True)
+
+    pair_partials = lp_sharded.map_groups(
+        lambda g: order_pairs(g.drop(columns=["shard"])), batch_format="pandas"
+    ).materialize()
+    n_orders = int(
+        pair_partials.map_batches(
+            lambda t: pa.table(
+                {"n": pa.array([int(t.column("n_orders").to_numpy().sum())], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()["n"].sum()
+    )
+
+    def pkey(t: pa.Table) -> pa.Table:
+        a = t.column("pa").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("pb").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column("_k", pa.array((a << np.int64(32)) | (b & 0xFFFFFFFF)))
+
+    pairs = (
+        pair_partials.map_batches(
+            lambda t: t.filter(
+                pa.compute.greater_equal(t.column("pa"), pa.scalar(0, pa.int64()))
+            ).select(["pa", "pb", "n"]),
+            batch_format="pyarrow",
+        )
+        .map_batches(pkey, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "_k", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: (
+                lambda tot: tot[tot["n"] >= 3]
+            )(g.drop(columns=["shard", "_k"]).groupby(["pa", "pb"], as_index=False)["n"].sum()),
+            batch_format="pandas",
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "pa": t.column("pa").cast(pa.int64()),
+                    "pb": t.column("pb").cast(pa.int64()),
+                    "n_ab": t.column("n").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # an order's rows are shard-complete here, so this dedup is GLOBAL
+        df = (
+            g.drop_duplicates(["l_orderkey", "l_partkey"])
+            .groupby("l_partkey", as_index=False)
+            .size()
+        )
+        return df.rename(columns={"size": "c"})
+
+    cnt = (
+        li.map_batches(distinct_lp, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "l_orderkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: part_counts(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .map_batches(lambda t: _add_shard(t, "l_partkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"]).groupby("l_partkey", as_index=False)["c"].sum(),
+            batch_format="pandas",
+        )
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    ca = cnt.map_batches(
+        lambda t: pa.table({"pa": t.column("l_partkey").cast(pa.int64()),
+                            "n_a": t.column("c").cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    cb = cnt.map_batches(
+        lambda t: pa.table({"pb": t.column("l_partkey").cast(pa.int64()),
+                            "n_b": t.column("c").cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    joined = keyed_attach(
+        keyed_attach(pairs, ca, "pa", ["n_a"], right_count=ca.count()),
+        cb, "pb", ["n_b"], right_count=cb.count(),
+    )
+
+    def score(t: pa.Table, N=n_orders) -> pa.Table:
+        n_ab = t.column("n_ab").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_a = t.column("n_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_b = t.column("n_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pa": t.column("pa"),
+                "pb": t.column("pb"),
+                "n_ab": pa.array(n_ab),
+                "n_a": pa.array(n_a),
+                "n_b": pa.array(n_b),
+                "conf_fp": pa.array(n_ab * (1 << 20) // n_a),
+                "lift_fp": pa.array(n_ab * N * (1 << 20) // (n_a * n_b)),
+            }
+        )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["conf_fp", "lift_fp", "pa", "pb"],
+            ascending=[False, False, True, True], kind="stable",
+        ).head(20)
+
+    parts = (
+        joined.map_batches(score, batch_format="pyarrow")
+        .map_batches(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    out = topk(parts).reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+QUERIES["basket_rules"] = q_basket_rules
+ORACLE_SQL["basket_rules"] = """
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lp),
+        cnt AS (SELECT l_partkey AS p, count(*) AS n FROM lp GROUP BY 1),
+        pairs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey <> b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 3
+        )
+        SELECT pa, pb, n_ab::BIGINT AS n_ab,
+               ca.n::BIGINT AS n_a, cb.n::BIGINT AS n_b,
+               (n_ab * 1048576 // ca.n)::BIGINT AS conf_fp,
+               (n_ab * (SELECT n_orders FROM n) * 1048576
+                 // (ca.n * cb.n))::BIGINT AS lift_fp
+        FROM pairs
+        JOIN cnt ca ON ca.p = pairs.pa
+        JOIN cnt cb ON cb.p = pairs.pb
+        ORDER BY conf_fp DESC, lift_fp DESC, pa, pb LIMIT 20
+    """
+
 QUERIES["code_switch"] = q_code_switch
 QUERIES["link_robustness"] = q_link_robustness
 QUERIES["curriculum_order"] = q_curriculum_order
