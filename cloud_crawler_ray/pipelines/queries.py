@@ -8765,6 +8765,70 @@ def q_basket_rules(sf_dir: str):
     return out
 
 
+def q_host_latency_slo(sf_dir: str):
+    """Per-host fetch-latency SLO report over the flagship crawl: exact
+    PERCENTILE_DISC p50/p95/p99 of response_time_ms per host (idx =
+    ceil(n·p)−1 over the sorted values — DuckDB's discrete convention,
+    integer-exact) plus fetch counts — the operational 'which hosts are
+    slow' dashboard beside crawl_host_stats' totals. One hash(host)
+    shuffle of (host, rt) rows (a host's rows shard-complete → exact
+    in-shard percentiles). DuckDB hash-checked DIRECTLY against
+    percentile_disc over the serial oracle's pages table."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    pages = crawl_handle_for(sf_dir).pages()
+    n_sh = cluster_shards()
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("fetched"))
+        urls = t.column("canonical_url").to_pandas()
+        return pa.table(
+            {
+                "host": pa.array(urls.str.split("/").str[2].to_numpy(object), pa.string()),
+                "rt": t.column("response_time_ms").cast(pa.int64()),
+            }
+        )
+
+    def slo(g: pd.DataFrame) -> pd.DataFrame:
+        rows = {"host": [], "n_fetched": [], "p50": [], "p95": [], "p99": []}
+        for host, grp in g.groupby("host"):
+            v = np.sort(grp["rt"].to_numpy(np.int64))
+            n = len(v)
+            rows["host"].append(host)
+            rows["n_fetched"].append(n)
+            for key, num, den in (("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)):
+                rows[key].append(int(v[(n * num + den - 1) // den - 1]))
+        out = pd.DataFrame(rows)
+        for c in ("n_fetched", "p50", "p95", "p99"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    out = (
+        pages.map_batches(project, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "host", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lambda g: slo(g.drop(columns=["shard"])), batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("host").reset_index(drop=True)
+
+
+QUERIES["host_latency_slo"] = q_host_latency_slo
+ORACLE_SQL["host_latency_slo"] = f"""
+        SELECT split_part(canonical_url, '/', 3) AS host,
+               count(*)::BIGINT AS n_fetched,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY response_time_ms)
+                 ::BIGINT AS p50,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY response_time_ms)
+                 ::BIGINT AS p95,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY response_time_ms)
+                 ::BIGINT AS p99
+        FROM read_parquet('{ORACLE_TABLE_DIR}/pages.parquet')
+        WHERE fetched
+        GROUP BY 1 ORDER BY host
+    """
 QUERIES["basket_rules"] = q_basket_rules
 ORACLE_SQL["basket_rules"] = """
         WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
