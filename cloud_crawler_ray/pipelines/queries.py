@@ -8815,6 +8815,71 @@ def q_host_latency_slo(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+def q_source_diversity(sf_dir: str):
+    """Per-source lexical diversity as exact integer sufficient statistics:
+    token total N, distinct vocabulary V, and the Simpson numerator
+    Σ c·(c−1) (the repeat-probability mass — Simpson's index and
+    type-token ratio derive outside, keeping the output pure int64) — the
+    'is this source a diverse corpus or a template mill?' read behind
+    mixing weights. One hash(source ⊻ token) shuffle of per-block count
+    partials (a (source, token)'s rows co-shard ⇒ shard sums are global),
+    then per-shard per-source 3-int partials → driver sums over a
+    source-bounded frame. DuckDB hash-checked directly."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+    from ..ops.textstats import tokenize
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    n_sh = cluster_shards()
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(g.set_index("source")["text"])
+        df = pd.DataFrame({"source": toks.index.to_numpy(object), "tok": toks.to_numpy(object)})
+        out = df.groupby(["source", "tok"], as_index=False).size()
+        out = out.rename(columns={"size": "c"})
+        out["_k"] = out["source"].astype(str) + "\x1f" + out["tok"].astype(str)
+        return out
+
+    def shard_stats(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["source", "tok"], as_index=False)["c"].sum()
+        c = tot["c"].to_numpy(np.int64)
+        out = tot.assign(n=c, v=1, simpson=c * (c - 1)).groupby(
+            "source", as_index=False
+        )[["n", "v", "simpson"]].sum()
+        return out
+
+    parts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "_k", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_stats(g.drop(columns=["shard", "_k"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = parts.groupby("source", as_index=False)[["n", "v", "simpson"]].sum()
+    out = out.rename(columns={"n": "n_tokens", "v": "vocab", "simpson": "simpson_num"})
+    for c in ("n_tokens", "vocab", "simpson_num"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+QUERIES["source_diversity"] = q_source_diversity
+ORACLE_SQL["source_diversity"] = f"""
+        WITH t AS (
+          SELECT source, unnest({_TOKENS}) AS tok FROM documents
+        ),
+        c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2)
+        SELECT source, SUM(c)::BIGINT AS n_tokens,
+               count(*)::BIGINT AS vocab,
+               SUM(c * (c - 1))::BIGINT AS simpson_num
+        FROM c GROUP BY source ORDER BY source
+    """
+
 QUERIES["host_latency_slo"] = q_host_latency_slo
 ORACLE_SQL["host_latency_slo"] = f"""
         SELECT split_part(canonical_url, '/', 3) AS host,
