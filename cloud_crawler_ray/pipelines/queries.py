@@ -8868,6 +8868,58 @@ def q_source_diversity(sf_dir: str):
     return out.sort_values("source").reset_index(drop=True)
 
 
+def q_benford_audit(sf_dir: str):
+    """First-significant-digit (Benford) audit of order quantities and
+    extended prices — the cheap synthetic-data / fraud smell test run
+    before trusting a numeric column: per (column, digit 1-9) exact
+    counts, int64 end to end (digits come from integer string heads, so
+    no float-log boundary can flip a bucket). Pure map-side partials +
+    one tiny combine; DuckDB hash-checked directly."""
+    import numpy as np
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice"],
+    )
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for col in ("l_quantity", "l_extendedprice"):
+            v = g[col].to_numpy(np.float64)
+            iv = np.floor(np.abs(v)).astype(np.int64)
+            iv = iv[iv > 0]
+            d = pd.Series(iv).astype(str).str[0].astype(np.int64)
+            cnt = np.bincount(d, minlength=10)[1:10]
+            outs.append(
+                pd.DataFrame(
+                    {"col": col, "digit": np.arange(1, 10, dtype=np.int64),
+                     "n": cnt.astype(np.int64)}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["col", "digit"], as_index=False)["n"].sum()
+    out = out[out["n"] > 0]  # the SQL GROUP BY never emits absent digits
+    out["digit"] = out["digit"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["col", "digit"]).reset_index(drop=True)
+
+
+QUERIES["benford_audit"] = q_benford_audit
+ORACLE_SQL["benford_audit"] = """
+        WITH v AS (
+          SELECT 'l_extendedprice' AS col,
+                 floor(abs(l_extendedprice))::BIGINT AS iv FROM lineitem
+          UNION ALL
+          SELECT 'l_quantity', floor(abs(l_quantity))::BIGINT FROM lineitem
+        )
+        SELECT col, substr(iv::VARCHAR, 1, 1)::BIGINT AS digit,
+               count(*)::BIGINT AS n
+        FROM v WHERE iv > 0
+        GROUP BY 1, 2 ORDER BY col, digit
+    """
+
 QUERIES["source_diversity"] = q_source_diversity
 ORACLE_SQL["source_diversity"] = f"""
         WITH t AS (
