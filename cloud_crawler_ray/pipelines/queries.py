@@ -8906,6 +8906,248 @@ def q_benford_audit(sf_dir: str):
     return out.sort_values(["col", "digit"]).reset_index(drop=True)
 
 
+def q_customer_rfm(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary quartile
+    codes — the classic marketing cut, here as the 'which sources deserve
+    budget' pattern): per customer, days since last order vs the global
+    max date, order count, and spend in exact cents; each metric ranked
+    better-first under a total order (custkey tie-break) and cut into
+    quartile codes 4..1 by the same integer rank·4//N rule as
+    curriculum_order. Three metadata-only rank stamps over the
+    customer-bounded frame after ONE hash(customer) aggregation shuffle;
+    money sums as round(price·100) int64 cents, so no float sum order can
+    flip a code. DuckDB hash-checked directly against a window oracle."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+    from ..stages.indexing import zip_with_index
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    n_sh = cluster_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["cents"] = np.round(df["o_totalprice"].to_numpy(np.float64) * 100).astype(
+            np.int64
+        )
+        g = df.groupby("o_custkey", as_index=False).agg(
+            last_dt=("o_orderdate", "max"),
+            n_orders=("o_custkey", "size"),
+            m_cents=("cents", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "o_custkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"]).groupby("o_custkey", as_index=False).agg(
+                last_dt=("last_dt", "max"),
+                n_orders=("n_orders", "sum"),
+                m_cents=("m_cents", "sum"),
+            ),
+            batch_format="pandas",
+        )
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    max_dt = pd.Timestamp(
+        per_cust.map_batches(
+            lambda t: pa.table({"m": [pa.compute.max(t.column("last_dt")).as_py()]}),
+            batch_format="pyarrow",
+        ).to_pandas()["m"].max()
+    )
+
+    def recency(t: pa.Table, m=max_dt) -> pa.Table:
+        days = (
+            (m - t.column("last_dt").to_pandas()).dt.days.to_numpy(np.int64)
+        )
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "r_days": pa.array(days),
+                "n_orders": t.column("n_orders").cast(pa.int64()),
+                "m_cents": t.column("m_cents").cast(pa.int64()),
+                # better-first sort keys (ascending): recent, frequent, big
+                "neg_f": pa.array(
+                    -t.column("n_orders").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "neg_m": pa.array(
+                    -t.column("m_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    ds = per_cust.map_batches(recency, batch_format="pyarrow")
+    ds, total = zip_with_index(ds, ["r_days", "o_custkey"], col="r_rank", with_count=True)
+    ds = zip_with_index(ds, ["neg_f", "o_custkey"], col="f_rank")
+    ds = zip_with_index(ds, ["neg_m", "o_custkey"], col="m_rank")
+
+    def codes(t: pa.Table, n=total) -> pa.Table:
+        def q(col: str) -> pa.Array:
+            r = t.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.array(4 - r * 4 // n)
+
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "r_days": t.column("r_days"),
+                "n_orders": t.column("n_orders"),
+                "m_cents": t.column("m_cents"),
+                "r_q": q("r_rank"),
+                "f_q": q("f_rank"),
+                "m_q": q("m_rank"),
+            }
+        )
+
+    out = ds.map_batches(codes, batch_format="pyarrow").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def q_rich_club(sf_dir: str):
+    """Rich-club profile of the co-purchase part graph (Zhou & Mondragón
+    2004): for club sizes k ∈ {10, 20, 50, 100}, how many edges connect
+    the k highest-degree nodes to each other (with k(k−1)/2 as the
+    denominator for the coefficient, derived outside) — elite
+    interconnection vs hub-and-spoke, the link-farm-core smell at the top
+    of the degree distribution. Degrees from hash(node) shard sums; the
+    club membership (≤100 ids under a (deg DESC, node ASC) total order)
+    broadcasts once via ray.put; per-block edge-count partials → driver
+    sums 4 ints per block. DuckDB hash-checked directly."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    KS = (10, 20, 50, 100)
+    edges = _strong_part_edges(sf_dir).materialize()
+    n_sh = cluster_shards()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            np.concatenate(
+                [
+                    t.column("a").to_numpy(zero_copy_only=False),
+                    t.column("b").to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table({"n": pa.array(v), "d": pa.array(c.astype(np.int64))})
+
+    def shard_top(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("n", as_index=False)["d"].sum()
+        return tot.sort_values(["d", "n"], ascending=[False, True]).head(max(KS))
+
+    tops = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "n", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_top(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+        .sort_values(["d", "n"], ascending=[False, True])
+        .head(max(KS))
+    )
+    club = tops["n"].to_numpy(np.int64)  # rank order, ≤100 ids
+    import ray as _ray
+
+    ref = _ray.put(club)
+
+    def count_within(t: pa.Table) -> pa.Table:
+        members = _ray.get(ref)
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = []
+        for k in KS:
+            mk = np.sort(members[:k])
+
+            def isin(x: np.ndarray) -> np.ndarray:
+                pos = np.searchsorted(mk, x)
+                return (pos < len(mk)) & (mk[np.minimum(pos, len(mk) - 1)] == x)
+
+            counts.append(int((isin(a) & isin(b)).sum()))
+        return pa.table(
+            {
+                "k": pa.array(np.asarray(KS, np.int64)),
+                "n_edges_within": pa.array(np.asarray(counts, np.int64)),
+            }
+        )
+
+    parts = edges.map_batches(count_within, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("k", as_index=False)["n_edges_within"].sum()
+    out["n_possible"] = [k * (k - 1) // 2 for k in out["k"]]
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("k").reset_index(drop=True)
+
+
+QUERIES["rich_club"] = q_rich_club
+ORACLE_SQL["rich_club"] = """
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        und AS (SELECT pa AS z FROM e UNION ALL SELECT pb FROM e),
+        deg AS (SELECT z, count(*) AS d FROM und GROUP BY z),
+        rk AS (
+          SELECT z AS node, row_number() OVER (ORDER BY d DESC, z) - 1 AS r
+          FROM deg
+        ),
+        ks AS (SELECT unnest([10, 20, 50, 100]) AS k)
+        SELECT k::BIGINT AS k,
+               SUM(CASE WHEN ra.r < k AND rb.r < k THEN 1 ELSE 0 END)
+                 ::BIGINT AS n_edges_within,
+               (k * (k - 1) // 2)::BIGINT AS n_possible
+        FROM ks, e
+        JOIN rk ra ON ra.node = e.pa
+        JOIN rk rb ON rb.node = e.pb
+        GROUP BY k ORDER BY k
+    """
+
+QUERIES["customer_rfm"] = q_customer_rfm
+ORACLE_SQL["customer_rfm"] = """
+        WITH per AS (
+          SELECT o_custkey,
+                 max(o_orderdate) AS last_dt,
+                 count(*)::BIGINT AS n_orders,
+                 SUM(round(o_totalprice * 100)::BIGINT)::BIGINT AS m_cents
+          FROM orders GROUP BY 1
+        ),
+        mx AS (SELECT max(last_dt) AS m FROM per),
+        r AS (
+          SELECT o_custkey,
+                 date_diff('day', last_dt, (SELECT m FROM mx))::BIGINT
+                   AS r_days,
+                 n_orders, m_cents,
+                 count(*) OVER () AS n
+          FROM per
+        ),
+        rk AS (
+          SELECT *,
+            row_number() OVER (ORDER BY r_days, o_custkey) - 1 AS r_rank,
+            row_number() OVER (ORDER BY n_orders DESC, o_custkey) - 1
+              AS f_rank,
+            row_number() OVER (ORDER BY m_cents DESC, o_custkey) - 1
+              AS m_rank
+          FROM r
+        )
+        SELECT o_custkey, r_days, n_orders, m_cents,
+               (4 - r_rank * 4 // n)::BIGINT AS r_q,
+               (4 - f_rank * 4 // n)::BIGINT AS f_q,
+               (4 - m_rank * 4 // n)::BIGINT AS m_q
+        FROM rk ORDER BY o_custkey
+    """
+
 QUERIES["benford_audit"] = q_benford_audit
 ORACLE_SQL["benford_audit"] = """
         WITH v AS (
