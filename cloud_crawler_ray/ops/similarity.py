@@ -902,3 +902,125 @@ def jl_project(
         return jl_project_rows(ids, M, holder[M.shape[1]])
 
     return emb.map_batches(block, batch_format="pandas")
+
+
+def centroid_outlier_kernel(
+    ids: np.ndarray, labels: np.ndarray, M_fp: np.ndarray, k: int = 10
+) -> pd.DataFrame:
+    """Pure per-label centroid-outlier kernel over FIXED-POINT vectors
+    (M_fp = round(x·2^32) int64, the _KMEANS_FP discipline): centroid =
+    elementwise integer mean (sum // n — exact under any partitioning),
+    distance = float64 squared L2 to the reconstructed centroid
+    (elementwise from identical ints ⇒ identical floats), output the top-k
+    farthest per label as (label, vec_id, dist_fp) with dist_fp =
+    floor(d²·2^20) and (dist_fp DESC, vec_id ASC) ties."""
+    out_rows = []
+    for lab in np.unique(labels):
+        m = labels == lab
+        sub = M_fp[m]
+        n = len(sub)
+        cent = sub.sum(axis=0) // n
+        diff = (sub - cent).astype(np.float64) / _KMEANS_FP
+        d2 = (diff * diff).sum(axis=1)
+        dist_fp = np.floor(d2 * (1 << 20)).astype(np.int64)
+        sids = ids[m]
+        order = np.lexsort((sids, -dist_fp))[:k]
+        for j in order:
+            out_rows.append((int(lab), int(sids[j]), int(dist_fp[j])))
+    out = pd.DataFrame(out_rows, columns=["label", "vec_id", "dist_fp"])
+    return out.sort_values(
+        ["label", "dist_fp", "vec_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+
+
+def embedding_outliers(
+    emb: rd.Dataset, k: int = 10, id_col: str = "vec_id"
+) -> pd.DataFrame:
+    """Distributed per-label centroid outliers — the curation anomaly
+    miner (mislabeled / out-of-distribution vectors surface as the
+    farthest from their label's centroid): per-block fixed-point sum
+    partials → one hash(label) shard exact centroid (integer mean),
+    centroids broadcast once via ray.put (labels × dims ints), per-block
+    distance top-k partials → driver top-k per label. Distances derive
+    elementwise from the same integers as the kernel, so results are
+    bit-identical to the serial twin."""
+
+    def fp_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        M = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        M_fp = np.round(M * _KMEANS_FP).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "label": batch["label"].to_numpy(np.int64),
+                "vec_id": batch[id_col].to_numpy(np.int64),
+                "fp": [v.tobytes() for v in M_fp],
+            }
+        )
+
+    def sum_partial(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for lab, grp in g.groupby("label"):
+            S = np.stack([np.frombuffer(b, np.int64) for b in grp["fp"]]).sum(axis=0)
+            rows.append((int(lab), S.tobytes(), len(grp)))
+        return pd.DataFrame(rows, columns=["label", "s", "n"])
+
+    from .dedup import _add_shard, cluster_shards
+
+    n_sh = cluster_shards()
+    base = emb.map_batches(fp_rows, batch_format="pandas").materialize()
+    cents_df = (
+        base.map_batches(sum_partial, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "label", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: (
+                lambda gg: pd.DataFrame(
+                    [
+                        (
+                            int(lab),
+                            (
+                                np.stack(
+                                    [np.frombuffer(b, np.int64) for b in grp["s"]]
+                                ).sum(axis=0)
+                                // int(grp["n"].sum())
+                            ).tobytes(),
+                        )
+                        for lab, grp in gg.groupby("label")
+                    ],
+                    columns=["label", "cent"],
+                )
+            )(g.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    cents = {
+        int(r.label): np.frombuffer(r.cent, np.int64) for r in cents_df.itertuples()
+    }
+    ref = ray.put(cents)
+
+    def topk_partial(g: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(ref)
+        rows = []
+        for lab, grp in g.groupby("label"):
+            cent = cmap[int(lab)]
+            sub = np.stack([np.frombuffer(b, np.int64) for b in grp["fp"]])
+            diff = (sub - cent).astype(np.float64) / _KMEANS_FP
+            d2 = (diff * diff).sum(axis=1)
+            dist_fp = np.floor(d2 * (1 << 20)).astype(np.int64)
+            sids = grp["vec_id"].to_numpy(np.int64)
+            order = np.lexsort((sids, -dist_fp))[:k]
+            for j in order:
+                rows.append((int(lab), int(sids[j]), int(dist_fp[j])))
+        return pd.DataFrame(rows, columns=["label", "vec_id", "dist_fp"])
+
+    parts = base.map_batches(topk_partial, batch_format="pandas").to_pandas()
+    out_rows = []
+    for lab, grp in parts.groupby("label"):
+        g = grp.sort_values(
+            ["dist_fp", "vec_id"], ascending=[False, True], kind="stable"
+        ).head(k)
+        out_rows.append(g)
+    out = pd.concat(out_rows, ignore_index=True)
+    return out.sort_values(
+        ["label", "dist_fp", "vec_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)

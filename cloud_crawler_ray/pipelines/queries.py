@@ -7837,6 +7837,10 @@ _TWIN_SQL_COLS = {
         "doc_id, n_segments, n_switches, dominant_lang, n_dominant",
         "doc_id",
     ),
+    "embedding_outliers": (
+        "label, vec_id, dist_fp",
+        "label, dist_fp DESC, vec_id",
+    ),
     "recrawl_rates": (
         "host, n_checked, n_changed, n_added, n_removed, lambda_fp",
         "host",
@@ -9088,6 +9092,19 @@ def q_rich_club(sf_dir: str):
     return out.sort_values("k").reset_index(drop=True)
 
 
+def q_embedding_outliers(sf_dir: str):
+    """Per-label embedding outliers — the curation anomaly miner
+    (mislabeled / out-of-distribution vectors surface as the top-10
+    farthest from their label's centroid). Centroids are exact integer
+    means of round(x·2^32) fixed-point sums (partitioning can't move
+    them); distances derive elementwise from the same integers as the
+    serial twin's kernel, so every fixed-point distance hash-matches."""
+    from ..ops.similarity import embedding_outliers
+
+    return embedding_outliers(_emb(sf_dir), k=10)
+
+
+QUERIES["embedding_outliers"] = q_embedding_outliers
 QUERIES["rich_club"] = q_rich_club
 ORACLE_SQL["rich_club"] = """
         WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

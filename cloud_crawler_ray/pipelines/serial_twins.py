@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 28  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 29  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1890,3 +1890,21 @@ def twin_code_switch(sf_dir: str) -> pa.Table:
 
 
 _SF_TWINS["code_switch"] = twin_code_switch
+
+
+def twin_embedding_outliers(sf_dir: str, k: int = 10) -> pa.Table:
+    """Serial per-label centroid outliers — SAME fixed-point rounding and
+    pure kernel (ops/similarity.centroid_outlier_kernel), so every
+    distance hash-matches the distributed partial-sum path."""
+    from ..ops.similarity import _KMEANS_FP, centroid_outlier_kernel
+
+    df = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).to_pandas()
+    M = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    M_fp = np.round(M * _KMEANS_FP).astype(np.int64)
+    out = centroid_outlier_kernel(
+        df["vec_id"].to_numpy(np.int64), df["label"].to_numpy(np.int64), M_fp, k=k
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_SF_TWINS["embedding_outliers"] = twin_embedding_outliers
