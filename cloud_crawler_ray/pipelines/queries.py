@@ -9104,6 +9104,97 @@ def q_embedding_outliers(sf_dir: str):
     return embedding_outliers(_emb(sf_dir), k=10)
 
 
+def q_token_burstiness(sf_dir: str):
+    """Token burstiness (Church & Gale 1995 dispersion): content words
+    cluster in few documents, function words spread evenly — rank tokens
+    with df ≥ 5 by the integer fixed-point index of dispersion
+    b_fp = (D·Σc² − (Σc)²)·2^20 // (Σc·D) (variance-to-mean over ALL D
+    docs, zeros included, cleared of denominators), top-30 with (b_fp
+    DESC, token) ties. One hash(token) shuffle of per-block (token, doc)
+    count partials — a token's rows co-shard, so Σc/Σc²/df are global in
+    shard; D crosses as a driver int. DuckDB hash-checked directly."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+    from ..ops.textstats import tokenize
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_sh = cluster_shards()
+    D = int(
+        docs.map_batches(
+            lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+            batch_format="pyarrow",
+        ).to_pandas()["n"].sum()
+    )
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(g.set_index("doc_id")["text"])
+        df = pd.DataFrame(
+            {"tok": toks.to_numpy(object), "doc": toks.index.to_numpy(np.int64)}
+        )
+        out = df.groupby(["tok", "doc"], as_index=False).size()
+        return out.rename(columns={"size": "c"})
+
+    def shard_stats(g: pd.DataFrame, D=D) -> pd.DataFrame:
+        # a (tok, doc) pair may arrive from one block only (docs whole in a
+        # block), so rows here are exact per-doc counts
+        c = g["c"].to_numpy(np.int64)
+        stats = g.assign(s1=c, s2=c * c, df=1).groupby("tok", as_index=False)[
+            ["s1", "s2", "df"]
+        ].sum()
+        stats = stats[stats["df"] >= 5].copy()
+        if not len(stats):
+            return pd.DataFrame(
+                {"tok": np.array([], object), "df": np.array([], np.int64),
+                 "s1": np.array([], np.int64), "b_fp": np.array([], np.int64)}
+            )
+        s1 = stats["s1"].to_numpy(np.int64)
+        s2 = stats["s2"].to_numpy(np.int64)
+        stats["b_fp"] = (D * s2 - s1 * s1) * (1 << 20) // (s1 * D)
+        return stats.sort_values(
+            ["b_fp", "tok"], ascending=[False, True], kind="stable"
+        ).head(30)[["tok", "df", "s1", "b_fp"]]
+
+    parts = (
+        docs.map_batches(partial, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "tok", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: shard_stats(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    out = parts.sort_values(
+        ["b_fp", "tok"], ascending=[False, True], kind="stable"
+    ).head(30).reset_index(drop=True)
+    out = out.rename(columns={"s1": "n_occurrences"})
+    for c in ("df", "n_occurrences", "b_fp"):
+        out[c] = out[c].astype(np.int64)
+    return out[["tok", "df", "n_occurrences", "b_fp"]]
+
+
+QUERIES["token_burstiness"] = q_token_burstiness
+ORACLE_SQL["token_burstiness"] = f"""
+        WITH t AS (
+          SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+        ),
+        c AS (SELECT tok, doc_id, count(*) AS c FROM t GROUP BY 1, 2),
+        d AS (SELECT count(*)::BIGINT AS D FROM documents),
+        s AS (
+          SELECT tok, count(*)::BIGINT AS df, SUM(c)::BIGINT AS n_occurrences,
+                 SUM(c * c)::BIGINT AS s2
+          FROM c GROUP BY tok HAVING count(*) >= 5
+        )
+        SELECT tok, df, n_occurrences,
+               (((SELECT D FROM d) * s2 - n_occurrences * n_occurrences)
+                 * 1048576 // (n_occurrences * (SELECT D FROM d)))::BIGINT
+                 AS b_fp
+        FROM s
+        ORDER BY b_fp DESC, tok LIMIT 30
+    """
+
 QUERIES["embedding_outliers"] = q_embedding_outliers
 QUERIES["rich_club"] = q_rich_club
 ORACLE_SQL["rich_club"] = """
