@@ -2459,3 +2459,86 @@ def minhash_incremental(
         return empty
     pdf = pdf.sort_values(["new_id", "prior_id"]).reset_index(drop=True)
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def levenshtein_kernel(a: str, b: str) -> int:
+    """Unit-cost Levenshtein distance (matches DuckDB's levenshtein(), the
+    oracle function) — numpy row DP, O(|a|·|b|) on the truncated snippets
+    the blocking pass feeds it."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bv = np.frombuffer(b.encode("utf-32-le"), np.uint32)
+    prev = np.arange(len(bv) + 1, dtype=np.int64)
+    for i, ca in enumerate(a):
+        cur = np.empty(len(bv) + 1, np.int64)
+        cur[0] = i + 1
+        sub = prev[:-1] + (bv != np.uint32(ord(ca)))
+        np.minimum(sub, prev[1:] + 1, out=cur[1:])
+        for j in range(len(bv)):  # insertion chain must propagate serially
+            if cur[j] + 1 < cur[j + 1]:
+                cur[j + 1] = cur[j] + 1
+        prev = cur
+    return int(prev[-1])
+
+
+def editdist_verify(
+    docs: rd.Dataset,
+    max_dist: int = 40,
+    trunc: int = 200,
+    block_tokens: int = 5,
+) -> pd.DataFrame:
+    """Blocked edit-distance near-duplicate verification — the classic
+    record-linkage shape (block on a cheap key, verify candidates with an
+    expensive exact measure): documents sharing their first-5-token prefix
+    pair up, and each pair's truncated texts get a unit-cost Levenshtein
+    check ≤ ``max_dist``. Blocking keys hash-shard (a key's docs are
+    shard-complete, so pairs generate locally); the DP runs only on
+    candidate pairs, never the corpus. Returns (a, b, editdist) sorted.
+    DuckDB hash-checked DIRECTLY against a self-join + levenshtein()
+    oracle (same truncation, same key)."""
+    from .textstats import tokenize
+
+    n_sh = cluster_shards()
+
+    def project(g: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(g.set_index("doc_id")["text"])
+        heads = toks.groupby(level=0).apply(
+            lambda s: " ".join(s.iloc[:block_tokens])
+        )
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "snippet": g["text"].str.slice(0, trunc).to_numpy(object),
+            }
+        )
+        out["bkey"] = out["doc_id"].map(heads).fillna("").to_numpy(object)
+        return out
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for _, grp in g.groupby("bkey"):
+            if len(grp) < 2:
+                continue
+            recs = sorted(
+                zip(grp["doc_id"].astype(np.int64), grp["snippet"]),
+                key=lambda r: r[0],
+            )
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    d = levenshtein_kernel(recs[i][1], recs[j][1])
+                    if d <= max_dist:
+                        rows.append((int(recs[i][0]), int(recs[j][0]), d))
+        return pd.DataFrame(rows, columns=["a", "b", "editdist"]).astype(np.int64)
+
+    out = (
+        docs.map_batches(project, batch_format="pandas")
+        .map_batches(lambda t: _add_shard(t, "bkey", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lambda g: verify(g.drop(columns=["shard"])), batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["a", "b"]).reset_index(drop=True).astype(np.int64)

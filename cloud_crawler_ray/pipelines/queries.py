@@ -9175,6 +9175,38 @@ def q_token_burstiness(sf_dir: str):
     return out[["tok", "df", "n_occurrences", "b_fp"]]
 
 
+def q_editdist_verify(sf_dir: str):
+    """Blocked edit-distance near-dup verification (the record-linkage
+    classic): docs sharing a first-5-token blocking key pair up, each
+    pair verified with unit-cost Levenshtein ≤ 40 on 200-char snippets —
+    the expensive-exact check that runs ONLY on blocked candidates, never
+    the corpus. Kernel pinned equal to DuckDB's levenshtein() on random
+    strings; the oracle recomputes the whole op as a self-join +
+    levenshtein() query, so blocking, truncation, and every distance
+    hash-match."""
+    from ..ops.dedup import editdist_verify
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return editdist_verify(docs)
+
+
+QUERIES["editdist_verify"] = q_editdist_verify
+ORACLE_SQL["editdist_verify"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 array_to_string(({_TOKENS})[1:5], ' ') AS bkey
+          FROM documents
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+                 ::BIGINT AS editdist
+        FROM t a JOIN t b ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+        WHERE levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200)) <= 40
+        ORDER BY a, b
+    """
+
 QUERIES["token_burstiness"] = q_token_burstiness
 ORACLE_SQL["token_burstiness"] = f"""
         WITH t AS (

@@ -1931,3 +1931,25 @@ def test_jl_projection_preserves_cosine():
     iu = np.triu_indices(40, 1)
     assert err[iu].mean() < 0.12, err[iu].mean()
     assert err[iu].max() < 0.45, err[iu].max()
+
+
+def test_levenshtein_kernel_vs_duckdb():
+    """The DP kernel must equal DuckDB's levenshtein() (the oracle
+    function) on random strings including empty/equal edge cases."""
+    import random
+
+    import duckdb
+
+    from cloud_crawler_ray.ops.dedup import levenshtein_kernel
+
+    con = duckdb.connect()
+    random.seed(13)
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("same", "same")]
+    for _ in range(40):
+        a = "".join(random.choices("abcdef xyz", k=random.randint(0, 30)))
+        b = "".join(random.choices("abcdef xyz", k=random.randint(0, 30)))
+        cases.append((a, b))
+    for a, b in cases:
+        assert levenshtein_kernel(a, b) == con.execute(
+            "SELECT levenshtein(?, ?)", [a, b]
+        ).fetchone()[0], (a, b)
