@@ -7841,6 +7841,7 @@ _TWIN_SQL_COLS = {
         "label, vec_id, dist_fp",
         "label, dist_fp DESC, vec_id",
     ),
+    "keyword_textrank": ('word, "rank"', '"rank" DESC, word'),
     "recrawl_rates": (
         "host, n_checked, n_changed, n_added, n_removed, lambda_fp",
         "host",
@@ -9192,6 +9193,99 @@ def q_editdist_verify(sf_dir: str):
     return editdist_verify(docs)
 
 
+def _word_cooc_edges(sf_dir: str) -> rd.Dataset:
+    """Distinct directed word co-occurrence edges: adjacent-token pairs
+    (window 1, within-doc) whose UNORDERED pair occurs ≥ 2 times corpus-
+    wide, emitted in both directions (TextRank's undirected graph as a
+    symmetric directed edge set). One pair-hash shuffle of block-local
+    count partials; the gate applies to exact global counts."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+    from ..ops.textstats import tokenize
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    n_sh = cluster_shards()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        toks = tokenize(g.set_index("doc_id")["text"])
+        ids = toks.index.to_numpy(np.int64)
+        vals = toks.to_numpy(object)
+        if len(vals) < 2:
+            return pd.DataFrame(
+                {"lo": np.array([], object), "hi": np.array([], object),
+                 "n": np.array([], np.int64)}
+            )
+        a, b = vals[:-1], vals[1:]
+        same = (ids[:-1] == ids[1:]) & (a != b)
+        a, b = a[same], b[same]
+        lo = np.where(a < b, a, b)
+        hi = np.where(a < b, b, a)
+        df = pd.DataFrame({"lo": lo, "hi": hi})
+        out = df.groupby(["lo", "hi"], as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    def gate(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["lo", "hi"], as_index=False)["n"].sum()
+        return tot[tot["n"] >= 2][["lo", "hi"]]
+
+    und = (
+        docs.map_batches(pairs, batch_format="pandas")
+        .map_batches(
+            lambda t: t.append_column(
+                "_k",
+                pa.compute.binary_join_element_wise(
+                    t.column("lo").cast(pa.string()),
+                    t.column("hi").cast(pa.string()),
+                    "\x1f",
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(lambda t: _add_shard(t, "_k", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: gate(g.drop(columns=["shard", "_k"])), batch_format="pandas"
+        )
+    )
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").cast(pa.string()).combine_chunks()
+        hi = t.column("hi").cast(pa.string()).combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([lo, hi]),
+                "dst": pa.concat_arrays([hi, lo]),
+            }
+        )
+
+    return und.map_batches(both_dirs, batch_format="pyarrow")
+
+
+def q_keyword_textrank(sf_dir: str):
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004):
+    PageRank over the corpus word co-occurrence graph (adjacent tokens,
+    unordered pair count ≥ 2, symmetric edges), top-30 words by (rank
+    DESC, word) — the unsupervised keyword miner. Reuses the pagerank op
+    (size-gated paths, canonical-order accumulation); DuckDB hash-checked
+    against a serial twin deriving the SAME edge set and running the same
+    power iteration in the same canonical edge order."""
+    from ..ops.graph import pagerank
+
+    ranks = pagerank(_word_cooc_edges(sf_dir), n_iter=8)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["rank", "node"], ascending=[False, True], kind="stable"
+        ).head(30)
+
+    parts = ranks.map_batches(topk, batch_format="pandas").to_pandas()
+    return topk(parts).reset_index(drop=True).rename(columns={"node": "word"})
+
+
+QUERIES["keyword_textrank"] = q_keyword_textrank
 QUERIES["editdist_verify"] = q_editdist_verify
 ORACLE_SQL["editdist_verify"] = f"""
         WITH t AS (

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 29  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 30  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1908,3 +1908,57 @@ def twin_embedding_outliers(sf_dir: str, k: int = 10) -> pa.Table:
 
 
 _SF_TWINS["embedding_outliers"] = twin_embedding_outliers
+
+
+def twin_keyword_textrank(
+    sf_dir: str, n_iter: int = 8, d: float = 0.85, k: int = 30
+) -> pa.Table:
+    """Serial TextRank — the SAME word co-occurrence edge derivation
+    (adjacent tokens, unordered count ≥ 2, symmetric) and the same power
+    iteration in the canonical (dst, src) edge order as the pagerank
+    driver path, so every rank bit matches."""
+    from ..ops.textstats import tokenize
+
+    df = _docs_table(sf_dir).to_pandas()
+    toks = tokenize(df.set_index("doc_id")["text"])
+    ids = toks.index.to_numpy(np.int64)
+    vals = toks.to_numpy(object)
+    a, b = vals[:-1], vals[1:]
+    same = (ids[:-1] == ids[1:]) & (a != b)
+    a, b = a[same], b[same]
+    lo = np.where(a < b, a, b)
+    hi = np.where(a < b, b, a)
+    cnt = pd.DataFrame({"lo": lo, "hi": hi}).groupby(
+        ["lo", "hi"], as_index=False
+    ).size()
+    cnt = cnt[cnt["size"] >= 2]
+    s = np.concatenate([cnt["lo"].to_numpy(object), cnt["hi"].to_numpy(object)])
+    t = np.concatenate([cnt["hi"].to_numpy(object), cnt["lo"].to_numpy(object)])
+    nodes, inv = np.unique(np.concatenate([s, t]), return_inverse=True)
+    src = inv[: len(s)]
+    dst = inv[len(s):]
+    order = np.lexsort((src, dst))
+    src, dst = src[order], dst[order]
+    n = len(nodes)
+    deg = np.bincount(src, minlength=n).astype(np.int64)
+    safe_deg = np.where(deg > 0, deg, 1)
+    rank = np.full(n, 1.0 / n)
+    base = (1.0 - d) / n
+    for _ in range(n_iter):
+        dangling = float(rank[deg == 0].sum())
+        contrib = rank / safe_deg
+        sums = np.zeros(n)
+        np.add.at(sums, dst, contrib[src])
+        rank = base + d * dangling / n + d * sums
+    top = pd.DataFrame({"word": nodes, "rank": rank}).sort_values(
+        ["rank", "word"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return pa.table(
+        {
+            "word": pa.array(top["word"].tolist(), pa.string()),
+            "rank": pa.array(top["rank"].to_numpy(), pa.float64()),
+        }
+    )
+
+
+_SF_TWINS["keyword_textrank"] = twin_keyword_textrank
