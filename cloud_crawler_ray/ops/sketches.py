@@ -567,3 +567,48 @@ def ams_f2(ds: rd.Dataset, col: str, d: int = 4, w: int = 2048) -> int:
     for b in parts["grid"]:
         total += np.frombuffer(b, dtype=np.int64).reshape(d, w)
     return ams_estimate(total)
+
+
+# ---------------------------------------------------------------------------
+# Exponential histogram sliding-window counter (Datar, Gionis, Indyk &
+# Motwani, "Maintaining stream statistics over sliding windows", SODA
+# 2002). Counts events in the last W time units with O(k·log N) buckets
+# and relative error ≤ 1/k: buckets hold power-of-two counts with the
+# newest timestamp they cover; whenever more than k/2+1 buckets share a
+# size, the two OLDEST of that size merge. Entirely deterministic — the
+# histogram is a pure function of the (timestamp-sorted) stream — so a
+# serial twin running the same kernel must match the sharded run
+# bit-for-bit (streams sort per key inside their hash shard; a key's
+# events are shard-complete).
+# ---------------------------------------------------------------------------
+
+
+def eh_build(ts: np.ndarray, k: int = 4) -> list[tuple[int, int]]:
+    """Build the exponential histogram over an ASCENDING int timestamp
+    stream: returns [(size, newest_ts), ...] oldest-first. max k//2 + 2
+    buckets per size before the two oldest merge."""
+    cap = k // 2 + 2
+    buckets: list[list[int]] = []  # [size, newest_ts], oldest first
+    for t in ts.tolist():
+        buckets.append([1, int(t)])
+        size = 1
+        while True:
+            idxs = [i for i, b in enumerate(buckets) if b[0] == size]
+            if len(idxs) < cap:
+                break
+            i0, i1 = idxs[0], idxs[1]  # two oldest of this size
+            buckets[i1] = [size * 2, buckets[i1][1]]
+            del buckets[i0]
+            size *= 2
+    return [(b[0], b[1]) for b in buckets]
+
+
+def eh_query(buckets: list[tuple[int, int]], cutoff: int) -> int:
+    """Estimate the count of events with ts >= cutoff: full sizes of
+    buckets whose newest_ts >= cutoff, minus half the OLDEST contributing
+    bucket (its span may straddle the cutoff) — the DGIM estimate."""
+    inside = [(s, t) for s, t in buckets if t >= cutoff]
+    if not inside:
+        return 0
+    total = sum(s for s, _ in inside)
+    return total - inside[0][0] // 2

@@ -9285,6 +9285,86 @@ def q_keyword_textrank(sf_dir: str):
     return topk(parts).reset_index(drop=True).rename(columns={"node": "word"})
 
 
+def q_event_window_eh(sf_dir: str):
+    """Sliding-window counts per event type via the DGIM exponential
+    histogram (SODA 2002) BESIDE the exact answer: events in the last hour
+    before the global max timestamp, estimated from O(k·log N) buckets
+    (relative error ≤ 1/k, k=4) — the bounded-memory shape an infinite
+    stream needs where the exact count is a full rescan. A type's events
+    are shard-complete in their hash(type) shard and sort by (ts,
+    event_id) there, so the histogram is a pure function of the stream and
+    the serial twin matches bit-for-bit; the exact row is DuckDB-computed
+    in the oracle SQL."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+    from ..ops.sketches import eh_build, eh_query
+
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts", "event_id"]
+    )
+    n_sh = cluster_shards()
+    max_us = int(
+        ev.map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([int(t.column("ts").cast(pa.int64()).to_numpy().max())], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()["m"].max()
+    )
+    cutoff = max_us - 3_600_000_000  # one hour, microseconds
+
+    def per_type(g: pd.DataFrame, cutoff=cutoff) -> pd.DataFrame:
+        rows = {"event_type": [], "eh_estimate": [], "n_exact": []}
+        for et, grp in g.groupby("event_type"):
+            grp = grp.sort_values(["ts", "event_id"], kind="stable")
+            ts = grp["ts"].astype("int64").to_numpy()
+            buckets = eh_build(ts, k=4)
+            rows["event_type"].append(et)
+            rows["eh_estimate"].append(eh_query(buckets, cutoff))
+            rows["n_exact"].append(int((ts >= cutoff).sum()))
+        out = pd.DataFrame(rows)
+        out["eh_estimate"] = out["eh_estimate"].astype(np.int64)
+        out["n_exact"] = out["n_exact"].astype(np.int64)
+        return out
+
+    out = (
+        ev.map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": t.column("event_type"),
+                    "ts": t.column("ts").cast(pa.int64()),
+                    "event_id": t.column("event_id").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .map_batches(lambda t: _add_shard(t, "event_type", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: per_type(g.drop(columns=["shard"])), batch_format="pandas"
+        )
+        .to_pandas()
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+QUERIES["event_window_eh"] = q_event_window_eh
+ORACLE_SQL["event_window_eh"] = f"""
+        WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+        ex AS (
+          SELECT event_type,
+                 SUM(
+                   CASE WHEN epoch_us(ts) >= (SELECT m FROM mx) - 3600000000
+                        THEN 1 ELSE 0 END
+                 )::BIGINT AS n_exact
+          FROM events GROUP BY 1
+        )
+        SELECT t.event_type, t.eh_estimate, ex.n_exact
+        FROM read_parquet('{TWIN_DIR}/event_window_eh.parquet') t
+        JOIN ex USING (event_type)
+        ORDER BY event_type
+    """
 QUERIES["keyword_textrank"] = q_keyword_textrank
 QUERIES["editdist_verify"] = q_editdist_verify
 ORACLE_SQL["editdist_verify"] = f"""

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 30  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 31  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1962,3 +1962,34 @@ def twin_keyword_textrank(
 
 
 _SF_TWINS["keyword_textrank"] = twin_keyword_textrank
+
+
+def twin_event_window_eh(sf_dir: str, k: int = 4) -> pa.Table:
+    """Serial DGIM exponential-histogram window counts — the SAME kernel
+    over each type's (ts, event_id)-sorted stream with the same one-hour
+    cutoff from the global max timestamp, so every estimate hash-matches.
+    The exact row is DuckDB-computed in the oracle SQL, not here."""
+    from ..ops.sketches import eh_build, eh_query
+
+    ev = _events_table(sf_dir, ["event_type", "ts", "event_id"]).to_pandas()
+    ev["ts"] = ev["ts"].astype("int64")
+    cutoff = int(ev["ts"].max()) - 3_600_000_000
+    rows = {"event_type": [], "eh_estimate": []}
+    for et in sorted(ev["event_type"].unique()):
+        grp = ev[ev["event_type"] == et].sort_values(
+            ["ts", "event_id"], kind="stable"
+        )
+        buckets = eh_build(grp["ts"].to_numpy(), k=k)
+        rows["event_type"].append(et)
+        rows["eh_estimate"].append(eh_query(buckets, cutoff))
+    return pa.table(
+        {
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "eh_estimate": pa.array(
+                np.asarray(rows["eh_estimate"], np.int64)
+            ),
+        }
+    )
+
+
+_SF_TWINS["event_window_eh"] = twin_event_window_eh

@@ -343,3 +343,24 @@ def test_ams_f2_deterministic():
     g1, g2 = ams_partial(vals), ams_partial(vals.copy())
     assert np.array_equal(g1, g2)
     assert ams_estimate(g1) == ams_estimate(g2)
+
+
+def test_eh_error_band_and_determinism():
+    """DGIM exponential histogram: estimate within 1/k relative error of
+    the true windowed count on random streams, deterministic rebuilds."""
+    import numpy as np
+
+    from cloud_crawler_ray.ops.sketches import eh_build, eh_query
+
+    rng = np.random.default_rng(101)
+    for trial in range(6):
+        n = int(rng.integers(200, 3000))
+        ts = np.sort(rng.integers(0, 100_000, n))
+        k = 4
+        cutoff = int(rng.integers(0, 100_000))
+        b1 = eh_build(ts, k=k)
+        b2 = eh_build(ts.copy(), k=k)
+        assert b1 == b2
+        est = eh_query(b1, cutoff)
+        true = int((ts >= cutoff).sum())
+        assert abs(est - true) <= max(1, true / k), (trial, est, true)
