@@ -9349,6 +9349,97 @@ def q_event_window_eh(sf_dir: str):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_mannwhitney_u(sf_dir: str):
+    """Mann-Whitney rank-sum statistic, integer-exact: are English
+    documents longer than non-English (n_chars)? Doubled average ranks
+    clear the tie half-integers (2·avgrank = 2·minrank + (c−1)), so the
+    doubled rank sum and U statistics are pure int64 — the distribution-
+    free two-sample test a curation pipeline runs before trusting a
+    per-language length threshold. Per-value group counts from one
+    hash(value) shard pass; the distinct-value histogram (bounded by value
+    cardinality, the same contract as the exact-quantile ops) ranks on the
+    driver. Output one row: n_a, n_b, r2_a (doubled rank sum of group A),
+    u2_a, u2_b (doubled U, u2_a + u2_b = 2·n_a·n_b). DuckDB hash-checked
+    directly against a RANK() window oracle."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
+    )
+    n_sh = cluster_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df["grp"] = np.where(df["lang"] == "en", "a", "b")
+        out = df.groupby(["n_chars", "grp"], as_index=False).size()
+        return pa.Table.from_pandas(
+            out.rename(columns={"size": "c"}), preserve_index=False
+        )
+
+    hist = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "n_chars", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"]).groupby(
+                ["n_chars", "grp"], as_index=False
+            )["c"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    wide = hist.pivot_table(
+        index="n_chars", columns="grp", values="c", aggfunc="sum", fill_value=0
+    ).sort_index()
+    ca = wide["a"].to_numpy(np.int64) if "a" in wide.columns else np.zeros(len(wide), np.int64)
+    cb = wide["b"].to_numpy(np.int64) if "b" in wide.columns else np.zeros(len(wide), np.int64)
+    c = ca + cb
+    minrank = np.concatenate([[1], 1 + np.cumsum(c)[:-1]])
+    dbl_avg = 2 * minrank + (c - 1)  # doubled average rank per value
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    r2_a = int((dbl_avg * ca).sum())
+    u2_a = r2_a - n_a * (n_a + 1)
+    u2_b = 2 * n_a * n_b - u2_a
+    return pd.DataFrame(
+        {
+            "n_a": np.asarray([n_a], np.int64),
+            "n_b": np.asarray([n_b], np.int64),
+            "r2_a": np.asarray([r2_a], np.int64),
+            "u2_a": np.asarray([u2_a], np.int64),
+            "u2_b": np.asarray([u2_b], np.int64),
+        }
+    )
+
+
+QUERIES["mannwhitney_u"] = q_mannwhitney_u
+ORACLE_SQL["mannwhitney_u"] = """
+        WITH v AS (
+          SELECT n_chars,
+                 CASE WHEN lang = 'en' THEN 'a' ELSE 'b' END AS grp
+          FROM documents
+        ),
+        r AS (
+          SELECT grp,
+                 RANK() OVER (ORDER BY n_chars) AS rmin,
+                 count(*) OVER (PARTITION BY n_chars) AS c
+          FROM v
+        ),
+        s AS (
+          SELECT
+            SUM(CASE WHEN grp = 'a' THEN 1 ELSE 0 END)::BIGINT AS n_a,
+            SUM(CASE WHEN grp = 'b' THEN 1 ELSE 0 END)::BIGINT AS n_b,
+            SUM(CASE WHEN grp = 'a' THEN 2 * rmin + (c - 1) ELSE 0 END)
+              ::BIGINT AS r2_a
+          FROM r
+        )
+        SELECT n_a, n_b, r2_a,
+               (r2_a - n_a * (n_a + 1))::BIGINT AS u2_a,
+               (2 * n_a * n_b - (r2_a - n_a * (n_a + 1)))::BIGINT AS u2_b
+        FROM s
+    """
+
 QUERIES["event_window_eh"] = q_event_window_eh
 ORACLE_SQL["event_window_eh"] = f"""
         WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
