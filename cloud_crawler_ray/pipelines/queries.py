@@ -9413,6 +9413,75 @@ def q_mannwhitney_u(sf_dir: str):
     )
 
 
+def q_crawl_gini(sf_dir: str):
+    """Crawl-allocation fairness: the Gini concentration of fetched pages
+    across hosts as exact integer sufficient statistics — gini_num =
+    Σ (2i − n − 1)·x_(i) over count-sorted hosts, gini_den = n·Σx (the
+    index is num/den outside) — 'did the crawl binge on one host?' beside
+    the politeness knobs that are supposed to prevent it. Per-host counts
+    from per-block partials → one hash(host) shard sum; the host-bounded
+    count list ranks on the driver. DuckDB hash-checked directly against
+    a window oracle over the serial oracle's pages table."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards
+
+    pages = crawl_handle_for(sf_dir).pages()
+    n_sh = cluster_shards()
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(t.column("fetched"))
+        hosts = t.column("canonical_url").to_pandas().str.split("/").str[2]
+        v, c = np.unique(hosts.to_numpy(object), return_counts=True)
+        return pa.table(
+            {"host": pa.array(v, pa.string()), "c": pa.array(c.astype(np.int64))}
+        )
+
+    counts = (
+        pages.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "host", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"]).groupby("host", as_index=False)["c"].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    x = np.sort(counts["c"].to_numpy(np.int64))
+    n = len(x)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    gini_num = int(((2 * i - n - 1) * x).sum())
+    gini_den = int(n * x.sum())
+    return pd.DataFrame(
+        {
+            "n_hosts": np.asarray([n], np.int64),
+            "n_pages": np.asarray([int(x.sum())], np.int64),
+            "gini_num": np.asarray([gini_num], np.int64),
+            "gini_den": np.asarray([gini_den], np.int64),
+        }
+    )
+
+
+QUERIES["crawl_gini"] = q_crawl_gini
+ORACLE_SQL["crawl_gini"] = f"""
+        WITH h AS (
+          SELECT split_part(canonical_url, '/', 3) AS host,
+                 count(*)::BIGINT AS c
+          FROM read_parquet('{ORACLE_TABLE_DIR}/pages.parquet')
+          WHERE fetched GROUP BY 1
+        ),
+        r AS (
+          SELECT c, row_number() OVER (ORDER BY c, host) AS i,
+                 count(*) OVER () AS n
+          FROM h
+        )
+        SELECT max(n)::BIGINT AS n_hosts,
+               SUM(c)::BIGINT AS n_pages,
+               SUM((2 * i - n - 1) * c)::BIGINT AS gini_num,
+               (max(n) * SUM(c))::BIGINT AS gini_den
+        FROM r
+    """
+
 QUERIES["mannwhitney_u"] = q_mannwhitney_u
 ORACLE_SQL["mannwhitney_u"] = """
         WITH v AS (
