@@ -9462,6 +9462,122 @@ def q_crawl_gini(sf_dir: str):
     )
 
 
+def q_neighbor_degree(sf_dir: str):
+    """Average-neighbor-degree curve knn(k) of the co-purchase part graph
+    (Pastor-Satorras/Vázquez/Vespignani 2001) as exact integer sufficient
+    statistics: per degree value k, the SUM of neighbor degrees over all
+    endpoints of degree-k nodes and the endpoint count (the mean derives
+    outside) — the degree-mixing profile that localizes what the single
+    assortativity coefficient averages (rising knn(k) = assortative,
+    falling = hub-and-spoke). Degrees from one hash(node) shard sum,
+    attached to both endpoints via two size-gated keyed_attach joins,
+    per-block (k, Σnbr_deg, n) partials → one tiny hash(k) combine.
+    DuckDB hash-checked directly."""
+    import numpy as np
+
+    from ..ops.dedup import _add_shard, cluster_shards, keyed_attach
+
+    edges = _strong_part_edges(sf_dir).materialize()
+    n_sh = cluster_shards()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        v, c = np.unique(
+            np.concatenate(
+                [
+                    t.column("a").to_numpy(zero_copy_only=False),
+                    t.column("b").to_numpy(zero_copy_only=False),
+                ]
+            ).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table({"n": pa.array(v), "d": pa.array(c.astype(np.int64))})
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "n", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"]).groupby("n", as_index=False)["d"].sum(),
+            batch_format="pandas",
+        )
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    da = deg.map_batches(
+        lambda t: pa.table({"a": t.column("n").cast(pa.int64()),
+                            "deg_a": t.column("d").cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    db = deg.map_batches(
+        lambda t: pa.table({"b": t.column("n").cast(pa.int64()),
+                            "deg_b": t.column("d").cast(pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    tagged = keyed_attach(
+        keyed_attach(
+            edges.map_batches(
+                lambda t: pa.table(
+                    {"a": t.column("a").cast(pa.int64()),
+                     "b": t.column("b").cast(pa.int64())}
+                ),
+                batch_format="pyarrow",
+            ),
+            da, "a", ["deg_a"], right_count=da.count(),
+        ),
+        db, "b", ["deg_b"], right_count=db.count(),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        ka = t.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        kb = t.column("deg_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        # each undirected edge contributes both directions
+        k = np.concatenate([ka, kb])
+        nbr = np.concatenate([kb, ka])
+        df = pd.DataFrame({"k": k, "nbr": nbr})
+        out = df.groupby("k", as_index=False).agg(
+            sum_nbr_deg=("nbr", "sum"), n_endpoints=("nbr", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = (
+        tagged.map_batches(partial, batch_format="pyarrow")
+        .map_batches(lambda t: _add_shard(t, "k", n_sh), batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda g: g.drop(columns=["shard"]).groupby("k", as_index=False)[
+                ["sum_nbr_deg", "n_endpoints"]
+            ].sum(),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    out = parts.groupby("k", as_index=False)[["sum_nbr_deg", "n_endpoints"]].sum()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("k").reset_index(drop=True)
+
+
+QUERIES["neighbor_degree"] = q_neighbor_degree
+ORACLE_SQL["neighbor_degree"] = """
+        WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM lp a JOIN lp b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        und AS (SELECT pa AS z, pb AS n FROM e
+                UNION ALL SELECT pb AS z, pa AS n FROM e),
+        deg AS (SELECT z, count(*) AS d FROM und GROUP BY z)
+        SELECT da.d::BIGINT AS k,
+               SUM(db.d)::BIGINT AS sum_nbr_deg,
+               count(*)::BIGINT AS n_endpoints
+        FROM und u
+        JOIN deg da ON da.z = u.z
+        JOIN deg db ON db.z = u.n
+        GROUP BY 1 ORDER BY k
+    """
+
 QUERIES["crawl_gini"] = q_crawl_gini
 ORACLE_SQL["crawl_gini"] = f"""
         WITH h AS (
