@@ -9898,7 +9898,40 @@ ORACLE_SQL["event_f2"] = f"""
     """
 
 # The grading driver's correctness window covers the first 50 registry
-# entries; enumerate the DuckDB-hash-checked queries first (stable order
-# within each group) so every driver slot carries the hard SQL signal and
-# the rows-only ops (fuzzy dedup, crawl fixtures, media) follow.
-QUERIES = {k: QUERIES[k] for k in sorted(QUERIES, key=lambda k: k not in ORACLE_SQL)}
+# entries.  Round 4's window (the prior first-50) came back 50/50 green;
+# for round 5 we rotate the window onto 45 queries the driver has never
+# hash-checked (the graph, TPC-H-analytical and curation families), plus
+# 5 sentinels retained from the round-4 window to prove no regression.
+# Everything else follows in stable insertion order, SQL-backed first.
+_R05_WINDOW = [
+    # -- sentinels (green in CORRECTNESS_r04, kept to detect regression) --
+    "word_count", "exact_dedup", "crawl_order", "knn_cosine", "minhash_dedup",
+    # -- graph family (never driver-checked) --
+    "pagerank", "pagerank_personalized", "link_communities", "link_scc",
+    "link_bowtie", "link_anf", "link_harmonic", "link_hits", "link_robustness",
+    "part_triangles", "part_k_core", "part_k_truss", "part_betweenness",
+    "part_densest", "part_reach", "part_link_pred", "part_seq_graph_stats",
+    "neighbor_degree", "graph_walks", "crawl_mst", "rich_club",
+    # -- TPC-H-style analytical family (never driver-checked) --
+    "basket_rules", "nation_profit", "regional_revenue", "custdist",
+    "pricing_summary", "top_segment_customers", "shipping_priority",
+    "late_sole_suppliers", "market_share", "customers_no_orders",
+    "customer_rfm", "trade_volume",
+    # -- curation / training-data family (never driver-checked) --
+    "curate_corpus", "merge_upsert", "pack_sequences", "decontaminate",
+    "leak_safe_split", "gopher_rules", "quality_gate", "pii_redact",
+    "semantic_dedup", "incremental_dedup", "canonical_alias_dedup",
+    "cdc_dedup",
+]
+assert len(_R05_WINDOW) == 50 and len(set(_R05_WINDOW)) == 50
+assert all(k in QUERIES for k in _R05_WINDOW)
+QUERIES = {
+    k: QUERIES[k]
+    for k in sorted(
+        QUERIES,
+        key=lambda k: (
+            _R05_WINDOW.index(k) if k in _R05_WINDOW else len(_R05_WINDOW),
+            k not in ORACLE_SQL,
+        ),
+    )
+}
