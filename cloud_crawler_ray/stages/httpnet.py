@@ -28,9 +28,11 @@ from __future__ import annotations
 import base64
 import http.client
 import socket
+import ssl
 import time
 import urllib.parse
 import urllib.robotparser
+import zlib
 
 from ..canon import host_of
 from ..oracle import MAX_HTTP_RETRIES, FetchedPage
@@ -48,8 +50,22 @@ _TRANSIENT = (
     http.client.IncompleteRead,
     http.client.CannotSendRequest,
     http.client.ResponseNotReady,
+    ssl.SSLEOFError,  # mid-stream TLS truncation == EOFError over the wire
+    ssl.SSLZeroReturnError,
 )
 _REFUSED = (ConnectionRefusedError, socket.gaierror)
+
+
+def _inflate(body: bytes, encoding: str) -> bytes:
+    """Decode a Content-Encoding'd entity body (Net::HTTP auto-inflate
+    analog). ``deflate`` on the wire is zlib-wrapped per RFC 9110, but some
+    origins send raw DEFLATE streams — try both, like the browsers do."""
+    if encoding == "gzip":
+        return zlib.decompress(body, 16 + zlib.MAX_WBITS)
+    try:
+        return zlib.decompress(body)
+    except zlib.error:
+        return zlib.decompress(body, -zlib.MAX_WBITS)
 
 
 class HttpNet:
@@ -63,6 +79,13 @@ class HttpNet:
         fetches during link admission); loopback test servers live on
         ephemeral ports that ``host_of`` (port-stripping, the politeness
         key) cannot recover.
+    tls_verify: certificate verification for https. The reference runs
+        ``OpenSSL::SSL::VERIFY_NONE`` unconditionally (http.rb:188-190);
+        False reproduces that, True enables full chain + hostname checks.
+    ca_file: extra trust root (PEM) for ``tls_verify=True`` — a pinned
+        self-signed cert in tests, a private CA in deployment.
+    scheme_map: host → scheme ("https") for URLs built from a bare host
+        (robots fetches); hosts not listed default to http.
     """
 
     realtime = True  # FetchExtract enforces wall-clock politeness spacing
@@ -72,17 +95,38 @@ class HttpNet:
         timeout: float = 10.0,
         max_retries: int = MAX_HTTP_RETRIES,
         port_map: dict[str, int] | None = None,
+        tls_verify: bool = False,
+        ca_file: str | None = None,
+        scheme_map: dict[str, str] | None = None,
     ):
         self.timeout = timeout
         self.max_retries = max_retries
         self.port_map = dict(port_map or {})
+        self.tls_verify = tls_verify
+        self.ca_file = ca_file
+        self.scheme_map = dict(scheme_map or {})
         self._conns: dict[tuple, http.client.HTTPConnection] = {}
+        self._ssl_ctx: ssl.SSLContext | None = None
 
-    # live sockets never cross the ray.put boundary
+    # live sockets / contexts never cross the ray.put boundary
     def __getstate__(self):
         d = self.__dict__.copy()
         d["_conns"] = {}
+        d["_ssl_ctx"] = None
         return d
+
+    def _tls_context(self) -> ssl.SSLContext:
+        if self._ssl_ctx is None:
+            if self.tls_verify:
+                ctx = ssl.create_default_context(cafile=self.ca_file)
+            else:
+                # VERIFY_NONE semantics (http.rb:188-190): encrypt the
+                # transport, trust any certificate
+                ctx = ssl.create_default_context()
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+            self._ssl_ctx = ctx
+        return self._ssl_ctx
 
     def close(self) -> None:
         for c in self._conns.values():
@@ -97,12 +141,12 @@ class HttpNet:
         key = (scheme, host, port)
         c = self._conns.get(key)
         if c is None:
-            cls = (
-                http.client.HTTPSConnection
-                if scheme == "https"
-                else http.client.HTTPConnection
-            )
-            c = cls(host, port, timeout=self.timeout)
+            if scheme == "https":
+                c = http.client.HTTPSConnection(
+                    host, port, timeout=self.timeout, context=self._tls_context()
+                )
+            else:
+                c = http.client.HTTPConnection(host, port, timeout=self.timeout)
             self._conns[key] = c
         return c
 
@@ -137,7 +181,12 @@ class HttpNet:
         path = parts.path or "/"
         if parts.query:
             path += "?" + parts.query
-        headers = {"User-Agent": user_agent or "cloud-crawler-ray/0.1"}
+        headers = {
+            "User-Agent": user_agent or "cloud-crawler-ray/0.1",
+            # Net::HTTP advertises and auto-inflates these; the decode
+            # happens below so spans/etags always see entity bytes
+            "Accept-Encoding": "gzip, deflate",
+        }
         if referer:
             headers["Referer"] = referer
         if cookie_header:
@@ -190,6 +239,18 @@ class HttpNet:
                 )
             latency_ms = int((time.perf_counter() - t0) * 1000)
             clock_ms += latency_ms
+            encoding = (resp.getheader("Content-Encoding") or "").strip().lower()
+            if body and encoding in ("gzip", "deflate"):
+                try:
+                    body = _inflate(body, encoding)
+                except zlib.error:
+                    # a body that claims an encoding it doesn't carry is a
+                    # bad response, not a transport blip: surface it
+                    return FetchedPage(
+                        url, int(resp.status), b"", "", "", latency_ms, depth,
+                        referer, error=f"bad content encoding: {encoding}",
+                        clock_ms=clock_ms,
+                    )
             if not resp.will_close:
                 pass  # keep-alive: connection stays pooled
             else:
@@ -263,7 +324,8 @@ class HttpNet:
     # ---- robots (dsl_core.rb:233-241; errors → parse([]) = allow) ----------
     def robots_for(self, host: str) -> urllib.robotparser.RobotFileParser:
         rp = urllib.robotparser.RobotFileParser()
-        page = self._get(f"http://{host}/robots.txt", 0, "", "", "", "")
+        scheme = self.scheme_map.get(host, "http")
+        page = self._get(f"{scheme}://{host}/robots.txt", 0, "", "", "", "")
         if page.fetched and page.code == 200:
             rp.parse(page.body.decode("utf-8", "ignore").splitlines())
         else:

@@ -37,6 +37,7 @@ class FakePage:
 
     name: str
     host: str = DEFAULT_HOST
+    scheme: str = "http"                 # "https" for TLS loopback fixtures
     links: list[str] = field(default_factory=list)
     hrefs: list[str] = field(default_factory=list)
     media: list[tuple[str, str]] = field(default_factory=list)
@@ -58,11 +59,11 @@ class FakePage:
 
     @property
     def url(self) -> str:
-        return page_url(self.name, self.host)
+        return page_url(self.name, self.host, self.scheme)
 
 
-def page_url(name: str, host: str = DEFAULT_HOST) -> str:
-    return f"http://{host}/{name}"
+def page_url(name: str, host: str = DEFAULT_HOST, scheme: str = "http") -> str:
+    return f"{scheme}://{host}/{name}"
 
 
 def render_body(page: FakePage) -> bytes:
@@ -77,7 +78,7 @@ def render_body(page: FakePage) -> bytes:
         target = (
             page.canonical
             if "://" in page.canonical
-            else page_url(page.canonical, page.host)
+            else page_url(page.canonical, page.host, page.scheme)
         )
         parts.append(f'<link rel="canonical" href="{target}">')
     parts.append(f"<title>page {page.name}</title></head><body>")
@@ -107,6 +108,7 @@ def web_table(
     pages: list[FakePage],
     robots: dict[str, str] | None = None,
     sitemaps: dict[str, str] | None = None,
+    scheme: str = "http",
 ) -> pa.Table:
     """Materialize pages (+ per-host robots.txt / sitemap.xml bodies) as a
     WEB_SCHEMA table.
@@ -131,7 +133,11 @@ def web_table(
             rows["status"].append(301)
             rows["content_type"].append("text/html")
             rows["body"].append(b"")
-            target = p.redirect if "://" in p.redirect else page_url(p.redirect, p.host)
+            target = (
+                p.redirect
+                if "://" in p.redirect
+                else page_url(p.redirect, p.host, p.scheme)
+            )
             rows["redirect_to"].append(target)
         else:
             rows["status"].append(p.status)
@@ -148,16 +154,23 @@ def web_table(
         ("sitemap.xml", "application/xml", sitemaps),
     ):
         for host, body in (d or {}).items():
-            rows["url"].append(f"http://{host}/{path}")
-            rows["status"].append(200)
-            rows["content_type"].append(ctype)
-            rows["body"].append(body.encode())
-            rows["redirect_to"].append("")
-            rows["latency_ms"].append(5)
-            rows["auth"].append("")
-            rows["set_cookie"].append("")
-            rows["fail_times"].append(0)
-            rows["require_cookie"].append("")
+            # SyntheticNet's robots/sitemap discovery is http-keyed
+            # (oracle.py robots_for); an https table carries both rows so
+            # the serial oracle and the TLS wire agree on admission.
+            urls = [f"{scheme}://{host}/{path}"]
+            if scheme != "http":
+                urls.append(f"http://{host}/{path}")
+            for u in urls:
+                rows["url"].append(u)
+                rows["status"].append(200)
+                rows["content_type"].append(ctype)
+                rows["body"].append(body.encode())
+                rows["redirect_to"].append("")
+                rows["latency_ms"].append(5)
+                rows["auth"].append("")
+                rows["set_cookie"].append("")
+                rows["fail_times"].append(0)
+                rows["require_cookie"].append("")
     return pa.table(rows, schema=WEB_SCHEMA)
 
 
