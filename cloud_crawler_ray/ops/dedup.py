@@ -63,6 +63,46 @@ def _add_shard(batch: pa.Table, col: str, n_shards: int = _N_SHARDS) -> pa.Table
     return batch.append_column("shard", pa.array(shards, pa.int32()))
 
 
+def _sorted_intersect_count(sa: np.ndarray, sb: np.ndarray) -> int:
+    """|sa ∩ sb| for shingle-hash sets via one searchsorted — O(m log n)
+    without intersect1d's concatenate-and-resort. The sets are
+    ``np.unique(uint64 hashes).view(int64)`` (minhash_signatures), i.e.
+    sorted in UNSIGNED order — compare in uint64 space."""
+    sa = sa.view(np.uint64)
+    sb = sb.view(np.uint64)
+    if len(sa) > len(sb):
+        sa, sb = sb, sa
+    if len(sa) == 0 or len(sb) == 0:
+        return 0
+    idx = np.searchsorted(sb, sa)
+    valid = idx < len(sb)
+    return int(np.count_nonzero(sb[idx[valid]] == sa[valid]))
+
+
+def _list_views(col) -> list[np.ndarray]:
+    """Arrow list<int64> column → per-row numpy views over the flat values
+    buffer — no per-element Python-int materialization (the r4 verify-stage
+    cost was exactly this ``to_pylist`` conversion)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.flatten().to_numpy(zero_copy_only=False)
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    base = offs[0]
+    return [values[s - base : e - base] for s, e in zip(offs[:-1], offs[1:])]
+
+
+def _shard_on_pair(t: pa.Table, n_shards: int = _N_SHARDS) -> pa.Table:
+    """pshard = hash(a, b) % n_shards for pair-keyed dedup — vectorized
+    (pandas' hasher covers string ids without a per-row loop; routing only
+    needs within-run consistency)."""
+    ha = pd.util.hash_array(np.asarray(t.column("a").to_pandas()))
+    hb = pd.util.hash_array(np.asarray(t.column("b").to_pandas()))
+    mixed = (ha.astype(np.uint64) * np.uint64(0x100000001B3)) ^ hb.astype(np.uint64)
+    return t.append_column(
+        "pshard", pa.array((mixed % np.uint64(n_shards)).astype(np.int32))
+    )
+
+
 def _collect_arrow(ds: rd.Dataset, columns: list[str]) -> list[pa.Table]:
     """Collect a (small, pair-bounded) Dataset's non-empty blocks as Arrow
     tables with the given columns. Zero-row pandas blocks from upstream
@@ -256,8 +296,10 @@ _SHINGLE_CACHE: dict[str, int] = {}
 
 
 def _shingle_hash_one(s: str) -> int:
-    """Memoized shingle hash — k-char shingles repeat heavily (Zipfian), and
-    a blake2b per occurrence dominated signature time. Bounded cache."""
+    """Memoized blake2b-64 string hash — used for TOKEN hashing (ops/
+    curation n-gram decontamination), where tokens repeat heavily (Zipfian)
+    and the bounded cache pays for itself. Char-shingle hashing below no
+    longer goes through here (vectorized splitmix fold instead)."""
     h = _SHINGLE_CACHE.get(s)
     if h is None:
         if len(_SHINGLE_CACHE) > 2_000_000:
@@ -268,12 +310,26 @@ def _shingle_hash_one(s: str) -> int:
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    sh = T.char_shingles(text, k)
-    if not sh:
+    """Unique k-char-shingle hash set of the normalized text, sorted uint64.
+
+    Same shingle semantics as functions/text.char_shingles (unique k-char
+    windows over normalize_text; shorter-than-k text is one shingle), but
+    hashed as a vectorized splitmix64 fold over a sliding window of UTF-32
+    code points — the r4 per-shingle blake2b loop was the signature pass's
+    cost. Window-content equality ⇔ hash equality (modulo negligible 64-bit
+    collisions, consistent across engine and serial twin — shared kernel)."""
+    s = T.normalize_text(text)
+    if not s:
         return np.array([0], dtype=np.uint64)
-    return np.fromiter(
-        (_shingle_hash_one(s) for s in sh), dtype=np.uint64, count=len(sh)
-    )
+    cps = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cps) < k:
+        w = cps[None, :]
+    else:
+        w = np.lib.stride_tricks.sliding_window_view(cps, k)
+    h = np.zeros(len(w), np.uint64)
+    for j in range(w.shape[1]):
+        h = (h * _BH_MULT) ^ _splitmix64(np.ascontiguousarray(w[:, j]))
+    return np.unique(h)
 
 
 def minhash_signatures(
@@ -291,28 +347,104 @@ def minhash_signatures(
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sigs, hss = [], []
-        for t in texts:
-            h = _shingle_hashes(t, shingle_k)
+        n = len(texts)
+        sig_rows = np.empty((n, num_perm), dtype=np.int64)
+        hs_views: list[np.ndarray] = []
+        for i, t in enumerate(texts):
+            h = _shingle_hashes(t, shingle_k)  # unique sorted uint64
             vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
-            sigs.append(vals.min(axis=1).astype(np.int64).tolist())
+            sig_rows[i] = vals.min(axis=1).astype(np.int64)
             if with_hashes:
-                hss.append(np.unique(h).view(np.int64).tolist())
+                hs_views.append(h.view(np.int64))
+        # assemble list columns from flat buffers — no Python-int lists
+        sig_offsets = pa.array(
+            np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)
+        )
         cols = {
             "doc_id": batch.column("doc_id"),
-            "sig": pa.array(sigs, pa.list_(pa.int64())),
+            "sig": pa.ListArray.from_arrays(
+                sig_offsets, pa.array(sig_rows.reshape(-1))
+            ),
         }
         if with_hashes:
-            cols["hs"] = pa.array(hss, pa.list_(pa.int64()))
+            lens = np.fromiter(
+                (len(v) for v in hs_views), dtype=np.int64, count=n
+            )
+            hs_offsets = np.zeros(n + 1, dtype=np.int32)
+            hs_offsets[1:] = np.cumsum(lens).astype(np.int32)
+            flat = (
+                np.concatenate(hs_views)
+                if hs_views
+                else np.array([], dtype=np.int64)
+            )
+            cols["hs"] = pa.ListArray.from_arrays(
+                pa.array(hs_offsets), pa.array(flat)
+            )
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=2048)
 
 
-def _band_hash(sig_slice: list[int]) -> str:
-    return hashlib.blake2b(
-        np.asarray(sig_slice, dtype=np.int64).tobytes(), digest_size=8
-    ).hexdigest()
+_SM_C1 = np.uint64(0x9E3779B97F4A7C15)
+_SM_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C3 = np.uint64(0x94D049BB133111EB)
+_BH_MULT = np.uint64(0x100000001B3)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixer; uint64 wraps)."""
+    x = x + _SM_C1
+    x = (x ^ (x >> np.uint64(30))) * _SM_C2
+    x = (x ^ (x >> np.uint64(27))) * _SM_C3
+    return x ^ (x >> np.uint64(31))
+
+
+def _band_keys(sig_mat: np.ndarray, bands: int) -> np.ndarray:
+    """(n, num_perm) signature matrix → (n, bands) int64 LSH bucket keys.
+
+    Equality-preserving by construction (identical band slices in the same
+    band position fold to identical keys; the accumulator is seeded with
+    the band index so band i and band j never share key space). Replaces
+    the per-row × per-band blake2b loop that made the minhash family the
+    suite's slow tail — one mixed multiply-xor fold per band column, fully
+    vectorized over all docs. 64-bit cross-slice collisions are ~n²·b/2⁶⁴
+    and only ADD candidate pairs, which the exact-Jaccard verify filters."""
+    n, num_perm = sig_mat.shape
+    rows = num_perm // bands
+    v = sig_mat.astype(np.uint64, copy=False).reshape(n, bands, rows)
+    h = np.broadcast_to(
+        _splitmix64(np.arange(bands, dtype=np.uint64)), (n, bands)
+    ).copy()
+    for j in range(rows):
+        h = (h * _BH_MULT) ^ _splitmix64(np.ascontiguousarray(v[:, :, j]))
+    return h.view(np.int64)
+
+
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    """Arrow list<int64> signature column → (n, num_perm) int64 matrix,
+    via the flat values buffer (no per-row list materialization)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(len(col), num_perm)
+
+
+def _explode_bands_table(
+    batch: pa.Table, bands: int, num_perm: int, carry: tuple[str, ...] = ()
+) -> pa.Table:
+    """doc_id+sig rows → (doc_id, bhash[, carry...]) with one row per
+    (doc, band): vectorized take + reshape, no Python row loop. bhash is
+    int64, so downstream shard routing uses the integer fast path."""
+    n = batch.num_rows
+    keys = _band_keys(_sig_matrix(batch.column("sig"), num_perm), bands)
+    idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+    cols: dict = {
+        "doc_id": batch.column("doc_id").take(idx),
+        "bhash": pa.array(keys.reshape(-1), pa.int64()),
+    }
+    for c in carry:
+        cols[c] = batch.column(c).take(idx)
+    return pa.table(cols)
 
 
 def minhash_lsh_pairs(
@@ -323,74 +455,59 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     bucket_cap: int = 200,
     join_broadcast_cap: int = 500_000,
+    sig_broadcast_cap: int = 50_000,
 ) -> tuple[pa.Table, dict]:
     """MinHash → LSH banding → candidate pairs → exact-Jaccard verification.
 
     Returns (pairs table [a, b, n_common, n_a, n_b, jaccard], stats).
     Buckets larger than bucket_cap are skipped and counted in stats
     (no silent caps)."""
-    rows = num_perm // bands
     # with_hashes: the signature pass already enumerates every shingle; keep
     # the per-doc unique hash sets so the exact-Jaccard verify below reuses
     # them instead of re-shingling candidate docs from text (the r2 perf
     # regression). Materialized once — consumed by both banding and verify.
     sigs = minhash_signatures(ds, num_perm, shingle_k, with_hashes=True).materialize()
 
-    def explode_bands(batch: pa.Table) -> pa.Table:
-        ids, bhashes = [], []
-        for did, sig in zip(
-            batch.column("doc_id").to_pylist(), batch.column("sig").to_pylist()
-        ):
-            for bi in range(bands):
-                ids.append(did)
-                # band index baked into the bucket key → one grouping column
-                bhashes.append(f"{bi}:{_band_hash(sig[bi * rows : (bi + 1) * rows])}")
-        return pa.table(
-            {"doc_id": pa.array(ids), "bhash": pa.array(bhashes, pa.string())}
-        )
-
-    banded = sigs.map_batches(explode_bands, batch_format="pyarrow").map_batches(
-        lambda t: _add_shard(t, "bhash"), batch_format="pyarrow"
-    )
+    banded = sigs.map_batches(
+        lambda t: _explode_bands_table(t, bands, num_perm), batch_format="pyarrow"
+    ).map_batches(lambda t: _add_shard(t, "bhash"), batch_format="pyarrow")
 
     def bucket_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-bucket pair expansion: sort once, slice bucket
+        # segments, triu-index each — no Python pair loops, dtype preserved
+        g2 = g.sort_values(["bhash", "doc_id"], kind="stable")
+        ids = g2["doc_id"].to_numpy()
+        bh = g2["bhash"].to_numpy()
+        cut = np.nonzero(bh[1:] != bh[:-1])[0] + 1
+        starts = np.concatenate([[0], cut])
+        ends = np.concatenate([cut, [len(bh)]])
         out_a, out_b = [], []
-        for _, grp in g.groupby("bhash"):
-            ids = sorted(grp["doc_id"].tolist())
-            if len(ids) < 2 or len(ids) > bucket_cap:
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > bucket_cap:
                 continue
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype=object), "b": pd.Series(out_b, dtype=object)}
-        )
+            ii, jj = np.triu_indices(m, 1)
+            out_a.append(ids[s + ii])
+            out_b.append(ids[s + jj])
+        if out_a:
+            a, b = np.concatenate(out_a), np.concatenate(out_b)
+        else:
+            a, b = ids[:0], ids[:0]
+        return pd.DataFrame({"a": a, "b": b})
 
-    def dedup_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
-
-    def shard_on_pair(t: pa.Table) -> pa.Table:
-        import zlib
-
-        keys = [
-            f"{a}|{b}"
-            for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist())
-        ]
-        return t.append_column(
-            "pshard",
-            pa.array([zlib.crc32(k.encode()) % _N_SHARDS for k in keys], pa.int32()),
-        )
-
+    # A pair sharing k band buckets appears k times (k ≤ bands); instead of
+    # a second all-to-all exchange to dedup candidates, let the ≤bands-
+    # bounded duplicates ride through the (cheap, searchsorted) verify and
+    # drop-duplicate the confirmed graph at collect — one fewer shuffle.
     cand = (
         banded.groupby("shard")
         .map_groups(bucket_pairs_shard, batch_format="pandas")
-        .map_batches(shard_on_pair, batch_format="pyarrow")
-        .groupby("pshard")
-        .map_groups(dedup_pairs_shard, batch_format="pandas")
+        .map_batches(
+            lambda g: g.drop_duplicates(subset=["a", "b"]), batch_format="pandas"
+        )
         .materialize()
     )
-    stats = {"candidate_pairs": cand.count()}
+    stats = {"candidate_pairs": cand.count()}  # block-local-deduped checks
     empty = pa.table(
         {
             "a": pa.array([], pa.int64()),
@@ -416,41 +533,51 @@ def minhash_lsh_pairs(
 
         return fn
 
-    cand_ids = (
-        cand.map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": pa.concat_arrays(
-                        [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
-                    ),
-                    "m": pa.array(np.ones(2 * t.num_rows, dtype=np.int8)),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .map_batches(lambda t: _add_shard(t, "doc_id"), batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(lambda g: g.drop_duplicates("doc_id")[["doc_id", "m"]], batch_format="pandas")
-        .materialize()
-    )
-    n_cand_ids = cand_ids.count()
-    sets = keyed_attach(
-        sigs.map_batches(
+    n_sigs = sigs.count()
+    if n_sigs <= sig_broadcast_cap:
+        # small-corpus fast path: every doc's hash set fits one broadcast —
+        # skip the candidate-id distinct + semi-join barriers entirely (the
+        # three extra exchanges dominated suite wall-time at bench scale)
+        n_cand_ids = n_sigs
+        sets = sigs.map_batches(
             lambda t: t.select(["doc_id", "hs"]), batch_format="pyarrow"
-        ),
-        cand_ids, "doc_id", ["m"],
-        right_count=n_cand_ids, broadcast_cap=join_broadcast_cap,
-    ).map_batches(
-        lambda t: t.filter(pc.equal(t.column("m"), 1)).drop_columns(["m"]),
-        batch_format="pyarrow",
-    ).materialize()
+        )
+    else:
+        cand_ids = (
+            cand.map_batches(
+                lambda t: pa.table(
+                    {
+                        "doc_id": pa.concat_arrays(
+                            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                        ),
+                        "m": pa.array(np.ones(2 * t.num_rows, dtype=np.int8)),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .map_batches(lambda t: _add_shard(t, "doc_id"), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(lambda g: g.drop_duplicates("doc_id")[["doc_id", "m"]], batch_format="pandas")
+            .materialize()
+        )
+        n_cand_ids = cand_ids.count()
+        sets = keyed_attach(
+            sigs.map_batches(
+                lambda t: t.select(["doc_id", "hs"]), batch_format="pyarrow"
+            ),
+            cand_ids, "doc_id", ["m"],
+            right_count=n_cand_ids, broadcast_cap=join_broadcast_cap,
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t.column("m"), 1)).drop_columns(["m"]),
+            batch_format="pyarrow",
+        ).materialize()
 
     def _verify_rows(abs_pairs, get_a, get_b) -> pa.Table:
         rows_out = {"a": [], "b": [], "n_common": [], "n_a": [], "n_b": [], "jaccard": []}
         for a_, b_, ha, hb in ((x, y, get_a(x, i), get_b(y, i)) for i, (x, y) in enumerate(abs_pairs)):
             sa = np.asarray(ha, dtype=np.int64)
             sb = np.asarray(hb, dtype=np.int64)
-            c = len(np.intersect1d(sa, sb, assume_unique=True))
+            c = _sorted_intersect_count(sa, sb)
             j = c / max(1, len(sa) + len(sb) - c)
             if j >= threshold:
                 rows_out["a"].append(a_)
@@ -478,8 +605,8 @@ def minhash_lsh_pairs(
         # once per worker.
         set_lookup: dict = {}
         for t in ray.get(sets.to_arrow_refs()):
-            for d, hs in zip(t.column("doc_id").to_pylist(), t.column("hs").to_pylist()):
-                set_lookup[d] = np.asarray(hs, dtype=np.int64)
+            for d, hs in zip(t.column("doc_id").to_pylist(), _list_views(t.column("hs"))):
+                set_lookup[d] = hs
         set_ref = ray.put(set_lookup)
 
         def verify_bcast(t: pa.Table) -> pa.Table:
@@ -502,8 +629,8 @@ def minhash_lsh_pairs(
 
         def verify_join(t: pa.Table) -> pa.Table:
             ab = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
-            ha = t.column("sh_a").to_pylist()
-            hb = t.column("sh_b").to_pylist()
+            ha = _list_views(t.column("sh_a"))
+            hb = _list_views(t.column("sh_b"))
             return _verify_rows(ab, lambda x, i: ha[i], lambda y, i: hb[i])
 
         confirmed_ds = with_b.map_batches(verify_join, batch_format="pyarrow")
@@ -512,6 +639,11 @@ def minhash_lsh_pairs(
     tables = _collect_arrow(confirmed_ds, empty.column_names)
     confirmed = pa.concat_tables(tables) if tables else empty
     if confirmed.num_rows:
+        # cross-shard band collisions leave ≤bands exact-duplicate rows per
+        # pair (the dedup exchange this op no longer pays for); the
+        # confirmed graph is small — drop them here
+        df = confirmed.to_pandas().drop_duplicates(subset=["a", "b"])
+        confirmed = pa.Table.from_pandas(df, schema=confirmed.schema, preserve_index=False)
         confirmed = confirmed.take(
             pc.sort_indices(confirmed, sort_keys=[("a", "ascending"), ("b", "ascending")])
         )
@@ -1006,17 +1138,7 @@ def ngram_jaccard_pairs(
     def dedup_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
 
-    def shard_on_pair(t: pa.Table) -> pa.Table:
-        import zlib
-
-        keys = [
-            f"{a}|{b}"
-            for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist())
-        ]
-        return t.append_column(
-            "pshard",
-            pa.array([zlib.crc32(k.encode()) % _N_SHARDS for k in keys], pa.int32()),
-        )
+    shard_on_pair = _shard_on_pair
 
     cand = (
         sh.map_batches(lambda t: _add_shard(t, "sh"), batch_format="pyarrow")
@@ -1233,17 +1355,7 @@ def ngram_containment_pairs(
     def dedup_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
 
-    def shard_on_pair(t: pa.Table) -> pa.Table:
-        import zlib
-
-        keys = [
-            f"{a}|{b}"
-            for a, b in zip(t.column("a").to_pylist(), t.column("b").to_pylist())
-        ]
-        return t.append_column(
-            "pshard",
-            pa.array([zlib.crc32(k.encode()) % _N_SHARDS for k in keys], pa.int32()),
-        )
+    shard_on_pair = _shard_on_pair
 
     cand = (
         sh.map_batches(lambda t: _add_shard(t, "sh"), batch_format="pyarrow")
@@ -2273,6 +2385,7 @@ def minhash_incremental(
     threshold: float = 0.6,
     bucket_cap: int = 200,
     join_broadcast_cap: int = 500_000,
+    sig_broadcast_cap: int = 50_000,
 ) -> pa.Table:
     """Near-duplicate matches of new documents against a prior corpus.
 
@@ -2289,7 +2402,6 @@ def minhash_incremental(
 
     frac = Fraction(threshold).limit_denominator(1000)
     num, den = frac.numerator, frac.denominator
-    rows_per_band = num_perm // bands
 
     new_sigs = minhash_signatures(
         new_docs, num_perm, shingle_k, with_hashes=True
@@ -2309,72 +2421,62 @@ def minhash_incremental(
         .materialize()
     )
 
-    def explode_bands(batch: pa.Table) -> pa.Table:
-        ids, bhashes, flags = [], [], []
-        for did, sig, fl in zip(
-            batch.column("doc_id").to_pylist(),
-            batch.column("sig").to_pylist(),
-            batch.column("is_new").to_pylist(),
-        ):
-            for bi in range(bands):
-                ids.append(did)
-                bhashes.append(
-                    f"{bi}:{_band_hash(sig[bi * rows_per_band : (bi + 1) * rows_per_band])}"
-                )
-                flags.append(fl)
-        # id-type-agnostic (crawl corpora key docs by URL string, testdata
-        # by int64): carry the input column's type through every stage
-        id_type = batch.schema.field("doc_id").type
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, id_type),
-                "bhash": pa.array(bhashes, pa.string()),
-                "is_new": pa.array(flags, pa.int8()),
-            }
-        )
-
+    # id types stay type-agnostic (crawl corpora key docs by URL string,
+    # testdata by int64): _explode_bands_table's vectorized take carries the
+    # input column's type through every stage
     banded = sigs_all.map_batches(
         lambda t: t.select(["doc_id", "sig", "is_new"]), batch_format="pyarrow"
-    ).map_batches(explode_bands, batch_format="pyarrow").map_batches(
+    ).map_batches(
+        lambda t: _explode_bands_table(t, bands, num_perm, carry=("is_new",)),
+        batch_format="pyarrow",
+    ).map_batches(
         lambda t: _add_shard(t, "bhash"), batch_format="pyarrow"
     )
 
     def bucket_cross_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-bucket new×prior cross product: sort once, slice
+        # bucket segments, repeat/tile each — no Python pair loops
+        g2 = g.drop_duplicates(["bhash", "doc_id"]).sort_values(
+            ["bhash", "is_new", "doc_id"], kind="stable"
+        )
+        ids = g2["doc_id"].to_numpy()
+        flags = g2["is_new"].to_numpy()
+        bh = g2["bhash"].to_numpy()
+        cut = np.nonzero(bh[1:] != bh[:-1])[0] + 1
+        starts = np.concatenate([[0], cut])
+        ends = np.concatenate([cut, [len(bh)]])
         out_n, out_p = [], []
         skipped = 0
-        for _, grp in g.groupby("bhash", sort=False):
-            grp = grp.drop_duplicates("doc_id")
-            if len(grp) < 2 or len(grp) > bucket_cap:
-                skipped += int(len(grp) > bucket_cap)
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > bucket_cap:
+                skipped += int(m > bucket_cap)
                 continue
-            news = sorted(grp.loc[grp["is_new"] == 1, "doc_id"].tolist())
-            priors = sorted(grp.loc[grp["is_new"] == 0, "doc_id"].tolist())
-            for n_ in news:
-                for p_ in priors:
-                    out_n.append(n_)
-                    out_p.append(p_)
+            # sorted by is_new: priors (0) first, then news (1)
+            k = int(np.searchsorted(flags[s:e], 1))
+            priors, news = ids[s : s + k], ids[s + k : e]
+            if len(priors) == 0 or len(news) == 0:
+                continue
+            out_n.append(np.repeat(news, len(priors)))
+            out_p.append(np.tile(priors, len(news)))
         if skipped:
             print(f"[minhash_incremental] skipped {skipped} over-cap buckets")
-        # dtype-preserving (the substring_dup_pairs precedent): an empty
-        # float64 [] would upcast sibling partials on concat
-        e = g["doc_id"].iloc[:0]
-        return pd.DataFrame(
-            {
-                "a": pd.Series(out_n, dtype=e.dtype) if out_n else e,
-                "b": pd.Series(out_p, dtype=e.dtype) if out_p else e.copy(),
-            }
-        )
+        if out_n:
+            a, b = np.concatenate(out_n), np.concatenate(out_p)
+        else:
+            # dtype-preserving (the substring_dup_pairs precedent): an empty
+            # float64 [] would upcast sibling partials on concat
+            a, b = ids[:0], ids[:0].copy()
+        return pd.DataFrame({"a": a, "b": b})
 
+    # no candidate-dedup exchange: cross-shard band collisions leave ≤bands
+    # duplicates per pair, verified redundantly (cheap) and drop-duplicated
+    # on the small confirmed graph at collect — one fewer all-to-all
     cand = (
         banded.groupby("shard")
         .map_groups(bucket_cross_pairs, batch_format="pandas")
         .map_batches(
-            lambda t: _add_shard(t, "a"), batch_format="pyarrow"
-        )
-        .groupby("shard")
-        .map_groups(
-            lambda g: g.drop_duplicates(subset=["a", "b"])[["a", "b"]],
-            batch_format="pandas",
+            lambda g: g.drop_duplicates(subset=["a", "b"]), batch_format="pandas"
         )
         .materialize()
     )
@@ -2391,44 +2493,50 @@ def minhash_incremental(
     if cand.count() == 0:
         return empty
 
-    # hash-set lookup for every doc named in a candidate pair — semi-join
-    # the sig table to the candidate ids FIRST (keyed_attach, distributed),
-    # so the driver only ever collects candidate-sized hs data, never the
-    # corpus (the minhash_lsh_pairs verify pattern)
-    cand_ids = (
-        cand.map_batches(
-            lambda t: pa.table(
-                {
-                    "doc_id": pa.concat_arrays(
-                        [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
-                    ),
-                    "m": pa.array(np.ones(2 * t.num_rows, dtype=np.int8)),
-                }
+    # hash-set lookup for every doc named in a candidate pair. Small
+    # corpora (≤ sig_broadcast_cap rows) broadcast the whole sig table in
+    # one hop; above the cap, semi-join the sig table to the candidate ids
+    # FIRST (keyed_attach, distributed) so the driver only ever collects
+    # candidate-sized hs data, never the corpus (minhash_lsh_pairs pattern)
+    if sigs_all.count() <= sig_broadcast_cap:
+        sets = sigs_all.map_batches(
+            lambda t: t.select(["doc_id", "hs"]), batch_format="pyarrow"
+        )
+    else:
+        cand_ids = (
+            cand.map_batches(
+                lambda t: pa.table(
+                    {
+                        "doc_id": pa.concat_arrays(
+                            [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                        ),
+                        "m": pa.array(np.ones(2 * t.num_rows, dtype=np.int8)),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .map_batches(lambda t: _add_shard(t, "doc_id"), batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(
+                lambda g: g.drop_duplicates("doc_id")[["doc_id", "m"]],
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        sets = keyed_attach(
+            sigs_all.map_batches(
+                lambda t: t.select(["doc_id", "hs"]), batch_format="pyarrow"
             ),
+            cand_ids, "doc_id", ["m"],
+            right_count=cand_ids.count(), broadcast_cap=join_broadcast_cap,
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t.column("m"), 1)).drop_columns(["m"]),
             batch_format="pyarrow",
         )
-        .map_batches(lambda t: _add_shard(t, "doc_id"), batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(
-            lambda g: g.drop_duplicates("doc_id")[["doc_id", "m"]],
-            batch_format="pandas",
-        )
-        .materialize()
-    )
-    sets = keyed_attach(
-        sigs_all.map_batches(
-            lambda t: t.select(["doc_id", "hs"]), batch_format="pyarrow"
-        ),
-        cand_ids, "doc_id", ["m"],
-        right_count=cand_ids.count(), broadcast_cap=join_broadcast_cap,
-    ).map_batches(
-        lambda t: t.filter(pc.equal(t.column("m"), 1)).drop_columns(["m"]),
-        batch_format="pyarrow",
-    )
     lk: dict[int, np.ndarray] = {}
     for t in ray.get(sets.to_arrow_refs()):
-        for d, hs in zip(t.column("doc_id").to_pylist(), t.column("hs").to_pylist()):
-            lk[d] = np.asarray(hs, dtype=np.int64)
+        for d, hs in zip(t.column("doc_id").to_pylist(), _list_views(t.column("hs"))):
+            lk[d] = hs
     lk_ref = ray.put(lk)
 
     def verify(t: pa.Table) -> pa.Table:
@@ -2436,7 +2544,7 @@ def minhash_incremental(
         out = {"new_id": [], "prior_id": [], "n_common": [], "n_new": [], "n_prior": []}
         for a_, b_ in zip(t.column("a").to_pylist(), t.column("b").to_pylist()):
             sa, sb = lk_[a_], lk_[b_]
-            c = int(len(np.intersect1d(sa, sb, assume_unique=True)))
+            c = _sorted_intersect_count(sa, sb)
             if den * c >= num * (len(sa) + len(sb) - c):
                 out["new_id"].append(a_)
                 out["prior_id"].append(b_)
@@ -2457,7 +2565,11 @@ def minhash_incremental(
     pdf = cand.map_batches(verify, batch_format="pyarrow").to_pandas()
     if not len(pdf):
         return empty
-    pdf = pdf.sort_values(["new_id", "prior_id"]).reset_index(drop=True)
+    pdf = (
+        pdf.drop_duplicates(subset=["new_id", "prior_id"])
+        .sort_values(["new_id", "prior_id"])
+        .reset_index(drop=True)
+    )
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 

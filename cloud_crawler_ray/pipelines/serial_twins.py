@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 31  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 33  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -134,24 +134,21 @@ def _minhash_confirmed_pairs(
     bucket_cap: int = 200,
 ) -> list[tuple[int, int]]:
     """Serial MinHash → LSH banding → exact-Jaccard verify: same kernels
-    (_perm_params/_shingle_hashes/_band_hash), same bucket-cap policy as
+    (_perm_params/_shingle_hashes/_band_keys), same bucket-cap policy as
     ops/dedup.minhash_lsh_pairs, driven by plain loops."""
-    from ..ops.dedup import _MERSENNE, _band_hash, _perm_params, _shingle_hashes
+    from ..ops.dedup import _MERSENNE, _band_keys, _perm_params, _shingle_hashes
 
     a_, b_ = _perm_params(num_perm)
-    rows = num_perm // bands
     ids = docs.column("doc_id").to_pylist()
     hset: dict[int, np.ndarray] = {}
-    buckets: dict[str, list[int]] = {}
+    buckets: dict[int, list[int]] = {}
     for did, text in zip(ids, docs.column("text").to_pylist()):
         h = _shingle_hashes(text, shingle_k)
         vals = (a_[:, None] * h[None, :] + b_[:, None]) % np.uint64(_MERSENNE)
-        sig = vals.min(axis=1).astype(np.int64).tolist()
+        sig = vals.min(axis=1).astype(np.int64)
         hset[did] = np.unique(h).view(np.int64)
-        for bi in range(bands):
-            buckets.setdefault(
-                f"{bi}:{_band_hash(sig[bi * rows : (bi + 1) * rows])}", []
-            ).append(did)
+        for key in _band_keys(sig[None, :], bands)[0]:
+            buckets.setdefault(int(key), []).append(did)
     cand: set[tuple[int, int]] = set()
     for members in buckets.values():
         members = sorted(members)
@@ -216,25 +213,22 @@ def twin_minhash_incremental(
     and new = doc_id%3==0 (the query's split), driven by plain loops."""
     from fractions import Fraction
 
-    from ..ops.dedup import _MERSENNE, _band_hash, _perm_params, _shingle_hashes
+    from ..ops.dedup import _MERSENNE, _band_keys, _perm_params, _shingle_hashes
 
     frac = Fraction(threshold).limit_denominator(1000)
     num, den = frac.numerator, frac.denominator
     a_, b_ = _perm_params(num_perm)
-    rows = num_perm // bands
     ids = docs.column("doc_id").to_pylist()
     hset: dict[int, np.ndarray] = {}
-    buckets: dict[str, list[int]] = {}
+    buckets: dict[int, list[int]] = {}
     is_new = {did: (did % 3 == 0) for did in ids}
     for did, text in zip(ids, docs.column("text").to_pylist()):
         h = _shingle_hashes(text, shingle_k)
         vals = (a_[:, None] * h[None, :] + b_[:, None]) % np.uint64(_MERSENNE)
-        sig = vals.min(axis=1).astype(np.int64).tolist()
+        sig = vals.min(axis=1).astype(np.int64)
         hset[did] = np.unique(h).view(np.int64)
-        for bi in range(bands):
-            buckets.setdefault(
-                f"{bi}:{_band_hash(sig[bi * rows : (bi + 1) * rows])}", []
-            ).append(did)
+        for key in _band_keys(sig[None, :], bands)[0]:
+            buckets.setdefault(int(key), []).append(did)
     cand: set[tuple[int, int]] = set()
     for members in buckets.values():
         members = sorted(set(members))

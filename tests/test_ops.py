@@ -143,6 +143,11 @@ def test_minhash_lsh_finds_planted_dups(ray_session):
     pairs_j, _ = minhash_lsh_pairs(ds, threshold=0.6, join_broadcast_cap=0)
     assert pairs_j.to_pydict() == pairs.to_pydict()
 
+    # the at-scale semi-join verify path (whole-sig-table broadcast gate
+    # off) must agree exactly too
+    pairs_s, _ = minhash_lsh_pairs(ds, threshold=0.6, sig_broadcast_cap=0)
+    assert pairs_s.to_pydict() == pairs.to_pydict()
+
     groups = dedup_groups_from_pairs(pairs, tbl.column("doc_id").to_pylist())
     gdf = groups.to_pandas()
     assert len(gdf) == 540
@@ -1878,6 +1883,12 @@ def test_minhash_incremental_planted(ray_session):
     # new x new duplicates (11, 13) and (10, 12) are NOT this op's contract
     assert all(p in (1, 2) for p in out["prior_id"])
     assert 11 not in set(out["new_id"]) and 13 not in set(out["new_id"])
+
+    # the at-scale semi-join verify path must agree exactly
+    out_s = minhash_incremental(
+        rd.from_pandas(new).repartition(3), prior_sigs, sig_broadcast_cap=0
+    ).to_pandas()
+    assert out_s.equals(out)
 
 
 def test_mmr_kernel_diversifies():
