@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 33  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 34  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1430,14 +1430,12 @@ def twin_link_hits(n_iter: int = 16, k: int = 10) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 _DOC_TWINS = {
-    "lang_id": twin_lang_id,
     "dup_span_trim": twin_dup_span_trim,
     "simhash_pairs": twin_simhash_pairs,
     "minhash_dedup": twin_minhash_dedup,
     "minhash_incremental": twin_minhash_incremental,
     "ngram_containment": twin_ngram_containment,
     "minhash_keep_best": twin_minhash_keep_best,
-    "weighted_sample": twin_weighted_sample,
     "cdc_dedup": twin_cdc_dedup,
     "bpe_merges": twin_bpe_merges,
     "lm_score": twin_lm_score,
@@ -1453,7 +1451,6 @@ _SF_TWINS = {
     "api_fetch": twin_api_fetch,
     "part_k_core": twin_part_k_core,
     "part_k_truss": twin_part_k_truss,
-    "graph_walks": twin_graph_walks,
     "embedding_neardup_lsh": twin_embedding_neardup_lsh,
     "nb_classify": twin_nb_classify,
     # params mirror the registry wrappers in queries.py exactly
@@ -1616,7 +1613,6 @@ _NOARG_TWINS = {
     "canonical_alias_dedup": twin_canonical_alias_dedup,
     "pagerank": twin_pagerank,
     "pagerank_personalized": twin_pagerank_personalized,
-    "link_communities": twin_link_communities,
     "link_hits": twin_link_hits,
     "link_scc": twin_link_scc,
     "link_bowtie": twin_link_bowtie,
@@ -1883,7 +1879,6 @@ def twin_code_switch(sf_dir: str) -> pa.Table:
     )
 
 
-_SF_TWINS["code_switch"] = twin_code_switch
 
 
 def twin_embedding_outliers(sf_dir: str, k: int = 10) -> pa.Table:
