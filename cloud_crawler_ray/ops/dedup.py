@@ -1122,24 +1122,32 @@ def ngram_jaccard_pairs(
         return g.loc[keep, ["doc_id", "sh"]]
 
     def pair_gen_shard(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-shingle pair expansion (sort once, slice shingle
+        # segments, triu-index each — no Python pair loops)
+        g2 = g.sort_values(["sh", "doc_id"], kind="stable")
+        ids = g2["doc_id"].to_numpy()
+        sh_arr = g2["sh"].to_numpy()
+        cut = np.nonzero(sh_arr[1:] != sh_arr[:-1])[0] + 1
+        starts = np.concatenate([[0], cut])
+        ends = np.concatenate([cut, [len(sh_arr)]])
         out_a, out_b = [], []
-        for _, grp in g.groupby("sh"):
-            ids = sorted(grp["doc_id"].tolist())
-            if len(ids) < 2 or len(ids) > shingle_freq_cap:
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > shingle_freq_cap:
                 continue
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame(
-            {"a": pd.Series(out_a, dtype=object), "b": pd.Series(out_b, dtype=object)}
-        )
+            ii, jj = np.triu_indices(m, 1)
+            out_a.append(ids[s + ii])
+            out_b.append(ids[s + jj])
+        if out_a:
+            a, b = np.concatenate(out_a), np.concatenate(out_b)
+        else:
+            a, b = ids[:0], ids[:0].copy()
+        return pd.DataFrame({"a": a, "b": b})
 
-    def dedup_pairs_shard(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(subset=["a", "b"])[["a", "b"]]
-
-    shard_on_pair = _shard_on_pair
-
+    # no global candidate-dedup exchange (the minhash_lsh_pairs pattern):
+    # a pair sharing several prefix shingles repeats ≤ prefix-len times,
+    # rides through the cheap exact verify, and the confirmed pairs are
+    # drop-duplicated at collect — one fewer all-to-all
     cand = (
         sh.map_batches(lambda t: _add_shard(t, "sh"), batch_format="pyarrow")
         .groupby("shard")
@@ -1150,9 +1158,9 @@ def ngram_jaccard_pairs(
         .map_batches(lambda t: _add_shard(t, "sh"), batch_format="pyarrow")
         .groupby("shard")
         .map_groups(pair_gen_shard, batch_format="pandas")
-        .map_batches(shard_on_pair, batch_format="pyarrow")
-        .groupby("pshard")
-        .map_groups(dedup_pairs_shard, batch_format="pandas")
+        .map_batches(
+            lambda g: g.drop_duplicates(subset=["a", "b"]), batch_format="pandas"
+        )
         .materialize()
     )
 
@@ -1221,6 +1229,19 @@ def ngram_jaccard_pairs(
             }
         )
 
+    def dedup_confirmed(ds_pairs: rd.Dataset) -> rd.Dataset:
+        # candidate dups (<= prefix-len per pair) survive the verify; dedup
+        # the CONFIRMED graph -- orders of magnitude smaller than the
+        # candidate set the dropped exchange used to shuffle
+        return (
+            ds_pairs.map_batches(_shard_on_pair, batch_format="pyarrow")
+            .groupby("pshard")
+            .map_groups(
+                lambda g: g.drop_duplicates(subset=["a", "b"]).drop(columns=["pshard"]),
+                batch_format="pandas",
+            )
+        )
+
     if n_cand_ids <= join_broadcast_cap:
         set_lookup: dict = {}
         for t in ray.get(cand_sets.to_arrow_refs()):
@@ -1233,7 +1254,7 @@ def ngram_jaccard_pairs(
             ab = list(zip(t.column("a").to_pylist(), t.column("b").to_pylist()))
             return _verify_tbl(ab, lambda x, i: lk[x], lambda y, i: lk[y])
 
-        return cand.map_batches(verify_bcast, batch_format="pyarrow")
+        return dedup_confirmed(cand.map_batches(verify_bcast, batch_format="pyarrow"))
 
     def rename(cols: dict):
         def fn(t: pa.Table) -> pa.Table:
@@ -1258,7 +1279,7 @@ def ngram_jaccard_pairs(
         hb = t.column("sh_b").to_pylist()
         return _verify_tbl(ab, lambda x, i: set(ha[i]), lambda y, i: set(hb[i]))
 
-    return with_b.map_batches(verify_join, batch_format="pyarrow")
+    return dedup_confirmed(with_b.map_batches(verify_join, batch_format="pyarrow"))
 
 
 def ngram_containment_pairs(
