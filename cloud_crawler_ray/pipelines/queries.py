@@ -9179,6 +9179,40 @@ def q_customer_rfm(sf_dir: str):
             }
         )
 
+    # the ranked frame is CUSTOMER-bounded (orders already aggregated) —
+    # size-gate like the graph family: under the cap the three rank stamps
+    # are three numpy lexsorts on the driver instead of three distributed
+    # sorts (the dominant cost at bench scale); above it the stamp path
+    # below runs unchanged (test-forced via CCRAY_RFM_CAP=0)
+    driver_cap = int(os.environ.get("CCRAY_RFM_CAP", "2000000"))
+    n_cust = per_cust.count()
+    if n_cust <= driver_cap:
+        df = (
+            per_cust.map_batches(recency, batch_format="pyarrow")
+            .to_pandas()
+        )
+        n = len(df)
+        rd_ = df["r_days"].to_numpy(np.int64)
+        ck = df["o_custkey"].to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "o_custkey": ck,
+                "r_days": rd_,
+                "n_orders": df["n_orders"].to_numpy(np.int64),
+                "m_cents": df["m_cents"].to_numpy(np.int64),
+            }
+        )
+        for col, keys in (
+            ("r_q", (ck, rd_)),
+            ("f_q", (ck, df["neg_f"].to_numpy(np.int64))),
+            ("m_q", (ck, df["neg_m"].to_numpy(np.int64))),
+        ):
+            order = np.lexsort(keys)
+            rank = np.empty(n, dtype=np.int64)
+            rank[order] = np.arange(n, dtype=np.int64)
+            out[col] = 4 - rank * 4 // n
+        return out.sort_values("o_custkey").reset_index(drop=True)
+
     ds = per_cust.map_batches(recency, batch_format="pyarrow")
     ds, total = zip_with_index(ds, ["r_days", "o_custkey"], col="r_rank", with_count=True)
     ds = zip_with_index(ds, ["neg_f", "o_custkey"], col="f_rank")

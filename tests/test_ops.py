@@ -1964,3 +1964,20 @@ def test_levenshtein_kernel_vs_duckdb():
         assert levenshtein_kernel(a, b) == con.execute(
             "SELECT levenshtein(?, ?)", [a, b]
         ).fetchone()[0], (a, b)
+
+
+def test_customer_rfm_driver_vs_distributed_parity(ray_session, monkeypatch):
+    """The r5 size-gated RFM driver path (three numpy lexsorts) must equal
+    the distributed three-sort stamp path byte for byte (CCRAY_RFM_CAP=0
+    forces the at-scale branch)."""
+    from cloud_crawler_ray.pipelines.queries import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    fast = QUERIES["customer_rfm"](sf)
+    monkeypatch.setenv("CCRAY_RFM_CAP", "0")
+    slow = QUERIES["customer_rfm"](sf)
+    assert fast.equals(slow)
+    assert set(fast.columns) == {
+        "o_custkey", "r_days", "n_orders", "m_cents", "r_q", "f_q", "m_q"
+    }
+    assert fast["r_q"].between(1, 4).all()
