@@ -217,3 +217,16 @@ def test_graph_audit_example(ray_session):
         for i in range(len(rb) - 1)
     )
     assert 0 <= report["reciprocity_pct"] <= 100
+
+
+def test_tls_crawl_example(ray_session):
+    """Round-5 wire story: full crawl over a loopback TLS+gzip origin
+    reproduces the serial oracle's crawl order (skips without the
+    cryptography wheel, which the self-signed cert needs)."""
+    import pytest
+
+    pytest.importorskip("cryptography")
+    from examples.tls_crawl import main
+
+    out = main("/tmp/ccray_t_tls_example")
+    assert out["order_matches_oracle"] and out["pages"] == 3
