@@ -452,15 +452,31 @@ def q_nb_classify(sf_dir: str):
     return nb_classify(docs)
 
 
+_LSH_PAIR_CACHE: dict[str, "pa.Table"] = {}
+
+
+def _lsh_pairs_for(sf_dir: str):
+    """Confirmed MinHash-LSH pair graph at threshold 0.6 — shared by
+    minhash_dedup and minhash_keep_best; memoized per sf_dir (the
+    strong-part-edge precedent: one derivation per process serves both
+    consumers; the pair table is duplicate-graph-bounded, tiny)."""
+    cached = _LSH_PAIR_CACHE.get(sf_dir)
+    if cached is None:
+        from ..ops.dedup import minhash_lsh_pairs
+
+        cached, _stats = minhash_lsh_pairs(_docs(sf_dir), threshold=0.6)
+        _LSH_PAIR_CACHE[sf_dir] = cached
+    return cached
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash LSH near-dup groups, corpus-side fully distributed: candidate
     generation, in-pipeline verify, and per-doc group assignment never
     materialize the corpus on the driver (only the confirmed pair graph)."""
-    from ..ops.dedup import dedup_groups, minhash_lsh_pairs
+    from ..ops.dedup import dedup_groups
 
     docs = _docs(sf_dir)
-    pairs, _stats = minhash_lsh_pairs(docs, threshold=0.6)
-    return dedup_groups(docs.select_columns(["doc_id"]), pairs)
+    return dedup_groups(docs.select_columns(["doc_id"]), _lsh_pairs_for(sf_dir))
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -2109,11 +2125,9 @@ def q_minhash_keep_best(sf_dir: str):
     count (ops/curation.py fuzzy_keep_best). No SQL oracle (LSH candidate
     generation); planted-dup semantics pytest-pinned."""
     from ..ops.curation import fuzzy_keep_best
-    from ..ops.dedup import minhash_lsh_pairs
 
     docs = _docs(sf_dir)
-    pairs, _stats = minhash_lsh_pairs(docs, threshold=0.6)
-    return fuzzy_keep_best(docs, pairs)
+    return fuzzy_keep_best(docs, _lsh_pairs_for(sf_dir))
 
 
 def q_curate_corpus(sf_dir: str):
