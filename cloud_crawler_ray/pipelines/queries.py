@@ -661,16 +661,25 @@ def q_pagerank_personalized(sf_dir: str):
     return topk(tops).reset_index(drop=True)
 
 
+_LW_EDGE_CACHE: dict[int, tuple] = {}
+
+
 def _latency_weighted_edges(handle):
     """Directed (src, dst, w) edge Dataset over a crawl handle's link graph
     with w(u→v) = min fetched response_time_ms of v (1000 ms for never-
     fetched targets) — the shared derivation for q_crawl_cost (SSSP) and
     q_crawl_mst (spanning forest). Node weights come from per-block min
     partials → one hash(dst) shard min; the attach is a size-gated
-    keyed_attach join."""
+    keyed_attach join. Memoized per crawl out_dir (the strong-part-edge
+    precedent): both consumers see one derivation per process."""
     import numpy as np
 
     from ..ops.dedup import _add_shard, keyed_attach
+
+    key = getattr(handle, "out_dir", None)
+    cached = _LW_EDGE_CACHE.get(key) if key else None
+    if cached is not None:
+        return cached
 
     edges = handle.link_edges().materialize()
 
@@ -701,7 +710,7 @@ def _latency_weighted_edges(handle):
         .map_batches(lambda t: t, batch_format="pyarrow")
         .materialize()
     )
-    return edges, keyed_attach(
+    weighted = keyed_attach(
         edges.map_batches(lambda t: t, batch_format="pyarrow"),
         weights, "dst", ["w"], right_count=weights.count(),
     ).map_batches(
@@ -718,7 +727,11 @@ def _latency_weighted_edges(handle):
             }
         ),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    out = (edges, weighted)
+    if key:
+        _LW_EDGE_CACHE[key] = out
+    return out
 
 
 def q_crawl_cost(sf_dir: str):
