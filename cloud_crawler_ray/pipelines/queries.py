@@ -831,8 +831,12 @@ def q_link_scc(sf_dir: str):
     """Strongly connected components of the flagship crawl's DIRECTED link
     graph (ops/graph.py scc_coloring — iterative FW-BW-min coloring): the
     web-bowtie primitive (mutually-reachable URL cores, redirect rings).
-    DuckDB-hash-checked against a serial twin running the SAME pure kernel
-    over the oracle's link-edge table in the same canonical edge order."""
+    DuckDB-hash-checked DIRECTLY (r5): the oracle recomputes SCCs itself —
+    transitive closure by recursive CTE, mutual-reachability self-join,
+    min-member labeling — no shared kernel in the proof. (Closure size is
+    graph-dependent; on the oracle's crawl graph it's sub-second. Cyclic
+    behavior of the engine kernel stays pinned by the random-digraph
+    transitive-closure pytest oracle.)"""
     from ..ops.graph import strongly_connected_components
 
     edges = crawl_handle_for(sf_dir).link_edges()
@@ -7861,7 +7865,6 @@ _TWIN_SQL_COLS = {
     "pagerank": ('node, "rank"', "node"),
     "pagerank_personalized": ('node, "rank"', "node"),
     "link_hits": ("node, hub, authority", "node"),
-    "link_scc": ("node, scc", "node"),
     "link_bowtie": ("node, cls", "node"),
     "link_anf": ("t, nf_fp, nf_est, eff_diameter", "t"),
     "link_harmonic": ("node, hc_fp", "hc_fp DESC, node"),
@@ -8077,6 +8080,35 @@ _LPA_ROUNDS_SQL = "".join(
                FROM r{i}) WHERE rn = 1),"""
     for i in range(1, 6)
 )
+
+ORACLE_SQL["link_scc"] = f"""
+    WITH RECURSIVE le AS (SELECT * FROM read_parquet('{ORACLE_TABLE_DIR}/link_edges.parquet')),
+    nodes AS (
+      SELECT node, row_number() OVER (ORDER BY node) - 1 AS nid
+      FROM (SELECT src AS node FROM le UNION SELECT dst FROM le)
+    ),
+    de AS (
+      SELECT DISTINCT s.nid AS u, d.nid AS v
+      FROM le JOIN nodes s ON s.node = le.src JOIN nodes d ON d.node = le.dst
+      WHERE s.nid <> d.nid
+    ),
+    reach AS (
+      SELECT u, v FROM de
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN de e ON e.u = r.v
+    ),
+    mutual AS (
+      SELECT a.u, a.v FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u
+    ),
+    lab AS (
+      SELECT n.node, least(n.nid, coalesce(m.mn, n.nid)) AS scc_id
+      FROM nodes n
+      LEFT JOIN (SELECT u, min(v) AS mn FROM mutual GROUP BY u) m ON m.u = n.nid
+    )
+    SELECT lab.node, r.node AS scc
+    FROM lab JOIN nodes r ON r.nid = lab.scc_id
+    ORDER BY lab.node
+"""
 
 ORACLE_SQL["link_communities"] = f"""
     WITH le AS (SELECT * FROM read_parquet('{ORACLE_TABLE_DIR}/link_edges.parquet')),
