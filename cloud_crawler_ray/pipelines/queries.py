@@ -7865,7 +7865,6 @@ _TWIN_SQL_COLS = {
     "pagerank": ('node, "rank"', "node"),
     "pagerank_personalized": ('node, "rank"', "node"),
     "link_hits": ("node, hub, authority", "node"),
-    "link_bowtie": ("node, cls", "node"),
     "link_anf": ("t, nf_fp, nf_est, eff_diameter", "t"),
     "link_harmonic": ("node, hc_fp", "hc_fp DESC, node"),
     "crawl_cost": ("node, cost_ms", "node"),
@@ -8108,6 +8107,42 @@ ORACLE_SQL["link_scc"] = f"""
     SELECT lab.node, r.node AS scc
     FROM lab JOIN nodes r ON r.nid = lab.scc_id
     ORDER BY lab.node
+"""
+
+ORACLE_SQL["link_bowtie"] = f"""
+    WITH RECURSIVE le AS (SELECT * FROM read_parquet('{ORACLE_TABLE_DIR}/link_edges.parquet')),
+    nodes AS (
+      SELECT node, row_number() OVER (ORDER BY node) - 1 AS nid
+      FROM (SELECT src AS node FROM le UNION SELECT dst FROM le)
+    ),
+    de AS (
+      SELECT DISTINCT s.nid AS u, d.nid AS v
+      FROM le JOIN nodes s ON s.node = le.src JOIN nodes d ON d.node = le.dst
+      WHERE s.nid <> d.nid
+    ),
+    reach AS (
+      SELECT u, v FROM de
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN de e ON e.u = r.v
+    ),
+    mutual AS (
+      SELECT a.u, a.v FROM reach a JOIN reach b ON b.u = a.v AND b.v = a.u
+    ),
+    lab AS (
+      SELECT n.nid, least(n.nid, coalesce(m.mn, n.nid)) AS scc_id
+      FROM nodes n
+      LEFT JOIN (SELECT u, min(v) AS mn FROM mutual GROUP BY u) m ON m.u = n.nid
+    ),
+    corelab AS (SELECT scc_id FROM lab GROUP BY scc_id ORDER BY count(*) DESC, scc_id LIMIT 1),
+    corenodes AS (SELECT nid FROM lab WHERE scc_id = (SELECT scc_id FROM corelab)),
+    fwd AS (SELECT DISTINCT r.v AS nid FROM reach r JOIN corenodes c ON c.nid = r.u),
+    bwd AS (SELECT DISTINCT r.u AS nid FROM reach r JOIN corenodes c ON c.nid = r.v)
+    SELECT n.node,
+      CASE WHEN n.nid IN (SELECT nid FROM corenodes) THEN 'CORE'
+           WHEN n.nid IN (SELECT nid FROM bwd) THEN 'IN'
+           WHEN n.nid IN (SELECT nid FROM fwd) THEN 'OUT'
+           ELSE 'OTHER' END AS cls
+    FROM nodes n ORDER BY n.node
 """
 
 ORACLE_SQL["link_communities"] = f"""

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 35  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 36  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -1614,7 +1614,6 @@ _NOARG_TWINS = {
     "pagerank": twin_pagerank,
     "pagerank_personalized": twin_pagerank_personalized,
     "link_hits": twin_link_hits,
-    "link_bowtie": twin_link_bowtie,
 }
 
 
