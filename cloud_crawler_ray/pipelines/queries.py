@@ -7826,13 +7826,7 @@ from .serial_twins import TWIN_DIR  # noqa: E402
 
 _TWIN_SQL_COLS = {
     "dup_span_trim": ("doc_id, span_start, span_end", "doc_id, span_start"),
-    "minhash_incremental": (
-        "new_id, prior_id, n_common, n_new, n_prior",
-        "new_id, prior_id",
-    ),
     "simhash_pairs": ("a, b, hamming", "a, b"),
-    "minhash_dedup": ("doc_id, group_rep, keep", "doc_id"),
-    "minhash_keep_best": ("doc_id, group_rep, keep", "doc_id"),
     "cdc_dedup": ("total_chunks, distinct_chunks, dup_chunks, dup_tokens", "1"),
     "bpe_merges": ('"rank", "left", "right"', '"rank"'),
     "lm_score": ("doc_id, n_tokens, lm_logprob", "doc_id"),
@@ -8108,6 +8102,209 @@ ORACLE_SQL["link_scc"] = f"""
     FROM lab JOIN nodes r ON r.nid = lab.scc_id
     ORDER BY lab.node
 """
+
+
+
+# ---------------------------------------------------------------------------
+# MinHash family → DIRECT SQL (r5): DuckDB recomputes the ENTIRE fuzzy-dedup
+# pipeline itself — normalized 5-char shingles (splitmix64 rolling fold over
+# code points), 64 permutation min-hashes, 16-band LSH bucket keys, the
+# [2, 200] bucket-size candidate policy, integer-exact Jaccard verification
+# (5·c ≥ 3·(n_a+n_b−c)), and connected components / best-member selection —
+# with no shared kernel or shared parameters: the permutation constants are
+# FROZEN literals below (if the engine's seeded params ever drifted, every
+# hash check would fail loudly). All modular arithmetic is 128-bit-safe:
+# (x·K) mod 2^64 splits K = hi·2^32 + lo so intermediates stay ≤ 2^96, and
+# mod-2^64 is a bitmask (4× faster than % on HUGEINT). Docs shorter than 5
+# normalized chars fold as one whole-string shingle (none exist in the
+# synthetic corpus, but the branch keeps the oracle total).
+# ---------------------------------------------------------------------------
+
+_MINHASH_PERMS = ((1441372011761543505, 1015293730178525690), (2068834170735742289, 552396886644142817), (1788609426198978347, 928097886903475620), (519292424664466664, 222984458954860041), (692136329664195113, 2231659545631839055), (2014277105241507045, 495765556489776117), (12140965723911566, 1548985004040531832), (1893623807495520474, 692721544705922704), (1837916970145858347, 2015484400261130102), (1078984539781433124, 1526963224995999407), (698745202946374537, 303485408783539189), (642005751248611921, 1948608715054597905), (587689256953440222, 2178902134503916425), (1026276088486156466, 2084290206972473132), (1163409075729137379, 1313682914306497377), (1276277999899259153, 335407817500180527), (2295467369227445356, 443790604401564254), (1827753945088942507, 2139604836377807525), (1434647626684868086, 1273578170391113826), (2280386842923216684, 416325716344489219), (496468056649456701, 2038496409230100593), (369423798263018660, 1479363631396566062), (1412420164379490669, 1313625560184497655), (101323371868568452, 867660676392324519), (82273121376892546, 947598364461459119), (1187252786745025456, 552224526844523658), (1074997904349620351, 87754128466635033), (2114844898092829360, 2020423013220317947), (1450896960131813165, 1078512450638788932), (1185474581324885574, 1262760795706340324), (1145712137466103984, 742858015681877780), (570730552632793505, 1732437314095524576), (27195171347675025, 58100028392299806), (443649138666255221, 858200808876768939), (1595717428086714991, 69983014133181645), (462567612106674132, 283369894756995699), (852092718452718820, 2230091997464380541), (8610575930491304, 1516692981094604520), (1913959755077052236, 987408661540951160), (356163003961110909, 1207662466470206915), (617041985698850916, 2012561011946422106), (2029907743042727132, 793695760189569895), (1175497575096491203, 1361118334914623203), (1953395473336398576, 1576468832773632192), (1475087357268413889, 819528373127899969), (1710407353412157390, 1196959616180188008), (210974501308401017, 1764540329051853681), (1247792697500160541, 2096424765286812252), (1170843061345965846, 348325897859320092), (2009171810399896417, 2152318580416578809), (833018204957958874, 11941651536170038), (1379318549592766725, 1736247912766060174), (136624985286809853, 1868947625467153785), (893818078740086979, 315356432161203102), (744871100741420038, 965926054992261755), (346336995262892326, 1879852989332451860), (1882347509845978442, 32907122967422034), (874943302042188277, 1449134589044307550), (2256838967052308162, 1828588058166422642), (1360428220822667607, 1182905725152167848), (1395164733074589091, 1673694812119535099), (1471119955713015638, 522097004699027501), (1559788065776616808, 457758601279981889), (347693499872563522, 837313740383615099))
+
+_MH_MERS = 2305843009213693951  # 2^61 - 1, the permutation modulus
+
+
+def _mh_m64(e: str) -> str:
+    return f"((({e})) & 18446744073709551615)"
+
+
+def _mh_m32(e: str) -> str:
+    return f"((({e})) & 4294967295)"
+
+
+def _mh_mulmod(x: str, K: int) -> str:
+    hi, lo = K >> 32, K & 0xFFFFFFFF
+    return _mh_m64(f"{_mh_m64(f'({x})*{lo}')} + {_mh_m32(f'({x})*{hi}')}*4294967296")
+
+
+def _mh_splitmix(x: str) -> str:
+    s1 = _mh_m64(f"({x}) + 11400714819323198485")
+    s2 = f"(xor(CAST({s1} AS UBIGINT), CAST({s1} AS UBIGINT) >> 30))"
+    s3 = _mh_mulmod(f"CAST({s2} AS HUGEINT)", 0xBF58476D1CE4E5B9)
+    s4 = f"(xor(CAST({s3} AS UBIGINT), CAST({s3} AS UBIGINT) >> 27))"
+    s5 = _mh_mulmod(f"CAST({s4} AS HUGEINT)", 0x94D049BB133111EB)
+    s6 = f"(xor(CAST({s5} AS UBIGINT), CAST({s5} AS UBIGINT) >> 31))"
+    return f"CAST({s6} AS HUGEINT)"
+
+
+def _mh_fold(cols: list) -> str:
+    f = f"({cols[0]})"
+    for c in cols[1:]:
+        f = (
+            f"CAST(xor(CAST({_mh_mulmod(f, 0x100000001B3)} AS UBIGINT),"
+            f" CAST({c} AS UBIGINT)) AS HUGEINT)"
+        )
+    return f
+
+
+def _minhash_core_sql(doc_filter: str = "") -> str:
+    """Shared WITH-clause body: documents → shingle-hash sets → signatures
+    → band keys → bucket-policy candidate pairs → exact-verified pairs.
+    ``doc_filter`` optionally restricts the corpus (incremental split)."""
+    perm_rows = ", ".join(f"({j}, {pa_}, {pb_})" for j, (pa_, pb_) in enumerate(_MINHASH_PERMS))
+    win_fold = _mh_fold([f"m{r}" for r in range(5)])
+    short_folds = " ".join(
+        f"WHEN {L} THEN {_mh_fold([f'm{r}' for r in range(L)])}" for L in (1, 2, 3, 4)
+    )
+    bfold = _mh_fold(
+        [_mh_splitmix("CAST(band AS HUGEINT)")]
+        + [_mh_splitmix(f"CAST(s{r} AS HUGEINT)") for r in range(4)]
+    )
+    return f"""norm AS MATERIALIZED (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+  FROM documents {doc_filter}
+),
+chars AS MATERIALIZED (
+  SELECT doc_id,
+    unnest(generate_series(1, length(s))) AS i, length(s) AS n,
+    unnest(split(s, '')) AS ch
+  FROM norm WHERE s <> ''
+),
+mixed AS MATERIALIZED (
+  SELECT doc_id, i, n, {_mh_splitmix("CAST(unicode(ch) AS HUGEINT)")} AS m0 FROM chars
+),
+win AS MATERIALIZED (
+  SELECT doc_id, i, n, m0,
+    lead(m0, 1) OVER w AS m1, lead(m0, 2) OVER w AS m2,
+    lead(m0, 3) OVER w AS m3, lead(m0, 4) OVER w AS m4
+  FROM mixed
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+hs AS MATERIALIZED (
+  SELECT DISTINCT doc_id, {win_fold} AS h FROM win WHERE i + 4 <= n
+  UNION
+  SELECT doc_id, CASE n {short_folds} END AS h FROM win WHERE n < 5 AND i = 1
+),
+sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_h FROM hs GROUP BY doc_id),
+perms(j, pa, pb) AS MATERIALIZED (VALUES {perm_rows}),
+sigs AS MATERIALIZED (
+  SELECT hs.doc_id, p.j,
+    min( {_mh_m64(_mh_m64("hs.h * p.pa") + " + p.pb")} % {_MH_MERS} ) AS sig
+  FROM hs CROSS JOIN perms p GROUP BY hs.doc_id, p.j
+),
+bandvals AS MATERIALIZED (
+  SELECT doc_id, j // 4 AS band,
+    max(CASE WHEN j % 4 = 0 THEN sig END) AS s0,
+    max(CASE WHEN j % 4 = 1 THEN sig END) AS s1,
+    max(CASE WHEN j % 4 = 2 THEN sig END) AS s2,
+    max(CASE WHEN j % 4 = 3 THEN sig END) AS s3
+  FROM sigs GROUP BY doc_id, j // 4
+),
+bkeys AS MATERIALIZED (SELECT doc_id, band, {bfold} AS bkey FROM bandvals),
+bsize AS MATERIALIZED (SELECT bkey, count(*) AS m FROM bkeys GROUP BY bkey)"""
+
+
+_MH_PAIR_TAIL = """
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bkeys x JOIN bkeys y ON y.bkey = x.bkey AND x.doc_id < y.doc_id
+  JOIN bsize z ON z.bkey = x.bkey
+  WHERE z.m BETWEEN 2 AND 200
+),
+common AS MATERIALIZED (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c JOIN hs ha ON ha.doc_id = c.a JOIN hs hb ON hb.doc_id = c.b AND hb.h = ha.h
+  GROUP BY c.a, c.b
+),
+confirmed AS MATERIALIZED (
+  SELECT cm.a, cm.b, cm.n_common, sa.n_h AS n_a, sb.n_h AS n_b
+  FROM common cm JOIN sizes sa ON sa.doc_id = cm.a JOIN sizes sb ON sb.doc_id = cm.b
+  WHERE 5 * cm.n_common >= 3 * (sa.n_h + sb.n_h - cm.n_common)
+),
+ue(u, v) AS (SELECT a, b FROM confirmed UNION SELECT b, a FROM confirmed),
+reach AS (
+  SELECT u, v FROM ue
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN ue e ON e.u = r.v WHERE e.v <> r.u
+),
+comp AS MATERIALIZED (
+  SELECT d.doc_id, coalesce(l.grp, d.doc_id) AS comp
+  FROM documents d
+  LEFT JOIN (SELECT u AS doc_id, least(u, min(v)) AS grp FROM reach GROUP BY u) l
+    ON l.doc_id = d.doc_id
+)"""
+
+ORACLE_SQL["minhash_dedup"] = (
+    "WITH RECURSIVE "
+    + _minhash_core_sql()
+    + ","
+    + _MH_PAIR_TAIL
+    + """
+SELECT doc_id, comp::BIGINT AS group_rep, (comp = doc_id) AS keep
+FROM comp ORDER BY doc_id
+"""
+)
+
+ORACLE_SQL["minhash_keep_best"] = (
+    "WITH RECURSIVE "
+    + _minhash_core_sql()
+    + ","
+    + _MH_PAIR_TAIL
+    + """,
+qual AS MATERIALIZED (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tok
+  FROM documents
+),
+reps AS MATERIALIZED (
+  SELECT comp, doc_id AS rep FROM (
+    SELECT c.comp, c.doc_id,
+      row_number() OVER (PARTITION BY c.comp ORDER BY q.n_tok DESC, c.doc_id ASC) AS rn
+    FROM comp c JOIN qual q USING (doc_id)
+  ) WHERE rn = 1
+)
+SELECT c.doc_id, r.rep::BIGINT AS group_rep, (r.rep = c.doc_id) AS keep
+FROM comp c JOIN reps r ON r.comp = c.comp
+ORDER BY c.doc_id
+"""
+)
+
+ORACLE_SQL["minhash_incremental"] = (
+    "WITH RECURSIVE "
+    + _minhash_core_sql()
+    + """,
+flags AS MATERIALIZED (SELECT doc_id, (doc_id % 3 = 0) AS is_new FROM documents),
+cand AS MATERIALIZED (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bkeys x JOIN flags fx ON fx.doc_id = x.doc_id AND fx.is_new
+  JOIN bkeys y ON y.bkey = x.bkey
+  JOIN flags fy ON fy.doc_id = y.doc_id AND NOT fy.is_new
+  JOIN bsize z ON z.bkey = x.bkey
+  WHERE z.m BETWEEN 2 AND 200
+),
+common AS MATERIALIZED (
+  SELECT c.a, c.b, count(*) AS n_common
+  FROM cand c JOIN hs ha ON ha.doc_id = c.a JOIN hs hb ON hb.doc_id = c.b AND hb.h = ha.h
+  GROUP BY c.a, c.b
+)
+SELECT cm.a AS new_id, cm.b AS prior_id, cm.n_common,
+       sa.n_h AS n_new, sb.n_h AS n_prior
+FROM common cm JOIN sizes sa ON sa.doc_id = cm.a JOIN sizes sb ON sb.doc_id = cm.b
+WHERE 5 * cm.n_common >= 3 * (sa.n_h + sb.n_h - cm.n_common)
+ORDER BY new_id, prior_id
+"""
+)
 
 ORACLE_SQL["link_bowtie"] = f"""
     WITH RECURSIVE le AS (SELECT * FROM read_parquet('{ORACLE_TABLE_DIR}/link_edges.parquet')),

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 36  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 37  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -49,20 +49,6 @@ def _events_table(sf_dir: str, columns) -> pa.Table:
 # ---------------------------------------------------------------------------
 # documents-table text / dedup twins
 # ---------------------------------------------------------------------------
-
-
-def twin_lang_id(docs: pa.Table) -> pa.Table:
-    from ..functions import text as T
-
-    return pa.table(
-        {
-            "doc_id": docs.column("doc_id"),
-            "lang_pred": pa.array(
-                [T.lang_id(t) for t in docs.column("text").to_pylist()],
-                pa.string(),
-            ),
-        }
-    )
 
 
 def twin_dup_span_trim(docs: pa.Table, k: int = 8) -> pa.Table:
@@ -125,47 +111,6 @@ def twin_simhash_pairs(
     )
 
 
-def _minhash_confirmed_pairs(
-    docs: pa.Table,
-    num_perm: int = 64,
-    bands: int = 16,
-    shingle_k: int = 5,
-    threshold: float = 0.6,
-    bucket_cap: int = 200,
-) -> list[tuple[int, int]]:
-    """Serial MinHash → LSH banding → exact-Jaccard verify: same kernels
-    (_perm_params/_shingle_hashes/_band_keys), same bucket-cap policy as
-    ops/dedup.minhash_lsh_pairs, driven by plain loops."""
-    from ..ops.dedup import _MERSENNE, _band_keys, _perm_params, _shingle_hashes
-
-    a_, b_ = _perm_params(num_perm)
-    ids = docs.column("doc_id").to_pylist()
-    hset: dict[int, np.ndarray] = {}
-    buckets: dict[int, list[int]] = {}
-    for did, text in zip(ids, docs.column("text").to_pylist()):
-        h = _shingle_hashes(text, shingle_k)
-        vals = (a_[:, None] * h[None, :] + b_[:, None]) % np.uint64(_MERSENNE)
-        sig = vals.min(axis=1).astype(np.int64)
-        hset[did] = np.unique(h).view(np.int64)
-        for key in _band_keys(sig[None, :], bands)[0]:
-            buckets.setdefault(int(key), []).append(did)
-    cand: set[tuple[int, int]] = set()
-    for members in buckets.values():
-        members = sorted(members)
-        if len(members) < 2 or len(members) > bucket_cap:
-            continue
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                cand.add((members[i], members[j]))
-    confirmed = []
-    for a, b in sorted(cand):
-        sa, sb = hset[a], hset[b]
-        c = len(np.intersect1d(sa, sb, assume_unique=True))
-        if c / max(1, len(sa) + len(sb) - c) >= threshold:
-            confirmed.append((a, b))
-    return confirmed
-
-
 def twin_ngram_containment(
     docs: pa.Table, k: int = 3, num: int = 4, den: int = 5
 ) -> pa.Table:
@@ -196,168 +141,6 @@ def twin_ngram_containment(
             "n_common": pa.array(rows["n_common"], pa.int64()),
             "n_a": pa.array(rows["n_a"], pa.int64()),
             "n_b": pa.array(rows["n_b"], pa.int64()),
-        }
-    )
-
-
-def twin_minhash_incremental(
-    docs: pa.Table,
-    num_perm: int = 64,
-    bands: int = 16,
-    shingle_k: int = 5,
-    threshold: float = 0.6,
-    bucket_cap: int = 200,
-) -> pa.Table:
-    """Serial incremental fuzzy dedup — same kernels and bucket-cap/cross-
-    pair policy as ops/dedup.minhash_incremental, with prior = doc_id%3!=0
-    and new = doc_id%3==0 (the query's split), driven by plain loops."""
-    from fractions import Fraction
-
-    from ..ops.dedup import _MERSENNE, _band_keys, _perm_params, _shingle_hashes
-
-    frac = Fraction(threshold).limit_denominator(1000)
-    num, den = frac.numerator, frac.denominator
-    a_, b_ = _perm_params(num_perm)
-    ids = docs.column("doc_id").to_pylist()
-    hset: dict[int, np.ndarray] = {}
-    buckets: dict[int, list[int]] = {}
-    is_new = {did: (did % 3 == 0) for did in ids}
-    for did, text in zip(ids, docs.column("text").to_pylist()):
-        h = _shingle_hashes(text, shingle_k)
-        vals = (a_[:, None] * h[None, :] + b_[:, None]) % np.uint64(_MERSENNE)
-        sig = vals.min(axis=1).astype(np.int64)
-        hset[did] = np.unique(h).view(np.int64)
-        for key in _band_keys(sig[None, :], bands)[0]:
-            buckets.setdefault(int(key), []).append(did)
-    cand: set[tuple[int, int]] = set()
-    for members in buckets.values():
-        members = sorted(set(members))
-        if len(members) < 2 or len(members) > bucket_cap:
-            continue
-        for n_ in (m for m in members if is_new[m]):
-            for p_ in (m for m in members if not is_new[m]):
-                cand.add((n_, p_))
-    out = {"new_id": [], "prior_id": [], "n_common": [], "n_new": [], "n_prior": []}
-    for n_, p_ in sorted(cand):
-        sa, sb = hset[n_], hset[p_]
-        c = int(len(np.intersect1d(sa, sb, assume_unique=True)))
-        if den * c >= num * (len(sa) + len(sb) - c):
-            out["new_id"].append(n_)
-            out["prior_id"].append(p_)
-            out["n_common"].append(c)
-            out["n_new"].append(len(sa))
-            out["n_prior"].append(len(sb))
-    return pa.table(
-        {
-            "new_id": pa.array(out["new_id"], pa.int64()),
-            "prior_id": pa.array(out["prior_id"], pa.int64()),
-            "n_common": pa.array(out["n_common"], pa.int64()),
-            "n_new": pa.array(out["n_new"], pa.int64()),
-            "n_prior": pa.array(out["n_prior"], pa.int64()),
-        }
-    )
-
-
-def twin_minhash_dedup(docs: pa.Table) -> pa.Table:
-    """(doc_id, group_rep, keep): union-find over the serial confirmed-pair
-    graph, min-id representative (dedup_groups semantics)."""
-    pairs = _minhash_confirmed_pairs(docs)
-    parent: dict[int, int] = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    comp_min: dict[int, int] = {}
-    for x in list(parent):
-        r = find(x)
-        comp_min[r] = min(comp_min.get(r, x), x)
-    ids = docs.column("doc_id").to_pylist()
-    reps = [comp_min[find(d)] if d in parent else d for d in ids]
-    return pa.table(
-        {
-            "doc_id": pa.array(ids, pa.int64()),
-            "group_rep": pa.array(reps, pa.int64()),
-            "keep": pa.array([r == d for r, d in zip(reps, ids)], pa.bool_()),
-        }
-    )
-
-
-def twin_minhash_keep_best(docs: pa.Table) -> pa.Table:
-    """Like twin_minhash_dedup but each component's representative is its
-    highest-quality member: most tokens, ties to lowest doc_id
-    (ops/curation.fuzzy_keep_best semantics)."""
-    from ..functions import text as T
-
-    pairs = _minhash_confirmed_pairs(docs)
-    parent: dict[int, int] = {}
-
-    def find(x):
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    comp_min: dict[int, int] = {}
-    for x in list(parent):
-        r = find(x)
-        comp_min[r] = min(comp_min.get(r, x), x)
-    ids = docs.column("doc_id").to_pylist()
-    texts = dict(zip(ids, docs.column("text").to_pylist()))
-    best: dict[int, tuple] = {}  # component label -> (-n_tokens, doc_id)
-    for d in parent:
-        lab = comp_min[find(d)]
-        key = (-T.token_count(texts[d]), d)
-        if lab not in best or key < best[lab]:
-            best[lab] = key
-    reps = [
-        best[comp_min[find(d)]][1] if d in parent else d for d in ids
-    ]
-    return pa.table(
-        {
-            "doc_id": pa.array(ids, pa.int64()),
-            "group_rep": pa.array(reps, pa.int64()),
-            "keep": pa.array([r == d for r, d in zip(reps, ids)], pa.bool_()),
-        }
-    )
-
-
-def twin_weighted_sample(docs: pa.Table, k: int = 100) -> pa.Table:
-    """Efraimidis-Spirakis without replacement, serially: same hash-derived
-    u and priority as ops/sampling.weighted_sample; k lowest priorities win
-    (ties by id), zero weights never win. Output matches q_weighted_sample:
-    (doc_id, n_chars) sorted by doc_id."""
-    ids = np.asarray(docs.column("doc_id").to_pylist(), dtype=np.uint64)
-    nch = np.asarray(docs.column("n_chars").to_pylist(), dtype=np.int64)
-    w = nch.astype(np.float64)
-    h = (ids * np.uint64(2654435761)) % np.uint64(2**32)
-    u = (h.astype(np.float64) + 1.0) / (float(2**32) + 1.0)
-    with np.errstate(divide="ignore"):
-        pri = np.where(w > 0, -np.log(u) / np.maximum(w, 1e-300), np.inf)
-    take = np.lexsort((ids, pri))[:k]
-    take = take[~np.isinf(pri[take])]
-    sel = np.sort(ids[take].astype(np.int64))
-    pos = {int(i): int(c) for i, c in zip(ids.astype(np.int64), nch)}
-    return pa.table(
-        {
-            "doc_id": pa.array(sel, pa.int64()),
-            "n_chars": pa.array([pos[int(s)] for s in sel], pa.int64()),
         }
     )
 
@@ -908,56 +691,6 @@ def twin_part_k_truss(sf_dir: str, k: int = 3) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
-def twin_graph_walks(
-    sf_dir: str, walk_len: int = 8, walks_per_node: int = 1, seed: int = 7
-) -> pa.Table:
-    """Serial CSR walk with the same counter-based neighbor hash as
-    ops/graph.random_walks — walks are a pure function of (edges, seed)."""
-    e = _strong_part_edges_serial(sf_dir)
-    a = e["a"].to_numpy().astype(np.int64)
-    b = e["b"].to_numpy().astype(np.int64)
-    src = np.concatenate([a, b])
-    dst = np.concatenate([b, a])
-    order = np.lexsort((dst, src))
-    src, dst = src[order], dst[order]
-    nodes = np.unique(src)
-    indptr = np.append(np.searchsorted(src, nodes, side="left"), len(src))
-    K1, K2 = np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F)
-
-    def pick(walk_id: int, step: int, deg: int) -> int:
-        with np.errstate(over="ignore"):  # deliberate uint64 wraparound
-            h = (np.uint64(walk_id) + np.uint64(seed)) * K1
-            h ^= h >> np.uint64(29)
-            h = (h + np.uint64(step)) * K2
-            h ^= h >> np.uint64(32)
-            return int(h % np.uint64(max(deg, 1)))
-
-    rows = {"walk_id": [], "start": [], "walk_str": []}
-    for node in nodes:
-        for copy in range(walks_per_node):
-            wid = int(node) * walks_per_node + copy
-            cur, path = int(node), [int(node)]
-            for step in range(1, walk_len):
-                pos = int(np.searchsorted(nodes, cur))
-                if pos >= len(nodes) or nodes[pos] != cur:
-                    break
-                lo, hi = int(indptr[pos]), int(indptr[pos + 1])
-                if hi <= lo:
-                    break
-                cur = int(dst[lo + pick(wid, step, hi - lo)])
-                path.append(cur)
-            rows["walk_id"].append(wid)
-            rows["start"].append(int(node))
-            rows["walk_str"].append("-".join(map(str, path)))
-    return pa.table(
-        {
-            "walk_id": pa.array(rows["walk_id"], pa.int64()),
-            "start": pa.array(rows["start"], pa.int64()),
-            "walk_str": pa.array(rows["walk_str"], pa.string()),
-        }
-    )
-
-
 def twin_embedding_neardup_lsh(
     sf_dir: str,
     threshold: float = 0.9,
@@ -1369,34 +1102,6 @@ def twin_pagerank_personalized(
     )
 
 
-def twin_link_communities(n_iter: int = 5) -> pa.Table:
-    """Serial LPA over the oracle link edges — runs the SAME pure kernel
-    (ops/graph.lpa_iterations) the distributed paths use, over the same
-    sorted-node id space, so the full assignment must hash-match."""
-    from ..ops.graph import lpa_iterations
-
-    nodes, src, dst = _oracle_link_edges()
-    n = len(nodes)
-    keep = src != dst
-    key = np.unique(
-        np.concatenate(
-            [
-                src[keep].astype(np.int64) * np.int64(n) + dst[keep],
-                dst[keep].astype(np.int64) * np.int64(n) + src[keep],
-            ]
-        )
-    )
-    u, v = (key // n).astype(np.int64), (key % n).astype(np.int64)
-    labels = lpa_iterations(n, u, v, n_iter)
-    order = np.argsort(nodes, kind="stable")
-    return pa.table(
-        {
-            "node": pa.array(nodes[order], pa.string()),
-            "community": pa.array(labels[order], pa.int64()),
-        }
-    )
-
-
 def twin_link_hits(n_iter: int = 16, k: int = 10) -> pa.Table:
     """Serial HITS over the oracle link edges (same iteration and edge
     order as ops/graph.hits' driver path); top-k authorities."""
@@ -1432,10 +1137,7 @@ def twin_link_hits(n_iter: int = 16, k: int = 10) -> pa.Table:
 _DOC_TWINS = {
     "dup_span_trim": twin_dup_span_trim,
     "simhash_pairs": twin_simhash_pairs,
-    "minhash_dedup": twin_minhash_dedup,
-    "minhash_incremental": twin_minhash_incremental,
     "ngram_containment": twin_ngram_containment,
-    "minhash_keep_best": twin_minhash_keep_best,
     "cdc_dedup": twin_cdc_dedup,
     "bpe_merges": twin_bpe_merges,
     "lm_score": twin_lm_score,
@@ -1461,39 +1163,6 @@ _SF_TWINS = {
     "semantic_dedup": twin_semantic_dedup,
     "dsir_weights": twin_dsir_weights,
 }
-
-def twin_link_scc() -> pa.Table:
-    """Serial SCC over the oracle link edges — runs the SAME pure kernel
-    (ops/graph.scc_coloring) in the same canonical (dst, src) edge order
-    over the same sorted-node id space, so the full (node, scc) assignment
-    must hash-match the distributed wrapper."""
-    from ..ops.graph import scc_coloring
-
-    nodes, src, dst = _oracle_link_edges()
-    labels = scc_coloring(len(nodes), src, dst)
-    return pa.table(
-        {
-            "node": pa.array(nodes, pa.string()),
-            "scc": pa.array(nodes[labels], pa.string()),
-        }
-    )
-
-
-def twin_link_bowtie() -> pa.Table:
-    """Serial bowtie decomposition over the oracle link edges — the SAME
-    pure kernel (ops/graph.bowtie_kernel) in the same canonical edge order,
-    so the full (node, cls) assignment must hash-match."""
-    from ..ops.graph import _BOWTIE_NAMES, bowtie_kernel
-
-    nodes, src, dst = _oracle_link_edges()
-    cls = bowtie_kernel(len(nodes), src, dst)
-    return pa.table(
-        {
-            "node": pa.array(nodes, pa.string()),
-            "cls": pa.array(_BOWTIE_NAMES[cls], pa.string()),
-        }
-    )
-
 
 def twin_margin_mine(
     sf_dir: str, label_a: int = 0, label_b: int = 1,
@@ -1840,43 +1509,6 @@ def twin_link_robustness() -> pa.Table:
 
 
 _NOARG_TWINS["link_robustness"] = twin_link_robustness
-
-
-def twin_code_switch(sf_dir: str) -> pa.Table:
-    """Serial per-doc code-switch profile — same tokenizer, same 16-token
-    segmenting, same lang_id heuristic and dominant tie policy as
-    q_code_switch, so every row hash-matches."""
-    from ..functions.text import lang_id as _lang
-    from ..ops.textstats import tokenize
-
-    df = _docs_table(sf_dir).to_pandas()
-    toks = tokenize(df.set_index("doc_id")["text"])
-    rows = {"doc_id": [], "n_segments": [], "n_switches": [],
-            "dominant_lang": [], "n_dominant": []}
-    for doc_id, grp in toks.groupby(level=0):
-        vals = grp.to_numpy(object)
-        n_seg = len(vals) // 16
-        if n_seg == 0:
-            continue
-        langs = [_lang(" ".join(vals[i * 16 : (i + 1) * 16])) for i in range(n_seg)]
-        switches = sum(1 for a, b in zip(langs, langs[1:]) if a != b)
-        counts: dict[str, int] = {}
-        for lg in langs:
-            counts[lg] = counts.get(lg, 0) + 1
-        dom = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        rows["doc_id"].append(int(doc_id))
-        rows["n_segments"].append(n_seg)
-        rows["n_switches"].append(switches)
-        rows["dominant_lang"].append(dom[0])
-        rows["n_dominant"].append(dom[1])
-    out = pd.DataFrame(rows)
-    for c in ("doc_id", "n_segments", "n_switches", "n_dominant"):
-        out[c] = out[c].astype(np.int64)
-    return pa.Table.from_pandas(
-        out.sort_values("doc_id").reset_index(drop=True), preserve_index=False
-    )
-
-
 
 
 def twin_embedding_outliers(sf_dir: str, k: int = 10) -> pa.Table:
