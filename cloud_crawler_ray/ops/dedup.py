@@ -928,23 +928,51 @@ def _components_label_prop(pairs: pa.Table, max_iters: int = 512) -> dict:
     return out
 
 
+def _str_fold_hashes(strs: list[str], seed: int = 0) -> np.ndarray:
+    """Seeded splitmix64 fold over each string's UTF-32 code points —
+    h = splitmix(seed), then h = h·MULT ^ splitmix(cp) per code point.
+    Vectorized by grouping strings of equal length (token lengths are
+    small and few); replaces the per-token blake2b loop so the hash is
+    pure arithmetic — vectorizable here AND re-derivable by the DuckDB
+    oracle (the minhash-conversion discipline)."""
+    n = len(strs)
+    out = np.zeros(n, np.uint64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(s) for s in strs), np.int64, n)
+    joined = "".join(strs)
+    cps = np.frombuffer(joined.encode("utf-32-le"), np.uint32).astype(np.uint64)
+    offs = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    # 1-element array: numpy uint64 ARRAY overflow wraps silently (scalars warn)
+    h_seed = _splitmix64(np.array([seed], np.uint64))[0]
+    for L in np.unique(lens):
+        if L == 0:
+            continue
+        idx = np.nonzero(lens == L)[0]
+        mat = cps[offs[idx][:, None] + np.arange(L)[None, :]]
+        h = np.full(len(idx), h_seed, np.uint64)
+        for j in range(L):
+            h = (h * _BH_MULT) ^ _splitmix64(mat[:, j])
+        out[idx] = h
+    return out
+
+
+# acc index i reads bit 8·(i//8) + 7 − (i%8) of the token hash (the byte/
+# bit layout the historical unpackbits implementation established)
+_SIMHASH_BITPOS = (
+    8 * (np.arange(64) // 8) + 7 - (np.arange(64) % 8)
+).astype(np.uint64)
+
+
 def simhash_bits(text: str, seed: int = 11) -> int:
     toks = T.tokenize(text)
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in toks:
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8, salt=seed.to_bytes(8, "little")).digest(),
-            "little",
-        )
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= 1 << i
-    return out
+    hs = _str_fold_hashes(toks, seed=seed)
+    bits = ((hs[:, None] >> _SIMHASH_BITPOS[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
 
 def hash64_hamming_pairs(

@@ -7826,7 +7826,6 @@ from .serial_twins import TWIN_DIR  # noqa: E402
 
 _TWIN_SQL_COLS = {
     "dup_span_trim": ("doc_id, span_start, span_end", "doc_id, span_start"),
-    "simhash_pairs": ("a, b, hamming", "a, b"),
     "cdc_dedup": ("total_chunks, distinct_chunks, dup_chunks, dup_tokens", "1"),
     "bpe_merges": ('"rank", "left", "right"', '"rank"'),
     "lm_score": ("doc_id, n_tokens, lm_logprob", "doc_id"),
@@ -8305,6 +8304,64 @@ WHERE 5 * cm.n_common >= 3 * (sa.n_h + sb.n_h - cm.n_common)
 ORDER BY new_id, prior_id
 """
 )
+
+
+
+# simhash_pairs → DIRECT SQL (r5): same independence treatment as the
+# minhash family — the oracle re-derives seeded per-token splitmix folds
+# (recursive CTE over token code points), the 64 ±1 bit accumulators with
+# the historical unpackbits bit layout, 16-bit-chunk pigeonhole bucketing
+# with the [2, 500] cap, and exact bit_count Hamming verification.
+ORACLE_SQL["simhash_pairs"] = """
+WITH RECURSIVE tok AS MATERIALIZED (
+  SELECT doc_id, unnest(toks) AS tk, unnest(generate_series(1, len(toks))) AS ti
+  FROM (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents
+  )
+),
+tmix AS MATERIALIZED (
+  SELECT doc_id, ti, length(tk) AS L,
+    unnest(generate_series(1, length(tk))) AS pos,
+    unnest(list_transform(split(tk, ''), c -> CAST((xor(CAST((((((((CAST((xor(CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 27)) AS HUGEINT))*321982955)) & 18446744073709551615) + ((((CAST((xor(CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 27)) AS HUGEINT))*2496678331)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 27)) AS HUGEINT))*321982955)) & 18446744073709551615) + ((((CAST((xor(CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 27)) AS HUGEINT))*2496678331)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 31)) AS HUGEINT))) AS m
+  FROM tok
+),
+seedrows AS MATERIALIZED (SELECT DISTINCT doc_id, ti, L FROM tmix),
+fold AS (
+  SELECT doc_id, ti, 0 AS pos, CAST(5833679380957638813 AS HUGEINT) AS acc, L FROM seedrows
+  UNION ALL
+  SELECT f.doc_id, f.ti, f.pos + 1, CAST(xor(CAST((((((((f.acc)*435)) & 18446744073709551615) + ((((f.acc)*256)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST(t.m AS UBIGINT)) AS HUGEINT), f.L
+  FROM fold f JOIN tmix t ON t.doc_id = f.doc_id AND t.ti = f.ti AND t.pos = f.pos + 1
+  WHERE f.pos < f.L
+),
+thash AS MATERIALIZED (SELECT doc_id, ti, acc AS h FROM fold WHERE pos = L),
+bitpos(i, p) AS MATERIALIZED (VALUES (0, 7), (1, 6), (2, 5), (3, 4), (4, 3), (5, 2), (6, 1), (7, 0), (8, 15), (9, 14), (10, 13), (11, 12), (12, 11), (13, 10), (14, 9), (15, 8), (16, 23), (17, 22), (18, 21), (19, 20), (20, 19), (21, 18), (22, 17), (23, 16), (24, 31), (25, 30), (26, 29), (27, 28), (28, 27), (29, 26), (30, 25), (31, 24), (32, 39), (33, 38), (34, 37), (35, 36), (36, 35), (37, 34), (38, 33), (39, 32), (40, 47), (41, 46), (42, 45), (43, 44), (44, 43), (45, 42), (46, 41), (47, 40), (48, 55), (49, 54), (50, 53), (51, 52), (52, 51), (53, 50), (54, 49), (55, 48), (56, 63), (57, 62), (58, 61), (59, 60), (60, 59), (61, 58), (62, 57), (63, 56)),
+accs AS MATERIALIZED (
+  SELECT t.doc_id, b.i,
+    sum(CASE WHEN ((CAST(t.h AS UBIGINT) >> b.p) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+  FROM thash t CROSS JOIN bitpos b GROUP BY t.doc_id, b.i
+),
+sims AS MATERIALIZED (
+  SELECT d.doc_id,
+    coalesce((SELECT sum(CASE WHEN a.acc > 0 THEN CAST(1 AS HUGEINT) << a.i ELSE 0 END)
+              FROM accs a WHERE a.doc_id = d.doc_id), 0) AS sim
+  FROM documents d
+),
+chunks AS MATERIALIZED (
+  SELECT s.doc_id, s.sim, c.c,
+    (CAST(s.sim AS UBIGINT) >> (16 * c.c)) & 65535 AS ck
+  FROM sims s CROSS JOIN (VALUES (0), (1), (2), (3)) c(c)
+),
+bsize AS MATERIALIZED (SELECT c, ck, count(*) AS m FROM chunks GROUP BY c, ck)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+  bit_count(xor(CAST(x.sim AS UBIGINT), CAST(y.sim AS UBIGINT)))::BIGINT AS hamming
+FROM chunks x
+JOIN chunks y ON y.c = x.c AND y.ck = x.ck AND x.doc_id < y.doc_id
+JOIN bsize z ON z.c = x.c AND z.ck = x.ck
+WHERE z.m BETWEEN 2 AND 500
+  AND bit_count(xor(CAST(x.sim AS UBIGINT), CAST(y.sim AS UBIGINT))) <= 3
+ORDER BY a, b
+"""
 
 ORACLE_SQL["link_bowtie"] = f"""
     WITH RECURSIVE le AS (SELECT * FROM read_parquet('{ORACLE_TABLE_DIR}/link_edges.parquet')),

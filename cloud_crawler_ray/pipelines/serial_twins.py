@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 37  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 39  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -68,47 +68,6 @@ def twin_dup_span_trim(docs: pa.Table, k: int = 8) -> pa.Table:
     )
     spans = spans.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
     return pa.Table.from_pandas(spans, preserve_index=False)
-
-
-def twin_simhash_pairs(
-    docs: pa.Table, hamming_threshold: int = 3, bucket_cap: int = 500
-) -> pa.Table:
-    """Pigeonhole-bucketed hamming pairs, serial: same simhash_bits kernel,
-    same chunking/bucket-cap policy as ops/dedup.hash64_hamming_pairs."""
-    from ..ops.dedup import simhash_bits
-
-    ids = docs.column("doc_id").to_pylist()
-    sigs = [simhash_bits(t) for t in docs.column("text").to_pylist()]
-    n_chunks = hamming_threshold + 1
-    width = 64 // n_chunks
-    buckets: dict[str, list[int]] = {}
-    sig_of = dict(zip(ids, sigs))
-    for did, s in zip(ids, sigs):
-        for c in range(n_chunks):
-            lo = c * width
-            hi = 64 if c == n_chunks - 1 else lo + width
-            buckets.setdefault(f"{c}:{(s >> lo) & ((1 << (hi - lo)) - 1)}", []).append(
-                did
-            )
-    out: dict[tuple, int] = {}
-    for members in buckets.values():
-        members = sorted(set(members))
-        if len(members) < 2 or len(members) > bucket_cap:
-            continue
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                a, b = members[i], members[j]
-                d = bin(sig_of[a] ^ sig_of[b]).count("1")
-                if d <= hamming_threshold:
-                    out[(a, b)] = d
-    keys = sorted(out)
-    return pa.table(
-        {
-            "a": pa.array([k[0] for k in keys], pa.int64()),
-            "b": pa.array([k[1] for k in keys], pa.int64()),
-            "hamming": pa.array([out[k] for k in keys], pa.int64()),
-        }
-    )
 
 
 def twin_ngram_containment(
@@ -1136,7 +1095,6 @@ def twin_link_hits(n_iter: int = 16, k: int = 10) -> pa.Table:
 
 _DOC_TWINS = {
     "dup_span_trim": twin_dup_span_trim,
-    "simhash_pairs": twin_simhash_pairs,
     "ngram_containment": twin_ngram_containment,
     "cdc_dedup": twin_cdc_dedup,
     "bpe_merges": twin_bpe_merges,
