@@ -2127,10 +2127,10 @@ def cdc_chunks(
             toks = text.split()
             if not toks:
                 continue
-            # vectorized token hashes (pd.util.hash_array: deterministic
-            # murmur, process-independent — tokens cannot contain NUL so the
-            # factorizer truncation trap does not apply)
-            th = pd.util.hash_array(np.asarray(toks, object))
+            # arithmetic token hashes (seeded splitmix fold over code
+            # points — the simhash-conversion discipline: deterministic,
+            # process-independent, AND re-derivable by the DuckDB oracle)
+            th = _str_fold_hashes(toks)
             w = th.copy()
             for k, mult in ((1, 0x9E3779B1), (2, 0x85EBCA77), (3, 0xC2B2AE3D)):
                 if k < len(th):
@@ -2149,12 +2149,17 @@ def cdc_chunks(
                     cut = min(hi + 1, n)
                 bounds.append(cut)
                 last = cut
-            chunk_strs = [" ".join(toks[a:b]) for a, b in zip(bounds, bounds[1:])]
-            ch = pd.util.hash_array(np.asarray(chunk_strs, object))
-            out_doc.extend([doc_id] * len(chunk_strs))
-            out_ord.extend(range(len(chunk_strs)))
-            out_hash.extend((ch & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
-            out_len.extend(b - a for a, b in zip(bounds, bounds[1:]))
+            # chunk identity = splitmix fold over the chunk's TOKEN-hash
+            # sequence (equal token sequences ⇔ equal hash; no string
+            # rebuild, same oracle-derivable arithmetic)
+            for o, (a, b) in enumerate(zip(bounds, bounds[1:])):
+                hv = 0
+                for x in _splitmix64(th[a:b]).tolist():
+                    hv = ((hv * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF) ^ x
+                out_doc.append(doc_id)
+                out_ord.append(o)
+                out_hash.append(hv & 0x7FFFFFFFFFFFFFFF)
+                out_len.append(b - a)
         return pd.DataFrame(
             {
                 "doc_id": np.asarray(out_doc, np.int64),

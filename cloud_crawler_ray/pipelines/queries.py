@@ -7826,7 +7826,6 @@ from .serial_twins import TWIN_DIR  # noqa: E402
 
 _TWIN_SQL_COLS = {
     "dup_span_trim": ("doc_id, span_start, span_end", "doc_id, span_start"),
-    "cdc_dedup": ("total_chunks, distinct_chunks, dup_chunks, dup_tokens", "1"),
     "bpe_merges": ('"rank", "left", "right"', '"rank"'),
     "lm_score": ("doc_id, n_tokens, lm_logprob", "doc_id"),
     "hll_distinct": ("estimate, registers, p", "1"),
@@ -8361,6 +8360,95 @@ JOIN bsize z ON z.c = x.c AND z.ck = x.ck
 WHERE z.m BETWEEN 2 AND 500
   AND bit_count(xor(CAST(x.sim AS UBIGINT), CAST(y.sim AS UBIGINT))) <= 3
 ORDER BY a, b
+"""
+
+
+
+# cdc_dedup → DIRECT SQL (r5, conversion #12): after moving the CDC token
+# and chunk hashes to the arithmetic fold, the oracle re-derives the whole
+# content-defined-chunking pipeline — per-token folds (recursive CTE over
+# code points), the 4-token rolling boundary hash (lag window, mask-2^64),
+# the [min 8, max 128] clamped boundary walk (recursive CTE stepping cut to
+# cut via a precomputed next-candidate table), per-chunk token-hash folds,
+# and the dup-chunk/token accounting.
+ORACLE_SQL["cdc_dedup"] = """
+WITH RECURSIVE tok AS MATERIALIZED (
+  SELECT doc_id, unnest(toks) AS tk, unnest(generate_series(1, len(toks))) AS pos, len(toks) AS n
+  FROM (
+    SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+    FROM documents
+  ) WHERE len(toks) > 0
+),
+tmix AS MATERIALIZED (
+  SELECT doc_id, pos, n, length(tk) AS L,
+    unnest(generate_series(1, length(tk))) AS cpos,
+    unnest(list_transform(split(tk, ''), c -> CAST((xor(CAST((((((((CAST((xor(CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 27)) AS HUGEINT))*321982955)) & 18446744073709551615) + ((((CAST((xor(CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 27)) AS HUGEINT))*2496678331)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 27)) AS HUGEINT))*321982955)) & 18446744073709551615) + ((((CAST((xor(CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((CAST(unicode(c) AS HUGEINT)) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 27)) AS HUGEINT))*2496678331)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 31)) AS HUGEINT))) AS m
+  FROM tok
+),
+tfold AS (
+  SELECT doc_id, pos, 0 AS cpos, CAST(16294208416658607535 AS HUGEINT) AS acc, L
+  FROM (SELECT DISTINCT doc_id, pos, L FROM tmix)
+  UNION ALL
+  SELECT f.doc_id, f.pos, f.cpos + 1, CAST(xor(CAST((((((((f.acc)*435)) & 18446744073709551615) + ((((f.acc)*256)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST(t.m AS UBIGINT)) AS HUGEINT), f.L
+  FROM tfold f JOIN tmix t ON t.doc_id = f.doc_id AND t.pos = f.pos AND t.cpos = f.cpos + 1
+  WHERE f.cpos < f.L
+),
+thash AS MATERIALIZED (
+  SELECT f.doc_id, f.pos - 1 AS pos0, t.n, f.acc AS h
+  FROM tfold f JOIN tok t ON t.doc_id = f.doc_id AND t.pos = f.pos
+  WHERE f.cpos = f.L
+),
+wvals AS MATERIALIZED (
+  SELECT doc_id, pos0, n, h, (((CAST(h AS HUGEINT) + coalesce(CAST(lag(h, 1) OVER w AS HUGEINT), 0) * 2654435761 + coalesce(CAST(lag(h, 2) OVER w AS HUGEINT), 0) * 2246822519 + coalesce(CAST(lag(h, 3) OVER w AS HUGEINT), 0) * 3266489917)) & 18446744073709551615) AS wv
+  FROM thash
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos0)
+),
+nca AS MATERIALIZED (
+  SELECT doc_id, pos0 AS p,
+    min(CASE WHEN CAST(wv AS UBIGINT) % 32 = 0 THEN pos0 END)
+      OVER (PARTITION BY doc_id ORDER BY pos0
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc
+  FROM wvals
+),
+dn AS MATERIALIZED (SELECT DISTINCT doc_id, n FROM thash),
+bounds AS (
+  SELECT doc_id, 0 AS cut, 0 AS o FROM dn
+  UNION ALL
+  SELECT b.doc_id,
+    CASE WHEN q.nc IS NOT NULL AND q.nc <= least(b.cut + 127, d.n - 1)
+         THEN q.nc + 1
+         ELSE least(b.cut + 128, d.n) END AS cut,
+    b.o + 1
+  FROM bounds b
+  JOIN dn d ON d.doc_id = b.doc_id
+  LEFT JOIN nca q ON q.doc_id = b.doc_id AND q.p = b.cut + 7
+  WHERE b.cut < d.n
+),
+spans AS MATERIALIZED (
+  SELECT s.doc_id, s.o AS ord, s.cut AS a, e.cut AS b
+  FROM bounds s JOIN bounds e ON e.doc_id = s.doc_id AND e.o = s.o + 1
+),
+cfold AS (
+  SELECT doc_id, ord, a, b, a AS pos, CAST(0 AS HUGEINT) AS acc FROM spans
+  UNION ALL
+  SELECT f.doc_id, f.ord, f.a, f.b, f.pos + 1, CAST(xor(CAST((((((((f.acc)*435)) & 18446744073709551615) + ((((f.acc)*256)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST(CAST((xor(CAST((((((((CAST((xor(CAST((((((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 27)) AS HUGEINT))*321982955)) & 18446744073709551615) + ((((CAST((xor(CAST((((((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 27)) AS HUGEINT))*2496678331)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST((((((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 27)) AS HUGEINT))*321982955)) & 18446744073709551615) + ((((CAST((xor(CAST((((((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT), CAST((((((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*484763065)) & 18446744073709551615) + ((((CAST((xor(CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT), CAST(((((t.h) + 11400714819323198485)) & 18446744073709551615) AS UBIGINT) >> 30)) AS HUGEINT))*3210233709)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 27)) AS HUGEINT))*2496678331)) & 4294967295)*4294967296)) & 18446744073709551615) AS UBIGINT) >> 31)) AS HUGEINT) AS UBIGINT)) AS HUGEINT)
+  FROM cfold f JOIN thash t ON t.doc_id = f.doc_id AND t.pos0 = f.pos
+  WHERE f.pos < f.b
+),
+chunks AS MATERIALIZED (
+  SELECT doc_id, ord,
+    CAST(CAST(acc AS UBIGINT) & 9223372036854775807 AS BIGINT) AS chunk_hash,
+    b - a AS n_tokens
+  FROM cfold WHERE pos = b
+),
+agg AS MATERIALIZED (
+  SELECT chunk_hash, count(*) AS n_, min(n_tokens) AS toks FROM chunks GROUP BY chunk_hash
+)
+SELECT sum(n_)::BIGINT AS total_chunks,
+       count(*)::BIGINT AS distinct_chunks,
+       sum(CASE WHEN n_ > 1 THEN n_ - 1 ELSE 0 END)::BIGINT AS dup_chunks,
+       sum(CASE WHEN n_ > 1 THEN (n_ - 1) * toks ELSE 0 END)::BIGINT AS dup_tokens
+FROM agg
 """
 
 ORACLE_SQL["link_bowtie"] = f"""

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 39  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 40  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -100,57 +100,6 @@ def twin_ngram_containment(
             "n_common": pa.array(rows["n_common"], pa.int64()),
             "n_a": pa.array(rows["n_a"], pa.int64()),
             "n_b": pa.array(rows["n_b"], pa.int64()),
-        }
-    )
-
-
-def twin_cdc_dedup(
-    docs: pa.Table, target: int = 32, min_len: int = 8, max_len: int = 128
-) -> pa.Table:
-    """Serial CDC chunking (same rolling-hash boundary math as
-    ops/dedup.cdc_chunks, per doc) + global Counter over chunk hashes."""
-    total = 0
-    counts: Counter = Counter()
-    toks_of: dict[int, int] = {}
-    for text in docs.column("text").to_pylist():
-        toks = text.split()
-        if not toks:
-            continue
-        th = pd.util.hash_array(np.asarray(toks, object))
-        w = th.copy()
-        for kk, mult in ((1, 0x9E3779B1), (2, 0x85EBCA77), (3, 0xC2B2AE3D)):
-            if kk < len(th):
-                w[kk:] = w[kk:] + th[:-kk] * np.uint64(mult)
-        cand = np.flatnonzero((w % np.uint64(target)) == 0)
-        n = len(toks)
-        bounds = [0]
-        last = 0
-        while last < n:
-            lo, hi = last + min_len - 1, last + max_len - 1
-            ci = int(np.searchsorted(cand, lo))
-            if ci < len(cand) and cand[ci] <= min(hi, n - 1):
-                cut = int(cand[ci]) + 1
-            else:
-                cut = min(hi + 1, n)
-            bounds.append(cut)
-            last = cut
-        chunk_strs = [" ".join(toks[a:b]) for a, b in zip(bounds, bounds[1:])]
-        ch = (
-            pd.util.hash_array(np.asarray(chunk_strs, object))
-            & np.uint64(0x7FFFFFFFFFFFFFFF)
-        ).astype(np.int64)
-        for h_, (a, b) in zip(ch, zip(bounds, bounds[1:])):
-            counts[int(h_)] += 1
-            toks_of[int(h_)] = b - a
-            total += 1
-    dup_chunks = sum(c - 1 for c in counts.values() if c > 1)
-    dup_tokens = sum((c - 1) * toks_of[h_] for h_, c in counts.items() if c > 1)
-    return pa.table(
-        {
-            "total_chunks": pa.array([total], pa.int64()),
-            "distinct_chunks": pa.array([len(counts)], pa.int64()),
-            "dup_chunks": pa.array([dup_chunks], pa.int64()),
-            "dup_tokens": pa.array([dup_tokens], pa.int64()),
         }
     )
 
@@ -1096,7 +1045,6 @@ def twin_link_hits(n_iter: int = 16, k: int = 10) -> pa.Table:
 _DOC_TWINS = {
     "dup_span_trim": twin_dup_span_trim,
     "ngram_containment": twin_ngram_containment,
-    "cdc_dedup": twin_cdc_dedup,
     "bpe_merges": twin_bpe_merges,
     "lm_score": twin_lm_score,
     "hll_distinct": twin_hll_distinct,
