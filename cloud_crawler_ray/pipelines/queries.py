@@ -7825,7 +7825,6 @@ ORACLE_SQL.update(
 from .serial_twins import TWIN_DIR  # noqa: E402
 
 _TWIN_SQL_COLS = {
-    "dup_span_trim": ("doc_id, span_start, span_end", "doc_id, span_start"),
     "bpe_merges": ('"rank", "left", "right"', '"rank"'),
     "lm_score": ("doc_id, n_tokens, lm_logprob", "doc_id"),
     "hll_distinct": ("estimate, registers, p", "1"),
@@ -8449,6 +8448,53 @@ SELECT sum(n_)::BIGINT AS total_chunks,
        sum(CASE WHEN n_ > 1 THEN n_ - 1 ELSE 0 END)::BIGINT AS dup_chunks,
        sum(CASE WHEN n_ > 1 THEN (n_ - 1) * toks ELSE 0 END)::BIGINT AS dup_tokens
 FROM agg
+"""
+
+
+
+# dup_span_trim → DIRECT SQL (r5, conversion #13): the gram keys are raw
+# token strings (no hash at all), so DuckDB re-derives the whole ExactSubstr
+# span pipeline — 8-gram windows via lead(), global >1-occurrence marking,
+# and the overlap/adjacency span merge as gaps-and-islands windows.
+ORACLE_SQL["dup_span_trim"] = """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(toks) AS tk,
+    unnest(generate_series(0, len(toks) - 1)) AS pos0, len(toks) AS n
+  FROM (
+    SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks
+    FROM documents
+  )
+),
+wins AS MATERIALIZED (
+  SELECT doc_id, pos0, n, tk,
+    lead(tk, 1) OVER w AS l1, lead(tk, 2) OVER w AS l2, lead(tk, 3) OVER w AS l3,
+    lead(tk, 4) OVER w AS l4, lead(tk, 5) OVER w AS l5, lead(tk, 6) OVER w AS l6,
+    lead(tk, 7) OVER w AS l7
+  FROM tok
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos0)
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, pos0,
+    tk || ' ' || l1 || ' ' || l2 || ' ' || l3 || ' ' || l4 || ' ' || l5 || ' ' || l6 || ' ' || l7 AS g
+  FROM wins WHERE pos0 + 7 <= n - 1
+),
+dup AS MATERIALIZED (
+  SELECT doc_id, pos0 FROM (
+    SELECT doc_id, pos0, count(*) OVER (PARTITION BY g) AS c FROM grams
+  ) WHERE c > 1
+),
+marks AS MATERIALIZED (
+  SELECT doc_id, pos0,
+    CASE WHEN lag(pos0) OVER w IS NULL OR pos0 > lag(pos0) OVER w + 8 THEN 1 ELSE 0 END AS brk
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos0)
+),
+sp AS MATERIALIZED (
+  SELECT doc_id, pos0,
+    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos0) AS sid
+  FROM marks
+)
+SELECT doc_id, min(pos0)::BIGINT AS span_start, (max(pos0) + 8)::BIGINT AS span_end
+FROM sp GROUP BY doc_id, sid ORDER BY doc_id, span_start
 """
 
 ORACLE_SQL["link_bowtie"] = f"""

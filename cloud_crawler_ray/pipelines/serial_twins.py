@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 40  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 41  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -49,25 +49,6 @@ def _events_table(sf_dir: str, columns) -> pa.Table:
 # ---------------------------------------------------------------------------
 # documents-table text / dedup twins
 # ---------------------------------------------------------------------------
-
-
-def twin_dup_span_trim(docs: pa.Table, k: int = 8) -> pa.Table:
-    """Serial ExactSubstr span marking — runs the SAME pure kernels
-    (ops/dedup.position_grams + dup_spans_kernel) over the whole corpus in
-    one frame, so the distributed two-shuffle path must reproduce every
-    span boundary bit-for-bit."""
-    import numpy as np
-
-    from ..ops.dedup import dup_spans_kernel, position_grams
-
-    g = position_grams(docs.to_pandas(), k)
-    dup = g.groupby("g", sort=False)["g"].transform("size") > 1
-    hit = g.loc[dup]
-    spans = dup_spans_kernel(
-        hit["doc_id"].to_numpy(), hit["pos"].to_numpy().astype(np.int64), k
-    )
-    spans = spans.sort_values(["doc_id", "span_start"]).reset_index(drop=True)
-    return pa.Table.from_pandas(spans, preserve_index=False)
 
 
 def twin_ngram_containment(
@@ -1043,7 +1024,6 @@ def twin_link_hits(n_iter: int = 16, k: int = 10) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 _DOC_TWINS = {
-    "dup_span_trim": twin_dup_span_trim,
     "ngram_containment": twin_ngram_containment,
     "bpe_merges": twin_bpe_merges,
     "lm_score": twin_lm_score,
