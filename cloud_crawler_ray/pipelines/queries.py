@@ -7852,7 +7852,6 @@ _TWIN_SQL_COLS = {
     "part_k_truss": ("part_a, part_b", "part_a, part_b"),
     "embedding_neardup_lsh": ("a, b", "a, b"),
     "nb_classify": ("doc_id, lang, pred", "doc_id"),
-    "ngram_containment": ("a, b, n_common, n_a, n_b", "a, b"),
     "pagerank": ('node, "rank"', "node"),
     "pagerank_personalized": ('node, "rank"', "node"),
     "link_hits": ("node, hub, authority", "node"),
@@ -8495,6 +8494,37 @@ sp AS MATERIALIZED (
 )
 SELECT doc_id, min(pos0)::BIGINT AS span_start, (max(pos0) + 8)::BIGINT AS span_end
 FROM sp GROUP BY doc_id, sid ORDER BY doc_id, span_start
+"""
+
+
+
+# ngram_containment → DIRECT SQL (r5, conversion #14): the brute-force
+# all-ordered-pairs containment check (raw word 3-shingle strings, integer
+# test den·c ≥ num·n_a) that the serial twin ran in numpy — now DuckDB runs
+# it itself, which ALSO keeps the losslessness proof for the engine's
+# prefix/length/cap pruning (the oracle prunes nothing).
+ORACLE_SQL["ngram_containment"] = f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest([array_to_string(toks[i:i+2], ' ')
+                       for i in range(1, greatest(len(toks)-2, 0)+1)]) AS s
+        FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+        WHERE len(toks) >= 3
+        UNION ALL
+        SELECT doc_id, array_to_string(toks, ' ') AS s
+        FROM (SELECT doc_id, {_TOKENS} AS toks FROM documents)
+        WHERE len(toks) < 3 AND len(toks) > 0)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+      FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id <> y.doc_id
+      GROUP BY 1, 2)
+    SELECT a, b, c::BIGINT AS n_common, sa.n::BIGINT AS n_a, sb.n::BIGINT AS n_b
+    FROM pairs JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE 5*c >= 4*sa.n
+    ORDER BY a, b
 """
 
 ORACLE_SQL["link_bowtie"] = f"""

@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 TWIN_DIR = "/tmp/ccray_twins_sf0.01"
-_TWIN_VERSION = 41  # bump when a twin's set/shape/semantics change
+_TWIN_VERSION = 42  # bump when a twin's set/shape/semantics change
 
 
 def _docs_table(sf_dir: str) -> pa.Table:
@@ -49,40 +49,6 @@ def _events_table(sf_dir: str, columns) -> pa.Table:
 # ---------------------------------------------------------------------------
 # documents-table text / dedup twins
 # ---------------------------------------------------------------------------
-
-
-def twin_ngram_containment(
-    docs: pa.Table, k: int = 3, num: int = 4, den: int = 5
-) -> pa.Table:
-    """Brute-force ground truth: EVERY ordered pair's exact shingle-set
-    intersection (no prefix filter, no bucket cap) — so a hash match also
-    proves the distributed prefix/cap pruning loses nothing at this
-    scale."""
-    from ..functions import text as T
-
-    ids = docs.column("doc_id").to_pylist()
-    sets = [frozenset(T.word_shingles(t, k)) for t in docs.column("text").to_pylist()]
-    rows = {"a": [], "b": [], "n_common": [], "n_a": [], "n_b": []}
-    for i, (ai, si) in enumerate(zip(ids, sets)):
-        for j, (bj, sj) in enumerate(zip(ids, sets)):
-            if i == j:
-                continue
-            c = len(si & sj)
-            if den * c >= num * len(si):
-                rows["a"].append(ai)
-                rows["b"].append(bj)
-                rows["n_common"].append(c)
-                rows["n_a"].append(len(si))
-                rows["n_b"].append(len(sj))
-    return pa.table(
-        {
-            "a": pa.array(rows["a"]),
-            "b": pa.array(rows["b"]),
-            "n_common": pa.array(rows["n_common"], pa.int64()),
-            "n_a": pa.array(rows["n_a"], pa.int64()),
-            "n_b": pa.array(rows["n_b"], pa.int64()),
-        }
-    )
 
 
 def twin_bpe_merges(docs: pa.Table, n_merges: int = 32, top_v: int = 10_000) -> pa.Table:
@@ -1024,7 +990,6 @@ def twin_link_hits(n_iter: int = 16, k: int = 10) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 _DOC_TWINS = {
-    "ngram_containment": twin_ngram_containment,
     "bpe_merges": twin_bpe_merges,
     "lm_score": twin_lm_score,
     "hll_distinct": twin_hll_distinct,
